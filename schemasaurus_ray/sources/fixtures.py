@@ -1,0 +1,163 @@
+"""Deterministic synthetic audio clip + transcript tables (FIXTURES.md F1/F2).
+
+Seed=42, numpy PCG64, no wall-clock, no external data. Violations are
+injected at known modular row indices so golden counts are exact:
+
+| condition (row i)   | violation                          | code               |
+|---------------------|------------------------------------|--------------------|
+| i % 500 == 7        | transcript = null                  | required           |
+| i % 500 == 131      | duplicate clip_id (row i-1's id)   | unique             |
+| i % 1000 == 11      | sr_hz = 3000 / 96001 (alternating) | enum (+min/max)    |
+| i % 1000 == 13      | dur_ms = 0                         | minimum.exclusive  |
+| i % 1000 == 17      | codec = "mp3"                      | enum               |
+| i % 2000 == 19      | clip_id = "CLIP_<i>"               | pattern            |
+| i % 2000 == 23      | truncated bytes (half samples)     | custom.pcm         |
+| partition 0 rows    | sr 90% 44100, dur ×2               | drift (KS/PSI)     |
+
+Transcript side table (F2): rows i % 500 == 77 dropped (orphan clip),
+extra rows with unknown clip_id at i % 500 == 99 (orphan transcript).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..audio import synth_samples, wav_encode
+from ..util import partition_ids
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog alpha beta gamma delta epsilon "
+    "zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon "
+    "phi chi psi omega one two three four five six seven eight nine ten "
+    "north south east west red green blue amber stone river cloud forest "
+    "hill vale spark ember drift tide grain husk loom twine"
+).split()
+assert len(WORDS) == 64
+
+SR_CHOICES = np.array([8000, 16000, 22050, 44100], dtype=np.int32)
+SR_WEIGHTS = np.array([0.1, 0.6, 0.1, 0.2])
+CODECS = np.array(["wav", "flac", "opus"], dtype=object)
+CODEC_WEIGHTS = np.array([0.7, 0.2, 0.1])
+
+
+def clip_ids(n: int) -> np.ndarray:
+    return np.array([f"clip-{i:010d}" for i in range(n)], dtype=object)
+
+
+def make_clips(
+    n: int,
+    *,
+    seed: int = 42,
+    dur_lo: int = 200,
+    dur_hi: int = 2000,
+    with_audio: bool = True,
+    inject: bool = True,
+    num_partitions: int = 16,
+    drift_partition: int | None = 0,
+) -> pa.Table:
+    """The F1 clip table. ``dur_hi`` is capped below FIXTURES' 30 s so test
+    tables stay small; semantics don't depend on it."""
+    rng = np.random.default_rng(seed)
+    ids = clip_ids(n)
+    sr = rng.choice(SR_CHOICES, size=n, p=SR_WEIGHTS).astype(np.int32)
+    dur = np.clip(rng.lognormal(7.3, 0.6, size=n), dur_lo, dur_hi).astype(np.int32)
+    codec = rng.choice(CODECS, size=n, p=CODEC_WEIGHTS)
+    transcript = np.array(
+        [" ".join(rng.choice(WORDS, size=max(1, int(d / 400)))) for d in dur], dtype=object
+    )
+
+    i = np.arange(n)
+    if inject:
+        # drift partition first (so membership is computed on clean ids)
+        if drift_partition is not None:
+            pids = partition_ids(pa.array(ids, pa.string()), num_partitions)
+            in_drift = pids == drift_partition
+            flip = rng.random(n) < 0.9
+            sr = np.where(in_drift & flip, np.int32(44100), sr)
+            dur = np.where(in_drift, np.minimum(dur * 2, dur_hi * 2).astype(np.int32), dur)
+
+        transcript[(i % 500) == 7] = None
+        dup = (i % 500) == 131
+        ids[dup] = ids[np.maximum(i[dup] - 1, 0)]
+        srv = (i % 1000) == 11
+        sr[srv & ((i // 1000) % 2 == 0)] = 3000
+        sr[srv & ((i // 1000) % 2 == 1)] = 96001
+        dur[(i % 1000) == 13] = 0
+        codec[(i % 1000) == 17] = "mp3"
+        ids[(i % 2000) == 19] = np.array([f"CLIP_{j}" for j in i[(i % 2000) == 19]], dtype=object)
+
+    blobs = None
+    if with_audio:
+        truncated = inject & ((i % 2000) == 23)
+        blob_list = []
+        for j in range(n):
+            samples = synth_samples(j, int(sr[j]), int(dur[j]), seed=seed)
+            if inject and truncated[j]:
+                samples = samples[: len(samples) // 2]
+            blob_list.append(wav_encode(samples, int(sr[j])))
+        blobs = pa.array(blob_list, pa.binary())
+
+    cols = {
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": blobs if blobs is not None else pa.nulls(n, pa.binary()),
+        "sr_hz": pa.array(sr, pa.int32()),
+        "dur_ms": pa.array(dur, pa.int32()),
+        "codec": pa.array(codec, pa.string()),
+        "transcript": pa.array(transcript, pa.string()),
+    }
+    return pa.table(cols)
+
+
+def make_transcripts(clips: pa.Table, seed: int = 42) -> pa.Table:
+    """F2 side table: (clip_id, transcript, lang) with known orphans."""
+    rng = np.random.default_rng(seed + 1)
+    n = clips.num_rows
+    i = np.arange(n)
+    keep = (i % 500) != 77
+    ids = np.asarray(clips.column("clip_id").combine_chunks(), dtype=object)[keep]
+    texts = np.asarray(clips.column("transcript").combine_chunks(), dtype=object)[keep]
+    langs = rng.choice(np.array(["en", "de", "fr"], dtype=object), size=keep.sum())
+    extra_idx = i[(i % 500) == 99]
+    extra_ids = np.array([f"ghost-{j:010d}" for j in extra_idx], dtype=object)
+    extra_texts = np.array(["orphan transcript"] * len(extra_idx), dtype=object)
+    extra_langs = np.array(["en"] * len(extra_idx), dtype=object)
+    return pa.table(
+        {
+            "clip_id": pa.array(np.concatenate([ids, extra_ids]), pa.string()),
+            "transcript": pa.array(np.concatenate([texts, extra_texts]), pa.string()),
+            "lang": pa.array(np.concatenate([langs, extra_langs]), pa.string()),
+        }
+    )
+
+
+def write_fixture(
+    out_dir: str,
+    n: int = 2000,
+    *,
+    seed: int = 42,
+    shards: int = 4,
+    with_audio: bool = True,
+    inject: bool = True,
+    num_partitions: int = 16,
+) -> dict[str, str]:
+    """Write clips + transcripts as sharded parquet (resumable layout — one
+    file per shard). Returns {"clips": dir, "transcripts": dir}."""
+    clips = make_clips(
+        n, seed=seed, with_audio=with_audio, inject=inject, num_partitions=num_partitions
+    )
+    transcripts = make_transcripts(clips, seed=seed)
+    clips_dir = os.path.join(out_dir, "clips")
+    tr_dir = os.path.join(out_dir, "transcripts")
+    os.makedirs(clips_dir, exist_ok=True)
+    os.makedirs(tr_dir, exist_ok=True)
+    per = (n + shards - 1) // shards
+    for s in range(shards):
+        part = clips.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(clips_dir, f"shard-{s:05d}.parquet"))
+    pq.write_table(transcripts, os.path.join(tr_dir, "shard-00000.parquet"))
+    return {"clips": clips_dir, "transcripts": tr_dir}

@@ -1,0 +1,155 @@
+"""RowRuleStage — the hot per-row validation stage.
+
+A callable CLASS for ``Dataset.map_batches(RowRuleStage, fn_constructor_args=
+(spec,), batch_format="pyarrow", zero_copy_batch=True, concurrency=N)``:
+the spec is compiled ONCE per actor in ``__init__`` (the engine analogue of
+the reference's one-selector-per-compiled-closure, src/compiler.js:294-311 —
+see SURVEY.md §3.4) and each ``__call__`` evaluates all folded kernels on one
+zero-copy Arrow batch.
+
+Output: a union table of violation rows + per-(batch, partition) summary
+rows, discriminated by ``kind`` — one pass over the data yields both the
+violations sink and the per-partition verdict aggregate (reference result
+model ``{valid, errors}``, v4validator.js:377-380, lifted to partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..plan import BoundPlan, RowRulePlan, compile_plan
+from ..spec import TableSpec
+from ..util import partition_ids, stringify_column
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # "violation" | "summary"
+        ("partition_id", pa.int32()),
+        ("row_ref", pa.string()),
+        ("column", pa.string()),
+        ("code", pa.string()),
+        ("message", pa.string()),
+        ("arg", pa.string()),
+        ("value", pa.string()),
+        ("rows", pa.int64()),
+        ("bad_rows", pa.int64()),
+    ]
+)
+
+
+def _empty_out() -> pa.Table:
+    return VIOLATION_SCHEMA.empty_table()
+
+
+class RowRuleStage:
+    """Evaluate a compiled rule plan per batch → violations ∪ summaries."""
+
+    def __init__(self, spec: TableSpec | dict[str, Any], num_partitions: int = 64):
+        self.plan: RowRulePlan = compile_plan(spec)
+        self.num_partitions = num_partitions
+        self._bound: BoundPlan | None = None
+        self._bound_schema: pa.Schema | None = None
+
+    def _bind(self, schema: pa.Schema) -> BoundPlan:
+        if self._bound is None or not schema.equals(self._bound_schema):
+            self._bound = self.plan.bind(schema)
+            self._bound_schema = schema
+        return self._bound
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _empty_out()
+        bound = self._bind(batch.schema)
+
+        key_col = self.plan.spec.row_ref_column
+        if key_col and key_col in batch.column_names:
+            pids = partition_ids(batch.column(key_col), self.num_partitions)
+            refs = batch.column(key_col).combine_chunks().cast(pa.string())
+        else:
+            pids = partition_ids(batch.column(batch.column_names[0]), self.num_partitions)
+            refs = None
+
+        row_bad, hits = bound.evaluate(batch)
+
+        out_kind: list[pa.Array] = []
+        chunks: list[dict[str, pa.Array]] = []
+
+        for rule, idx in hits:
+            m = len(idx)
+            idx_arr = pa.array(idx, pa.int64())
+            if rule.column in batch.column_names:
+                values = stringify_column(batch.column(rule.column), idx)
+            else:
+                values = pa.nulls(m, pa.string())
+            chunks.append(
+                {
+                    "kind": pa.array(["violation"] * m, pa.string()),
+                    "partition_id": pa.array(pids[idx], pa.int32()),
+                    "row_ref": refs.take(idx_arr) if refs is not None else pa.nulls(m, pa.string()),
+                    "column": pa.array([rule.column] * m, pa.string()),
+                    "code": pa.array([rule.code] * m, pa.string()),
+                    "message": pa.array([rule.message] * m, pa.string()),
+                    "arg": pa.array([_argstr(rule.arg)] * m, pa.string()),
+                    "value": values,
+                    "rows": pa.nulls(m, pa.int64()),
+                    "bad_rows": pa.nulls(m, pa.int64()),
+                }
+            )
+
+        # block-level schema issues: one violation row per issue per batch,
+        # attributed to every partition seen in the batch via partition -1
+        for issue in bound.schema_issues:
+            chunks.append(
+                {
+                    "kind": pa.array(["violation"]),
+                    "partition_id": pa.array([-1], pa.int32()),
+                    "row_ref": pa.nulls(1, pa.string()),
+                    "column": pa.array([issue.column]),
+                    "code": pa.array([issue.code]),
+                    "message": pa.array([issue.message]),
+                    "arg": pa.array([_argstr(issue.arg)], pa.string()),
+                    "value": pa.nulls(1, pa.string()),
+                    "rows": pa.nulls(1, pa.int64()),
+                    "bad_rows": pa.nulls(1, pa.int64()),
+                }
+            )
+
+        # per-partition summary rows for this batch
+        seen = np.unique(pids)
+        rows_per = np.bincount(pids, minlength=self.num_partitions)
+        bad_per = np.bincount(pids[row_bad], minlength=self.num_partitions) if row_bad.any() else np.zeros(self.num_partitions, dtype=np.int64)
+        m = len(seen)
+        chunks.append(
+            {
+                "kind": pa.array(["summary"] * m, pa.string()),
+                "partition_id": pa.array(seen, pa.int32()),
+                "row_ref": pa.nulls(m, pa.string()),
+                "column": pa.nulls(m, pa.string()),
+                "code": pa.nulls(m, pa.string()),
+                "message": pa.nulls(m, pa.string()),
+                "arg": pa.nulls(m, pa.string()),
+                "value": pa.nulls(m, pa.string()),
+                "rows": pa.array(rows_per[seen], pa.int64()),
+                "bad_rows": pa.array(bad_per[seen], pa.int64()),
+            }
+        )
+
+        tables = [pa.table(c, schema=VIOLATION_SCHEMA) for c in chunks]
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+
+def _argstr(arg: Any) -> str | None:
+    if arg is None:
+        return None
+    if isinstance(arg, str):
+        return arg
+    import json
+
+    try:
+        return json.dumps(arg)
+    except (TypeError, ValueError):
+        return str(arg)

@@ -1,0 +1,97 @@
+"""Shared vectorized helpers: stable hashing + partition assignment.
+
+Partitioning is CONTENT-based (hash of the row key), not block-based, so
+partition ids are stable across re-reads and resumable runs (SURVEY.md §4
+"Partitioning / sharding"). Hashes are implemented with numpy (splitmix64)
+— stable across processes and Python hash seeds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — public-domain mixing
+    function (Steele et al., 'Fast splittable pseudorandom number
+    generators')."""
+    with np.errstate(over="ignore"):
+        z = (x + _GOLDEN).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
+    """Stable uint64 hash of an Arrow column, vectorized.
+
+    ints → splitmix64; strings/binary → FNV-1a folded over a fixed-width
+    byte view (vectorized via offsets math), then splitmix64.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # pyarrow version differences
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_boolean(t):
+        vals = np.asarray(col.cast(pa.int64()).fill_null(-1)).astype(np.uint64)
+        return splitmix64(vals + np.uint64(seed))
+    if pa.types.is_floating(t):
+        vals = np.asarray(col.fill_null(np.nan), dtype=np.float64).view(np.uint64)
+        return splitmix64(vals + np.uint64(seed))
+    # strings / binary: vectorized polyhash over the flat byte buffer
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        col = col.cast(pa.large_binary())
+    arr = col.fill_null(b"")
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8).astype(np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    # polynomial rolling hash per row: h = sum(byte * p^i) via segmented cumsum
+    n_bytes = offsets[-1] - offsets[0]
+    if n_bytes == 0:
+        return splitmix64(np.full(len(arr), np.uint64(seed)))
+    b = buf[offsets[0] : offsets[-1]]
+    # position within row
+    starts = (offsets - offsets[0]).astype(np.int64)
+    row_of_byte = np.repeat(np.arange(len(arr)), np.diff(starts))
+    pos = np.arange(len(b), dtype=np.int64) - starts[row_of_byte]
+    with np.errstate(over="ignore"):
+        p = np.uint64(1099511628211)  # FNV prime as polynomial base
+        # p^pos mod 2^64 via exponentiation on the fly: precompute powers up to max len
+        max_len = int(np.diff(starts).max()) if len(starts) > 1 else len(b)
+        powers = np.empty(max_len + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, max_len + 1):
+            powers[i] = powers[i - 1] * p
+        contrib = (b + np.uint64(1)) * powers[pos]
+        sums = np.zeros(len(arr), dtype=np.uint64)
+        np.add.at(sums, row_of_byte, contrib)
+    lengths = np.diff(starts).astype(np.uint64)
+    return splitmix64(sums ^ splitmix64(lengths + np.uint64(seed)))
+
+
+def partition_ids(col: pa.ChunkedArray | pa.Array, num_partitions: int, seed: int = 0) -> np.ndarray:
+    """partition_id = mixed-hash(key) % P, as int32."""
+    h = hash_column(col, seed)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def stringify_column(col: pa.ChunkedArray, indices: np.ndarray) -> pa.Array:
+    """Offending values as strings for the violation sink; binary columns are
+    summarized as their byte length (never ship audio payloads into the
+    violations table — SURVEY.md §7 hard part (d))."""
+    taken = col.combine_chunks().take(pa.array(indices, pa.int64()))
+    t = taken.type
+    try:
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pc.cast(pc.binary_length(taken), pa.string())
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t):
+            return pa.array([str(v) for v in taken.to_pylist()], pa.string())
+        return taken.cast(pa.string())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return pa.array([None] * len(indices), pa.string())
