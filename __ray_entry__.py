@@ -1,16 +1,9 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator callables, and
+oracle_sql() DuckDB equivalents (see schemasaurus_ray/pipelines/queries.py
+for the Ray implementations).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +11,146 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from schemasaurus_ray.pipelines import queries as q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship rule-pack validation on sf0.001 lineitem → violations table
+    (row_ref, column, code). ≥0 rows, stable schema."""
+    return q.validate_lineitem("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validator rule-pack (SURVEY.md §2B keywords, vectorized)
+        "validate_lineitem": q.validate_lineitem,
+        "validate_documents": q.validate_documents,
+        # normalizer (§2C)
+        "normalize_lineitem": q.normalize_lineitem,
+        # column stats (§2E)
+        "stats_lineitem": q.stats_lineitem,
+        "distinct_orderkeys": q.distinct_orderkeys,
+        # uniqueness / referential shuffles (§2E)
+        "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
+        "referential_events_customer": q.referential_events_customer,
+        # grouped histogram (drift PSI input, §2E)
+        "histogram_events_type": q.histogram_events_type,
+        # dedup family
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "minhash_neardup_documents": q.minhash_neardup_documents,
+        "simhash_documents": q.simhash_documents,
+        "embedding_neardup": q.embedding_neardup,
+        # text analysis
+        "token_count_documents": q.token_count_documents,
+        "quality_documents": q.quality_documents,
+        "fingerprint_documents": q.fingerprint_documents,
+        "langid_documents": q.langid_documents,
+        # similarity search
+        "ann_topk_embeddings": q.ann_topk_embeddings,
+        "ann_ivf_embeddings": q.ann_ivf_embeddings,
+        # audio flagship (fixture-synthesized; rows-only)
+        "validate_audio_clips": q.validate_audio_clips,
+        "audio_features": q.audio_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_lineitem": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS row_ref, 'l_quantity' AS col, 'minimum' AS code
+              FROM lineitem WHERE l_quantity < 5
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_quantity', 'maximum' FROM lineitem WHERE l_quantity > 45
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_discount', 'maximum' FROM lineitem WHERE l_discount > 0.05
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_discount', 'minimum' FROM lineitem WHERE l_discount < 0
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_returnflag', 'enum' FROM lineitem WHERE l_returnflag NOT IN ('A','N')
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_linestatus', 'enum' FROM lineitem WHERE l_linestatus NOT IN ('O','F')
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_orderkey', 'minimum' FROM lineitem WHERE l_orderkey < 1
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_linenumber', 'minimum' FROM lineitem WHERE l_linenumber < 1
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'l_linenumber', 'maximum' FROM lineitem WHERE l_linenumber > 7
+        """,
+        "validate_documents": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'doc_id' AS col, 'minimum' AS code
+              FROM documents WHERE doc_id < 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'text', 'minLength' FROM documents WHERE length(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'lang', 'enum' FROM documents WHERE lang NOT IN ('en','de','fr','es')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'maximum' FROM documents WHERE n_chars > 400
+        """,
+        "normalize_lineitem": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(l_quantity AS BIGINT) AS qty_int
+              FROM lineitem
+        """,
+        "stats_lineitem": """
+            SELECT 'l_discount' AS col_name, count(*) AS cnt, count(*) - count(l_discount) AS nulls,
+                   min(l_discount) AS min_v, max(l_discount) AS max_v,
+                   ROUND(avg(l_discount), 2) AS mean_v FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+                   min(l_extendedprice), max(l_extendedprice),
+                   ROUND(avg(l_extendedprice), 2) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+                   min(l_quantity), max(l_quantity),
+                   ROUND(avg(l_quantity), 2) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                   min(l_tax), max(l_tax),
+                   ROUND(avg(l_tax), 2) FROM lineitem
+        """,
+        "distinct_orderkeys": "SELECT count(DISTINCT l_orderkey) AS n_distinct FROM lineitem",
+        "unique_lineitem_orderkey": """
+            SELECT l_orderkey, count(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey
+        """,
+        "referential_events_customer": """
+            SELECT CAST(user_id AS VARCHAR) AS row_ref, 'user_id' AS col, 'reference' AS code
+              FROM events
+             WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey > 10)
+        """,
+        "histogram_events_type": """
+            SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "token_count_documents": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?')) AS BIGINT) AS n_words
+              FROM documents ORDER BY doc_id
+        """,
+        "quality_documents": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(FLOOR(10000.0 * length(regexp_extract_all(text, '[A-Za-z]')) /
+                        GREATEST(length(text), 1)) AS BIGINT) AS alpha_bp,
+                   CAST(FLOOR(10000.0 * length(regexp_extract_all(text, '[0-9]')) /
+                        GREATEST(length(text), 1)) AS BIGINT) AS digit_bp
+              FROM documents ORDER BY doc_id
+        """,
+        "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "ann_topk_embeddings": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id
+              FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q
+             CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+            ) <= 10
+        """,
+        # minhash_neardup_documents, simhash_documents, embedding_neardup,
+        # langid_documents, ann_ivf_embeddings, validate_audio_clips,
+        # audio_features: non-SQL-expressible (sketch/LSH/heuristic/actor
+        # pipelines) → rows-only checks.
+    }

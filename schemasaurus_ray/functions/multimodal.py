@@ -1,0 +1,137 @@
+"""Multimodal column stages — opaque binary payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages.
+
+Audio decode is REAL (stdlib WAV PCM16, audio.py). Image/video decode is
+STUBBED (the decoding libraries are not in this container) behind
+``DecoderRegistry``: the Ray-side plumbing — schema, batch size, actor
+signature, output layout — is real and tested; a deterministic fake decoder
+stands in so pipelines exercise the full path (per the build brief's
+multimodal requirement)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..audio import HEADER_SIZE, wav_decode
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode WAV bytes → per-clip acoustic features
+    (rms, peak, zero-crossing rate, measured duration). State (feature
+    config) built once per actor; per-batch work is numpy over decoded PCM.
+
+    Use small ``batch_size`` — rows carry whole audio payloads
+    (ray_guide: memory-aware batch sizing for binary columns)."""
+
+    FEATURES = ("rms", "peak", "zcr", "measured_ms")
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id"):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col)
+        n = batch.num_rows
+        rms = np.full(n, np.nan)
+        peak = np.full(n, np.nan)
+        zcr = np.full(n, np.nan)
+        measured = np.full(n, np.nan)
+        for i in range(n):
+            blob = blobs[i].as_py()
+            if blob is None:
+                continue
+            try:
+                pcm, sr = wav_decode(blob)
+            except ValueError:
+                continue
+            if len(pcm) == 0:
+                continue
+            x = pcm.astype(np.float64) / 32768.0
+            rms[i] = float(np.sqrt(np.mean(x * x)))
+            peak[i] = float(np.abs(x).max())
+            zcr[i] = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+            measured[i] = 1000.0 * len(pcm) / sr
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "rms": pa.array(rms, pa.float64()),
+                "peak": pa.array(peak, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+                "measured_ms": pa.array(measured, pa.float64()),
+            }
+        )
+
+
+class AudioResampleStage:
+    """Actor-pool stage: naive integer-factor resample (decimate / repeat) of
+    WAV payloads to a target rate — the 'transform a binary column, emit a
+    rebuilt binary column' layout. Linear interpolation, numpy only."""
+
+    def __init__(self, target_sr: int = 16000, bytes_col: str = "bytes"):
+        self.target_sr = target_sr
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import wav_encode
+
+        blobs = batch.column(self.bytes_col)
+        out = []
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                out.append(None)
+                continue
+            try:
+                pcm, sr = wav_decode(blob)
+            except ValueError:
+                out.append(None)
+                continue
+            if sr == self.target_sr or len(pcm) == 0:
+                out.append(blob)
+                continue
+            n_out = max(1, int(round(len(pcm) * self.target_sr / sr)))
+            xp = np.linspace(0.0, 1.0, len(pcm))
+            xq = np.linspace(0.0, 1.0, n_out)
+            res = np.interp(xq, xp, pcm.astype(np.float64)).astype(np.int16)
+            out.append(wav_encode(res, self.target_sr))
+        cols = {name: batch.column(name) for name in batch.column_names if name != self.bytes_col}
+        cols[self.bytes_col] = pa.array(out, pa.binary())
+        new_sr = pa.array([self.target_sr] * batch.num_rows, pa.int32())
+        if "sr_hz" in cols:
+            cols["sr_hz"] = new_sr
+        return pa.table(cols)
+
+
+class StubImageDecodeStage:
+    """STUB image/video decoder (no image libs in this container —
+    NotImplementedError for real decode; ``fake=True`` swaps in a
+    deterministic byte-statistics featurizer so the Ray plumbing is
+    exercised end-to-end)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "id", fake: bool = False):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image/video decode requires Pillow/ffmpeg — not available in "
+                "this container; construct with fake=True for the deterministic stub"
+            )
+        blobs = batch.column(self.bytes_col)
+        feats = []
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                feats.append(None)
+                continue
+            arr = np.frombuffer(blob[:4096], dtype=np.uint8)
+            feats.append([float(arr.mean()), float(arr.std()), float(len(blob))])
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )

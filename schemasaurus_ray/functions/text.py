@@ -1,0 +1,125 @@
+"""Text-analysis operators over a documents table (engine-native additions
+for training-data pipelines; no reference counterpart — the reference's
+closest surface is the custom `conform` UDF hook, v4validator.js:355-373).
+
+All operators are vectorized batch transforms for ``Dataset.map_batches``
+(pyarrow.compute regex kernels / numpy); language-ID is a stateful stage
+(stopword tables built once per actor)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?"  # BPE-ish word pieces incl. contractions
+
+
+def token_count(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, n_tokens, n_words): whitespace tokens + regex word pieces."""
+    col = batch.column(text_col)
+    n_tokens = pc.count_substring_regex(col, TOKEN_RE)
+    n_words = pc.count_substring_regex(col, WORD_RE)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pc.cast(n_tokens.combine_chunks() if hasattr(n_tokens, "combine_chunks") else n_tokens, pa.int64()),
+            "n_words": pc.cast(n_words.combine_chunks() if hasattr(n_words, "combine_chunks") else n_words, pa.int64()),
+        }
+    )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+    mean_token_len, quality): cheap length/character-class heuristics
+    (C4/Gopher-style quality filters)."""
+    col = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(col), pa.float64())
+    n_alpha = pc.cast(pc.count_substring_regex(col, "[A-Za-z]"), pa.float64())
+    n_digit = pc.cast(pc.count_substring_regex(col, "[0-9]"), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(col, r"[.,;:!?'\"()]"), pa.float64())
+    n_tok = pc.cast(pc.count_substring_regex(col, TOKEN_RE), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    safe_tok = pc.max_element_wise(n_tok, 1.0)
+    alpha_ratio = pc.divide(n_alpha, safe_chars)
+    digit_ratio = pc.divide(n_digit, safe_chars)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    mean_token_len = pc.divide(pc.subtract(n_chars, pc.subtract(n_tok, 1.0)), safe_tok)
+    # composite score in [0,1]: alpha-heavy, not digit/punct-spam, sane token len
+    a = np.asarray(alpha_ratio.combine_chunks() if isinstance(alpha_ratio, pa.ChunkedArray) else alpha_ratio)
+    d = np.asarray(digit_ratio.combine_chunks() if isinstance(digit_ratio, pa.ChunkedArray) else digit_ratio)
+    p = np.asarray(punct_ratio.combine_chunks() if isinstance(punct_ratio, pa.ChunkedArray) else punct_ratio)
+    mtl = np.asarray(mean_token_len.combine_chunks() if isinstance(mean_token_len, pa.ChunkedArray) else mean_token_len)
+    quality = np.clip(a - 2.0 * d - p - 0.05 * np.abs(mtl - 5.0), 0.0, 1.0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_chars": pc.cast(pc.utf8_length(col), pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(col, TOKEN_RE), pa.int64()),
+            "alpha_ratio": alpha_ratio,
+            "digit_ratio": digit_ratio,
+            "punct_ratio": punct_ratio,
+            "quality": pa.array(quality, pa.float64()),
+        }
+    )
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, fp): md5 content fingerprint (hex) — exact-dup detection key that
+    an oracle can recompute."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({id_col: batch.column(id_col), "fp": pa.array(fps, pa.string())})
+
+
+# frequent-word tables for a tiny trigram/stopword language-ID heuristic
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it was for on are with as be at by this have from or had not but what all were when we there can an your which their".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu den dem des im mit auf für von sie er es ich du wir ihr sind war haben werden bei aus nach über auch".split()),
+    "fr": frozenset("le la les de des et est un une à dans pour que qui ne pas sur avec ce cette il elle nous vous ils sont était avoir plus par mais ou où".split()),
+    "es": frozenset("el la los las de y es un una en que no por con para se su al lo como más pero sus le ya o este fue han hay donde quien desde todo".split()),
+}
+
+
+class LangIdStage:
+    """Stateful language-ID stage: stopword tables + tokenizer compiled once
+    per actor (``map_batches(LangIdStage, concurrency=N)``)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word = re.compile(r"[a-zà-ÿäöüß']+")
+        self.tables = _LANG_STOPWORDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            if not t:
+                preds.append(None)
+                scores.append(0.0)
+                continue
+            toks = self.word.findall(t.lower())[:200]
+            if not toks:
+                preds.append("unk")
+                scores.append(0.0)
+                continue
+            best, best_score = "unk", 0.0
+            for lang, stops in self.tables.items():
+                s = sum(1 for w in toks if w in stops) / len(toks)
+                if s > best_score:
+                    best, best_score = lang, s
+            preds.append(best if best_score > 0.05 else "unk")
+            scores.append(round(best_score, 4))
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )

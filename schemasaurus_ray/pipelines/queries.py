@@ -1,0 +1,341 @@
+"""Driver-facing query implementations over the TPC-H-ish test tables
+(FIXTURES.md F4) — one per operator family in SURVEY.md §2. Each takes
+``sf_dir`` and returns a pyarrow Table / Dataset whose schema matches the
+DuckDB oracle in __ray_entry__.oracle_sql() column-for-column.
+
+Ray is initialised by the caller — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    simhash_signatures,
+    verify_pairs_jaccard,
+)
+from ..functions.similarity import brute_force_topk, ivf_topk
+from ..functions.text import LangIdStage, fingerprint, quality_scores, token_count
+from ..specs import LINEITEM_STRICT_SPEC
+from ..stages.referential import orphan_rows
+from ..stages.rulepack import RowRuleStage
+from ..stages.stats import batch_stats_partial, merge_stats_partials
+from ..stages.unique import duplicate_keys
+
+DOCUMENTS_SPEC: dict = {
+    "columns": {
+        "doc_id": {"type": "integer", "required": True, "minimum": 0},
+        "text": {"type": "string", "required": True, "minLength": 1},
+        "lang": {"type": "string", "enum": ["en", "de", "fr", "es"]},
+        "n_chars": {"type": "integer", "maximum": 400},
+    },
+    "table": {"key": "doc_id"},
+}
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches)
+
+
+def _violations(ds, spec: dict) -> pa.Table:
+    out = ds.map_batches(
+        RowRuleStage,
+        fn_constructor_args=(spec,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    tbl = _collect(out)
+    viol = tbl.filter(pc.equal(tbl.column("kind"), "violation"))
+    return viol.select(["row_ref", "column", "code"]).rename_columns(["row_ref", "col", "code"])
+
+
+# ---- validator rule-pack ----------------------------------------------------
+def validate_lineitem(sf_dir: str) -> pa.Table:
+    cols = list(LINEITEM_STRICT_SPEC["columns"].keys())
+    return _violations(_read(sf_dir, "lineitem", cols), LINEITEM_STRICT_SPEC)
+
+
+def validate_documents(sf_dir: str) -> pa.Table:
+    cols = list(DOCUMENTS_SPEC["columns"].keys())
+    return _violations(_read(sf_dir, "documents", cols), DOCUMENTS_SPEC)
+
+
+# ---- stats ------------------------------------------------------------------
+STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _stats_partial_batch(batch: pa.Table) -> pa.Table:
+    import json
+
+    recs = batch_stats_partial(batch, STATS_COLS)
+    return pa.table({"payload": pa.array([json.dumps(recs)], pa.string())})
+
+
+def stats_lineitem(sf_dir: str) -> pa.Table:
+    import json
+
+    ds = _read(sf_dir, "lineitem", STATS_COLS)
+    partials = []
+    for batch in ds.map_batches(_stats_partial_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for p in batch.column("payload").to_pylist():
+            partials.extend(json.loads(p))
+    merged = merge_stats_partials(partials)
+    cols = sorted(merged)
+    return pa.table(
+        {
+            "col_name": pa.array(cols, pa.string()),
+            "cnt": pa.array([merged[c]["count"] for c in cols], pa.int64()),
+            "nulls": pa.array([merged[c]["nulls"] for c in cols], pa.int64()),
+            "min_v": pa.array([merged[c]["min"] for c in cols], pa.float64()),
+            "max_v": pa.array([merged[c]["max"] for c in cols], pa.float64()),
+            "mean_v": pa.array([round(merged[c]["mean"], 2) for c in cols], pa.float64()),
+        }
+    )
+
+
+def distinct_orderkeys(sf_dir: str) -> pa.Table:
+    """Exact distinct count via two-phase groupby (per-batch unique →
+    shuffle over distinct keys only)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch.column("l_orderkey").combine_chunks().unique()})
+
+    n = ds.map_batches(uniq, batch_format="pyarrow").unique("l_orderkey")
+    return pa.table({"n_distinct": pa.array([len(n)], pa.int64())})
+
+
+# ---- uniqueness / referential ----------------------------------------------
+def unique_lineitem_orderkey(sf_dir: str) -> pa.Table:
+    dups = duplicate_keys(_read(sf_dir, "lineitem", ["l_orderkey"]), ["l_orderkey"])
+    tbl = _collect(dups)
+    return tbl.select(["l_orderkey", "cnt"]).sort_by("l_orderkey")
+
+
+def referential_events_customer(sf_dir: str) -> pa.Table:
+    """Orphan events: user_id not among customers with c_custkey > 10 —
+    the ref side is intentionally narrowed so the anti-join is non-empty."""
+    events = _read(sf_dir, "events", ["user_id"])
+    customers = _read(sf_dir, "customer", ["c_custkey"]).filter(expr="c_custkey > 10")
+    orphans = orphan_rows(events, "user_id", customers, "c_custkey", method="broadcast")
+    return _collect(orphans).rename_columns(["row_ref", "col", "code"])
+
+
+# ---- grouped histogram (PSI input) -----------------------------------------
+def histogram_events_type(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    out = ds.groupby("event_type").aggregate(Count(alias_name="cnt"))
+    return _collect(out).sort_by("event_type")
+
+
+# ---- dedup ------------------------------------------------------------------
+def dedup_exact_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(exact_dedup(ds)).sort_by("doc_id")
+
+
+def minhash_neardup_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _collect(minhash_candidates(ds, concurrency=2))
+    docs = _collect(ds)
+    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    return verify_pairs_jaccard(pairs, texts, threshold=0.8)
+
+
+def simhash_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(simhash_signatures(ds, concurrency=2))
+    return out.select(["doc_id", "simhash"]).sort_by("doc_id")
+
+
+def embedding_neardup(sf_dir: str) -> pa.Table:
+    from ..functions.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.95)
+
+
+# ---- text analysis ----------------------------------------------------------
+def token_count_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(token_count, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def quality_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bp(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        n_chars = pc.cast(pc.utf8_length(col), pa.float64())
+        safe = pc.max_element_wise(n_chars, 1.0)
+        n_alpha = pc.cast(pc.count_substring_regex(col, "[A-Za-z]"), pa.float64())
+        n_digit = pc.cast(pc.count_substring_regex(col, "[0-9]"), pa.float64())
+        # multiply-first (10000·n/len) so basis points match the oracle's
+        # FLOOR(10000.0 * n / len) bit-for-bit
+        alpha_bp = pc.cast(pc.floor(pc.divide(pc.multiply(n_alpha, 10000.0), safe)), pa.int64())
+        digit_bp = pc.cast(pc.floor(pc.divide(pc.multiply(n_digit, 10000.0), safe)), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(pc.utf8_length(col), pa.int64()),
+                "alpha_bp": alpha_bp,
+                "digit_bp": digit_bp,
+            }
+        )
+
+    return _collect(ds.map_batches(bp, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def fingerprint_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(fingerprint, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def langid_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    )
+    return out.select(["doc_id", "lang_pred"]).sort_by("doc_id")
+
+
+# ---- similarity search ------------------------------------------------------
+def _query_vectors(sf_dir: str, n: int = 4) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mask = pc.less(tbl.column("vec_id"), n)
+    sub = tbl.filter(mask)
+    ids = sub.column("vec_id").to_pylist()
+    vecs = np.asarray(sub.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return vecs[order], [ids[i] for i in order]
+
+
+def ann_topk_embeddings(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    out = brute_force_topk(ds, q, qids, k=10)
+    return out.select(["query_id", "vec_id"])
+
+
+def ann_ivf_embeddings(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    return ivf_topk(ds, q, qids, k=10, n_clusters=16, nprobe=6)
+
+
+# ---- normalizer -------------------------------------------------------------
+def normalize_lineitem(sf_dir: str) -> pa.Table:
+    """Normalizer stage: type coercion (number→integer cast) + projection —
+    the reference normalizer's [type]/[additionalProperty] ops
+    (normalizer.js:16-44,13-15) on columns."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": pc.cast(batch.column("l_linenumber"), pa.int64()),
+                "qty_int": qty,
+            }
+        )
+
+    return _collect(ds.map_batches(coerce, batch_format="pyarrow"))
+
+
+# ---- audio flagship (rows-only; fixture-synthesized) ------------------------
+_AUDIO_CACHE: dict[str, str] = {}
+
+
+def _audio_fixture(n: int = 2000) -> str:
+    key = f"n{n}"
+    if key not in _AUDIO_CACHE:
+        import tempfile
+
+        from ..sources.fixtures import write_fixture
+
+        out = os.path.join(tempfile.gettempdir(), f"schemasaurus_audio_{n}")
+        if not os.path.exists(os.path.join(out, "clips")):
+            write_fixture(out, n=n, shards=4, with_audio=True, inject=True)
+        _AUDIO_CACHE[key] = out
+    return _AUDIO_CACHE[key]
+
+
+def validate_audio_clips(sf_dir: str) -> pa.Table:
+    """Flagship audio validation on the deterministic synthetic fixture
+    (sf_dir ignored — audio is not part of the driver tables). Returns
+    violation counts by (column, code); golden counts in FIXTURES.md."""
+    import tempfile
+
+    from ..specs import AUDIO_CLIP_SPEC
+    from .validate import ValidationPipeline
+
+    fix = _audio_fixture()
+    import ray.data as rd
+
+    out_dir = tempfile.mkdtemp(prefix="schemasaurus_val_")
+    pipe = ValidationPipeline(AUDIO_CLIP_SPEC, out_dir)
+    pipe.run(
+        os.path.join(fix, "clips"),
+        ref_datasets={"transcripts": rd.read_parquet(os.path.join(fix, "transcripts"))},
+        resume=False,
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    tables = [
+        pq.read_table(f, columns=["column", "code"])
+        for f in glob.glob(os.path.join(out_dir, "violations", "**", "*.parquet"), recursive=True)
+    ]
+    allv = pa.concat_tables([t for t in tables if t.num_rows] or [pa.table({"column": pa.array([], pa.string()), "code": pa.array([], pa.string())})])
+    agg = allv.group_by(["column", "code"]).aggregate([([], "count_all")])
+    return agg.rename_columns(["column", "code", "cnt"]).sort_by([("column", "ascending"), ("code", "ascending")])
+
+
+def audio_features(sf_dir: str) -> pa.Table:
+    """Actor-pool audio decode + feature extraction over the fixture."""
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioFeatureStage
+
+    fix = _audio_fixture()
+    ds = rd.read_parquet(os.path.join(fix, "clips"))
+    out = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    tbl = _collect(out)
+    # undecodable clips (truncated bytes in the fixture) yield NaN features →
+    # keep them as nulls, not a cast crash
+    rms = np.asarray(tbl.column("rms").combine_chunks(), dtype=np.float64)
+    ms = np.asarray(tbl.column("measured_ms").combine_chunks(), dtype=np.float64)
+    rms_bp = np.floor(rms * 10000.0)
+    return pa.table(
+        {
+            "clip_id": tbl.column("clip_id"),
+            "rms_bp": pa.array([None if np.isnan(v) else int(v) for v in rms_bp], pa.int64()),
+            "measured_ms": pa.array([None if np.isnan(v) else int(v) for v in ms], pa.int64()),
+        }
+    ).sort_by("clip_id")

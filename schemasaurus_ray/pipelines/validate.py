@@ -1,0 +1,420 @@
+"""End-to-end validation pipeline (SURVEY.md §3.4 engine lifecycle):
+
+spec → plan → read_parquet(shards, include_paths) →
+ONE streaming pass: map_batches(CombinedStage) emitting
+  (violation rows ∪ partition summaries ∪ stats partials ∪ drift partials)
+→ driver merges the tiny partial rows (sketches are mergeable) →
+shuffle rules (uniqueness / referential) over key-only projections →
+drift compare vs snapshot → per-partition verdicts + violations parquet +
+manifest with lineage/metrics → checkpoint/resume by input shard.
+
+Scale notes:
+- the heavy input is touched ONCE by the combined stage; its output is
+  O(violations + batches×columns), not O(rows);
+- uniqueness/referential re-read only the key columns (parquet column
+  pruning) — the wide ``bytes`` payload never enters a shuffle
+  (SURVEY.md §7 hard part (d));
+- resume skips completed shards for the per-row pass (their partials and
+  violations are durably on disk) and re-runs only the cheap key-projection
+  global checks over the full input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..spec import TableSpec, parse_table_spec
+from ..stages.drift import (
+    batch_drift_partials,
+    build_snapshot,
+    compare_drift,
+    merge_drift_partials,
+)
+from ..stages.referential import orphan_rows
+from ..stages.rulepack import VIOLATION_SCHEMA, RowRuleStage
+from ..stages.stats import batch_stats_partial, merge_stats_partials, stats_to_table
+from ..stages.unique import duplicate_keys
+
+
+class CombinedStage(RowRuleStage):
+    """Row rules + stats partials + drift partials in one pass."""
+
+    def __init__(self, spec, num_partitions=64, path_map=None, stats_columns=None):
+        super().__init__(spec, num_partitions, path_map)
+        self.stats_columns = stats_columns or []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pids = self.partitions_of(batch)
+        base = RowRuleStage.__call__(self, batch, pids)
+        if "path" in batch.column_names and "path" not in self.plan.spec.columns:
+            batch = batch.drop_columns(["path"])
+        extra: list[tuple[str, int, str, str]] = []
+        if self.stats_columns:
+            # per-shard stats partials (resume merges only completed shards)
+            for pid in np.unique(pids):
+                idx = pa.array(np.nonzero(pids == pid)[0], pa.int64())
+                sub = batch.take(idx) if len(idx) != batch.num_rows else batch
+                for rec in batch_stats_partial(sub, self.stats_columns):
+                    extra.append(("stats", int(pid), rec.pop("column"), json.dumps(rec)))
+        drift_rule = self.plan.spec.drift
+        if drift_rule is not None:
+            for rec in batch_drift_partials(batch, pids, drift_rule):
+                extra.append(("drift", rec["partition_id"], rec["column"], json.dumps({"kind": rec["kind"], "payload": rec["payload"]})))
+        if not extra:
+            return base
+        m = len(extra)
+        extra_tbl = pa.table(
+            {
+                "kind": pa.array([e[0] for e in extra], pa.string()),
+                "partition_id": pa.array([e[1] for e in extra], pa.int32()),
+                "row_ref": pa.nulls(m, pa.string()),
+                "column": pa.array([e[2] for e in extra], pa.string()),
+                "code": pa.nulls(m, pa.string()),
+                "message": pa.nulls(m, pa.string()),
+                "arg": pa.nulls(m, pa.string()),
+                "value": pa.nulls(m, pa.string()),
+                "rows": pa.nulls(m, pa.int64()),
+                "bad_rows": pa.nulls(m, pa.int64()),
+                "payload": pa.array([e[3] for e in extra], pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+        return pa.concat_tables([base, extra_tbl])
+
+
+@dataclass
+class ValidationReport:
+    partitions: "Any"  # pandas.DataFrame: per-partition verdicts + lineage
+    stats: pa.Table
+    violations_path: str
+    manifest_path: str
+    metrics: dict[str, Any] = field(default_factory=dict)
+    drift: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def valid(self) -> bool:
+        return bool(self.partitions["verdict"].eq("pass").all())
+
+
+def _spec_hash(raw_spec: dict[str, Any]) -> str:
+    def default(o):
+        return getattr(o, "__name__", str(o))
+
+    return hashlib.sha256(
+        json.dumps(raw_spec, sort_keys=True, default=default).encode()
+    ).hexdigest()[:16]
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+class ValidationPipeline:
+    def __init__(
+        self,
+        raw_spec: dict[str, Any],
+        out_dir: str,
+        *,
+        snapshot: dict[str, Any] | None = None,
+        batch_size: int | None = None,
+        concurrency: int | None = None,
+    ):
+        self.raw_spec = raw_spec
+        self.spec: TableSpec = parse_table_spec(raw_spec)
+        self.out_dir = out_dir
+        self.snapshot = snapshot if snapshot is not None else (
+            self.spec.drift.snapshot if self.spec.drift else None
+        )
+        self.batch_size = batch_size
+        self.concurrency = concurrency
+        self.rule_hash = _spec_hash(raw_spec)
+
+    # -- helpers -------------------------------------------------------------
+    def _list_shards(self, input_path: str | list[str]) -> list[str]:
+        if isinstance(input_path, list):
+            return sorted(input_path)
+        if os.path.isdir(input_path):
+            files = sorted(
+                os.path.join(input_path, f)
+                for f in os.listdir(input_path)
+                if f.endswith(".parquet") or f.endswith(".lance")
+            )
+        else:
+            files = [input_path]
+        if not files:
+            raise FileNotFoundError(f"no parquet shards under {input_path}")
+        return files
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "manifest.json")
+
+    def _load_manifest(self) -> dict[str, Any]:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"rule_hash": self.rule_hash, "partitions": {}}
+
+    # -- main ----------------------------------------------------------------
+    def run(
+        self,
+        input_path: str,
+        ref_datasets: dict[str, Any] | None = None,
+        resume: bool = True,
+    ) -> ValidationReport:
+        import ray
+        import ray.data
+
+        t0 = time.time()
+        os.makedirs(self.out_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.out_dir, "violations"), exist_ok=True)
+        os.makedirs(os.path.join(self.out_dir, "partials"), exist_ok=True)
+
+        shards = self._list_shards(input_path)
+        manifest = self._load_manifest() if resume else {"rule_hash": self.rule_hash, "partitions": {}}
+        if manifest.get("rule_hash") != self.rule_hash:
+            manifest = {"rule_hash": self.rule_hash, "partitions": {}}
+        # stable partition ids: first-seen order, persisted in the manifest
+        path_ids: dict[str, int] = dict(manifest.get("path_ids", {}))
+        for p in shards:
+            if p not in path_ids:
+                path_ids[p] = max(path_ids.values(), default=-1) + 1
+        path_map = {p: path_ids[p] for p in shards}
+        completed = {
+            rec["path"]: int(pid)
+            for pid, rec in manifest["partitions"].items()
+            if rec.get("row_pass_done")
+            and rec["path"] in path_map
+            and os.path.exists(os.path.join(self.out_dir, "partials", f"p{int(pid):05d}.json"))
+        }
+        todo = [p for p in shards if p not in completed]
+
+        stats_cols = self.spec.stats or [
+            c for c in self.spec.columns if self.spec.columns[c].get("type") != "binary"
+        ]
+        rows_validated_this_run = 0
+
+        part_records: dict[int, dict[str, Any]] = {}
+        stats_partials: list[dict[str, Any]] = []
+        drift_partials: list[dict[str, Any]] = []
+
+        # reload persisted partials for completed shards
+        for path, pid in completed.items():
+            with open(os.path.join(self.out_dir, "partials", f"p{pid:05d}.json")) as f:
+                saved = json.load(f)
+            stats_partials.extend(saved["stats"])
+            drift_partials.extend(saved["drift"])
+            part_records[pid] = manifest["partitions"][str(pid)]
+
+        if todo:
+            ds = ray.data.read_parquet(todo, include_paths=True)
+            kwargs: dict[str, Any] = {}
+            if self.batch_size:
+                kwargs["batch_size"] = self.batch_size
+            # callable-class stage = actor pool; size it to the node, leaving
+            # headroom for the read/write stages (ray_guide: actor pools)
+            n_cpus = int(ray.cluster_resources().get("CPU", 4))
+            kwargs["concurrency"] = self.concurrency or max(2, n_cpus - 2)
+            union = ds.map_batches(
+                CombinedStage,
+                fn_constructor_args=(self.raw_spec, 64, path_map, stats_cols),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                **kwargs,
+            )
+            # the union output is O(violations + batches×cols) — small next to
+            # the input; materialize once and split driver-side
+            out = pa.concat_tables(
+                list(union.iter_batches(batch_format="pyarrow", batch_size=None))
+                or [VIOLATION_SCHEMA.empty_table()]
+            )
+            kinds = out.column("kind")
+            viol_tbl = out.filter(pc.equal(kinds, "violation"))
+            summaries = out.filter(pc.equal(kinds, "summary"))
+            stats_rows = out.filter(pc.equal(kinds, "stats"))
+            new_stats = [
+                {**json.loads(p), "column": c, "partition_id": pid}
+                for pid, c, p in zip(
+                    stats_rows.column("partition_id").to_pylist(),
+                    stats_rows.column("column").to_pylist(),
+                    stats_rows.column("payload").to_pylist(),
+                )
+            ]
+            drift_rows = out.filter(pc.equal(kinds, "drift"))
+            new_drift = [
+                {"partition_id": pid, "column": c, **json.loads(p)}
+                for pid, c, p in zip(
+                    drift_rows.column("partition_id").to_pylist(),
+                    drift_rows.column("column").to_pylist(),
+                    drift_rows.column("payload").to_pylist(),
+                )
+            ]
+
+            # per-partition rollup of this run
+            sm = summaries.to_pandas()
+            rollup = sm.groupby("partition_id")[["rows", "bad_rows"]].sum()
+            pid_of = {i: p for p, i in path_map.items()}
+            for pid, row in rollup.iterrows():
+                pid = int(pid)
+                pviol = viol_tbl.filter(pc.equal(viol_tbl.column("partition_id"), pid))
+                vdir = os.path.join(self.out_dir, "violations", f"p{pid:05d}")
+                os.makedirs(vdir, exist_ok=True)
+                pq.write_table(pviol, os.path.join(vdir, "part-0.parquet"))
+                p_drift = [r for r in new_drift if r["partition_id"] == pid]
+                p_stats = [r for r in new_stats if r["partition_id"] == pid]
+                _atomic_write(
+                    os.path.join(self.out_dir, "partials", f"p{pid:05d}.json"),
+                    json.dumps({"stats": p_stats, "drift": p_drift}),
+                )
+                part_records[pid] = {
+                    "partition_id": pid,
+                    "path": pid_of.get(pid, ""),
+                    "rows": int(row["rows"]),
+                    "bad_rows": int(row["bad_rows"]),
+                    "row_pass_done": True,
+                    "rule_hash": self.rule_hash,
+                    "wall_time": time.time() - t0,
+                }
+                rows_validated_this_run += int(row["rows"])
+            stats_partials.extend(new_stats)
+            drift_partials.extend(new_drift)
+        else:
+            viol_tbl = VIOLATION_SCHEMA.empty_table()
+
+        merged_stats = merge_stats_partials(stats_partials)
+        stats_tbl = stats_to_table(merged_stats)
+
+        # ---- global shuffle rules over key-only projections (all shards) ----
+        import ray.data as rd
+
+        global_viols: list[pa.Table] = []
+        dup_count = 0
+        for rule in self.spec.unique:
+            dups = duplicate_keys(rd.read_parquet(shards, columns=list(rule.columns)), list(rule.columns))
+            dup_tbl = _collect(dups)
+            dup_count += int(dup_tbl.num_rows)
+            if dup_tbl.num_rows:
+                refs = dup_tbl.column(rule.columns[0]).cast(pa.string())
+                n = dup_tbl.num_rows
+                global_viols.append(
+                    pa.table(
+                        {
+                            "row_ref": refs,
+                            "column": pa.array([rule.name] * n, pa.string()),
+                            "code": pa.array(["unique"] * n, pa.string()),
+                            "message": pa.array(["shall be globally unique"] * n, pa.string()),
+                        }
+                    )
+                )
+        orphan_count = 0
+        for ref_rule in self.spec.references:
+            if not ref_datasets or ref_rule.ref_table not in ref_datasets:
+                continue
+            orphans = orphan_rows(
+                rd.read_parquet(shards, columns=[ref_rule.column]),
+                ref_rule.column,
+                ref_datasets[ref_rule.ref_table],
+                ref_rule.ref_column,
+            )
+            o_tbl = _collect(orphans)
+            orphan_count += int(o_tbl.num_rows)
+            if o_tbl.num_rows:
+                global_viols.append(
+                    pa.table(
+                        {
+                            "row_ref": o_tbl.column("row_ref"),
+                            "column": o_tbl.column("column"),
+                            "code": o_tbl.column("code"),
+                            "message": pa.array(
+                                [f"shall reference an existing {ref_rule.ref_table}.{ref_rule.ref_column}"]
+                                * o_tbl.num_rows,
+                                pa.string(),
+                            ),
+                        }
+                    )
+                )
+        if global_viols:
+            gdir = os.path.join(self.out_dir, "violations", "global")
+            os.makedirs(gdir, exist_ok=True)
+            pq.write_table(pa.concat_tables(global_viols), os.path.join(gdir, "part-0.parquet"))
+
+        # ---- drift ----
+        drift_results: list[dict[str, Any]] = []
+        if self.spec.drift:
+            merged_drift = merge_drift_partials(drift_partials)
+            snapshot = self.snapshot
+            if snapshot is None:
+                snapshot = build_snapshot(merged_drift, self.spec.drift)
+                _atomic_write(
+                    os.path.join(self.out_dir, "drift_snapshot.json"), json.dumps(snapshot)
+                )
+            drift_results = compare_drift(merged_drift, snapshot, self.spec.drift)
+
+        drifted_pids = {r["partition_id"] for r in drift_results if r["drifted"]}
+
+        # ---- verdicts + manifest ----
+        import pandas as pd
+
+        rows = []
+        for pid, rec in sorted(part_records.items()):
+            verdict = "pass"
+            if rec["bad_rows"] > 0 or pid in drifted_pids:
+                verdict = "fail"
+            rows.append({**rec, "drifted": pid in drifted_pids, "verdict": verdict})
+        partitions = pd.DataFrame(
+            rows,
+            columns=[
+                "partition_id", "path", "rows", "bad_rows", "drifted", "verdict",
+                "rule_hash", "row_pass_done", "wall_time",
+            ],
+        )
+
+        metrics = {
+            "shards_total": len(shards),
+            "shards_validated_this_run": len(todo),
+            "rows_total": int(partitions["rows"].sum()) if len(partitions) else 0,
+            "rows_validated_this_run": rows_validated_this_run,
+            "row_violations": int(viol_tbl.num_rows),
+            "duplicate_keys": dup_count,
+            "orphans": orphan_count,
+            "drifted_partitions": len(drifted_pids),
+            "wall_time_sec": time.time() - t0,
+            "rule_hash": self.rule_hash,
+        }
+        manifest = {
+            "rule_hash": self.rule_hash,
+            "path_ids": path_ids,
+            "partitions": {str(pid): {**rec} for pid, rec in part_records.items()},
+            "metrics": metrics,
+            "drift": drift_results,
+        }
+        _atomic_write(self._manifest_path(), json.dumps(manifest, indent=1))
+
+        return ValidationReport(
+            partitions=partitions,
+            stats=stats_tbl,
+            violations_path=os.path.join(self.out_dir, "violations"),
+            manifest_path=self._manifest_path(),
+            metrics=metrics,
+            drift=drift_results,
+        )
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.schema([]).empty_table()
+    return pa.concat_tables(batches)

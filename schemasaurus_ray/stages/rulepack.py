@@ -36,6 +36,7 @@ VIOLATION_SCHEMA = pa.schema(
         ("value", pa.string()),
         ("rows", pa.int64()),
         ("bad_rows", pa.int64()),
+        ("payload", pa.string()),  # serialized stats/drift partials
     ]
 )
 
@@ -45,11 +46,23 @@ def _empty_out() -> pa.Table:
 
 
 class RowRuleStage:
-    """Evaluate a compiled rule plan per batch → violations ∪ summaries."""
+    """Evaluate a compiled rule plan per batch → violations ∪ summaries.
 
-    def __init__(self, spec: TableSpec | dict[str, Any], num_partitions: int = 64):
+    Partition assignment (``partition_id``):
+    - ``path_map`` given (input read with ``include_paths=True``): partition
+      = input shard index — the resumable/lineage unit (SURVEY.md §4);
+    - else: content-based ``hash(key) % num_partitions``.
+    """
+
+    def __init__(
+        self,
+        spec: TableSpec | dict[str, Any],
+        num_partitions: int = 64,
+        path_map: dict[str, int] | None = None,
+    ):
         self.plan: RowRulePlan = compile_plan(spec)
         self.num_partitions = num_partitions
+        self.path_map = path_map
         self._bound: BoundPlan | None = None
         self._bound_schema: pa.Schema | None = None
 
@@ -59,7 +72,27 @@ class RowRuleStage:
             self._bound_schema = schema
         return self._bound
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def partitions_of(self, batch: pa.Table) -> np.ndarray:
+        if self.path_map is not None and "path" in batch.column_names:
+            paths = batch.column("path")
+            enc = paths.combine_chunks().dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.chunk(0)
+            lut = np.array(
+                [self.path_map.get(d, -1) for d in enc.dictionary.to_pylist()], dtype=np.int32
+            )
+            return lut[np.asarray(enc.indices)]
+        key_col = self.plan.spec.row_ref_column
+        col = key_col if key_col and key_col in batch.column_names else batch.column_names[0]
+        return partition_ids(batch.column(col), self.num_partitions)
+
+    def __call__(self, batch: pa.Table, pids: np.ndarray | None = None) -> pa.Table:
+        if pids is None:
+            pids = self.partitions_of(batch)
+        if "path" in batch.column_names and "path" not in self.plan.spec.columns:
+            batch = batch.drop_columns(["path"])
         n = batch.num_rows
         if n == 0:
             return _empty_out()
@@ -67,10 +100,8 @@ class RowRuleStage:
 
         key_col = self.plan.spec.row_ref_column
         if key_col and key_col in batch.column_names:
-            pids = partition_ids(batch.column(key_col), self.num_partitions)
             refs = batch.column(key_col).combine_chunks().cast(pa.string())
         else:
-            pids = partition_ids(batch.column(batch.column_names[0]), self.num_partitions)
             refs = None
 
         row_bad, hits = bound.evaluate(batch)
@@ -97,6 +128,7 @@ class RowRuleStage:
                     "value": values,
                     "rows": pa.nulls(m, pa.int64()),
                     "bad_rows": pa.nulls(m, pa.int64()),
+                    "payload": pa.nulls(m, pa.string()),
                 }
             )
 
@@ -115,13 +147,18 @@ class RowRuleStage:
                     "value": pa.nulls(1, pa.string()),
                     "rows": pa.nulls(1, pa.int64()),
                     "bad_rows": pa.nulls(1, pa.int64()),
+                    "payload": pa.nulls(1, pa.string()),
                 }
             )
 
         # per-partition summary rows for this batch
-        seen = np.unique(pids)
-        rows_per = np.bincount(pids, minlength=self.num_partitions)
-        bad_per = np.bincount(pids[row_bad], minlength=self.num_partitions) if row_bad.any() else np.zeros(self.num_partitions, dtype=np.int64)
+        seen, inverse = np.unique(pids, return_inverse=True)
+        rows_per = np.bincount(inverse, minlength=len(seen)).astype(np.int64)
+        bad_per = (
+            np.bincount(inverse[row_bad], minlength=len(seen)).astype(np.int64)
+            if row_bad.any()
+            else np.zeros(len(seen), dtype=np.int64)
+        )
         m = len(seen)
         chunks.append(
             {
@@ -133,8 +170,9 @@ class RowRuleStage:
                 "message": pa.nulls(m, pa.string()),
                 "arg": pa.nulls(m, pa.string()),
                 "value": pa.nulls(m, pa.string()),
-                "rows": pa.array(rows_per[seen], pa.int64()),
-                "bad_rows": pa.array(bad_per[seen], pa.int64()),
+                "rows": pa.array(rows_per, pa.int64()),
+                "bad_rows": pa.array(bad_per, pa.int64()),
+                "payload": pa.nulls(m, pa.string()),
             }
         )
 

@@ -1,0 +1,119 @@
+"""Per-column statistics — streamed partial aggregates.
+
+Per-batch partials (count / nulls / min / max / sum + HLL registers +
+t-digest centroids) are computed inside the combined map_batches stage and
+emitted as tiny serialized rows; the driver merges them (sketches are
+mergeable — SURVEY.md §2E: 'per-batch partial stats → tree-reduce of
+partials'). No shuffle: the partial rows are O(batches × columns), not
+O(rows).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.hll import HyperLogLog
+from ..state.tdigest import TDigest
+from ..util import hash_column
+
+
+def batch_stats_partial(table: pa.Table, columns: list[str], digest_delta: int = 200) -> list[dict[str, Any]]:
+    """One partial record per column for this batch; serialized compactly."""
+    out = []
+    for col in columns:
+        if col not in table.column_names:
+            continue
+        arr = table.column(col)
+        t = arr.type
+        n = len(arr)
+        nulls = arr.null_count
+        rec: dict[str, Any] = {"column": col, "count": n, "nulls": nulls}
+        is_num = pa.types.is_integer(t) or pa.types.is_floating(t)
+        if is_num and n > nulls:
+            vals = np.asarray(arr.combine_chunks().cast(pa.float64()).drop_null())
+            rec["min"] = float(vals.min())
+            rec["max"] = float(vals.max())
+            rec["sum"] = float(vals.sum())
+            td = TDigest(digest_delta)
+            td.add(vals)
+            rec["tdigest"] = td.to_json()
+        elif (pa.types.is_string(t) or pa.types.is_large_string(t)) and n > nulls:
+            lens = pc.utf8_length(arr)
+            rec["min"] = float(pc.min(lens).as_py())
+            rec["max"] = float(pc.max(lens).as_py())
+            rec["sum"] = float(pc.sum(lens).as_py())
+        if not pa.types.is_binary(t) and not pa.types.is_large_binary(t):
+            h = HyperLogLog()
+            valid = arr.drop_null()
+            if len(valid):
+                h.add_hashes(hash_column(valid))
+            rec["hll"] = base64.b64encode(h.to_bytes()).decode()
+        out.append(rec)
+    return out
+
+
+def merge_stats_partials(partials: list[dict[str, Any]]) -> dict[str, dict[str, Any]]:
+    """Driver-side merge of per-batch partials → final per-column stats."""
+    agg: dict[str, dict[str, Any]] = {}
+    hlls: dict[str, HyperLogLog] = {}
+    tds: dict[str, TDigest] = {}
+    for rec in partials:
+        col = rec["column"]
+        a = agg.setdefault(
+            col, {"count": 0, "nulls": 0, "min": None, "max": None, "sum": 0.0}
+        )
+        a["count"] += rec["count"]
+        a["nulls"] += rec["nulls"]
+        if "min" in rec:
+            a["min"] = rec["min"] if a["min"] is None else min(a["min"], rec["min"])
+            a["max"] = rec["max"] if a["max"] is None else max(a["max"], rec["max"])
+            a["sum"] += rec.get("sum", 0.0)
+        if "hll" in rec:
+            h = HyperLogLog.from_bytes(base64.b64decode(rec["hll"]))
+            if col in hlls:
+                hlls[col].merge(h)
+            else:
+                hlls[col] = h
+        if "tdigest" in rec:
+            td = TDigest.from_json(rec["tdigest"])
+            if col in tds:
+                tds[col].merge(td)
+            else:
+                tds[col] = td
+    for col, a in agg.items():
+        non_null = a["count"] - a["nulls"]
+        a["null_rate"] = a["nulls"] / a["count"] if a["count"] else 0.0
+        a["mean"] = a["sum"] / non_null if non_null else None
+        if col in hlls:
+            a["approx_distinct"] = hlls[col].estimate()
+        if col in tds:
+            td = tds[col]
+            qs = td.quantile(np.array([0.01, 0.25, 0.5, 0.75, 0.99]))
+            a["quantiles"] = {"p01": qs[0], "p25": qs[1], "p50": qs[2], "p75": qs[3], "p99": qs[4]}
+            a["_tdigest"] = td
+    return agg
+
+
+def stats_to_table(stats: dict[str, dict[str, Any]]) -> pa.Table:
+    """Final stats as an Arrow table (column, count, nulls, min, max, mean,
+    approx_distinct)."""
+    cols = sorted(stats)
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "count": pa.array([stats[c]["count"] for c in cols], pa.int64()),
+            "nulls": pa.array([stats[c]["nulls"] for c in cols], pa.int64()),
+            "min": pa.array([stats[c].get("min") for c in cols], pa.float64()),
+            "max": pa.array([stats[c].get("max") for c in cols], pa.float64()),
+            "mean": pa.array([stats[c].get("mean") for c in cols], pa.float64()),
+            "approx_distinct": pa.array(
+                [stats[c].get("approx_distinct") for c in cols], pa.float64()
+            ),
+        }
+    )

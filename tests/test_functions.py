@@ -1,0 +1,247 @@
+"""Training-data operators: dedup (exact/minhash/simhash/embedding), text
+analysis, similarity search, multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from schemasaurus_ray.functions.dedup import (
+    MinHashStage,
+    SimHashStage,
+    embedding_near_dups,
+    exact_dedup,
+    hamming64,
+    jaccard,
+    minhash_candidates,
+    verify_pairs_jaccard,
+)
+from schemasaurus_ray.functions.multimodal import (
+    AudioFeatureStage,
+    AudioResampleStage,
+    StubImageDecodeStage,
+)
+from schemasaurus_ray.functions.similarity import brute_force_topk, ivf_topk
+from schemasaurus_ray.functions.text import LangIdStage, fingerprint, quality_scores, token_count
+
+RNG = np.random.default_rng(7)
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def make_docs(n=400, dup_every=20, near_every=25):
+    """Deterministic docs with planted exact dups + near dups. Words are
+    index-derived so shingle sets are distinct across docs (near-dup =
+    1 changed word of 40 → Jaccard ≈ 0.85)."""
+    texts = []
+    for i in range(n):
+        words = [f"w{(i * 13 + j * 7) % 997}" for j in range(40)]
+        texts.append(" ".join(words))
+    for i in range(0, n, dup_every):
+        if i + 1 < n:
+            texts[i + 1] = texts[i]  # exact dup
+    for i in range(0, n, near_every):
+        if i + 2 < n:
+            words = texts[i].split()
+            words[5] = "CHANGED"
+            texts[i + 2] = " ".join(words)  # near dup (1/28 shingles changed)
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(make_docs()), make_docs()
+
+
+def test_exact_dedup(docs_ds):
+    ds, tbl = docs_ds
+    survivors = exact_dedup(ds).to_pandas()["doc_id"].tolist()
+    texts = tbl.column("text").to_pylist()
+    expected = {}
+    for i, t in enumerate(texts):
+        expected.setdefault(t, i)
+    assert sorted(survivors) == sorted(expected.values())
+
+
+def test_minhash_finds_near_dups(docs_ds):
+    ds, tbl = docs_ds
+    pairs_ds = minhash_candidates(ds, concurrency=2)
+    pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    verified = verify_pairs_jaccard(pairs, texts, threshold=0.8)
+    found = set(zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()))
+    # every planted near-dup pair must be found (exact dups too)
+    for i in range(0, 400, 25):
+        if i + 2 < 400:
+            assert (i, i + 2) in found or (i + 2, i) in found, f"missing near-dup {i}"
+    for i in range(0, 400, 20):
+        if i + 1 < 400:
+            assert (i, i + 1) in found, f"missing exact dup {i}"
+
+
+def test_jaccard():
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_simhash_near_dups(docs_ds):
+    ds, tbl = docs_ds
+    stage = SimHashStage()
+    out = stage(make_docs(100))
+    sigs = np.array(out.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)
+    # identical docs → identical simhash
+    texts = tbl.column("text").to_pylist()[:100]
+    for i in range(0, 100, 20):
+        if i + 1 < 100:
+            assert sigs[i] == sigs[i + 1]
+    # near-dup → small hamming distance; unrelated → large
+    d_near = hamming64(sigs[0:1], sigs[2:3])[0]
+    d_far = hamming64(sigs[0:1], sigs[7:8])[0]
+    assert d_near < d_far
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    vecs = list(base)
+    # plant near-dups: 5 vectors + tiny noise
+    for i in range(5):
+        vecs.append(base[i] + 0.01 * rng.standard_normal(16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_near_dups(rd.from_arrow(tbl), threshold=0.98)
+    found = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    for i in range(5):
+        assert (i, 50 + i) in found
+
+
+def test_token_count_and_quality():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["hello world", "  a  b  c ", ""], pa.string())})
+    out = token_count(t)
+    assert out.column("n_tokens").to_pylist() == [2, 3, 0]
+    q = quality_scores(t)
+    assert q.column("n_chars").to_pylist() == [11, 10, 0]
+    assert 0.8 < q.column("alpha_ratio").to_pylist()[0] <= 1.0
+
+
+def test_fingerprint_matches_md5():
+    import hashlib
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["hello"], pa.string())})
+    out = fingerprint(t)
+    assert out.column("fp").to_pylist() == [hashlib.md5(b"hello").hexdigest()]
+
+
+def test_langid():
+    stage = LangIdStage()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog are in the house with all of them",
+                    "der Hund und die Katze sind nicht in dem Haus mit ihnen",
+                    "le chat et le chien sont dans la maison avec les autres",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = stage(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr"]
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((500, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    queries = mat[:3].astype(np.float64)
+    out = brute_force_topk(ds, queries, [0, 1, 2], k=5)
+    got = out.to_pydict()
+    # exact: compute with numpy directly (float32-rounded inputs like the ds)
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    unit = mat32 / np.linalg.norm(mat32, axis=1, keepdims=True)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = q @ unit.T
+    for qi in range(3):
+        expected = set(np.argsort(-sims[qi])[:5].tolist())
+        mine = {v for g, v in zip(got["query_id"], got["vec_id"]) if g == qi}
+        assert mine == expected
+        # each query's own vector is its top hit
+        top = [v for g, v in zip(got["query_id"], got["vec_id"]) if g == qi][0]
+        assert top == qi
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    mat = rng.standard_normal((1000, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(1000), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    queries = mat[:4].astype(np.float64)
+    exact = brute_force_topk(ds, queries, [0, 1, 2, 3], k=10).to_pydict()
+    approx = ivf_topk(ds, queries, [0, 1, 2, 3], k=10, n_clusters=8, nprobe=4).to_pydict()
+    recall_num = recall_den = 0
+    for qi in range(4):
+        e = {v for g, v in zip(exact["query_id"], exact["vec_id"]) if g == qi}
+        a = {v for g, v in zip(approx["query_id"], approx["vec_id"]) if g == qi}
+        recall_num += len(e & a)
+        recall_den += len(e)
+    assert recall_num / recall_den >= 0.6  # nprobe=4 of 8 clusters
+
+
+def test_audio_feature_stage():
+    from schemasaurus_ray.sources.fixtures import make_clips
+
+    clips = make_clips(20, inject=False)
+    stage = AudioFeatureStage()
+    out = stage(clips)
+    rms = out.column("rms").to_pylist()
+    measured = out.column("measured_ms").to_pylist()
+    durs = clips.column("dur_ms").to_pylist()
+    assert all(0.1 < r < 0.6 for r in rms)  # 0.5·sin + 0.1·noise
+    for m, d in zip(measured, durs):
+        assert abs(m - d) <= 1.0
+
+
+def test_audio_resample_stage():
+    from schemasaurus_ray.audio import wav_decode
+    from schemasaurus_ray.sources.fixtures import make_clips
+
+    clips = make_clips(5, inject=False)
+    stage = AudioResampleStage(target_sr=16000)
+    out = stage(clips)
+    for i in range(5):
+        pcm, sr = wav_decode(out.column("bytes")[i].as_py())
+        assert sr == 16000
+        dur = clips.column("dur_ms")[i].as_py()
+        assert abs(len(pcm) / 16000 * 1000 - dur) < 5
+
+
+def test_stub_image_decode():
+    t = pa.table({"id": pa.array([1], pa.int64()), "bytes": pa.array([b"\x00\x01\x02"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        StubImageDecodeStage()(t)
+    out = StubImageDecodeStage(fake=True)(t)
+    assert out.column("features").to_pylist() == [[1.0, pytest.approx(0.8164965, rel=1e-5), 3.0]]

@@ -1,0 +1,97 @@
+"""Mimics the driver's correctness gate: run each queries() entry and its
+oracle_sql() DuckDB equivalent on the same parquet tables; compare row count,
+schema (sorted column names) and order-insensitive values."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def to_pandas(result):
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+ORACLE_NAMES = [
+    "validate_lineitem",
+    "validate_documents",
+    "normalize_lineitem",
+    "stats_lineitem",
+    "distinct_orderkeys",
+    "unique_lineitem_orderkey",
+    "referential_events_customer",
+    "histogram_events_type",
+    "dedup_exact_documents",
+    "token_count_documents",
+    "quality_documents",
+    "fingerprint_documents",
+    "ann_topk_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(name, entrymod, con):
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = normalize(to_pandas(fn(SF_DIR)))
+    theirs = normalize(con.sql(sql).df())
+    assert list(mine.columns) == list(theirs.columns), f"{name}: column mismatch"
+    assert len(mine) == len(theirs), f"{name}: row count {len(mine)} != {len(theirs)}"
+    pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
+
+
+ROWS_ONLY = [
+    "minhash_neardup_documents",
+    "simhash_documents",
+    "embedding_neardup",
+    "langid_documents",
+    "ann_ivf_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, entrymod):
+    out = to_pandas(entrymod.queries()[name](SF_DIR))
+    assert out is not None and len(out) >= 0
+
+
+def test_entry_smoke(entrymod):
+    out = to_pandas(entrymod.entry())
+    assert len(out) >= 0
+    assert sorted(out.columns) == ["code", "col", "row_ref"]
