@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Headline: the flagship audio validation pipeline (row rules + stats +
+uniqueness + referential + drift, BASELINE.json metric 'validated
+clips/sec') over a deterministic synthetic clip+transcript table; plus
+per-query timings of the operator suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "clips": N, "clips_per_sec": X}
+
+--scaling: runs the same job in two fresh processes (RAY_GRAFT_CPUS=8 and
+=32) on the same input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N node criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("GRAFT_BENCH_CLIPS", "100000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
+SCALING_MODE = os.environ.get("GRAFT_SCALING_MODE") == "1"
+
+BENCH_QUERIES = [
+    "validate_lineitem",
+    "stats_lineitem",
+    "unique_lineitem_orderkey",
+    "referential_events_customer",
+    "histogram_events_type",
+    "dedup_exact_documents",
+    "minhash_neardup_documents",
+    "token_count_documents",
+    "quality_documents",
+    "langid_documents",
+    "ann_topk_embeddings",
+]
+
+
+def _init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench() -> dict:
+    _init_ray()
+    import ray
+
+    import ray.data as rd
+
+    from schemasaurus_ray.pipelines import queries as q
+    from schemasaurus_ray.pipelines.validate import ValidationPipeline
+    from schemasaurus_ray.sources.fixtures import write_fixture_parallel
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC
+
+    # ---- headline: audio validation ----
+    fix_dir = os.path.join(tempfile.gettempdir(), f"schemasaurus_bench_{N_CLIPS}")
+    dirs = write_fixture_parallel(fix_dir, N_CLIPS, shards=64)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    # (count() is metadata-only — sum a data column to actually touch pages)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(dirs["clips"], "*.parquet")):
+        pq.read_table(f, columns=["bytes"]).num_rows
+
+    out_dir = tempfile.mkdtemp(prefix="schemasaurus_benchout_")
+    t0 = time.time()
+    pipe = ValidationPipeline(AUDIO_CLIP_SPEC, out_dir)
+    rep = pipe.run(
+        dirs["clips"],
+        ref_datasets={"transcripts": rd.read_parquet(dirs["transcripts"])},
+        resume=False,
+    )
+    headline_sec = time.time() - t0
+    rows = rep.metrics["rows_total"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # ---- per-query timings over the driver tables ----
+    qtimes: dict[str, float] = {}
+    fns = {name: getattr(q, name) for name in BENCH_QUERIES}
+    for name, fn in fns.items():
+        t0 = time.time()
+        fn(SF_DIR)
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "validated clips/sec (stats + constraint + drift pass)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "clips": rows,
+        "clips_per_sec": round(rows / headline_sec, 1),
+    }
+
+
+def run_scaling_once() -> dict:
+    """One scaling-profile run in THIS process: the full validation pipeline
+    (rules + stats + uniqueness + referential + drift) over a
+    metadata-profile clip table (no audio payload, GRAFT_SCALING_ROWS rows).
+
+    Why no audio bytes here: this VM's single shared disk (~600 MB/s,
+    kernel-bound) cannot stand in for per-node cluster storage, so the
+    byte-heavy audio table goes I/O-bound above ~8 CPUs and measures the
+    disk, not the engine. The metadata profile keeps the ENGINE the
+    bottleneck — which is what the N-vs-4N criterion is about (BASELINE.md).
+    """
+    _init_ray()
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from schemasaurus_ray.pipelines.validate import ValidationPipeline
+    from schemasaurus_ray.sources.fixtures import write_fixture_parallel
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    fix_dir = os.path.join(tempfile.gettempdir(), f"schemasaurus_scaling_{SCALING_ROWS}")
+    dirs = write_fixture_parallel(fix_dir, SCALING_ROWS, shards=64, with_audio=False)
+    for f in glob.glob(os.path.join(dirs["clips"], "*.parquet")):
+        pq.read_table(f).num_rows  # warm the page cache
+    out_dir = tempfile.mkdtemp(prefix="schemasaurus_scalout_")
+    t0 = time.time()
+    pipe = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out_dir)
+    rep = pipe.run(
+        dirs["clips"],
+        ref_datasets={"transcripts": rd.read_parquet(dirs["transcripts"])},
+        resume=False,
+    )
+    sec = time.time() - t0
+    rows = rep.metrics["rows_total"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "sec": round(sec, 3),
+        "rows": rows,
+        "rows_per_sec": round(rows / sec, 1),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_MODE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    run(lo)  # untimed warm-up: builds + caches the fixture
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tp_lo = r_lo["rows_per_sec"]
+    tp_hi = r_hi["rows_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, fresh sessions, same input, metadata profile)",
+        "sec_8": r_lo["sec"],
+        "sec_32": r_hi["sec"],
+        "rows_per_sec_8": tp_lo,
+        "rows_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "rows": r_hi["rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif SCALING_MODE:
+        print(json.dumps(run_scaling_once()))
+    else:
+        print(json.dumps(run_bench()))

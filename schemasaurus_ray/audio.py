@@ -73,33 +73,65 @@ def snr_db(decoded: np.ndarray, reference: np.ndarray) -> float:
 
 
 def pcm_consistency(bytes_col, batch, *_args) -> np.ndarray:
-    """Vectorized-ish conform UDF (engine analogue of the reference's conform
+    """Vectorized conform UDF (engine analogue of the reference's conform
     hook, v4validator.js:355-373, receiving the whole batch as ctx.parent):
     each blob must be a well-formed WAV whose sample count matches
     sr_hz·dur_ms/1000 and whose header sr matches the sr_hz column.
 
-    Per-row decode is unavoidable for opaque binary payloads, but only the
-    44-byte header is parsed — O(1) per row, no PCM materialization.
+    Fully vectorized: the 44-byte headers are gathered straight from the
+    Arrow binary buffers with numpy fancy indexing — no per-row Python, no
+    blob copies, no PCM materialization.
     """
     import pyarrow as pa
 
-    sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
-    dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
-    blobs = bytes_col.combine_chunks() if isinstance(bytes_col, pa.ChunkedArray) else bytes_col
-    n = len(blobs)
-    ok = np.zeros(n, dtype=bool)
-    for i in range(n):
-        blob = blobs[i].as_py()
-        if blob is None:
-            ok[i] = True  # nulls handled by `required`, not conform
-            continue
-        try:
-            if len(blob) < HEADER_SIZE:
-                continue
-            hdr = _HEADER.unpack(blob[:HEADER_SIZE])
-            hdr_sr, data_len = hdr[7], hdr[12]
-            expected = int(sr[i] * dur[i] / 1000) * 2
-            ok[i] = hdr_sr == sr[i] and data_len == expected and len(blob) >= HEADER_SIZE + data_len
-        except (struct.error, ValueError):
-            ok[i] = False
+    sr = np.asarray(batch.column("sr_hz").combine_chunks().cast(pa.int64()).fill_null(0))
+    dur = np.asarray(batch.column("dur_ms").combine_chunks().cast(pa.int64()).fill_null(0))
+    arr = bytes_col.combine_chunks() if isinstance(bytes_col, pa.ChunkedArray) else bytes_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.binary())
+    n = len(arr)
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    t = arr.type
+    off_dtype = np.int64 if pa.types.is_large_binary(t) else np.int32
+    null_mask = np.zeros(n, dtype=bool)
+    if arr.null_count and arr.buffers()[0] is not None:
+        bits = np.unpackbits(
+            np.frombuffer(arr.buffers()[0], dtype=np.uint8), bitorder="little"
+        )
+        null_mask = ~bits[arr.offset : arr.offset + n].astype(bool)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    long_enough = lengths >= HEADER_SIZE
+    if len(data) < HEADER_SIZE:
+        out = np.zeros(n, dtype=bool)
+        out[null_mask] = True
+        return out
+    safe = np.where(long_enough, starts, 0)
+    safe = np.minimum(safe, len(data) - HEADER_SIZE)
+
+    def u32(at: int) -> np.ndarray:
+        return (
+            data[safe + at].astype(np.int64)
+            | (data[safe + at + 1].astype(np.int64) << 8)
+            | (data[safe + at + 2].astype(np.int64) << 16)
+            | (data[safe + at + 3].astype(np.int64) << 24)
+        )
+
+    riff = (data[safe] == 0x52) & (data[safe + 1] == 0x49) & (data[safe + 2] == 0x46) & (data[safe + 3] == 0x46)
+    wave = (data[safe + 8] == 0x57) & (data[safe + 9] == 0x41) & (data[safe + 10] == 0x56) & (data[safe + 11] == 0x45)
+    hdr_sr = u32(24)
+    data_len = u32(40)
+    expected = (sr * dur // 1000) * 2
+    ok = (
+        long_enough
+        & riff
+        & wave
+        & (hdr_sr == sr)
+        & (data_len == expected)
+        & (lengths >= HEADER_SIZE + data_len)
+    )
+    ok[null_mask] = True  # nulls handled by `required`, not conform
     return ok

@@ -220,7 +220,9 @@ class ValidationPipeline:
             part_records[pid] = manifest["partitions"][str(pid)]
 
         if todo:
-            ds = ray.data.read_parquet(todo, include_paths=True)
+            from ..sources.io import read_parquet_tasks
+
+            ds = read_parquet_tasks(todo, include_paths=True)
             kwargs: dict[str, Any] = {}
             if self.batch_size:
                 kwargs["batch_size"] = self.batch_size
@@ -294,16 +296,22 @@ class ValidationPipeline:
         else:
             viol_tbl = VIOLATION_SCHEMA.empty_table()
 
+        t_row_pass = time.time() - t0
         merged_stats = merge_stats_partials(stats_partials)
         stats_tbl = stats_to_table(merged_stats)
 
         # ---- global shuffle rules over key-only projections (all shards) ----
+        t_shuffles = time.time()
         import ray.data as rd
 
         global_viols: list[pa.Table] = []
         dup_count = 0
+        from ..sources.io import read_parquet_tasks
+
         for rule in self.spec.unique:
-            dups = duplicate_keys(rd.read_parquet(shards, columns=list(rule.columns)), list(rule.columns))
+            dups = duplicate_keys(
+                read_parquet_tasks(shards, columns=list(rule.columns)), list(rule.columns)
+            )
             dup_tbl = _collect(dups)
             dup_count += int(dup_tbl.num_rows)
             if dup_tbl.num_rows:
@@ -324,7 +332,7 @@ class ValidationPipeline:
             if not ref_datasets or ref_rule.ref_table not in ref_datasets:
                 continue
             orphans = orphan_rows(
-                rd.read_parquet(shards, columns=[ref_rule.column]),
+                read_parquet_tasks(shards, columns=[ref_rule.column]),
                 ref_rule.column,
                 ref_datasets[ref_rule.ref_table],
                 ref_rule.ref_column,
@@ -352,6 +360,7 @@ class ValidationPipeline:
             pq.write_table(pa.concat_tables(global_viols), os.path.join(gdir, "part-0.parquet"))
 
         # ---- drift ----
+        t_drift = time.time()
         drift_results: list[dict[str, Any]] = []
         if self.spec.drift:
             merged_drift = merge_drift_partials(drift_partials)
@@ -392,6 +401,11 @@ class ValidationPipeline:
             "orphans": orphan_count,
             "drifted_partitions": len(drifted_pids),
             "wall_time_sec": time.time() - t0,
+            "phase_sec": {
+                "row_pass": round(t_row_pass, 3),
+                "shuffles": round(t_drift - t_shuffles, 3),
+                "drift_and_merge": round(time.time() - t_drift, 3),
+            },
             "rule_hash": self.rule_hash,
         }
         manifest = {

@@ -58,11 +58,14 @@ def make_clips(
     inject: bool = True,
     num_partitions: int = 16,
     drift_partition: int | None = 0,
+    start: int = 0,
 ) -> pa.Table:
     """The F1 clip table. ``dur_hi`` is capped below FIXTURES' 30 s so test
-    tables stay small; semantics don't depend on it."""
-    rng = np.random.default_rng(seed)
-    ids = clip_ids(n)
+    tables stay small; semantics don't depend on it. ``start`` offsets the
+    global row index for shard-parallel generation (each shard draws from an
+    independent PCG64 stream seeded by ``seed + start``)."""
+    rng = np.random.default_rng(seed + start)
+    ids = np.array([f"clip-{i:010d}" for i in range(start, start + n)], dtype=object)
     sr = rng.choice(SR_CHOICES, size=n, p=SR_WEIGHTS).astype(np.int32)
     dur = np.clip(rng.lognormal(7.3, 0.6, size=n), dur_lo, dur_hi).astype(np.int32)
     codec = rng.choice(CODECS, size=n, p=CODEC_WEIGHTS)
@@ -70,7 +73,8 @@ def make_clips(
         [" ".join(rng.choice(WORDS, size=max(1, int(d / 400)))) for d in dur], dtype=object
     )
 
-    i = np.arange(n)
+    pos = np.arange(n)
+    gi = pos + start  # global row index drives injection conditions
     if inject:
         # drift partition first (so membership is computed on clean ids)
         if drift_partition is not None:
@@ -80,22 +84,22 @@ def make_clips(
             sr = np.where(in_drift & flip, np.int32(44100), sr)
             dur = np.where(in_drift, np.minimum(dur * 2, dur_hi * 2).astype(np.int32), dur)
 
-        transcript[(i % 500) == 7] = None
-        dup = (i % 500) == 131
-        ids[dup] = ids[np.maximum(i[dup] - 1, 0)]
-        srv = (i % 1000) == 11
-        sr[srv & ((i // 1000) % 2 == 0)] = 3000
-        sr[srv & ((i // 1000) % 2 == 1)] = 96001
-        dur[(i % 1000) == 13] = 0
-        codec[(i % 1000) == 17] = "mp3"
-        ids[(i % 2000) == 19] = np.array([f"CLIP_{j}" for j in i[(i % 2000) == 19]], dtype=object)
+        transcript[(gi % 500) == 7] = None
+        dup = (gi % 500) == 131
+        ids[dup] = ids[np.maximum(pos[dup] - 1, 0)]
+        srv = (gi % 1000) == 11
+        sr[srv & ((gi // 1000) % 2 == 0)] = 3000
+        sr[srv & ((gi // 1000) % 2 == 1)] = 96001
+        dur[(gi % 1000) == 13] = 0
+        codec[(gi % 1000) == 17] = "mp3"
+        ids[(gi % 2000) == 19] = np.array([f"CLIP_{j}" for j in gi[(gi % 2000) == 19]], dtype=object)
 
     blobs = None
     if with_audio:
-        truncated = inject & ((i % 2000) == 23)
+        truncated = inject & ((gi % 2000) == 23)
         blob_list = []
         for j in range(n):
-            samples = synth_samples(j, int(sr[j]), int(dur[j]), seed=seed)
+            samples = synth_samples(start + j, int(sr[j]), int(dur[j]), seed=seed)
             if inject and truncated[j]:
                 samples = samples[: len(samples) // 2]
             blob_list.append(wav_encode(samples, int(sr[j])))
@@ -112,11 +116,11 @@ def make_clips(
     return pa.table(cols)
 
 
-def make_transcripts(clips: pa.Table, seed: int = 42) -> pa.Table:
+def make_transcripts(clips: pa.Table, seed: int = 42, start: int = 0) -> pa.Table:
     """F2 side table: (clip_id, transcript, lang) with known orphans."""
-    rng = np.random.default_rng(seed + 1)
+    rng = np.random.default_rng(seed + 1 + start)
     n = clips.num_rows
-    i = np.arange(n)
+    i = np.arange(start, start + n)
     keep = (i % 500) != 77
     ids = np.asarray(clips.column("clip_id").combine_chunks(), dtype=object)[keep]
     texts = np.asarray(clips.column("transcript").combine_chunks(), dtype=object)[keep]
@@ -160,4 +164,49 @@ def write_fixture(
         if part.num_rows:
             pq.write_table(part, os.path.join(clips_dir, f"shard-{s:05d}.parquet"))
     pq.write_table(transcripts, os.path.join(tr_dir, "shard-00000.parquet"))
+    return {"clips": clips_dir, "transcripts": tr_dir}
+
+
+def write_fixture_parallel(
+    out_dir: str,
+    n: int,
+    *,
+    seed: int = 42,
+    shards: int = 64,
+    num_partitions: int = 16,
+    with_audio: bool = True,
+) -> dict[str, str]:
+    """Bench-scale fixture: each shard generated by an independent Ray task
+    (independent PCG64 stream per shard via ``start`` seeding). Idempotent —
+    existing complete output is reused."""
+    import ray
+
+    clips_dir = os.path.join(out_dir, "clips")
+    tr_dir = os.path.join(out_dir, "transcripts")
+    done_marker = os.path.join(out_dir, f".done-n{n}-s{shards}")
+    if os.path.exists(done_marker):
+        return {"clips": clips_dir, "transcripts": tr_dir}
+    os.makedirs(clips_dir, exist_ok=True)
+    os.makedirs(tr_dir, exist_ok=True)
+
+    per = (n + shards - 1) // shards
+
+    @ray.remote(num_cpus=1)
+    def gen_shard(s: int) -> int:
+        start = s * per
+        count = min(per, n - start)
+        if count <= 0:
+            return 0
+        clips = make_clips(
+            count, seed=seed, start=start, with_audio=with_audio, inject=True,
+            num_partitions=num_partitions,
+        )
+        pq.write_table(clips, os.path.join(clips_dir, f"shard-{s:05d}.parquet"))
+        tr = make_transcripts(clips, seed=seed, start=start)
+        pq.write_table(tr, os.path.join(tr_dir, f"shard-{s:05d}.parquet"))
+        return count
+
+    total = sum(ray.get([gen_shard.remote(s) for s in range(shards)]))
+    with open(done_marker, "w") as f:
+        f.write(str(total))
     return {"clips": clips_dir, "transcripts": tr_dir}

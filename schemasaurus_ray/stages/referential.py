@@ -47,9 +47,19 @@ def orphan_rows(
 def _orphans_broadcast(ds, column, ref_ds, ref_column):
     import ray
 
+    # hash+dedup the reference keys IN PARALLEL (a map stage emitting
+    # uint64 hashes), then union on the driver — only 8 bytes/distinct key
+    # ever reach the driver
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h = np.unique(hash_column(batch.column(ref_column)))
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
     hashes: list[np.ndarray] = [np.zeros(0, dtype=np.uint64)]
-    for batch in ref_ds.select_columns([ref_column]).iter_batches(batch_format="pyarrow"):
-        hashes.append(np.unique(hash_column(batch.column(ref_column))))
+    hash_ds = ref_ds.select_columns([ref_column]).map_batches(
+        to_hashes, batch_format="pyarrow", batch_size=262144
+    )
+    for batch in hash_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        hashes.append(np.asarray(batch.column("h").combine_chunks()).view(np.uint64))
     key_set = np.unique(np.concatenate(hashes))
     ref = ray.put(key_set)
 

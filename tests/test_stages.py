@@ -1,0 +1,85 @@
+"""Stage-level tests: normalizer stage, uniqueness (incl. composite keys and
+the duplicate_rows view), referential shuffle variant."""
+
+import pyarrow as pa
+import pytest
+
+from schemasaurus_ray.stages.normalize import NormalizeStage
+from schemasaurus_ray.stages.referential import orphan_rows
+from schemasaurus_ray.stages.unique import duplicate_keys, duplicate_rows
+
+
+def test_normalize_stage_defaults_casts_projection():
+    batch = pa.table(
+        {
+            "i": pa.array(["10", "3", None], pa.string()),
+            "b": pa.array(["false", "on", "x"], pa.string()),
+            "n": pa.array([1, 2, None], pa.int64()),
+            "extra": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    spec = {
+        "columns": {
+            "i": {"type": "integer", "default": 0},
+            "b": {"type": "boolean"},
+            "n": {"type": "number", "default": 1.5},
+            "s": {"type": "string", "default": "missing"},
+        }
+    }
+    out = NormalizeStage(spec)(batch)
+    assert out.column_names == ["i", "b", "n", "s"]  # extra dropped, s added
+    assert out.column("i").to_pylist() == [10, 3, 0]
+    assert out.column("b").to_pylist() == [False, True, True]
+    assert out.column("n").to_pylist() == [1.0, 2.0, 1.5]
+    assert out.column("s").to_pylist() == ["missing"] * 3
+
+
+def test_normalize_float_to_int():
+    batch = pa.table({"x": pa.array([1.9, 2.0, None], pa.float64())})
+    out = NormalizeStage({"columns": {"x": {"type": "integer"}}})(batch)
+    # parseInt-style truncation toward -inf via floor
+    assert out.column("x").to_pylist() == [1, 2, None]
+
+
+def test_duplicate_keys_composite(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array(["x", "x", "y", "z", "x"], pa.string()),
+        }
+    )
+    dups = duplicate_keys(rd.from_arrow(tbl), ["a", "b"])
+    out = pa.concat_tables(list(dups.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert out.num_rows == 1
+    assert out.column("a").to_pylist() == [1]
+    assert out.column("cnt").to_pylist() == [2]
+
+
+def test_duplicate_rows_view(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array(["a", "b", "a", "c", "a"], pa.string())})
+    rows = duplicate_rows(rd.from_arrow(tbl), ["k"])
+    out = pa.concat_tables(list(rows.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert out.num_rows == 3  # every occurrence of the duplicated key
+    assert set(out.column("row_ref").to_pylist()) == {"a"}
+    assert set(out.column("code").to_pylist()) == {"unique"}
+
+
+def test_orphan_rows_shuffle_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"fk": pa.array([1, 2, 3, 4, 5, None], pa.int64())})
+    right = pa.table({"pk": pa.array([1, 2, 3], pa.int64())})
+    lds, rds = rd.from_arrow(left), rd.from_arrow(right)
+
+    def collect(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+        return sorted(t.column("row_ref").to_pylist())
+
+    bc = collect(orphan_rows(lds, "fk", rds, "pk", method="broadcast"))
+    sh = collect(orphan_rows(lds, "fk", rds, "pk", method="shuffle"))
+    assert bc == ["4", "5"]
+    assert sh == ["4", "5"]
