@@ -125,8 +125,11 @@ def distinct_orderkeys(sf_dir: str) -> pa.Table:
 
 # ---- uniqueness / referential ----------------------------------------------
 def unique_lineitem_orderkey(sf_dir: str) -> pa.Table:
-    dups = duplicate_keys(_read(sf_dir, "lineitem", ["l_orderkey"]), ["l_orderkey"])
-    tbl = _collect(dups)
+    from ..stages.shuffle import count_keys_shuffled
+
+    tbl = count_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")], ["l_orderkey"], min_count=2
+    )
     return tbl.select(["l_orderkey", "cnt"]).sort_by("l_orderkey")
 
 

@@ -46,6 +46,23 @@ from ..stages.stats import batch_stats_partial, merge_stats_partials, stats_to_t
 from ..stages.unique import duplicate_keys
 
 
+# Per-worker-process cache of compiled stages. The hot path runs as
+# STATELESS TASKS (not an actor pool): compiling the rule plan is cheap and
+# cached per worker, while an actor pool costs a fresh process spawn + import
+# per actor per run (~1-2 s × pool size — measured to dominate and
+# anti-scale for short jobs; actors stay the right tool for heavy state
+# like model weights, cf. functions/multimodal.py).
+_STAGE_CACHE: dict[str, "CombinedStage"] = {}
+
+
+def _run_combined(batch, *, spec, num_partitions, path_map, stats_columns, cache_key):
+    stage = _STAGE_CACHE.get(cache_key)
+    if stage is None:
+        stage = CombinedStage(spec, num_partitions, path_map, stats_columns)
+        _STAGE_CACHE[cache_key] = stage
+    return stage(batch)
+
+
 class CombinedStage(RowRuleStage):
     """Row rules + stats partials + drift partials in one pass."""
 
@@ -205,6 +222,44 @@ class ValidationPipeline:
         stats_cols = self.spec.stats or [
             c for c in self.spec.columns if self.spec.columns[c].get("type") != "binary"
         ]
+
+        # ---- launch the global key shuffle EARLY (async raw-Ray map/reduce,
+        # stages/shuffle.py) so it overlaps the row pass — no barrier between
+        # the two; results are collected after the row pass ----
+        from ..stages.shuffle import anti_join_shuffled, combined_key_checks_async, count_keys_shuffled
+
+        def _resolve_right(rule):
+            if not ref_datasets or rule.ref_table not in ref_datasets:
+                return None
+            right = ref_datasets[rule.ref_table]
+            return self._list_shards(right) if isinstance(right, str) else right
+
+        unique_rules = list(self.spec.unique)
+        ref_rules = [r for r in self.spec.references if _resolve_right(r) is not None]
+        fused_ref = None
+        fused_unique = None
+        for rr in ref_rules:
+            for ur in unique_rules:
+                if len(ur.columns) == 1 and ur.columns[0] == rr.column:
+                    fused_unique, fused_ref = ur, rr
+                    break
+            if fused_ref:
+                break
+        fused_finish = None
+        if fused_ref is not None:
+            fused_finish = combined_key_checks_async(
+                shards, fused_unique.columns[0], _resolve_right(fused_ref), fused_ref.ref_column
+            )
+            unique_rules.remove(fused_unique)
+            ref_rules.remove(fused_ref)
+        elif unique_rules:
+            # no referential partner: still overlap the uniqueness shuffle
+            only = unique_rules.pop(0)
+            fused_unique = only
+            fused_finish = combined_key_checks_async(shards, only.columns[0], None, None) if len(only.columns) == 1 else None
+            if fused_finish is None:
+                unique_rules.insert(0, only)
+                fused_unique = None
         rows_validated_this_run = 0
 
         part_records: dict[int, dict[str, Any]] = {}
@@ -226,13 +281,19 @@ class ValidationPipeline:
             kwargs: dict[str, Any] = {}
             if self.batch_size:
                 kwargs["batch_size"] = self.batch_size
-            # callable-class stage = actor pool; size it to the node, leaving
-            # headroom for the read/write stages (ray_guide: actor pools)
-            n_cpus = int(ray.cluster_resources().get("CPU", 4))
-            kwargs["concurrency"] = self.concurrency or max(2, n_cpus - 2)
+            if self.concurrency:
+                kwargs["concurrency"] = self.concurrency
+            import functools
+
             union = ds.map_batches(
-                CombinedStage,
-                fn_constructor_args=(self.raw_spec, 64, path_map, stats_cols),
+                functools.partial(
+                    _run_combined,
+                    spec=self.raw_spec,
+                    num_partitions=64,
+                    path_map=path_map,
+                    stats_columns=stats_cols,
+                    cache_key=self.rule_hash + str(sorted(path_map.items())[:1]),
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 **kwargs,
@@ -269,17 +330,31 @@ class ValidationPipeline:
             sm = summaries.to_pandas()
             rollup = sm.groupby("partition_id")[["rows", "bad_rows"]].sum()
             pid_of = {i: p for p, i in path_map.items()}
+            # per-partition sinks written by PARALLEL Ray tasks (the serial
+            # driver write loop capped scaling — Amdahl)
+            import ray as _ray
+
+            @_ray.remote
+            def _write_partition(pid: int, viol: pa.Table, partials_json: str, out_dir: str) -> int:
+                vdir = os.path.join(out_dir, "violations", f"p{pid:05d}")
+                os.makedirs(vdir, exist_ok=True)
+                pq.write_table(viol, os.path.join(vdir, "part-0.parquet"))
+                tmp = os.path.join(out_dir, "partials", f"p{pid:05d}.json.tmp")
+                with open(tmp, "w") as f:
+                    f.write(partials_json)
+                os.replace(tmp, os.path.join(out_dir, "partials", f"p{pid:05d}.json"))
+                return pid
+
+            write_refs = []
             for pid, row in rollup.iterrows():
                 pid = int(pid)
                 pviol = viol_tbl.filter(pc.equal(viol_tbl.column("partition_id"), pid))
-                vdir = os.path.join(self.out_dir, "violations", f"p{pid:05d}")
-                os.makedirs(vdir, exist_ok=True)
-                pq.write_table(pviol, os.path.join(vdir, "part-0.parquet"))
                 p_drift = [r for r in new_drift if r["partition_id"] == pid]
                 p_stats = [r for r in new_stats if r["partition_id"] == pid]
-                _atomic_write(
-                    os.path.join(self.out_dir, "partials", f"p{pid:05d}.json"),
-                    json.dumps({"stats": p_stats, "drift": p_drift}),
+                write_refs.append(
+                    _write_partition.remote(
+                        pid, pviol, json.dumps({"stats": p_stats, "drift": p_drift}), self.out_dir
+                    )
                 )
                 part_records[pid] = {
                     "partition_id": pid,
@@ -291,6 +366,7 @@ class ValidationPipeline:
                     "wall_time": time.time() - t0,
                 }
                 rows_validated_this_run += int(row["rows"])
+            ray.get(write_refs)  # all partition sinks durable before manifest
             stats_partials.extend(new_stats)
             drift_partials.extend(new_drift)
         else:
@@ -306,46 +382,50 @@ class ValidationPipeline:
 
         global_viols: list[pa.Table] = []
         dup_count = 0
-        from ..sources.io import read_parquet_tasks
+        orphan_count = 0
 
-        for rule in self.spec.unique:
-            dups = duplicate_keys(
-                read_parquet_tasks(shards, columns=list(rule.columns)), list(rule.columns)
-            )
-            dup_tbl = _collect(dups)
+        def _emit_dups(rule, dup_tbl):
+            nonlocal dup_count
             dup_count += int(dup_tbl.num_rows)
             if dup_tbl.num_rows:
-                refs = dup_tbl.column(rule.columns[0]).cast(pa.string())
                 n = dup_tbl.num_rows
                 global_viols.append(
                     pa.table(
                         {
-                            "row_ref": refs,
+                            "row_ref": dup_tbl.column(rule.columns[0]).cast(pa.string()),
                             "column": pa.array([rule.name] * n, pa.string()),
                             "code": pa.array(["unique"] * n, pa.string()),
                             "message": pa.array(["shall be globally unique"] * n, pa.string()),
                         }
                     )
                 )
-        orphan_count = 0
-        for ref_rule in self.spec.references:
-            if not ref_datasets or ref_rule.ref_table not in ref_datasets:
-                continue
-            orphans = orphan_rows(
-                read_parquet_tasks(shards, columns=[ref_rule.column]),
-                ref_rule.column,
-                ref_datasets[ref_rule.ref_table],
-                ref_rule.ref_column,
-            )
-            o_tbl = _collect(orphans)
-            orphan_count += int(o_tbl.num_rows)
+
+        fused_orphans = []
+        if fused_finish is not None:
+            dup_tbl, o_tbl = fused_finish()
+            _emit_dups(fused_unique, dup_tbl)
+            if fused_ref is not None:
+                fused_orphans = [(fused_ref, o_tbl)]
+
+        for rule in unique_rules:
+            # explicit hash-partitioned shuffle over key columns only
+            # (raw Ray map/reduce — see stages/shuffle.py for why)
+            _emit_dups(rule, count_keys_shuffled(shards, list(rule.columns), min_count=2))
+
+        orphan_results = fused_orphans + [
+            (rr, anti_join_shuffled(shards, rr.column, _resolve_right(rr), rr.ref_column))
+            for rr in ref_rules
+        ]
+        for ref_rule, o_tbl in orphan_results:
+            n_orphan_rows = int(pc.sum(o_tbl.column("cnt")).as_py() or 0) if o_tbl.num_rows else 0
+            orphan_count += n_orphan_rows
             if o_tbl.num_rows:
                 global_viols.append(
                     pa.table(
                         {
-                            "row_ref": o_tbl.column("row_ref"),
-                            "column": o_tbl.column("column"),
-                            "code": o_tbl.column("code"),
+                            "row_ref": o_tbl.column(ref_rule.column).cast(pa.string()),
+                            "column": pa.array([ref_rule.column] * o_tbl.num_rows, pa.string()),
+                            "code": pa.array(["reference"] * o_tbl.num_rows, pa.string()),
                             "message": pa.array(
                                 [f"shall reference an existing {ref_rule.ref_table}.{ref_rule.ref_column}"]
                                 * o_tbl.num_rows,

@@ -70,7 +70,14 @@ def _orphans_broadcast(ds, column, ref_ds, ref_column):
         valid = ~np.asarray(
             pa.compute.is_null(col.combine_chunks()) if col.null_count else pa.array([False] * len(col))
         )
-        orphan = (~np.isin(h, keys)) & valid
+        # keys is sorted (np.unique) → binary search instead of np.isin,
+        # which would re-sort the whole key set per batch
+        if len(keys):
+            pos = np.searchsorted(keys, h).clip(max=len(keys) - 1)
+            member = keys[pos] == h
+        else:
+            member = np.zeros(len(h), dtype=bool)
+        orphan = (~member) & valid
         idx = np.nonzero(orphan)[0]
         refs = col.combine_chunks().cast(pa.string()).take(pa.array(idx, pa.int64()))
         n = len(idx)

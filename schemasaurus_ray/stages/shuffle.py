@@ -1,0 +1,286 @@
+"""Explicit hash-partitioned shuffle aggregation — raw Ray tasks.
+
+Why raw Ray here (the documented last-resort case): Ray Data's
+sort-based ``groupby().aggregate()`` measured ~65 s for a 2M-string-key
+count on this machine (~30k rows/s) — two orders of magnitude off a plain
+hash aggregation. Uniqueness/referential checks over key columns are the
+engine's hottest shuffles (north_rule: "explicit hash-partitioned
+groupby-aggregate shuffles with salted-key skew mitigation"), so they get a
+hand-rolled map/reduce:
+
+- **map** (one task per input shard): read ONLY the key columns from the
+  parquet shard, pre-aggregate within the shard (vectorized pyarrow
+  ``group_by`` — a pathological hot key collapses to one row per shard =
+  the salt/combiner step), split the (key, cnt) rows by
+  ``splitmix64(key) % B`` into B bucket tables;
+- **reduce** (one task per bucket): concat its bucket slice from every map
+  task, ``group_by`` once more, emit the final (key, cnt) rows.
+
+Data through the object store = the pre-aggregated key rows only (no wide
+columns). Scale note: the driver holds M×B object refs; for very large M
+use a tree of reduces — B here is sized ≤ 64.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..util import hash_column, splitmix64
+
+
+def _combined_hash(table: pa.Table, columns: list[str]) -> np.ndarray:
+    h = hash_column(table.column(columns[0]))
+    for c in columns[1:]:
+        h = splitmix64(h ^ hash_column(table.column(c)))
+    return h
+
+
+def _precount_table(tbl: pa.Table, columns: list[str]) -> pa.Table:
+    sub = pa.table({c: tbl.column(c) for c in columns})
+    counts = sub.group_by(columns).aggregate([([], "count_all")])
+    return counts.rename_columns(columns + ["cnt"])
+
+
+def _split_buckets(counts: pa.Table, columns: list[str], num_buckets: int) -> list[pa.Table]:
+    h = _combined_hash(counts, columns)
+    buckets = (h % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = counts.take(pa.array(order, pa.int64()))
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets, np.arange(num_buckets + 1))
+    return [
+        sorted_tbl.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(num_buckets)
+    ]
+
+
+def count_keys_shuffled(
+    paths: list[str],
+    columns: list[str],
+    num_buckets: int | None = None,
+    min_count: int = 2,
+) -> pa.Table:
+    """(key columns..., cnt) for keys with total count ≥ ``min_count``
+    across all parquet shards. min_count=2 → duplicate keys (uniqueness
+    violations); min_count=1 → full distinct key counts."""
+    import ray
+
+    num_buckets = num_buckets or min(32, max(4, len(paths) // 4))
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=columns)
+        counts = _precount_table(tbl, columns)
+        out = _split_buckets(counts, columns, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        agg = merged.group_by(columns).aggregate([("cnt", "sum")])
+        agg = agg.rename_columns(columns + ["cnt"])
+        if min_count > 1:
+            agg = agg.filter(pc.greater_equal(agg.column("cnt"), min_count))
+        return agg
+
+    refs = [map_shard.remote(p) for p in sorted(paths)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(*[refs[m][b] for m in range(len(refs))])
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        empty_cols: dict[str, Any] = {c: pa.array([], pa.string()) for c in columns}
+        empty_cols["cnt"] = pa.array([], pa.int64())
+        return pa.table(empty_cols)
+    return pa.concat_tables(tables)
+
+
+def combined_key_checks(
+    left_paths: list[str],
+    key_col: str,
+    right: "Any",
+    right_col: str | None,
+    num_buckets: int | None = None,
+) -> tuple[pa.Table, pa.Table]:
+    return combined_key_checks_async(left_paths, key_col, right, right_col, num_buckets)()
+
+
+def combined_key_checks_async(
+    left_paths: list[str],
+    key_col: str,
+    right: "Any",  # list[str] parquet paths | ray.data.Dataset | None
+    right_col: str | None,
+    num_buckets: int | None = None,
+):
+    """ONE shuffle for both key rules when uniqueness and referential share
+    the key column (the common case: clip_id): the left key column is read
+    and pre-aggregated once per shard; each bucket reduce emits both
+    (key, cnt>1) duplicates and keys absent from the right side.
+
+    ASYNC: all map/reduce tasks are launched immediately and run concurrently
+    with whatever the caller does next (e.g. the row-rule pass — the streaming
+    executor and these raw tasks share the CPU pool with no barrier between
+    them). Call the returned closure to block for the
+    (duplicates, orphans) (key, cnt) tables."""
+    import ray
+
+    num_buckets = num_buckets or min(32, max(4, len(left_paths) // 4))
+
+    @ray.remote(num_returns=num_buckets)
+    def map_left(path: str):
+        tbl = pq.read_table(path, columns=[key_col])
+        counts = _precount_table(tbl, [key_col])
+        out = _split_buckets(counts, [key_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_right_path(path: str):
+        tbl = pq.read_table(path, columns=[right_col])
+        keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
+        keys = keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
+        out = _split_buckets(keys, [right_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_right_table(tbl: pa.Table):
+        keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
+        keys = keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
+        out = _split_buckets(keys, [right_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def reduce_bucket(n_left: int, *tables: pa.Table):
+        left = [t for t in tables[:n_left] if t.num_rows]
+        rights = [t for t in tables[n_left:] if t.num_rows]
+        empty = pa.table({key_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        if not left:
+            return empty, empty
+        lagg = (
+            pa.concat_tables(left)
+            .group_by([key_col])
+            .aggregate([("cnt", "sum")])
+            .rename_columns([key_col, "cnt"])
+        )
+        dups = lagg.filter(pc.greater_equal(lagg.column("cnt"), 2))
+        if right_col is None:
+            return dups, empty
+        if rights:
+            rkeys = pa.concat_tables(rights).column(right_col).combine_chunks().unique()
+            mask = pc.invert(
+                pc.is_in(lagg.column(key_col), value_set=rkeys.cast(lagg.column(key_col).type))
+            )
+            orphans = lagg.filter(pc.fill_null(mask, True))
+        else:
+            orphans = lagg
+        return dups, orphans
+
+    lrefs = [map_left.remote(p) for p in sorted(left_paths)]
+    if right is None:
+        rrefs = []
+    elif isinstance(right, list):
+        rrefs = [map_right_path.remote(p) for p in sorted(right)]
+    else:
+        rrefs = [map_right_table.remote(ref) for ref in right.to_arrow_refs()]
+    if num_buckets == 1:
+        lrefs = [[r] for r in lrefs]
+        rrefs = [[r] for r in rrefs]
+    dup_refs, orphan_refs = [], []
+    for b in range(num_buckets):
+        d, o = reduce_bucket.remote(
+            len(lrefs),
+            *[lrefs[m][b] for m in range(len(lrefs))],
+            *[rrefs[m][b] for m in range(len(rrefs))],
+        )
+        dup_refs.append(d)
+        orphan_refs.append(o)
+
+    def finish() -> tuple[pa.Table, pa.Table]:
+        dup_tables = [t for t in ray.get(dup_refs) if t.num_rows]
+        orphan_tables = [t for t in ray.get(orphan_refs) if t.num_rows]
+        empty = pa.table({key_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        dups = pa.concat_tables(dup_tables) if dup_tables else empty
+        orphans = pa.concat_tables(orphan_tables) if orphan_tables else empty
+        return dups, orphans
+
+    return finish
+
+
+def anti_join_shuffled(
+    left_paths: list[str],
+    left_col: str,
+    right: "Any",  # list[str] of parquet paths OR a ray.data.Dataset
+    right_col: str,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Hash-partitioned anti-join (referential check): left keys with no
+    match in right → (key, cnt) rows. Same raw-Ray map/reduce shape as
+    :func:`count_keys_shuffled` — both sides reduced to per-bucket key
+    tables, verified per bucket with one vectorized ``is_in``. Only key
+    columns move; co-partitioning comes from the shared hash."""
+    import ray
+
+    num_buckets = num_buckets or min(32, max(4, len(left_paths) // 4))
+
+    @ray.remote(num_returns=num_buckets)
+    def map_left(path: str):
+        tbl = pq.read_table(path, columns=[left_col])
+        counts = _precount_table(tbl, [left_col])
+        out = _split_buckets(counts, [left_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_right_path(path: str):
+        tbl = pq.read_table(path, columns=[right_col])
+        keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
+        out = _split_buckets(keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64())), [right_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_right_table(tbl: pa.Table):
+        keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
+        out = _split_buckets(keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64())), [right_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def reduce_bucket(n_left: int, *tables: pa.Table) -> pa.Table:
+        left = [t for t in tables[:n_left] if t.num_rows]
+        rights = [t for t in tables[n_left:] if t.num_rows]
+        if not left:
+            return pa.table({left_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        lmerged = pa.concat_tables(left)
+        lagg = lmerged.group_by([left_col]).aggregate([("cnt", "sum")]).rename_columns([left_col, "cnt"])
+        if rights:
+            rkeys = pa.concat_tables(rights).column(right_col).combine_chunks().unique()
+            mask = pc.invert(pc.is_in(lagg.column(left_col), value_set=rkeys.cast(lagg.column(left_col).type)))
+            lagg = lagg.filter(pc.fill_null(mask, True))
+        return lagg
+
+    lrefs = [map_left.remote(p) for p in sorted(left_paths)]
+    if isinstance(right, list):
+        rrefs = [map_right_path.remote(p) for p in sorted(right)]
+    else:
+        rrefs = [map_right_table.remote(ref) for ref in right.to_arrow_refs()]
+    if num_buckets == 1:
+        lrefs = [[r] for r in lrefs]
+        rrefs = [[r] for r in rrefs]
+    reduced = [
+        reduce_bucket.remote(
+            len(lrefs),
+            *[lrefs[m][b] for m in range(len(lrefs))],
+            *[rrefs[m][b] for m in range(len(rrefs))],
+        )
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({left_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    return pa.concat_tables(tables)

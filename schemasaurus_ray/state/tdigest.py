@@ -49,35 +49,21 @@ class TDigest:
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
         total = weights.sum()
-        # k1 scale: centroid boundary where q-span exceeds 1/delta scaled by
-        # 4*sqrt(q(1-q)) (smaller centroids at the tails)
+        # Fully vectorized merge: map each point's mid-quantile through the
+        # k2 scale function k(q) = (asin(2q-1)/π + 1/2)·δ (Dunning & Ertl's
+        # scale family — fine clusters at the tails) and coalesce points
+        # sharing a k-cell with one bincount. No Python loop.
         q_right = np.cumsum(weights) / total
-        q_left = q_right - weights / total
-        q_mid = (q_left + q_right) / 2
-        limit = np.maximum(4.0 * np.sqrt(q_mid * (1 - q_mid)) / self.delta, 1e-9)
-        new_means: list[float] = []
-        new_weights: list[float] = []
-        acc_w = 0.0
-        acc_sum = 0.0
-        acc_qstart = 0.0
-        q = 0.0
-        for i in range(len(means)):
-            wi = weights[i]
-            q_new = q + wi / total
-            qm = (acc_qstart + q_new) / 2
-            lim = max(4.0 * np.sqrt(qm * (1 - qm)) / self.delta, 1e-9)
-            if acc_w > 0 and (q_new - acc_qstart) > lim:
-                new_means.append(acc_sum / acc_w)
-                new_weights.append(acc_w)
-                acc_w, acc_sum, acc_qstart = 0.0, 0.0, q
-            acc_w += wi
-            acc_sum += means[i] * wi
-            q = q_new
-        if acc_w > 0:
-            new_means.append(acc_sum / acc_w)
-            new_weights.append(acc_w)
-        self.means = np.array(new_means)
-        self.weights = np.array(new_weights)
+        q_mid = q_right - weights / (2 * total)
+        k = (np.arcsin(np.clip(2 * q_mid - 1, -1, 1)) / np.pi + 0.5) * self.delta
+        cluster = np.floor(k).astype(np.int64)
+        cluster = np.maximum.accumulate(cluster)  # monotone under float noise
+        ncl = int(cluster[-1]) + 1
+        new_w = np.bincount(cluster, weights=weights, minlength=ncl)
+        new_sum = np.bincount(cluster, weights=weights * means, minlength=ncl)
+        nz = new_w > 0
+        self.means = new_sum[nz] / new_w[nz]
+        self.weights = new_w[nz]
 
     def merge(self, other: "TDigest") -> "TDigest":
         other._compress()
