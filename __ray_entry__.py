@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ann_ivf_embeddings": q.ann_ivf_embeddings,
+        # windows + drift over the events stream
+        "windowed_events": q.windowed_events,
+        "drift_psi_events": q.drift_psi_events,
         # audio flagship (fixture-synthesized; rows-only)
         "validate_audio_clips": q.validate_audio_clips,
         "audio_features": q.audio_features,
@@ -140,6 +143,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents ORDER BY doc_id
         """,
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "windowed_events": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS cnt,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "drift_psi_events": """
+            WITH half AS (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) h FROM events),
+            hist AS (
+                SELECT event_type,
+                       CASE WHEN event_id >= (SELECT h FROM half) THEN 1 ELSE 0 END AS is_new,
+                       count(*) AS cnt
+                  FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT is_new, SUM(cnt) AS s FROM hist GROUP BY 1),
+            p AS (
+                SELECT e.event_type,
+                       GREATEST(COALESCE(MAX(CASE WHEN is_new = 0 THEN cnt END), 0) * 1.0 /
+                                (SELECT s FROM tot WHERE is_new = 0), 1e-6) AS pe,
+                       GREATEST(COALESCE(MAX(CASE WHEN is_new = 1 THEN cnt END), 0) * 1.0 /
+                                (SELECT s FROM tot WHERE is_new = 1), 1e-6) AS pa
+                  FROM hist e GROUP BY 1
+            )
+            SELECT CAST(FLOOR(10000 * SUM((pa - pe) * LN(pa / pe))) AS BIGINT) AS psi_bp FROM p
+        """,
         "ann_topk_embeddings": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id
               FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q

@@ -250,22 +250,23 @@ def ann_ivf_embeddings(sf_dir: str) -> pa.Table:
 
 # ---- normalizer -------------------------------------------------------------
 def normalize_lineitem(sf_dir: str) -> pa.Table:
-    """Normalizer stage: type coercion (number→integer cast) + projection —
-    the reference normalizer's [type]/[additionalProperty] ops
-    (normalizer.js:16-44,13-15) on columns."""
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    """NormalizeStage: type coercion (number→integer) + projection to spec
+    columns — the reference normalizer's [type]/[additionalProperty] ops
+    (normalizer.js:16-44,13-15) vectorized over columns."""
+    from ..stages.normalize import NormalizeStage
 
-    def coerce(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(batch.column("l_quantity"), pa.int64())
-        return pa.table(
-            {
-                "l_orderkey": batch.column("l_orderkey"),
-                "l_linenumber": pc.cast(batch.column("l_linenumber"), pa.int64()),
-                "qty_int": qty,
-            }
-        )
-
-    return _collect(ds.map_batches(coerce, batch_format="pyarrow"))
+    spec = {
+        "columns": {
+            "l_orderkey": {"type": "integer"},
+            "l_linenumber": {"type": "integer"},
+            "l_quantity": {"type": "integer"},  # 1.0-valued doubles → int64
+        }
+    }
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_tax"])
+    out = _collect(
+        ds.map_batches(NormalizeStage(spec), batch_format="pyarrow")
+    )
+    return out.rename_columns(["l_orderkey", "l_linenumber", "qty_int"])
 
 
 # ---- audio flagship (rows-only; fixture-synthesized) ------------------------
@@ -342,3 +343,84 @@ def audio_features(sf_dir: str) -> pa.Table:
             "measured_ms": pa.array([None if np.isnan(v) else int(v) for v in ms], pa.int64()),
         }
     ).sort_by("clip_id")
+
+
+# ---- windowed aggregate (engine-native; ray_guide streaming-shaped) --------
+def windowed_events(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows over the events stream: (window_start,
+    event_type, cnt, sum_v). Implemented as a vectorized per-batch partial
+    (floor ts to the hour, group within batch) + a small groupby over
+    partials — the pre-aggregate-then-shuffle shape."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def to_window(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # exact integer cents so the distributed sum is associative and
+        # matches the oracle bit-for-bit (double sums are order-dependent)
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "window_start": win,
+                "event_type": batch.column("event_type"),
+                "cents": cents,
+            }
+        )
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("cents", "sum")]
+        )
+        return g.rename_columns(["window_start", "event_type", "cnt", "sum_cents"])
+
+    pre = ds.map_batches(to_window, batch_format="pyarrow")
+    agg = pre.groupby(["window_start", "event_type"]).aggregate(
+        Sum("cnt", alias_name="cnt"), Sum("sum_cents", alias_name="sum_cents")
+    )
+    out = _collect(agg)
+    return pa.table(
+        {
+            "window_start": out.column("window_start"),
+            "event_type": out.column("event_type"),
+            "cnt": pc.cast(out.column("cnt"), pa.int64()),
+            "sum_cents": pc.cast(out.column("sum_cents"), pa.int64()),
+        }
+    ).sort_by([("window_start", "ascending"), ("event_type", "ascending")])
+
+
+def drift_psi_events(sf_dir: str) -> pa.Table:
+    """PSI of the event_type distribution, second half of the stream vs
+    first half (by event_id median) — the drift operator with a SQL oracle.
+    Returns one row (psi_bp: PSI in basis points, floored)."""
+    import pyarrow.parquet as pq_
+
+    from ..state.tdigest import psi
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    n = ds.count()
+    half = n // 2
+
+    def halves(batch: pa.Table) -> pa.Table:
+        is_new = pc.greater_equal(batch.column("event_id"), half)
+        t = pa.table({"event_type": batch.column("event_type"), "is_new": is_new})
+        g = t.group_by(["event_type", "is_new"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "is_new", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    agg = _collect(
+        ds.map_batches(halves, batch_format="pyarrow")
+        .groupby(["event_type", "is_new"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    expected: dict[str, float] = {}
+    actual: dict[str, float] = {}
+    for et, is_new, cnt in zip(
+        agg.column("event_type").to_pylist(),
+        agg.column("is_new").to_pylist(),
+        agg.column("cnt").to_pylist(),
+    ):
+        (actual if is_new else expected)[et] = float(cnt)
+    value = psi(expected, actual)
+    import math
+
+    return pa.table({"psi_bp": pa.array([int(math.floor(value * 10000))], pa.int64())})

@@ -62,6 +62,8 @@ ORACLE_NAMES = [
     "quality_documents",
     "fingerprint_documents",
     "ann_topk_embeddings",
+    "windowed_events",
+    "drift_psi_events",
 ]
 
 
