@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
         "validate_lineitem": q.validate_lineitem,
         "validate_documents": q.validate_documents,
+        "validate_embeddings": q.validate_embeddings,
         # normalizer (§2C)
         "normalize_lineitem": q.normalize_lineitem,
         # column stats (§2E)
@@ -88,6 +89,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR), 'lang', 'enum' FROM documents WHERE lang NOT IN ('en','de','fr','es')
             UNION ALL
             SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'maximum' FROM documents WHERE n_chars > 400
+        """,
+        "validate_embeddings": """
+            SELECT CAST(vec_id AS VARCHAR) AS row_ref, 'label' AS col, 'maximum' AS code
+              FROM embeddings WHERE label > 8
+            UNION ALL
+            SELECT CAST(vec_id AS VARCHAR), 'label', 'minimum' FROM embeddings WHERE label < 0
+            UNION ALL
+            SELECT CAST(vec_id AS VARCHAR), 'vec_id', 'minimum' FROM embeddings WHERE vec_id < 0
+            UNION ALL
+            SELECT CAST(vec_id AS VARCHAR), 'embedding', 'minItems' FROM embeddings WHERE len(embedding) < 64
+            UNION ALL
+            SELECT CAST(vec_id AS VARCHAR), 'embedding', 'maxItems' FROM embeddings WHERE len(embedding) > 64
         """,
         "normalize_lineitem": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -345,6 +345,24 @@ def audio_features(sf_dir: str) -> pa.Table:
     ).sort_by("clip_id")
 
 
+EMBEDDINGS_SPEC: dict = {
+    "columns": {
+        "vec_id": {"type": "integer", "required": True, "minimum": 0},
+        "embedding": {"type": "array", "required": True, "minItems": 64, "maxItems": 64},
+        # deliberately strict: label 9 violates → non-empty oracle output
+        "label": {"type": "integer", "required": True, "minimum": 0, "maximum": 8},
+    },
+    "table": {"key": "vec_id"},
+}
+
+
+def validate_embeddings(sf_dir: str) -> pa.Table:
+    """List-column kernels (minItems/maxItems via pc.list_value_length) +
+    ranges on the embeddings table."""
+    cols = list(EMBEDDINGS_SPEC["columns"].keys())
+    return _violations(_read(sf_dir, "embeddings", cols), EMBEDDINGS_SPEC)
+
+
 # ---- windowed aggregate (engine-native; ray_guide streaming-shaped) --------
 def windowed_events(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour windows over the events stream: (window_start,

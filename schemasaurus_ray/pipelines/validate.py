@@ -40,10 +40,8 @@ from ..stages.drift import (
     compare_drift,
     merge_drift_partials,
 )
-from ..stages.referential import orphan_rows
 from ..stages.rulepack import VIOLATION_SCHEMA, RowRuleStage
 from ..stages.stats import batch_stats_partial, merge_stats_partials, stats_to_table
-from ..stages.unique import duplicate_keys
 
 
 # Per-worker-process cache of compiled stages. The hot path runs as

@@ -51,6 +51,7 @@ def to_pandas(result):
 ORACLE_NAMES = [
     "validate_lineitem",
     "validate_documents",
+    "validate_embeddings",
     "normalize_lineitem",
     "stats_lineitem",
     "distinct_orderkeys",

@@ -175,3 +175,22 @@ def test_partial_resume(fixture_dirs, tmp_path_factory, ray_session):
     rep2 = pipe2.run(fixture_dirs["clips"], resume=True)
     assert rep2.metrics["shards_validated_this_run"] == 5
     assert rep2.partitions["rows"].sum() == N
+
+
+def test_spec_change_invalidates_resume(fixture_dirs, tmp_path_factory, ray_session):
+    """A changed rule pack (different rule_hash) must re-validate everything —
+    stale per-partition results from another spec are never reused."""
+    import copy
+
+    out_dir = str(tmp_path_factory.mktemp("val_specchange"))
+    spec1 = copy.deepcopy(AUDIO_CLIP_SPEC)
+    pipe1 = ValidationPipeline(spec1, out_dir)
+    rep1 = pipe1.run(fixture_dirs["clips"], resume=True)
+    assert rep1.metrics["shards_validated_this_run"] == 8
+
+    spec2 = copy.deepcopy(AUDIO_CLIP_SPEC)
+    spec2["columns"]["dur_ms"]["maximum"] = 50000  # different rule pack
+    pipe2 = ValidationPipeline(spec2, out_dir)
+    rep2 = pipe2.run(fixture_dirs["clips"], resume=True)
+    assert rep2.metrics["shards_validated_this_run"] == 8  # full re-run
+    assert rep2.metrics["rule_hash"] != rep1.metrics["rule_hash"]

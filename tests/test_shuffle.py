@@ -1,0 +1,113 @@
+"""Raw-Ray hash shuffle units: uniqueness counts, anti-join, composite keys,
+hot-key skew boundedness (north_rule: 'salted-key skew mitigation' — the
+per-shard pre-aggregation IS the salt/combiner: a pathological hot key
+contributes at most one row per shard to the exchange)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from schemasaurus_ray.stages.shuffle import (
+    anti_join_shuffled,
+    combined_key_checks,
+    count_keys_shuffled,
+)
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("shards")
+    # 4 shards; key "dup" appears twice in shard 0; key "hot" appears 10000
+    # times in EVERY shard (hot key); unique keys elsewhere
+    for s in range(4):
+        keys = [f"k{s}-{i}" for i in range(500)] + ["hot"] * 10000
+        if s == 0:
+            keys += ["dup", "dup", "crossdup"]
+        if s == 1:
+            keys += ["crossdup"]
+        pq.write_table(
+            pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(range(len(keys)))}),
+            str(d / f"s{s}.parquet"),
+        )
+    return str(d)
+
+
+def _paths(d):
+    return sorted(os.path.join(d, f) for f in os.listdir(d))
+
+
+def test_count_keys_duplicates(shard_dir):
+    out = count_keys_shuffled(_paths(shard_dir), ["k"], min_count=2)
+    got = dict(zip(out.column("k").to_pylist(), out.column("cnt").to_pylist()))
+    assert got == {"hot": 40000, "dup": 2, "crossdup": 2}
+
+
+def test_count_keys_all(shard_dir):
+    out = count_keys_shuffled(_paths(shard_dir), ["k"], min_count=1)
+    assert out.num_rows == 4 * 500 + 3  # uniques + hot + dup + crossdup
+    total = sum(out.column("cnt").to_pylist())
+    assert total == 4 * 10500 + 3 + 1
+
+
+def test_skew_bounded_map_output(shard_dir):
+    """The hot key collapses to ONE pre-aggregated row per shard — the
+    exchange sees 4 rows for 40k occurrences."""
+    from schemasaurus_ray.stages.shuffle import _precount_table
+
+    t = pq.read_table(_paths(shard_dir)[0], columns=["k"])
+    pre = _precount_table(t, ["k"])
+    hot_rows = pre.filter(pa.compute.equal(pre.column("k"), "hot"))
+    assert hot_rows.num_rows == 1
+    assert hot_rows.column("cnt")[0].as_py() == 10000
+
+
+def test_anti_join_paths_right(shard_dir, tmp_path_factory):
+    rd_dir = tmp_path_factory.mktemp("right")
+    # right side contains every k0-* key and "hot" — everything else orphans
+    right_keys = [f"k0-{i}" for i in range(500)] + ["hot"]
+    pq.write_table(pa.table({"rk": pa.array(right_keys, pa.string())}), str(rd_dir / "r.parquet"))
+    out = anti_join_shuffled(_paths(shard_dir), "k", [str(rd_dir / "r.parquet")], "rk")
+    orphan_keys = set(out.column("k").to_pylist())
+    assert "hot" not in orphan_keys
+    assert all(not k.startswith("k0-") for k in orphan_keys)
+    assert "dup" in orphan_keys and "crossdup" in orphan_keys
+    assert len(orphan_keys) == 3 * 500 + 2
+
+
+def test_combined_matches_separate(shard_dir, tmp_path_factory):
+    rd_dir = tmp_path_factory.mktemp("right2")
+    pq.write_table(
+        pa.table({"rk": pa.array(["hot", "dup"], pa.string())}), str(rd_dir / "r.parquet")
+    )
+    right = [str(rd_dir / "r.parquet")]
+    dups, orphans = combined_key_checks(_paths(shard_dir), "k", right, "rk")
+    sep_dups = count_keys_shuffled(_paths(shard_dir), ["k"], min_count=2)
+    sep_orph = anti_join_shuffled(_paths(shard_dir), "k", right, "rk")
+    assert sorted(dups.column("k").to_pylist()) == sorted(sep_dups.column("k").to_pylist())
+    assert sorted(orphans.column("k").to_pylist()) == sorted(sep_orph.column("k").to_pylist())
+
+
+def test_composite_key_counts(shard_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("composite")
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2], pa.int64()),
+            "b": pa.array(["x", "x", "y", "x"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "c.parquet"))
+    out = count_keys_shuffled([str(d / "c.parquet")], ["a", "b"], min_count=2)
+    assert out.num_rows == 1
+    assert out.column("a").to_pylist() == [1]
+    assert out.column("b").to_pylist() == ["x"]
+    assert out.column("cnt").to_pylist() == [2]
+
+
+def test_empty_and_no_dups(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("nodups")
+    pq.write_table(pa.table({"k": pa.array(["a", "b"], pa.string())}), str(d / "x.parquet"))
+    out = count_keys_shuffled([str(d / "x.parquet")], ["k"], min_count=2)
+    assert out.num_rows == 0
