@@ -26,6 +26,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_lineitem": q.validate_lineitem,
         "validate_documents": q.validate_documents,
         "validate_embeddings": q.validate_embeddings,
+        "validate_events": q.validate_events,
         # normalizer (§2C)
         "normalize_lineitem": q.normalize_lineitem,
         # column stats (§2E)
@@ -101,6 +102,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS VARCHAR), 'embedding', 'minItems' FROM embeddings WHERE len(embedding) < 64
             UNION ALL
             SELECT CAST(vec_id AS VARCHAR), 'embedding', 'maxItems' FROM embeddings WHERE len(embedding) > 64
+        """,
+        "validate_events": """
+            SELECT CAST(event_id AS VARCHAR) AS row_ref, 'value' AS col, 'maximum' AS code
+              FROM events WHERE value > 100
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'value', 'minimum' FROM events WHERE value < 0
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'event_id', 'minimum' FROM events WHERE event_id < 0
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'event_type', 'enum'
+              FROM events WHERE event_type NOT IN ('click','signup','error','view','purchase')
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'props', 'json'
+              FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         """,
         "normalize_lineitem": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

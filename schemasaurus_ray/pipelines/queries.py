@@ -345,6 +345,32 @@ def audio_features(sf_dir: str) -> pa.Table:
     ).sort_by("clip_id")
 
 
+EVENTS_SPEC: dict = {
+    "columns": {
+        "event_id": {"type": "integer", "required": True, "minimum": 0},
+        "event_type": {
+            "type": "string",
+            "required": True,
+            "enum": ["click", "signup", "error", "view", "purchase"],
+        },
+        # deliberately strict bound → non-empty violations
+        "value": {"type": "number", "minimum": 0, "maximum": 100},
+        # dynamically-typed JSON column: per-row RowValidator fallback (the
+        # reference's runtime-typed semantics preserved, SURVEY.md §1.2)
+        "props": {
+            "mode": "json",
+            "schema": {"type": "object", "properties": {"k": {"type": "integer", "maximum": 50}}},
+        },
+    },
+    "table": {"key": "event_id"},
+}
+
+
+def validate_events(sf_dir: str) -> pa.Table:
+    cols = list(EVENTS_SPEC["columns"].keys())
+    return _violations(_read(sf_dir, "events", cols), EVENTS_SPEC)
+
+
 EMBEDDINGS_SPEC: dict = {
     "columns": {
         "vec_id": {"type": "integer", "required": True, "minimum": 0},

@@ -284,8 +284,24 @@ def compile_plan(spec: TableSpec | dict[str, Any], registry: RuleRegistry | None
             plan.combinators.append(combo)
         if "dependencies" in cspec:
             # {"dependencies": {other_col: subspec-over-columns}} — when THIS
-            # column is non-null, each dependent column spec must hold
-            for other, sub in cspec["dependencies"].items():
+            # column is non-null, each dependent column spec must hold.
+            # Array form (reference v4validator.js:147-156: dep list → rewritten
+            # to {required: [...]}): every listed column must be non-null.
+            deps = cspec["dependencies"]
+            if isinstance(deps, list):  # ["colB", "colC"] → each required
+                deps = {other: {"required": True} for other in deps}
+            for other, sub in deps.items():
+                if isinstance(sub, list):  # {"colB": ["colC", ...]} form
+                    for o2 in sub:
+                        plan.dependencies.append(
+                            DependencyRule(
+                                trigger=col,
+                                message=_message(cspec, "dependency", o2, opts["gettext"]),
+                                arg=o2,
+                                sub_rules=[k_required(o2, {"required": True}, opts)],
+                            )
+                        )
+                    continue
                 dep = DependencyRule(
                     trigger=col,
                     message=_message(cspec, "dependency", other, opts["gettext"]),

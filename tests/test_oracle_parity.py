@@ -52,6 +52,7 @@ ORACLE_NAMES = [
     "validate_lineitem",
     "validate_documents",
     "validate_embeddings",
+    "validate_events",
     "normalize_lineitem",
     "stats_lineitem",
     "distinct_orderkeys",
