@@ -67,6 +67,44 @@ def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def winnow_fingerprints(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling k-gram hashes → min hash per sliding window → deduped fingerprint
+    set per doc. Returns exploded (id, fp) rows — groupby fp across the
+    corpus finds copied passages. Rolling hash is vectorized per document."""
+    from ..util import splitmix64
+
+    ids_out, fps_out = [], []
+    for doc_id, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+        if not text or len(text) < k:
+            continue
+        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            continue
+        # k-gram polyhash via stride trick: sum over window of byte*P^i
+        P = np.uint64(1099511628211)
+        powers = P ** np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            h = splitmix64((grams * powers[None, :]).sum(axis=1))
+        if len(h) < window:
+            sel = np.unique(h.min(keepdims=True))
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, window)
+            sel = np.unique(wins.min(axis=1))
+        ids_out.extend([doc_id] * len(sel))
+        fps_out.extend(sel.view(np.int64).tolist())
+    return pa.table(
+        {id_col: pa.array(ids_out), "fp": pa.array(fps_out, pa.int64())}
+    )
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(id, fp): md5 content fingerprint (hex) — exact-dup detection key that
     an oracle can recompute."""

@@ -245,3 +245,33 @@ def test_stub_image_decode():
         StubImageDecodeStage()(t)
     out = StubImageDecodeStage(fake=True)(t)
     assert out.column("features").to_pylist() == [[1.0, pytest.approx(0.8164965, rel=1e-5), 3.0]]
+
+
+def test_winnow_fingerprints_detect_shared_passages():
+    from schemasaurus_ray.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "prefix one " + shared + " suffix alpha",
+                    "different opening " + shared + " another ending",
+                    "totally unrelated content with no overlap whatsoever here",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = winnow_fingerprints(t)
+    by_doc = {}
+    for d, f in zip(out.column("doc_id").to_pylist(), out.column("fp").to_pylist()):
+        by_doc.setdefault(d, set()).add(f)
+    overlap_12 = len(by_doc[1] & by_doc[2]) / min(len(by_doc[1]), len(by_doc[2]))
+    overlap_13 = len(by_doc[1] & by_doc[3]) / min(len(by_doc[1]), len(by_doc[3]))
+    assert overlap_12 > 0.4          # shared passage detected
+    assert overlap_13 < 0.1          # unrelated docs share ~nothing
+    # deterministic
+    out2 = winnow_fingerprints(t)
+    assert out.equals(out2)
