@@ -290,7 +290,7 @@ class ValidationPipeline:
                     num_partitions=64,
                     path_map=path_map,
                     stats_columns=stats_cols,
-                    cache_key=self.rule_hash + str(sorted(path_map.items())[:1]),
+                    cache_key=self.rule_hash + _spec_hash({"path_map": sorted(path_map.items())}),
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -376,7 +376,6 @@ class ValidationPipeline:
 
         # ---- global shuffle rules over key-only projections (all shards) ----
         t_shuffles = time.time()
-        import ray.data as rd
 
         global_viols: list[pa.Table] = []
         dup_count = 0
@@ -432,10 +431,13 @@ class ValidationPipeline:
                         }
                     )
                 )
+        gdir = os.path.join(self.out_dir, "violations", "global")
+        gfile = os.path.join(gdir, "part-0.parquet")
         if global_viols:
-            gdir = os.path.join(self.out_dir, "violations", "global")
             os.makedirs(gdir, exist_ok=True)
-            pq.write_table(pa.concat_tables(global_viols), os.path.join(gdir, "part-0.parquet"))
+            pq.write_table(pa.concat_tables(global_viols), gfile)
+        elif os.path.exists(gfile):
+            os.remove(gfile)  # stale globals from a previous run must not linger
 
         # ---- drift ----
         t_drift = time.time()
