@@ -243,7 +243,9 @@ def k_unique_items(column: str, spec: dict, opts: dict) -> KernelRule:
         if len(flat) == 0:
             return np.zeros(n, dtype=bool)
         parents = np.repeat(np.arange(n), lengths)
-        vals = np.asarray(flat.cast(pa.string()))
+        # null list elements must sort/compare like any value (the reference
+        # stringify-keys them); sentinel avoids None-vs-str TypeError
+        vals = np.asarray(flat.cast(pa.string()).fill_null("\x00__null__"))
         order = np.lexsort((vals, parents))
         sp, sv = parents[order], vals[order]
         dup = np.zeros(len(sv), dtype=bool)

@@ -118,7 +118,15 @@ class ValidationReport:
 
     @property
     def valid(self) -> bool:
-        return bool(self.partitions["verdict"].eq("pass").all())
+        """Pass = every partition passes AND no global (uniqueness /
+        referential) violations — global key rules have no single home
+        partition but still fail the dataset."""
+        parts_ok = bool(self.partitions["verdict"].eq("pass").all())
+        return (
+            parts_ok
+            and self.metrics.get("duplicate_keys", 0) == 0
+            and self.metrics.get("orphans", 0) == 0
+        )
 
 
 def _spec_hash(raw_spec: dict[str, Any]) -> str:

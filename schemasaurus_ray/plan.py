@@ -176,7 +176,10 @@ class RowRulePlan:
         live = [r for r in self.rules if r.column not in dead_columns] + extra_rules
         combos = [c for c in self.combinators if c.column not in dead_columns]
         deps = [d for d in self.dependencies if d.trigger not in dead_columns]
-        return BoundPlan(self, live, combos, deps, issues)
+        # json-mode columns absent from the batch are dropped here (the main
+        # loop above already emitted schema.missing when required)
+        live_json = {j: v for j, v in self.json_columns.items() if j in present}
+        return BoundPlan(self, live, combos, deps, issues, live_json)
 
 
 @dataclass
@@ -186,6 +189,7 @@ class BoundPlan:
     combinators: list[CombinatorRule]
     dependencies: list[DependencyRule]
     schema_issues: list[SchemaIssue]
+    json_columns: dict[str, RowValidator] = field(default_factory=dict)
 
     def evaluate(self, table: pa.Table) -> tuple[BoolMask, list[tuple[KernelRule, np.ndarray]]]:
         """Evaluate all rules on one Arrow batch.
@@ -218,7 +222,7 @@ class BoundPlan:
                 rule = KernelRule(dep.trigger, "dependency", dep.arg, dep.message, lambda t: None)
                 hits.append((rule, np.nonzero(bad)[0]))
 
-        for col, validator in self.plan.json_columns.items():
+        for col, validator in self.json_columns.items():
             vals = table.column(col).to_pylist()
             bad = np.zeros(n, dtype=bool)
             for i, raw in enumerate(vals):

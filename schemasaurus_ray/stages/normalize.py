@@ -77,7 +77,8 @@ class NormalizeStage:
             if target == "integer" and (pa.types.is_string(t) or pa.types.is_large_string(t)):
                 return pc.cast(pc.cast(col, pa.float64()), pa.int64())
             if target == "integer" and pa.types.is_floating(t):
-                return pc.cast(pc.floor(col), pa.int64())
+                # parseInt truncates toward zero (matches RowNormalizer)
+                return pc.cast(pc.trunc(col), pa.int64())
             return pc.cast(col, want)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             return col

@@ -48,7 +48,15 @@ def batch_stats_partial(table: pa.Table, columns: list[str], digest_delta: int =
             rec["min"] = float(pc.min(lens).as_py())
             rec["max"] = float(pc.max(lens).as_py())
             rec["sum"] = float(pc.sum(lens).as_py())
-        if not pa.types.is_binary(t) and not pa.types.is_large_binary(t):
+        hashable = (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+        )
+        if hashable:  # lists/structs/binary have no per-value HLL
             h = HyperLogLog()
             valid = arr.drop_null()
             if len(valid):

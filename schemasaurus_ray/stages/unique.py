@@ -28,10 +28,9 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _precount(batch: pa.Table, columns: list[str]) -> pa.Table:
-    cols = [batch.column(c) for c in columns]
-    sub = pa.table({c: batch.column(c) for c in columns})
-    counts = sub.group_by(columns).aggregate([([], "count_all")])
-    return counts.rename_columns(columns + ["cnt"])
+    from .shuffle import _precount_table  # single source of truth
+
+    return _precount_table(batch, columns)
 
 
 def duplicate_keys(
@@ -95,12 +94,9 @@ def duplicate_rows(ds: "ray.data.Dataset", columns: list[str]) -> "ray.data.Data
 
 
 def _combined_hash(table: pa.Table, columns: list[str]) -> np.ndarray:
-    from ..util import hash_column, splitmix64
+    from .shuffle import _combined_hash as _impl  # single source of truth
 
-    h = hash_column(table.column(columns[0]))
-    for c in columns[1:]:
-        h = splitmix64(h ^ hash_column(table.column(c)))
-    return h
+    return _impl(table, columns)
 
 
 def _row_refs(table: pa.Table, columns: list[str], idx: np.ndarray) -> pa.Array:

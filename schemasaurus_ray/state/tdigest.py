@@ -83,7 +83,7 @@ class TDigest:
         cum /= self.weights.sum()
         out = np.interp(qs, cum, self.means)
         out = np.clip(out, self.min, self.max)
-        return out if np.ndim(q) else out
+        return out if np.ndim(q) else float(out[0])
 
     def cdf(self, x: np.ndarray) -> np.ndarray:
         self._compress()

@@ -44,8 +44,10 @@ def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
         vals = np.asarray(col.fill_null(np.nan), dtype=np.float64).view(np.uint64)
         return splitmix64(vals + np.uint64(seed))
     # strings / binary: vectorized polyhash over the flat byte buffer
-    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         col = col.cast(pa.large_binary())
+    else:
+        raise TypeError(f"hash_column: unsupported Arrow type {t}")
     arr = col.fill_null(b"")
     if len(arr) == 0:
         return np.zeros(0, dtype=np.uint64)

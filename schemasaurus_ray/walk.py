@@ -65,23 +65,24 @@ def walk(schema: dict[str, Any], registry: RuleRegistry, state: Any = None) -> A
         items = node.get("items")
         if isinstance(items, dict):
             fire(node, "item")
-            _descend(items, "0")
+            _descend(items, "0", node)
             fire(node, "item-end")
         elif isinstance(items, list):
             for i, sub in enumerate(items):
                 fire(node, "item")
-                _descend(sub, str(i))
+                _descend(sub, str(i), node)
                 fire(node, "item-end")
         for name, sub in (node.get("properties") or {}).items():
-            _descend(sub, name)
+            _descend(sub, name, node)
         fire(node, "end")
 
-    def _descend(sub: Any, prop: str) -> None:
+    def _descend(sub: Any, prop: str, parent: dict | None = None) -> None:
         if ctx.is_stopped:
             return
         saved = (ctx.parent, ctx.property)
         ctx.path.append(prop)
         ctx.property = prop
+        ctx.parent = parent
         step(sub)
         ctx.path.pop()
         ctx.parent, ctx.property = saved

@@ -170,3 +170,28 @@ def test_unique_items_kernel():
     bound = plan.bind(t.schema)
     row_bad, _ = bound.evaluate(t)
     assert list(row_bad) == [False, True, False, False]
+
+
+def test_unique_items_with_null_elements():
+    t = pa.table({"tags": pa.array([["a", None, "a"], [None, None], ["x"]], pa.list_(pa.string()))})
+    plan = compile_plan(parse_table_spec({"columns": {"tags": {"uniqueItems": True}}}))
+    bound = plan.bind(t.schema)
+    row_bad, _ = bound.evaluate(t)
+    # duplicate "a" flags row 0; duplicate nulls flag row 1 (stringify-keyed
+    # like the reference's toComparable)
+    assert list(row_bad) == [True, True, False]
+
+
+def test_json_mode_column_missing_from_batch():
+    plan = compile_plan(parse_table_spec({
+        "columns": {
+            "a": {"type": "integer"},
+            "props": {"mode": "json", "required": True,
+                      "schema": {"type": "object"}},
+        },
+    }))
+    t = pa.table({"a": pa.array([1, 2], pa.int64())})
+    bound = plan.bind(t.schema)
+    assert [i.code for i in bound.schema_issues] == ["schema.missing"]
+    row_bad, hits = bound.evaluate(t)  # must not raise KeyError
+    assert not row_bad.any()

@@ -194,3 +194,28 @@ def test_spec_change_invalidates_resume(fixture_dirs, tmp_path_factory, ray_sess
     rep2 = pipe2.run(fixture_dirs["clips"], resume=True)
     assert rep2.metrics["shards_validated_this_run"] == 8  # full re-run
     assert rep2.metrics["rule_hash"] != rep1.metrics["rule_hash"]
+
+
+def test_global_violations_fail_validity(tmp_path_factory, ray_session):
+    """Clean rows but a duplicated key → report.valid must be False even
+    though every partition's bad_rows is 0 (code-review finding #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("dupsonly")
+    t = pa.table({
+        "clip_id": pa.array(["clip-0000000001", "clip-0000000001", "clip-0000000002"], pa.string()),
+        "sr_hz": pa.array([16000, 16000, 16000], pa.int32()),
+        "dur_ms": pa.array([500, 500, 500], pa.int32()),
+        "codec": pa.array(["wav", "wav", "wav"], pa.string()),
+        "transcript": pa.array(["a", "b", "c"], pa.string()),
+    })
+    pq.write_table(t, str(d / "x.parquet"))
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    out = str(tmp_path_factory.mktemp("dupsout"))
+    rep = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out).run(str(d), resume=False)
+    assert rep.metrics["row_violations"] == 0
+    assert rep.metrics["duplicate_keys"] == 1
+    assert (rep.partitions["bad_rows"] == 0).all()
+    assert rep.valid is False

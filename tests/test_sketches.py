@@ -40,7 +40,7 @@ def test_tdigest_quantiles():
         td.add(chunk)
     for q in (0.01, 0.25, 0.5, 0.75, 0.99):
         exact = np.quantile(vals, q)
-        approx = td.quantile(q)[0]
+        approx = td.quantile(q)
         assert abs(approx - exact) / exact < 0.02, (q, exact, approx)
 
 
@@ -53,9 +53,9 @@ def test_tdigest_merge_and_json():
     b.add(b_vals)
     a.merge(b)
     allv = np.concatenate([a_vals, b_vals])
-    assert abs(a.quantile(0.5)[0] - np.median(allv)) < 0.02
+    assert abs(a.quantile(0.5) - np.median(allv)) < 0.02
     rt = TDigest.from_json(a.to_json())
-    assert abs(rt.quantile(0.9)[0] - a.quantile(0.9)[0]) < 1e-9
+    assert abs(rt.quantile(0.9) - a.quantile(0.9)) < 1e-9
 
 
 def test_ks_same_vs_shifted():
