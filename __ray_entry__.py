@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
+        # sort/top-k + sampling
+        "top_docs_by_length": q.top_docs_by_length,
+        "sample_documents": q.sample_documents,
         # audio flagship (fixture-synthesized; rows-only)
         "validate_audio_clips": q.validate_audio_clips,
         "audio_features": q.audio_features,
@@ -171,6 +174,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents ORDER BY doc_id
         """,
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "top_docs_by_length": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 5
+        """,
         "windowed_events": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt,

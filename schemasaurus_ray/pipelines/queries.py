@@ -468,3 +468,19 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
     import math
 
     return pa.table({"psi_bp": pa.array([int(math.floor(value * 10000))], pa.int64())})
+
+
+# ---- sort / top-k / sampling (SURVEY.md §2G: optional surfaces) -------------
+def top_docs_by_length(sf_dir: str) -> pa.Table:
+    """Global top-5 by n_chars (ds.sort + limit — 'top-N example violations'
+    shape from SURVEY.md §2G), deterministic tie-break on doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(5)
+    return _collect(out)
+
+
+def sample_documents(sf_dir: str) -> pa.Table:
+    """Seeded 10% sample (rows-only check — sampling is inherently
+    engine-specific)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _collect(ds.random_sample(0.1, seed=42))

@@ -66,6 +66,7 @@ ORACLE_NAMES = [
     "ann_topk_embeddings",
     "windowed_events",
     "drift_psi_events",
+    "top_docs_by_length",
 ]
 
 
@@ -81,6 +82,7 @@ def test_oracle_parity(name, entrymod, con):
 
 
 ROWS_ONLY = [
+    "sample_documents",
     "minhash_neardup_documents",
     "simhash_documents",
     "embedding_neardup",
