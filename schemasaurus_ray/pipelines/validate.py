@@ -254,7 +254,8 @@ class ValidationPipeline:
         fused_finish = None
         if fused_ref is not None:
             fused_finish = combined_key_checks_async(
-                shards, fused_unique.columns[0], _resolve_right(fused_ref), fused_ref.ref_column
+                shards, fused_unique.columns[0], _resolve_right(fused_ref),
+                fused_ref.ref_column, path_pids=path_map,
             )
             unique_rules.remove(fused_unique)
             ref_rules.remove(fused_ref)
@@ -262,7 +263,11 @@ class ValidationPipeline:
             # no referential partner: still overlap the uniqueness shuffle
             only = unique_rules.pop(0)
             fused_unique = only
-            fused_finish = combined_key_checks_async(shards, only.columns[0], None, None) if len(only.columns) == 1 else None
+            fused_finish = (
+                combined_key_checks_async(shards, only.columns[0], None, None, path_pids=path_map)
+                if len(only.columns) == 1
+                else None
+            )
             if fused_finish is None:
                 unique_rules.insert(0, only)
                 fused_unique = None
@@ -389,15 +394,32 @@ class ValidationPipeline:
         dup_count = 0
         orphan_count = 0
 
+        bad_key_pids: dict[int, int] = {}  # pid -> count of violating key occurrences
+
+        def _note_pids(tbl):
+            if "pid" in tbl.column_names and tbl.num_rows:
+                for pid in tbl.column("pid").to_pylist():
+                    if pid is not None and pid >= 0:
+                        bad_key_pids[pid] = bad_key_pids.get(pid, 0) + 1
+
+        def _distinct_keys(tbl, key):
+            if tbl.num_rows == 0:
+                return tbl
+            if "pid" not in tbl.column_names:
+                return tbl
+            return tbl.group_by([key]).aggregate([("cnt", "max")]).rename_columns([key, "cnt"])
+
         def _emit_dups(rule, dup_tbl):
             nonlocal dup_count
-            dup_count += int(dup_tbl.num_rows)
-            if dup_tbl.num_rows:
-                n = dup_tbl.num_rows
+            _note_pids(dup_tbl)
+            keys_tbl = _distinct_keys(dup_tbl, rule.columns[0])
+            dup_count += int(keys_tbl.num_rows)
+            if keys_tbl.num_rows:
+                n = keys_tbl.num_rows
                 global_viols.append(
                     pa.table(
                         {
-                            "row_ref": dup_tbl.column(rule.columns[0]).cast(pa.string()),
+                            "row_ref": keys_tbl.column(rule.columns[0]).cast(pa.string()),
                             "column": pa.array([rule.name] * n, pa.string()),
                             "code": pa.array(["unique"] * n, pa.string()),
                             "message": pa.array(["shall be globally unique"] * n, pa.string()),
@@ -422,18 +444,21 @@ class ValidationPipeline:
             for rr in ref_rules
         ]
         for ref_rule, o_tbl in orphan_results:
-            n_orphan_rows = int(pc.sum(o_tbl.column("cnt")).as_py() or 0) if o_tbl.num_rows else 0
+            _note_pids(o_tbl)
+            keys_tbl = _distinct_keys(o_tbl, ref_rule.column)
+            n_orphan_rows = int(pc.sum(keys_tbl.column("cnt")).as_py() or 0) if keys_tbl.num_rows else 0
             orphan_count += n_orphan_rows
-            if o_tbl.num_rows:
+            if keys_tbl.num_rows:
+                n = keys_tbl.num_rows
                 global_viols.append(
                     pa.table(
                         {
-                            "row_ref": o_tbl.column(ref_rule.column).cast(pa.string()),
-                            "column": pa.array([ref_rule.column] * o_tbl.num_rows, pa.string()),
-                            "code": pa.array(["reference"] * o_tbl.num_rows, pa.string()),
+                            "row_ref": keys_tbl.column(ref_rule.column).cast(pa.string()),
+                            "column": pa.array([ref_rule.column] * n, pa.string()),
+                            "code": pa.array(["reference"] * n, pa.string()),
                             "message": pa.array(
                                 [f"shall reference an existing {ref_rule.ref_table}.{ref_rule.ref_column}"]
-                                * o_tbl.num_rows,
+                                * n,
                                 pa.string(),
                             ),
                         }
@@ -467,15 +492,21 @@ class ValidationPipeline:
 
         rows = []
         for pid, rec in sorted(part_records.items()):
+            bad_keys = bad_key_pids.get(pid, 0)
             verdict = "pass"
-            if rec["bad_rows"] > 0 or pid in drifted_pids:
+            if rec["bad_rows"] > 0 or bad_keys > 0 or pid in drifted_pids:
                 verdict = "fail"
-            rows.append({**rec, "drifted": pid in drifted_pids, "verdict": verdict})
+            rows.append({
+                **rec,
+                "bad_keys": bad_keys,
+                "drifted": pid in drifted_pids,
+                "verdict": verdict,
+            })
         partitions = pd.DataFrame(
             rows,
             columns=[
-                "partition_id", "path", "rows", "bad_rows", "drifted", "verdict",
-                "rule_hash", "row_pass_done", "wall_time",
+                "partition_id", "path", "rows", "bad_rows", "bad_keys", "drifted",
+                "verdict", "rule_hash", "row_pass_done", "wall_time",
             ],
         )
 

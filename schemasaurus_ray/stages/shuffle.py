@@ -110,8 +110,11 @@ def combined_key_checks(
     right: "Any",
     right_col: str | None,
     num_buckets: int | None = None,
+    path_pids: dict[str, int] | None = None,
 ) -> tuple[pa.Table, pa.Table]:
-    return combined_key_checks_async(left_paths, key_col, right, right_col, num_buckets)()
+    return combined_key_checks_async(
+        left_paths, key_col, right, right_col, num_buckets, path_pids
+    )()
 
 
 def combined_key_checks_async(
@@ -120,25 +123,33 @@ def combined_key_checks_async(
     right: "Any",  # list[str] parquet paths | ray.data.Dataset | None
     right_col: str | None,
     num_buckets: int | None = None,
+    path_pids: dict[str, int] | None = None,
 ):
     """ONE shuffle for both key rules when uniqueness and referential share
     the key column (the common case: clip_id): the left key column is read
     and pre-aggregated once per shard; each bucket reduce emits both
-    (key, cnt>1) duplicates and keys absent from the right side.
+    (key, cnt>1) duplicates and keys absent from the right side — each with
+    a ``pid`` column attributing every violating key occurrence back to its
+    source shard/partition (so global key rules feed per-partition verdicts;
+    ``path_pids`` maps shard path → partition id, default = sort index).
 
     ASYNC: all map/reduce tasks are launched immediately and run concurrently
     with whatever the caller does next (e.g. the row-rule pass — the streaming
     executor and these raw tasks share the CPU pool with no barrier between
     them). Call the returned closure to block for the
-    (duplicates, orphans) (key, cnt) tables."""
+    (duplicates, orphans) tables: (key, cnt, pid) rows, one per
+    (violating key, source partition)."""
     import ray
 
     num_buckets = num_buckets or min(32, max(4, len(left_paths) // 4))
+    ordered = sorted(left_paths)
+    pids = {p: (path_pids.get(p, -1) if path_pids else i) for i, p in enumerate(ordered)}
 
     @ray.remote(num_returns=num_buckets)
-    def map_left(path: str):
+    def map_left(path: str, pid: int):
         tbl = pq.read_table(path, columns=[key_col])
         counts = _precount_table(tbl, [key_col])
+        counts = counts.append_column("pid", pa.array([pid] * counts.num_rows, pa.int32()))
         out = _split_buckets(counts, [key_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -161,16 +172,46 @@ def combined_key_checks_async(
     def reduce_bucket(n_left: int, *tables: pa.Table):
         left = [t for t in tables[:n_left] if t.num_rows]
         rights = [t for t in tables[n_left:] if t.num_rows]
-        empty = pa.table({key_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pid": pa.array([], pa.int32()),
+            }
+        )
         if not left:
             return empty, empty
+        per_pid = pa.concat_tables(left)  # (key, cnt, pid) rows
         lagg = (
-            pa.concat_tables(left)
-            .group_by([key_col])
+            per_pid.group_by([key_col])
             .aggregate([("cnt", "sum")])
-            .rename_columns([key_col, "cnt"])
+            .rename_columns([key_col, "cnt_total"])
         )
-        dups = lagg.filter(pc.greater_equal(lagg.column("cnt"), 2))
+
+        def attribute(bad_keys: pa.Table) -> pa.Table:
+            """→ one (key, cnt, pid) row per (violating key, source shard),
+            cnt = total occurrences of the key across ALL shards."""
+            if bad_keys.num_rows == 0:
+                return empty
+            hit = per_pid.filter(
+                pc.is_in(per_pid.column(key_col), value_set=bad_keys.column(key_col).combine_chunks())
+            )
+            totals = {
+                k: c
+                for k, c in zip(
+                    bad_keys.column(key_col).to_pylist(), bad_keys.column("cnt_total").to_pylist()
+                )
+            }
+            keys = hit.column(key_col).to_pylist()
+            return pa.table(
+                {
+                    key_col: hit.column(key_col),
+                    "cnt": pa.array([totals[k] for k in keys], pa.int64()),
+                    "pid": hit.column("pid"),
+                }
+            )
+
+        dups = attribute(lagg.filter(pc.greater_equal(lagg.column("cnt_total"), 2)))
         if right_col is None:
             return dups, empty
         if rights:
@@ -178,12 +219,12 @@ def combined_key_checks_async(
             mask = pc.invert(
                 pc.is_in(lagg.column(key_col), value_set=rkeys.cast(lagg.column(key_col).type))
             )
-            orphans = lagg.filter(pc.fill_null(mask, True))
+            orphans = attribute(lagg.filter(pc.fill_null(mask, True)))
         else:
-            orphans = lagg
+            orphans = attribute(lagg)
         return dups, orphans
 
-    lrefs = [map_left.remote(p) for p in sorted(left_paths)]
+    lrefs = [map_left.remote(p, pids[p]) for p in ordered]
     if right is None:
         rrefs = []
     elif isinstance(right, list):
@@ -206,7 +247,13 @@ def combined_key_checks_async(
     def finish() -> tuple[pa.Table, pa.Table]:
         dup_tables = [t for t in ray.get(dup_refs) if t.num_rows]
         orphan_tables = [t for t in ray.get(orphan_refs) if t.num_rows]
-        empty = pa.table({key_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pid": pa.array([], pa.int32()),
+            }
+        )
         dups = pa.concat_tables(dup_tables) if dup_tables else empty
         orphans = pa.concat_tables(orphan_tables) if orphan_tables else empty
         return dups, orphans

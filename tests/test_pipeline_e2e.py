@@ -218,4 +218,7 @@ def test_global_violations_fail_validity(tmp_path_factory, ray_session):
     assert rep.metrics["row_violations"] == 0
     assert rep.metrics["duplicate_keys"] == 1
     assert (rep.partitions["bad_rows"] == 0).all()
+    # the duplicated key is attributed back to its shard's verdict
+    assert rep.partitions["bad_keys"].sum() >= 1
+    assert (rep.partitions["verdict"] == "fail").any()
     assert rep.valid is False

@@ -86,8 +86,16 @@ def test_combined_matches_separate(shard_dir, tmp_path_factory):
     dups, orphans = combined_key_checks(_paths(shard_dir), "k", right, "rk")
     sep_dups = count_keys_shuffled(_paths(shard_dir), ["k"], min_count=2)
     sep_orph = anti_join_shuffled(_paths(shard_dir), "k", right, "rk")
-    assert sorted(dups.column("k").to_pylist()) == sorted(sep_dups.column("k").to_pylist())
-    assert sorted(orphans.column("k").to_pylist()) == sorted(sep_orph.column("k").to_pylist())
+    # combined is pid-attributed: one row per (key, source shard)
+    assert set(dups.column("k").to_pylist()) == set(sep_dups.column("k").to_pylist())
+    assert set(orphans.column("k").to_pylist()) == set(sep_orph.column("k").to_pylist())
+    # "hot" appears in every one of the 4 shards → 4 attributed rows
+    hot_rows = dups.filter(pa.compute.equal(dups.column("k"), "hot"))
+    assert sorted(hot_rows.column("pid").to_pylist()) == [0, 1, 2, 3]
+    assert set(hot_rows.column("cnt").to_pylist()) == {40000}
+    # "dup" lives only in shard 0
+    dup_rows = dups.filter(pa.compute.equal(dups.column("k"), "dup"))
+    assert dup_rows.column("pid").to_pylist() == [0]
 
 
 def test_composite_key_counts(shard_dir, tmp_path_factory):
