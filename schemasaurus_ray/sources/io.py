@@ -30,19 +30,27 @@ def read_parquet_tasks(
     paths: list[str],
     columns: list[str] | None = None,
     include_paths: bool = False,
+    target_block_bytes: int = 128 * 1024 * 1024,
 ) -> "ray.data.Dataset":
     import ray.data as rd
 
     cols = list(columns) if columns else None
 
-    def read_file(batch: pa.Table) -> pa.Table:
-        tables = []
+    def read_file(batch: pa.Table):
+        # generator UDF: a file larger than the target block size is yielded
+        # in row slices so downstream stages see ~128 MiB blocks regardless
+        # of shard sizing (zero-copy slices of the decoded table)
         for p in batch.column("path").to_pylist():
             t = pq.read_table(p, columns=cols)
             if include_paths:
                 t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
-            tables.append(t)
-        return pa.concat_tables(tables)
+            if t.nbytes <= target_block_bytes or t.num_rows <= 1:
+                yield t
+                continue
+            n_chunks = min(t.num_rows, -(-t.nbytes // target_block_bytes))
+            per = -(-t.num_rows // n_chunks)
+            for start in range(0, t.num_rows, per):
+                yield t.slice(start, per)
 
     files = rd.from_items([{"path": p} for p in sorted(paths)])
     return files.repartition(len(paths)).map_batches(
