@@ -420,3 +420,82 @@ def test_normalizer_returns_new_object():
     out = n(src)
     assert out == {"a": 1}
     assert src == {}  # input NOT mutated (divergence from reference, documented)
+
+
+# ---- additional official-suite-style edge cases ----
+def test_enum_with_null_member():
+    assert codes({"enum": [None, 1]}, None) == []
+    assert codes({"enum": [1, 2]}, None) == ["enum"]
+
+
+def test_nested_allof_anyof():
+    s = {"allOf": [{"anyOf": [{"type": "integer"}, {"minLength": 2}]}, {"not": {"enum": [3]}}]}
+    assert codes(s, 5) == []
+    assert codes(s, "ab") == []
+    assert codes(s, 3) == ["allOf", "not"]
+
+
+def test_exclusive_bounds_equal_band():
+    s = {"minimum": 2, "maximum": 2}
+    assert codes(s, 2) == []
+    s = {"minimum": 2, "exclusiveMinimum": True, "maximum": 2}
+    assert codes(s, 2) == ["minimum.exclusive"]
+
+
+def test_multiple_of_fractional():
+    # floating-division semantics: 0.0075 % 0.0001 leaves residue in IEEE754
+    s = {"multipleOf": 0.5}
+    assert codes(s, 1.5) == []
+    assert codes(s, 1.3) == ["multipleOf"]
+
+
+def test_pattern_special_chars():
+    s = {"pattern": r"^\d{3}-\d{2}$"}
+    assert codes(s, "123-45") == []
+    assert codes(s, "12-345") == ["pattern"]
+
+
+def test_items_nested_combinator_paths():
+    s = {"items": {"anyOf": [{"type": "integer"}, {"type": "string"}]}}
+    assert codes(s, [1, "a", True]) == ["anyOf", "integer", "string"]
+    assert paths(s, [1, "a", True]) == [["2"], ["2"], ["2"]]
+
+
+def test_dependencies_multiple_triggers():
+    s = {"dependencies": {"a": ["b"], "c": ["d"]}}
+    assert codes(s, {"a": 1, "b": 2}) == []
+    assert codes(s, {"a": 1, "c": 2}) == ["dependency", "required", "dependency", "required"]
+
+
+def test_min_properties_guarded():
+    assert codes({"minProperties": 2}, "str") == []  # guarded: non-object passes
+    assert codes({"minProperties": 2}, {"a": 1}) == ["minProperties"]
+
+
+def test_message_interpolation():
+    # row evaluator keeps the reference's raw %d/%s templates in the error
+    # record (exactly what src/v4validator.js:57-67 stores)...
+    errs = new_validator({"minimum": 3})(1).errors
+    assert errs[0].message == "shall be >= %d"
+    assert errs[0].arg == 3
+    # ...the engine's violation sink interpolates via messages.render
+    from schemasaurus_ray.messages import render
+
+    assert render(errs[0].message, errs[0].arg) == "shall be >= 3"
+    assert render("shall have length no more than %d", 2) == "shall have length no more than 2"
+    assert render("shall match pattern %s", "^a$") == "shall match pattern ^a$"
+    assert render("is required", None) == "is required"
+
+
+def test_additional_properties_schema_form():
+    s = {"properties": {"a": {"type": "number"}}, "additionalProperties": {"type": "string"}}
+    assert codes(s, {"a": 1, "x": "ok"}) == []
+    assert codes(s, {"a": 1, "x": 5}) == ["string"]
+    assert paths(s, {"a": 1, "x": 5}) == [["x"]]
+
+
+def test_required_and_v4_list_union():
+    # draft-4 list + v3 per-property flags merge (v4validator.js:315-321)
+    s = {"required": ["a"], "properties": {"b": {"type": "number", "required": True}}}
+    assert sorted(codes(s, {})) == ["required", "required"]
+    assert codes(s, {"a": 1, "b": 2}) == []
