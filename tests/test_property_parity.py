@@ -131,3 +131,48 @@ def test_multiple_of_float_semantics(values, k):
     between numpy kernel and the row evaluator bit-for-bit."""
     cspec = {"type": "number", "multipleOf": k}
     check_parity(cspec, values, pa.float64())
+
+
+@st.composite
+def combinator_spec(draw):
+    kind = draw(st.sampled_from(["anyOf", "oneOf", "allOf", "not"]))
+    subs = draw(
+        st.lists(
+            st.one_of(
+                st.builds(lambda lo: {"minimum": lo}, st.integers(-5, 5)),
+                st.builds(lambda hi: {"maximum": hi}, st.integers(-2, 10)),
+                st.builds(lambda k: {"multipleOf": k}, st.integers(1, 5)),
+                st.builds(lambda e: {"enum": e}, st.lists(st.integers(-5, 10), min_size=1, max_size=3)),
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    if kind == "not":
+        return {"type": "integer", "not": subs[0]}
+    return {"type": "integer", kind: subs}
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    combinator_spec(),
+    st.lists(st.one_of(st.integers(-10, 15), st.none()), min_size=1, max_size=25),
+)
+def test_combinator_columns(cspec, values):
+    """anyOf/oneOf/allOf/not mask algebra must match the reference's
+    sub-validation semantics for every generated spec (only the combinator
+    verdict codes are compared — the vectorized path intentionally skips
+    copying sub-errors, SURVEY.md §2B)."""
+    t = pa.table({"x": pa.array(values, pa.int64())})
+    plan = compile_plan(parse_table_spec({"columns": {"x": cspec}}))
+    bound = plan.bind(t.schema)
+    row_bad, hits = bound.evaluate(t)
+    vec = [set() for _ in values]
+    for rule, idx in hits:
+        for i in idx:
+            vec[i].add(rule.code)
+    combinator_codes = {"anyOf", "oneOf", "oneOf.zero", "allOf", "not"}
+    for i, v in enumerate(values):
+        expected = row_codes(cspec, v) & combinator_codes
+        got = vec[i] & combinator_codes
+        assert got == expected, f"value {v!r} spec {cspec}: {got} != {expected}"
