@@ -409,22 +409,32 @@ class ValidationPipeline:
                 return tbl
             return tbl.group_by([key]).aggregate([("cnt", "max")]).rename_columns([key, "cnt"])
 
+        def _viol_rows(tbl, key, colname, code, message):
+            """(key[, pid]) table → violation rows; pid −1 when unattributed."""
+            n = tbl.num_rows
+            pid_col = (
+                tbl.column("pid")
+                if "pid" in tbl.column_names
+                else pa.array([-1] * n, pa.int32())
+            )
+            return pa.table(
+                {
+                    "row_ref": tbl.column(key).cast(pa.string()),
+                    "column": pa.array([colname] * n, pa.string()),
+                    "code": pa.array([code] * n, pa.string()),
+                    "message": pa.array([message] * n, pa.string()),
+                    "pid": pid_col,
+                }
+            )
+
         def _emit_dups(rule, dup_tbl):
             nonlocal dup_count
             _note_pids(dup_tbl)
-            keys_tbl = _distinct_keys(dup_tbl, rule.columns[0])
-            dup_count += int(keys_tbl.num_rows)
-            if keys_tbl.num_rows:
-                n = keys_tbl.num_rows
+            dup_count += int(_distinct_keys(dup_tbl, rule.columns[0]).num_rows)
+            if dup_tbl.num_rows:
                 global_viols.append(
-                    pa.table(
-                        {
-                            "row_ref": keys_tbl.column(rule.columns[0]).cast(pa.string()),
-                            "column": pa.array([rule.name] * n, pa.string()),
-                            "code": pa.array(["unique"] * n, pa.string()),
-                            "message": pa.array(["shall be globally unique"] * n, pa.string()),
-                        }
-                    )
+                    _viol_rows(dup_tbl, rule.columns[0], rule.name, "unique",
+                               "shall be globally unique")
                 )
 
         fused_orphans = []
@@ -448,29 +458,43 @@ class ValidationPipeline:
             keys_tbl = _distinct_keys(o_tbl, ref_rule.column)
             n_orphan_rows = int(pc.sum(keys_tbl.column("cnt")).as_py() or 0) if keys_tbl.num_rows else 0
             orphan_count += n_orphan_rows
-            if keys_tbl.num_rows:
-                n = keys_tbl.num_rows
+            if o_tbl.num_rows:
                 global_viols.append(
-                    pa.table(
-                        {
-                            "row_ref": keys_tbl.column(ref_rule.column).cast(pa.string()),
-                            "column": pa.array([ref_rule.column] * n, pa.string()),
-                            "code": pa.array(["reference"] * n, pa.string()),
-                            "message": pa.array(
-                                [f"shall reference an existing {ref_rule.ref_table}.{ref_rule.ref_column}"]
-                                * n,
-                                pa.string(),
-                            ),
-                        }
+                    _viol_rows(
+                        o_tbl, ref_rule.column, ref_rule.column, "reference",
+                        f"shall reference an existing {ref_rule.ref_table}.{ref_rule.ref_column}",
                     )
                 )
+        # sink key-rule violations: pid-attributed rows land in their
+        # partition's directory (part-global.parquet, rewritten every run —
+        # global checks always re-run); unattributed rows (−1) go to
+        # violations/global. Stale files from prior runs are removed.
         gdir = os.path.join(self.out_dir, "violations", "global")
         gfile = os.path.join(gdir, "part-0.parquet")
-        if global_viols:
-            os.makedirs(gdir, exist_ok=True)
-            pq.write_table(pa.concat_tables(global_viols), gfile)
+        gv = pa.concat_tables(global_viols) if global_viols else None
+        pids_with_rows: set[int] = set()
+        if gv is not None and gv.num_rows:
+            pid_np = gv.column("pid").to_pylist()
+            pids_with_rows = {p for p in pid_np if p is not None and p >= 0}
+            for pid in sorted(pids_with_rows):
+                sub = gv.filter(pc.equal(gv.column("pid"), pid)).drop_columns(["pid"])
+                pdir = os.path.join(self.out_dir, "violations", f"p{pid:05d}")
+                os.makedirs(pdir, exist_ok=True)
+                pq.write_table(sub, os.path.join(pdir, "part-global.parquet"))
+            rest = gv.filter(pc.less(pc.fill_null(gv.column("pid"), -1), 0)).drop_columns(["pid"])
+            if rest.num_rows:
+                os.makedirs(gdir, exist_ok=True)
+                pq.write_table(rest, gfile)
+            elif os.path.exists(gfile):
+                os.remove(gfile)
         elif os.path.exists(gfile):
-            os.remove(gfile)  # stale globals from a previous run must not linger
+            os.remove(gfile)
+        # stale per-partition global files from earlier runs
+        for pid in part_records:
+            if pid not in pids_with_rows:
+                stale = os.path.join(self.out_dir, "violations", f"p{pid:05d}", "part-global.parquet")
+                if os.path.exists(stale):
+                    os.remove(stale)
 
         # ---- drift ----
         t_drift = time.time()

@@ -222,3 +222,26 @@ def test_global_violations_fail_validity(tmp_path_factory, ray_session):
     assert rep.partitions["bad_keys"].sum() >= 1
     assert (rep.partitions["verdict"] == "fail").any()
     assert rep.valid is False
+
+
+def test_key_violations_land_in_partition_dirs(report):
+    """pid-attributed unique/reference violation rows are sunk into their
+    source partition's directory (part-global.parquet), not a global bucket."""
+    import glob
+
+    rep, out_dir = report
+    per_part = glob.glob(os.path.join(out_dir, "violations", "p*", "part-global.parquet"))
+    assert per_part, "no per-partition key-violation files written"
+    rows = []
+    for f in per_part:
+        rows.extend(pq.read_table(f).to_pylist())
+    codes = {r["code"] for r in rows}
+    assert codes == {"unique", "reference"}
+    exp = expected_counts()
+    assert sum(1 for r in rows if r["code"] == "unique") == exp["dup_ids"]
+    # orphan rows: one per (key, source shard); fixture orphans are one-shard
+    assert sum(1 for r in rows if r["code"] == "reference") == sum(
+        1 for j in range(N) if j % 500 == 77
+    )
+    # nothing left in the unattributed global bucket for the fused rules
+    assert not os.path.exists(os.path.join(out_dir, "violations", "global", "part-0.parquet"))
