@@ -181,7 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
               FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "drift_psi_events": """

@@ -78,6 +78,13 @@ def test_oracle_parity(name, entrymod, con):
     theirs = normalize(con.sql(sql).df())
     assert list(mine.columns) == list(theirs.columns), f"{name}: column mismatch"
     assert len(mine) == len(theirs), f"{name}: row count {len(mine)} != {len(theirs)}"
+    # Same dtype KIND per column (int vs int, float vs float, object vs object):
+    # the driver hashes raw values, so e.g. DuckDB HUGEINT -> decimal128 ->
+    # pandas object(Decimal) vs engine int64 is a real hash mismatch even when
+    # check_dtype=False equality passes (bit us in round 1, windowed_events).
+    for c in mine.columns:
+        mk, tk = mine[c].dtype.kind, theirs[c].dtype.kind
+        assert mk == tk, f"{name}.{c}: dtype kind {mine[c].dtype} != {theirs[c].dtype}"
     pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
 
 
