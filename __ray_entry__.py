@@ -203,6 +203,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(FLOOR(10000 * SUM((pa - pe) * LN(pa / pe))) AS BIGINT) AS psi_bp FROM p
         """,
+        "embedding_neardup": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+             ORDER BY 1, 2
+        """,
         "ann_topk_embeddings": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id
               FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q

@@ -144,28 +144,33 @@ def minhash_candidates(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(group: pa.Table, cap: int = 64) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        a, b = [], []
-        if len(ids) <= cap:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        else:
-            # huge bucket (hot key): star around the smallest id bounds the
-            # pair count at O(n); transitive near-dups resolve via the
-            # caller's connected-component pass
-            root = ids[0]
-            for other in ids[1:]:
-                a.append(root)
-                b.append(other)
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        return pairs_from_bucket(group, id_col)
 
     pairs = sig.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
     return pairs
+
+
+def pairs_from_bucket(group: pa.Table, id_col: str, cap: int = 64) -> pa.Table:
+    """Candidate (id_a < id_b) pairs within one LSH bucket. Huge buckets
+    (hot keys) emit a star around the smallest id, bounding pair count at
+    O(n); transitive near-dups resolve via the caller's connected-component
+    pass."""
+    ids = sorted(set(group.column(id_col).to_pylist()))
+    if len(ids) < 2:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    a, b = [], []
+    if len(ids) <= cap:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+    else:
+        root = ids[0]
+        for other in ids[1:]:
+            a.append(root)
+            b.append(other)
+    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
@@ -175,6 +180,124 @@ def jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _dedupe_pairs(pairs: pa.Table) -> pa.Table:
+    """Unique (id_a, id_b) with id_a != id_b (candidates collide in many
+    bands/tables; collapse before the verify fan-out)."""
+    if pairs.num_rows == 0:
+        return pairs
+    pairs = pairs.filter(pc.not_equal(pairs.column("id_a"), pairs.column("id_b")))
+    return pairs.group_by(["id_a", "id_b"]).aggregate([]).select(["id_a", "id_b"])
+
+
+def candidate_shingles(
+    ds: "ray.data.Dataset",
+    candidate_ids,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> pa.Table:
+    """Semi-join: shingle-hash sets for ONLY the candidate ids, computed
+    distributed over the corpus (the candidate id array is ``ray.put`` once
+    and np.isin-filtered per batch — no full text ever leaves the workers).
+    Returns (id, shingles list<int64>) — O(candidates), tiny next to corpus.
+
+    Partitioning assumption (100 TB): |candidates| << |corpus| — the LSH
+    contract. If candidates outgrow one object, shard this into a keyed
+    co-group instead."""
+    import ray
+
+    ids_arr = np.asarray(sorted(set(candidate_ids)), dtype=np.int64)
+    ids_ref = ray.put(ids_arr)
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "shingles": pa.array([], pa.list_(pa.int64()))}
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        cand = ray.get(ids_ref)
+        col = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        mask = np.isin(col, cand)
+        if not mask.any():
+            return empty
+        sub = batch.filter(pa.array(mask))
+        out_ids = sub.column(id_col).to_pylist()
+        shingle_lists = [
+            np.unique(_shingle_hashes(t or "", n)).view(np.int64).tolist()
+            for t in sub.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "shingles": pa.array(shingle_lists, pa.list_(pa.int64())),
+            }
+        )
+
+    batches = list(
+        ds.select_columns([id_col, text_col])
+        .map_batches(stage, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return pa.concat_tables(batches) if batches else empty
+
+
+def verify_pairs_distributed(
+    pairs: pa.Table,
+    shingle_tbl: pa.Table,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> pa.Table:
+    """Distributed exact-Jaccard verify of candidate pairs: the candidate
+    shingle table (O(candidates)) is broadcast once via ``ray.put``; pairs
+    fan out over tasks, each computing |A∩B|/|A∪B| on sorted int64 hash
+    arrays. No document text is ever materialized on the driver."""
+    import ray
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    pairs = _dedupe_pairs(pairs)
+    if pairs.num_rows == 0:
+        return empty
+    lookup = {
+        i: np.sort(np.asarray(s, dtype=np.int64))
+        for i, s in zip(shingle_tbl.column(id_col).to_pylist(), shingle_tbl.column("shingles").to_pylist())
+    }
+    sh_ref = ray.put(lookup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = 1.0 if union == 0 else inter / union
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(j, 6))
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, pa.int64()),
+                "id_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    out = list(
+        rd.from_arrow(pairs)
+        .map_batches(verify, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return pa.concat_tables(out) if out else empty
 
 
 def verify_pairs_jaccard(
@@ -258,77 +381,159 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 # -------------------------------------------------------- embedding near-dup
+class EmbedLSHStage:
+    """Random-hyperplane LSH bucketing for cosine near-dup: ``num_tables``
+    independent tables of ``num_planes`` hyperplanes each. Emits KEY-ONLY
+    rows (bkey:int64, id) — vectors never enter the shuffle. Planes are
+    generated once per actor from the fixed seed at first batch (dimension
+    is discovered then; every actor derives the identical matrix — the
+    round-1 per-batch rebuild is gone). Identical vectors land in identical
+    buckets in every table, so exact-duplicate recall is 1.0 by
+    construction; near-dup recall is 1-(1-p^b)^L with p = 1-θ/π."""
+
+    def __init__(
+        self,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        num_planes: int = 12,
+        num_tables: int = 4,
+        seed: int = 42,
+    ):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.seed = seed
+        self._planes: np.ndarray | None = None  # (d, L*b), built lazily
+        self._weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+
+    def _get_planes(self, d: int) -> np.ndarray:
+        if self._planes is None or self._planes.shape[0] != d:
+            rng = np.random.default_rng(self.seed)
+            self._planes = rng.standard_normal((d, self.num_tables * self.num_planes))
+        return self._planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _as_matrix, _unit
+
+        unit = _unit(_as_matrix(batch.column(self.vec_col)))
+        n = unit.shape[0]
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()), self.id_col: pa.array([], pa.int64())})
+        signs = (unit @ self._get_planes(unit.shape[1])) > 0  # (n, L*b)
+        ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
+        bkeys = np.empty(n * self.num_tables, dtype=np.int64)
+        out_ids = np.empty(n * self.num_tables, dtype=np.int64)
+        for t in range(self.num_tables):
+            block = signs[:, t * self.num_planes : (t + 1) * self.num_planes].astype(np.int64)
+            bucket = block @ self._weights
+            bkeys[t * n : (t + 1) * n] = bucket | (np.int64(t) << np.int64(48))
+            out_ids[t * n : (t + 1) * n] = ids
+        return pa.table({"bkey": pa.array(bkeys, pa.int64()), self.id_col: pa.array(out_ids, pa.int64())})
+
+
 def embedding_near_dups(
     ds: "ray.data.Dataset",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 12,
+    num_tables: int = 4,
     seed: int = 42,
     concurrency: int = 4,
 ) -> pa.Table:
-    """Cosine near-duplicates via random-hyperplane LSH: bucket by sign
-    pattern, verify exact cosine within buckets. Returns (id_a, id_b, cosine).
-    """
+    """Cosine near-duplicates, same distributed shape as MinHash-LSH:
+    key-only bucket rows → star-capped candidate pairs per bucket →
+    semi-join fetch of ONLY candidate vectors (broadcast id array) →
+    distributed exact-cosine verify. Returns (id_a, id_b, cosine).
+
+    Scale notes: only (bkey, id) int64 pairs enter the groupby shuffle;
+    candidate vectors are O(candidates) and broadcast once; a hot bucket
+    emits O(n) star pairs, not O(n²)."""
     import ray
+    import ray.data as rd
 
-    rng = np.random.default_rng(seed)
-    planes_ref = None
+    from .similarity import _as_matrix, _unit
 
-    def to_buckets(batch: pa.Table) -> pa.Table:
-        mat = np.vstack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        rng_local = np.random.default_rng(seed)
-        planes = rng_local.standard_normal((unit.shape[1], num_planes))
-        signs = (unit @ planes) > 0
-        bucket = np.zeros(len(mat), dtype=np.int64)
-        for b in range(num_planes):
-            bucket |= signs[:, b].astype(np.int64) << b
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    keys = ds.select_columns([id_col, vec_col]).map_batches(
+        EmbedLSHStage,
+        fn_constructor_kwargs={
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "num_planes": num_planes,
+            "num_tables": num_tables,
+            "seed": seed,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        return pairs_from_bucket(group, id_col, cap=256)
+
+    pairs = _dedupe_pairs(
+        pa.concat_tables(
+            list(
+                keys.groupby("bkey")
+                .map_groups(bucket_pairs, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+            or [pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})]
+        )
+    )
+    if pairs.num_rows == 0:
+        return empty
+
+    cand = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    ids_ref = ray.put(np.asarray(sorted(cand), dtype=np.int64))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        col = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        mask = np.isin(col, wanted)
+        return batch.filter(pa.array(mask))
+
+    vec_batches = list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(fetch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vec_tbl = pa.concat_tables(vec_batches)
+    vids = np.asarray(vec_tbl.column(id_col).combine_chunks(), dtype=np.int64)
+    vmat = _unit(_as_matrix(vec_tbl.column(vec_col)))
+    lookup = {int(i): vmat[j] for j, i in enumerate(vids)}
+    vec_ref = ray.put(lookup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        vecs = ray.get(vec_ref)
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        rows = [(a, b) for a, b in zip(a_ids, b_ids) if a in vecs and b in vecs]
+        if not rows:
+            return empty
+        A = np.stack([vecs[a] for a, _ in rows])
+        B = np.stack([vecs[b] for _, b in rows])
+        sims = np.einsum("ij,ij->i", A, B)
+        keep = sims >= threshold
         return pa.table(
             {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(bucket, pa.int64()),
-                "vec": batch.column(vec_col),
+                "id_a": pa.array([r[0] for r, k in zip(rows, keep) if k], pa.int64()),
+                "id_b": pa.array([r[1] for r, k in zip(rows, keep) if k], pa.int64()),
+                "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
             }
         )
 
-    bucketed = ds.select_columns([id_col, vec_col]).map_batches(to_buckets, batch_format="pyarrow")
-
-    def verify(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
-        )
-        if n < 2:
-            return empty
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
-        mat = np.vstack(group.column("vec").to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        sims = unit @ unit.T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = sims[ia, ib] >= threshold
-        if not keep.any():
-            return empty
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        order = a > b
-        a2 = np.where(order, b, a)
-        b2 = np.where(order, a, b)
-        return pa.table(
-            {
-                "id_a": pa.array(a2, pa.int64()),
-                "id_b": pa.array(b2, pa.int64()),
-                "cosine": pa.array(np.round(sims[ia[keep], ib[keep]], 6), pa.float64()),
-            }
-        )
-
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    tbls = list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not tbls:
-        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
-    out = pa.concat_tables(tbls)
-    # dedupe pairs that collided in multiple buckets
-    return out.group_by(["id_a", "id_b"]).aggregate([("cosine", "max")]).rename_columns(["id_a", "id_b", "cosine"])
+    out = list(
+        rd.from_arrow(pairs)
+        .map_batches(verify, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    result = pa.concat_tables(out) if out else empty
+    return result.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -18,7 +18,6 @@ from ..functions.dedup import (
     exact_dedup,
     minhash_candidates,
     simhash_signatures,
-    verify_pairs_jaccard,
 )
 from ..functions.similarity import brute_force_topk, ivf_topk
 from ..functions.text import LangIdStage, fingerprint, quality_scores, token_count
@@ -158,11 +157,26 @@ def dedup_exact_documents(sf_dir: str) -> pa.Table:
 
 
 def minhash_neardup_documents(sf_dir: str) -> pa.Table:
+    """LSH candidates → DISTRIBUTED exact-Jaccard verify: only the candidate
+    id set is broadcast; shingle sets are computed by a semi-join map_batches
+    over the corpus and pairs verified in parallel tasks. No document text
+    ever reaches the driver (round-1 materialized the whole corpus here)."""
+    from ..functions.dedup import _dedupe_pairs, candidate_shingles, verify_pairs_distributed
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _collect(minhash_candidates(ds, concurrency=2))
-    docs = _collect(ds)
-    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
-    return verify_pairs_jaccard(pairs, texts, threshold=0.8)
+    pairs = _dedupe_pairs(_collect(minhash_candidates(ds, concurrency=2)))
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    shingles = candidate_shingles(ds, cand_ids)
+    out = verify_pairs_distributed(pairs, shingles, threshold=0.8)
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def simhash_documents(sf_dir: str) -> pa.Table:
@@ -172,10 +186,28 @@ def simhash_documents(sf_dir: str) -> pa.Table:
 
 
 def embedding_neardup(sf_dir: str) -> pa.Table:
+    """Cosine near-dup over the embeddings table AUGMENTED with planted
+    duplicates (vec_id+100000 copies of vec_id<50) so the positive path is
+    exercised and oracle-checkable: identical vectors collide in every LSH
+    table by construction, so recall on the planted pairs is exactly 1.0
+    and the output matches the DuckDB cross-join oracle bit-for-bit (the
+    organic max pairwise cosine in this data is ~0.51, far below 0.95)."""
     from ..functions.dedup import embedding_near_dups
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.95)
+
+    def planted(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch.column("vec_id"), 50))
+        return pa.table(
+            {
+                "vec_id": pc.add(sub.column("vec_id"), 100000),
+                "embedding": sub.column("embedding"),
+            }
+        )
+
+    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    out = embedding_near_dups(aug, threshold=0.95, concurrency=2)
+    return out.select(["id_a", "id_b"])
 
 
 # ---- text analysis ----------------------------------------------------------
@@ -472,11 +504,23 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
 
 # ---- sort / top-k / sampling (SURVEY.md §2G: optional surfaces) -------------
 def top_docs_by_length(sf_dir: str) -> pa.Table:
-    """Global top-5 by n_chars (ds.sort + limit — 'top-N example violations'
-    shape from SURVEY.md §2G), deterministic tie-break on doc_id."""
+    """Global top-5 by n_chars via per-batch local top-k + tiny driver
+    re-top-k ('top-N example violations' shape, SURVEY.md §2G) — no
+    all-to-all sort of the full table (round 1 used ds.sort().limit(), an
+    O(table) range shuffle for a top-5). Deterministic tie-break on doc_id."""
+    k = 5
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(5)
-    return _collect(out)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        nc = np.asarray(batch.column("n_chars").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        take = np.lexsort((ids, -nc))[:k]
+        return batch.take(pa.array(take))
+
+    cand = _collect(ds.map_batches(local_topk, batch_format="pyarrow"))
+    nc = np.asarray(cand.column("n_chars").combine_chunks(), dtype=np.int64)
+    ids = np.asarray(cand.column("doc_id").combine_chunks(), dtype=np.int64)
+    return cand.take(pa.array(np.lexsort((ids, -nc))[:k]))
 
 
 def sample_documents(sf_dir: str) -> pa.Table:

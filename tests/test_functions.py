@@ -79,6 +79,40 @@ def test_minhash_finds_near_dups(docs_ds):
             assert (i, i + 1) in found, f"missing exact dup {i}"
 
 
+def test_minhash_distributed_verify_parity(docs_ds):
+    """The distributed verify (broadcast candidate ids → semi-join shingles
+    → parallel pair tasks) must return exactly the same verified pairs as
+    the in-memory reference verify — same ids, same jaccard values."""
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        verify_pairs_distributed,
+    )
+
+    ds, tbl = docs_ds
+    pairs_raw = pa.concat_tables(
+        list(minhash_candidates(ds, concurrency=2).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    ref = verify_pairs_jaccard(pairs_raw, texts, threshold=0.8)
+
+    pairs = _dedupe_pairs(pairs_raw)
+    cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    shingles = candidate_shingles(ds, cand_ids)
+    dist = verify_pairs_distributed(pairs, shingles, threshold=0.8)
+
+    def as_dict(t):
+        return {
+            (a, b): j
+            for a, b, j in zip(
+                t.column("id_a").to_pylist(), t.column("id_b").to_pylist(), t.column("jaccard").to_pylist()
+            )
+        }
+
+    assert as_dict(dist) == as_dict(ref)
+    assert len(dist) > 0
+
+
 def test_jaccard():
     assert jaccard("a b c d e", "a b c d e") == 1.0
     assert jaccard("a b c d e", "x y z w v") == 0.0

@@ -64,6 +64,7 @@ ORACLE_NAMES = [
     "quality_documents",
     "fingerprint_documents",
     "ann_topk_embeddings",
+    "embedding_neardup",
     "windowed_events",
     "drift_psi_events",
     "top_docs_by_length",
@@ -92,7 +93,6 @@ ROWS_ONLY = [
     "sample_documents",
     "minhash_neardup_documents",
     "simhash_documents",
-    "embedding_neardup",
     "langid_documents",
     "ann_ivf_embeddings",
 ]
