@@ -53,24 +53,78 @@ from ..stages.stats import batch_stats_partial, merge_stats_partials, stats_to_t
 _STAGE_CACHE: dict[str, "CombinedStage"] = {}
 
 
-def _run_combined(batch, *, spec, num_partitions, path_map, stats_columns, cache_key):
+def _run_combined(batch, *, spec, num_partitions, path_map, stats_columns, cache_key, sink_dir=None):
     stage = _STAGE_CACHE.get(cache_key)
     if stage is None:
-        stage = CombinedStage(spec, num_partitions, path_map, stats_columns)
+        stage = CombinedStage(spec, num_partitions, path_map, stats_columns, sink_dir=sink_dir)
         _STAGE_CACHE[cache_key] = stage
     return stage(batch)
 
 
 class CombinedStage(RowRuleStage):
-    """Row rules + stats partials + drift partials in one pass."""
+    """Row rules + stats partials + drift partials in one pass.
 
-    def __init__(self, spec, num_partitions=64, path_map=None, stats_columns=None):
+    With ``sink_dir`` set, violation rows are written straight to their
+    partition's directory FROM THE MAP TASK (idempotent content-hashed file
+    names, atomic rename) and only a tiny per-pid count row travels back —
+    the driver never holds violation rows, so a 100%-bad day costs worker
+    disk, not driver heap (round 1 concat'd all violations driver-side)."""
+
+    def __init__(self, spec, num_partitions=64, path_map=None, stats_columns=None, sink_dir=None):
         super().__init__(spec, num_partitions, path_map)
         self.stats_columns = stats_columns or []
+        self.sink_dir = sink_dir
+
+    def _sink_violations(self, viols: pa.Table) -> pa.Table:
+        """Write violation rows per pid into violations/p*/part-r-<sha>.parquet;
+        return kind='viols' count rows. File name = content hash → a retried
+        task rewrites the same file instead of duplicating rows."""
+        counts: list[tuple[int, int]] = []
+        pid_np = np.asarray(viols.column("partition_id").combine_chunks(), dtype=np.int64)
+        for pid in np.unique(pid_np):
+            sub = viols.filter(pc.equal(viols.column("partition_id"), int(pid)))
+            digest = hashlib.sha1()
+            digest.update(str(int(pid)).encode())
+            digest.update(str(sub.num_rows).encode())
+            for v in sub.column("row_ref").to_pylist():
+                digest.update((v or "").encode())
+            for v in sub.column("code").to_pylist():
+                digest.update((v or "").encode())
+            pdir = os.path.join(self.sink_dir, "violations", f"p{int(pid):05d}")
+            os.makedirs(pdir, exist_ok=True)
+            final = os.path.join(pdir, f"part-r-{digest.hexdigest()[:16]}.parquet")
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, final)
+            counts.append((int(pid), sub.num_rows))
+        m = len(counts)
+        return pa.table(
+            {
+                "kind": pa.array(["viols"] * m, pa.string()),
+                "partition_id": pa.array([c[0] for c in counts], pa.int32()),
+                "row_ref": pa.nulls(m, pa.string()),
+                "column": pa.nulls(m, pa.string()),
+                "code": pa.nulls(m, pa.string()),
+                "message": pa.nulls(m, pa.string()),
+                "arg": pa.nulls(m, pa.string()),
+                "value": pa.nulls(m, pa.string()),
+                "rows": pa.array([c[1] for c in counts], pa.int64()),
+                "bad_rows": pa.nulls(m, pa.int64()),
+                "payload": pa.nulls(m, pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pids = self.partitions_of(batch)
         base = RowRuleStage.__call__(self, batch, pids)
+        if self.sink_dir is not None:
+            viol_mask = pc.equal(base.column("kind"), "violation")
+            if pc.any(viol_mask).as_py():
+                viols = base.filter(viol_mask)
+                base = pa.concat_tables(
+                    [base.filter(pc.invert(viol_mask)), self._sink_violations(viols)]
+                )
         if "path" in batch.column_names and "path" not in self.plan.spec.columns:
             batch = batch.drop_columns(["path"])
         extra: list[tuple[str, int, str, str]] = []
@@ -157,7 +211,8 @@ class ValidationPipeline:
     ):
         self.raw_spec = raw_spec
         self.spec: TableSpec = parse_table_spec(raw_spec)
-        self.out_dir = out_dir
+        # absolute: map tasks sink violations here and must not depend on cwd
+        self.out_dir = os.path.abspath(out_dir)
         self.snapshot = snapshot if snapshot is not None else (
             self.spec.drift.snapshot if self.spec.drift else None
         )
@@ -288,6 +343,17 @@ class ValidationPipeline:
         if todo:
             from ..sources.io import read_parquet_tasks
 
+            # clear stale per-row violation files for shards being (re)validated
+            # — a mid-run crash or changed batching must not leave orphan files
+            import glob as _glob
+
+            for p in todo:
+                pdir = os.path.join(self.out_dir, "violations", f"p{path_map[p]:05d}")
+                for stale in _glob.glob(os.path.join(pdir, "part-r-*.parquet")) + _glob.glob(
+                    os.path.join(pdir, "part-0.parquet")
+                ):
+                    os.remove(stale)
+
             ds = read_parquet_tasks(todo, include_paths=True)
             kwargs: dict[str, Any] = {}
             if self.batch_size:
@@ -303,20 +369,23 @@ class ValidationPipeline:
                     num_partitions=64,
                     path_map=path_map,
                     stats_columns=stats_cols,
-                    cache_key=self.rule_hash + _spec_hash({"path_map": sorted(path_map.items())}),
+                    sink_dir=self.out_dir,
+                    cache_key=self.rule_hash
+                    + _spec_hash({"path_map": sorted(path_map.items()), "sink": self.out_dir}),
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 **kwargs,
             )
-            # the union output is O(violations + batches×cols) — small next to
-            # the input; materialize once and split driver-side
+            # the union output is O(batches×cols) count/partial rows — tiny;
+            # violation rows were already sunk to disk by the map tasks
             out = pa.concat_tables(
                 list(union.iter_batches(batch_format="pyarrow", batch_size=None))
                 or [VIOLATION_SCHEMA.empty_table()]
             )
             kinds = out.column("kind")
-            viol_tbl = out.filter(pc.equal(kinds, "violation"))
+            viols_counts = out.filter(pc.equal(kinds, "viols"))
+            row_violations = int(pc.sum(viols_counts.column("rows")).as_py() or 0)
             summaries = out.filter(pc.equal(kinds, "summary"))
             stats_rows = out.filter(pc.equal(kinds, "stats"))
             new_stats = [
@@ -341,15 +410,14 @@ class ValidationPipeline:
             sm = summaries.to_pandas()
             rollup = sm.groupby("partition_id")[["rows", "bad_rows"]].sum()
             pid_of = {i: p for p, i in path_map.items()}
-            # per-partition sinks written by PARALLEL Ray tasks (the serial
-            # driver write loop capped scaling — Amdahl)
+            # per-partition partials written by PARALLEL Ray tasks (the serial
+            # driver write loop capped scaling — Amdahl); violation rows were
+            # already sunk by the map tasks during the pass
             import ray as _ray
 
             @_ray.remote
-            def _write_partition(pid: int, viol: pa.Table, partials_json: str, out_dir: str) -> int:
-                vdir = os.path.join(out_dir, "violations", f"p{pid:05d}")
-                os.makedirs(vdir, exist_ok=True)
-                pq.write_table(viol, os.path.join(vdir, "part-0.parquet"))
+            def _write_partition(pid: int, partials_json: str, out_dir: str) -> int:
+                os.makedirs(os.path.join(out_dir, "violations", f"p{pid:05d}"), exist_ok=True)
                 tmp = os.path.join(out_dir, "partials", f"p{pid:05d}.json.tmp")
                 with open(tmp, "w") as f:
                     f.write(partials_json)
@@ -359,12 +427,11 @@ class ValidationPipeline:
             write_refs = []
             for pid, row in rollup.iterrows():
                 pid = int(pid)
-                pviol = viol_tbl.filter(pc.equal(viol_tbl.column("partition_id"), pid))
                 p_drift = [r for r in new_drift if r["partition_id"] == pid]
                 p_stats = [r for r in new_stats if r["partition_id"] == pid]
                 write_refs.append(
                     _write_partition.remote(
-                        pid, pviol, json.dumps({"stats": p_stats, "drift": p_drift}), self.out_dir
+                        pid, json.dumps({"stats": p_stats, "drift": p_drift}), self.out_dir
                     )
                 )
                 part_records[pid] = {
@@ -381,7 +448,7 @@ class ValidationPipeline:
             stats_partials.extend(new_stats)
             drift_partials.extend(new_drift)
         else:
-            viol_tbl = VIOLATION_SCHEMA.empty_table()
+            row_violations = 0
 
         t_row_pass = time.time() - t0
         merged_stats = merge_stats_partials(stats_partials)
@@ -539,7 +606,7 @@ class ValidationPipeline:
             "shards_validated_this_run": len(todo),
             "rows_total": int(partitions["rows"].sum()) if len(partitions) else 0,
             "rows_validated_this_run": rows_validated_this_run,
-            "row_violations": int(viol_tbl.num_rows),
+            "row_violations": row_violations,
             "duplicate_keys": dup_count,
             "orphans": orphan_count,
             "drifted_partitions": len(drifted_pids),

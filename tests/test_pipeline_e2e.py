@@ -224,6 +224,20 @@ def test_global_violations_fail_validity(tmp_path_factory, ray_session):
     assert rep.valid is False
 
 
+def test_row_violations_streamed_by_tasks(report):
+    """Per-row violation rows are written by the map tasks into
+    violations/p*/part-r-<hash>.parquet during the pass — the driver only
+    sees count rows. Re-running must not duplicate rows (idempotent
+    content-hashed names + stale-file cleanup)."""
+    import glob
+
+    rep, out_dir = report
+    task_files = glob.glob(os.path.join(out_dir, "violations", "p*", "part-r-*.parquet"))
+    assert task_files, "no task-side violation files written"
+    n_rows = sum(pq.read_table(f).num_rows for f in task_files)
+    assert n_rows == rep.metrics["row_violations"] > 0
+
+
 def test_key_violations_land_in_partition_dirs(report):
     """pid-attributed unique/reference violation rows are sunk into their
     source partition's directory (part-global.parquet), not a global bucket."""
