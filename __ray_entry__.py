@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,
         "fingerprint_documents": q.fingerprint_documents,
+        "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
         # similarity search
         "ann_topk_embeddings": q.ann_topk_embeddings,

@@ -39,6 +39,13 @@ class KernelRule:
     fn: Callable[[pa.Table], BoolMask]
     # whether this rule fires on null rows (only `required` does)
     fires_on_null: bool = False
+    # optional rich evaluator: table -> (occurrence_row_indices (may repeat),
+    # per-occurrence arg strings, row_bad mask). Rules with per-occurrence
+    # error detail (uniqueItems: one error per duplicate with arg = the
+    # duplicate value, v4validator.js:277-290) set this; plain rules don't.
+    detail_fn: Callable[[pa.Table], tuple[np.ndarray, list, BoolMask]] | None = None
+    # per-batch occurrence args, set by BoundPlan.evaluate on a rule CLONE
+    occ_args: list | None = None
 
 
 def _np_bool(mask: pa.ChunkedArray | pa.Array) -> BoolMask:
@@ -231,30 +238,51 @@ def k_max_items(column: str, spec: dict, opts: dict) -> KernelRule:
     return KernelRule(column, "maxItems", n, _message(spec, "maxItems", n, opts["gettext"]), fn)
 
 
+_NULL_SENTINEL = "\x00__null__"
+
+
 def k_unique_items(column: str, spec: dict, opts: dict) -> KernelRule:
     """Within-row list dedup (v4validator.js:277-290). Vectorized via a single
-    flatten + lexsort over (row_index, value) — no Python loop over rows."""
+    flatten + lexsort over (row_index, value) — no Python loop over rows.
+    ``detail_fn`` matches the reference's error detail: one violation PER
+    duplicate occurrence beyond the first, arg = the duplicate value."""
 
-    def fn(t: pa.Table) -> BoolMask:
+    def core(t: pa.Table) -> tuple[np.ndarray, np.ndarray, BoolMask]:
         col = _col(t, column)
         n = len(col)
         lengths = np.asarray(pc.list_value_length(col).fill_null(0), dtype=np.int64)
         flat = pc.list_flatten(col)
         if len(flat) == 0:
-            return np.zeros(n, dtype=bool)
+            z = np.zeros(0, dtype=np.int64)
+            return z, np.zeros(0, dtype=object), np.zeros(n, dtype=bool)
         parents = np.repeat(np.arange(n), lengths)
         # null list elements must sort/compare like any value (the reference
         # stringify-keys them); sentinel avoids None-vs-str TypeError
-        vals = np.asarray(flat.cast(pa.string()).fill_null("\x00__null__"))
+        vals = np.asarray(flat.cast(pa.string()).fill_null(_NULL_SENTINEL))
         order = np.lexsort((vals, parents))
         sp, sv = parents[order], vals[order]
         dup = np.zeros(len(sv), dtype=bool)
         dup[1:] = (sp[1:] == sp[:-1]) & (sv[1:] == sv[:-1])
         bad = np.zeros(n, dtype=bool)
         bad[sp[dup]] = True
-        return bad
+        return sp[dup], sv[dup], bad
 
-    return KernelRule(column, "uniqueItems", None, _message(spec, "uniqueItems", None, opts["gettext"]), fn)
+    def fn(t: pa.Table) -> BoolMask:
+        return core(t)[2]
+
+    def detail_fn(t: pa.Table) -> tuple[np.ndarray, list, BoolMask]:
+        occ_rows, occ_vals, bad = core(t)
+        args = ["null" if v == _NULL_SENTINEL else str(v) for v in occ_vals.tolist()]
+        return occ_rows, args, bad
+
+    return KernelRule(
+        column,
+        "uniqueItems",
+        None,
+        _message(spec, "uniqueItems", None, opts["gettext"]),
+        fn,
+        detail_fn=detail_fn,
+    )
 
 
 def k_conform(column: str, spec: dict, opts: dict) -> list[KernelRule]:

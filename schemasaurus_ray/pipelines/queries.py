@@ -246,6 +246,47 @@ def fingerprint_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(fingerprint, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def winnow_passages_documents(sf_dir: str) -> pa.Table:
+    """Corpus-level copied-passage detection via winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken): explode each doc to (doc_id, fp) rows in
+    map_batches, groupby fp across the corpus, star-capped pairs per
+    fingerprint bucket, then count shared fps per doc pair. Returns
+    (id_a, id_b, n_shared) for pairs sharing ≥8 fingerprints — rows-only
+    (winnowing is not SQL-expressible); golden counts in test_functions."""
+    from ..functions.dedup import pairs_from_bucket
+    from ..functions.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # k=20-char grams / window=8 picked for selectivity: on sf0.01 this
+    # recovers exactly the 25 planted near-dup pairs (k=8 matched almost
+    # all-pairs on the shared synthetic vocabulary).
+    # repartition before the groupby: thousands of tiny blocks make Ray's
+    # sort-based groupby collapse (measured 3x, see CLAUDE.md env quirks)
+    fps = ds.map_batches(
+        lambda b: winnow_fingerprints(b, k=20, window=8), batch_format="pyarrow"
+    ).repartition(8)
+    pairs_ds = fps.groupby("fp").map_groups(
+        lambda g: pairs_from_bucket(g, "doc_id"), batch_format="pyarrow"
+    )
+    tbl = _collect(pairs_ds)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+        }
+    )
+    if tbl.num_rows == 0:
+        return empty
+    counted = (
+        tbl.group_by(["id_a", "id_b"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["id_a", "id_b", "n_shared"])
+    )
+    counted = counted.filter(pc.greater_equal(counted.column("n_shared"), 8))
+    return counted.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def langid_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(

@@ -10,6 +10,7 @@ column kernels plus plan-time schema checks — executed by
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -201,6 +202,14 @@ class BoundPlan:
         hits: list[tuple[KernelRule, np.ndarray]] = []
 
         for rule in self.rules:
+            if rule.detail_fn is not None:
+                # per-occurrence detail (uniqueItems): idx may repeat a row,
+                # args carried on a per-batch clone of the rule
+                occ_idx, occ_args, bad = rule.detail_fn(table)
+                if bad.any():
+                    row_bad |= bad
+                    hits.append((dataclasses.replace(rule, occ_args=occ_args), occ_idx))
+                continue
             bad = rule.fn(table)
             if bad.any():
                 row_bad |= bad

@@ -68,7 +68,12 @@ class RowValidator:
             self.messages.update(self.options["messages"])
         self.custom = self.options.get("custom", {})
         self.formats = resolve_formats(self.options.get("formats"))
-        self.schema = inline_refs(schema)
+        # $refs resolve LAZILY during validation (reference resolveRef runs
+        # during iteration with a $$visited guard, src/compiler.js:18-34):
+        # recursion is bounded by VALUE depth, so self-recursive schemas
+        # ($ref: "#") terminate naturally — eager inlining diverges on them.
+        self.schema = schema
+        self.root = schema
         self._check_known_formats(self.schema)
         self.errors: list[ValidationError] = []
 
@@ -120,6 +125,15 @@ class RowValidator:
     def _validate(self, schema: dict[str, Any], value: Any, path: list[str], is_root: bool = False) -> None:
         if not isinstance(schema, dict):
             return
+        if "$ref" in schema:
+            from .spec import resolve_ref
+
+            target = resolve_ref(self.root, schema["$ref"])
+            siblings = {k: v for k, v in schema.items() if k != "$ref"}
+            if isinstance(target, dict) and siblings:
+                # sibling keys overlay the target (reference inlining merge)
+                target = {**target, **siblings}
+            return self._validate(target, value, path, is_root=is_root)
         # [^required] short-circuit: absent + not required → skip everything
         # (src/v4validator.js:81-86; not applied at root)
         if value is MISSING:

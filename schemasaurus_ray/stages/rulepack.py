@@ -116,6 +116,11 @@ class RowRuleStage:
                 values = stringify_column(batch.column(rule.column), idx)
             else:
                 values = pa.nulls(m, pa.string())
+            if rule.occ_args is not None:
+                # per-occurrence args (uniqueItems: arg = the duplicate value)
+                arg_arr = pa.array([_argstr(a) for a in rule.occ_args], pa.string())
+            else:
+                arg_arr = pa.array([_argstr(rule.arg)] * m, pa.string())
             chunks.append(
                 {
                     "kind": pa.array(["violation"] * m, pa.string()),
@@ -124,7 +129,7 @@ class RowRuleStage:
                     "column": pa.array([rule.column] * m, pa.string()),
                     "code": pa.array([rule.code] * m, pa.string()),
                     "message": pa.array([rule.message] * m, pa.string()),
-                    "arg": pa.array([_argstr(rule.arg)] * m, pa.string()),
+                    "arg": arg_arr,
                     "value": values,
                     "rows": pa.nulls(m, pa.int64()),
                     "bad_rows": pa.nulls(m, pa.int64()),

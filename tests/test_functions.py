@@ -113,6 +113,30 @@ def test_minhash_distributed_verify_parity(docs_ds):
     assert len(dist) > 0
 
 
+def test_winnow_shared_passages_corpus(docs_ds, tmp_path):
+    """Corpus-level winnowing: exact-dup pairs share (nearly) all
+    fingerprints; near-dup pairs share most; unrelated docs share ~none."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import winnow_passages_documents
+
+    _, tbl = docs_ds
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = winnow_passages_documents(str(tmp_path))
+    shared = {
+        (a, b): n
+        for a, b, n in zip(
+            out.column("id_a").to_pylist(), out.column("id_b").to_pylist(), out.column("n_shared").to_pylist()
+        )
+    }
+    for i in range(0, 400, 20):  # exact dups (i, i+1)
+        if i + 1 < 400:
+            assert shared.get((i, i + 1), 0) >= 10, f"exact dup {i} not detected"
+    for i in range(0, 400, 25):  # near dups (i, i+2): 1 changed word of 40
+        if i + 2 < 400:
+            assert shared.get((i, i + 2), 0) >= 5, f"near dup {i} not detected"
+
+
 def test_jaccard():
     assert jaccard("a b c d e", "a b c d e") == 1.0
     assert jaccard("a b c d e", "x y z w v") == 0.0

@@ -172,6 +172,23 @@ def test_unique_items_kernel():
     assert list(row_bad) == [False, True, False, False]
 
 
+def test_unique_items_per_occurrence_arg():
+    """Vectorized path must match the reference's error detail
+    (v4validator.js:277-290): one violation PER duplicate occurrence beyond
+    the first, with arg = the duplicate value (row path already does)."""
+    t = pa.table(
+        {"tags": pa.array([["a", "a", "a", "b", "b"], ["x"], ["z", "z"]], pa.list_(pa.string()))}
+    )
+    plan = compile_plan(parse_table_spec({"columns": {"tags": {"uniqueItems": True}}}))
+    bound = plan.bind(t.schema)
+    row_bad, hits = bound.evaluate(t)
+    assert list(row_bad) == [True, False, True]
+    (rule, idx), = hits
+    # row 0: "a"×3 → 2 errors, "b"×2 → 1 error; row 2: "z"×2 → 1 error
+    assert idx.tolist() == [0, 0, 0, 2]
+    assert rule.occ_args == ["a", "a", "b", "z"]
+
+
 def test_unique_items_with_null_elements():
     t = pa.table({"tags": pa.array([["a", None, "a"], [None, None], ["x"]], pa.list_(pa.string()))})
     plan = compile_plan(parse_table_spec({"columns": {"tags": {"uniqueItems": True}}}))

@@ -93,6 +93,7 @@ ROWS_ONLY = [
     "sample_documents",
     "minhash_neardup_documents",
     "simhash_documents",
+    "winnow_passages_documents",
     "langid_documents",
     "ann_ivf_embeddings",
 ]
