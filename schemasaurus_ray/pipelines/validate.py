@@ -306,11 +306,18 @@ class ValidationPipeline:
                     break
             if fused_ref:
                 break
+        # persisted per-shard key-count partials: on resume, completed shards'
+        # key columns are NOT re-read — their (key, cnt, pid) pre-agg reloads
+        # from this directory (stages/shuffle.py incremental-resume path)
+        key_partials_dir = os.path.join(self.out_dir, "partials")
+        done_for_keys = set(completed)
+
         fused_finish = None
         if fused_ref is not None:
             fused_finish = combined_key_checks_async(
                 shards, fused_unique.columns[0], _resolve_right(fused_ref),
                 fused_ref.ref_column, path_pids=path_map,
+                partials_dir=key_partials_dir, done_paths=done_for_keys,
             )
             unique_rules.remove(fused_unique)
             ref_rules.remove(fused_ref)
@@ -319,7 +326,10 @@ class ValidationPipeline:
             only = unique_rules.pop(0)
             fused_unique = only
             fused_finish = (
-                combined_key_checks_async(shards, only.columns[0], None, None, path_pids=path_map)
+                combined_key_checks_async(
+                    shards, only.columns[0], None, None, path_pids=path_map,
+                    partials_dir=key_partials_dir, done_paths=done_for_keys,
+                )
                 if len(only.columns) == 1
                 else None
             )

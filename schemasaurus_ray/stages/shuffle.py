@@ -17,12 +17,20 @@ hand-rolled map/reduce:
   task, ``group_by`` once more, emit the final (key, cnt) rows.
 
 Data through the object store = the pre-aggregated key rows only (no wide
-columns). Scale note: the driver holds M×B object refs; for very large M
-use a tree of reduces — B here is sized ≤ 64.
+columns). At large shard counts M the per-bucket reduce does NOT take M
+arguments: inputs are tree-combined in fan-in-``_FAN_IN`` layers first
+(each layer concat+group_by-sums its slice), so no single task ever holds
+more than ``_FAN_IN`` inputs and the final reduce sees ≤ ``_FAN_IN`` refs.
+
+Resume: ``combined_key_checks_async`` can persist each shard's key-count
+pre-agg to ``partials_dir`` and, for shards listed in ``done_paths``,
+reload the persisted partial instead of re-reading the shard's key column
+— uniqueness/referential on resume then costs only the NEW shards' reads.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
@@ -31,6 +39,22 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..util import hash_column, splitmix64
+
+# max inputs per combine/reduce task — bounds task-arg counts and keeps the
+# reduce tree ~2 levels deep up to ~4k shards, 3 levels to ~260k
+_FAN_IN = 64
+
+
+def _tree_combine(refs: list, combine_remote, fan_in: int | None = None) -> list:
+    """Collapse a list of per-map object refs for ONE bucket into ≤ fan_in
+    refs by layering combine tasks. Returns the surviving refs (callers pass
+    them to the final reduce)."""
+    fan_in = fan_in if fan_in is not None else _FAN_IN
+    while len(refs) > fan_in:
+        refs = [
+            combine_remote.remote(*refs[i : i + fan_in]) for i in range(0, len(refs), fan_in)
+        ]
+    return refs
 
 
 def _combined_hash(table: pa.Table, columns: list[str]) -> np.ndarray:
@@ -79,6 +103,13 @@ def count_keys_shuffled(
         return out if num_buckets > 1 else out[0]
 
     @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+
+    @ray.remote
     def reduce_bucket(*tables: pa.Table) -> pa.Table:
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
@@ -93,7 +124,7 @@ def count_keys_shuffled(
     if num_buckets == 1:
         refs = [[r] for r in refs]
     reduced = [
-        reduce_bucket.remote(*[refs[m][b] for m in range(len(refs))])
+        reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
         for b in range(num_buckets)
     ]
     tables = [t for t in ray.get(reduced) if t.num_rows]
@@ -124,6 +155,8 @@ def combined_key_checks_async(
     right_col: str | None,
     num_buckets: int | None = None,
     path_pids: dict[str, int] | None = None,
+    partials_dir: str | None = None,
+    done_paths: "set[str] | None" = None,
 ):
     """ONE shuffle for both key rules when uniqueness and referential share
     the key column (the common case: clip_id): the left key column is read
@@ -138,18 +171,39 @@ def combined_key_checks_async(
     executor and these raw tasks share the CPU pool with no barrier between
     them). Call the returned closure to block for the
     (duplicates, orphans) tables: (key, cnt, pid) rows, one per
-    (violating key, source partition)."""
+    (violating key, source partition).
+
+    INCREMENTAL RESUME: with ``partials_dir`` set, each map task persists its
+    shard's (key, cnt, pid) pre-agg as parquet (atomic rename); shards in
+    ``done_paths`` whose partial exists are served by reloading that tiny
+    file instead of re-reading the shard's key column — on resume only NEW
+    shards touch the heavy input."""
     import ray
 
     num_buckets = num_buckets or min(32, max(4, len(left_paths) // 4))
     ordered = sorted(left_paths)
     pids = {p: (path_pids.get(p, -1) if path_pids else i) for i, p in enumerate(ordered)}
 
+    def _partial_path(pid: int) -> str:
+        return os.path.join(partials_dir, f"keys_{key_col}_p{pid:05d}.parquet")
+
     @ray.remote(num_returns=num_buckets)
     def map_left(path: str, pid: int):
         tbl = pq.read_table(path, columns=[key_col])
         counts = _precount_table(tbl, [key_col])
         counts = counts.append_column("pid", pa.array([pid] * counts.num_rows, pa.int32()))
+        if partials_dir is not None:
+            os.makedirs(partials_dir, exist_ok=True)
+            final = _partial_path(pid)
+            tmp = final + f".tmp{os.getpid()}"
+            pq.write_table(counts, tmp)
+            os.replace(tmp, final)
+        out = _split_buckets(counts, [key_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def load_left_partial(pid: int):
+        counts = pq.read_table(_partial_path(pid))
         out = _split_buckets(counts, [key_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -224,7 +278,35 @@ def combined_key_checks_async(
             orphans = attribute(lagg)
         return dups, orphans
 
-    lrefs = [map_left.remote(p, pids[p]) for p in ordered]
+    @ray.remote
+    def combine_left(*tables: pa.Table) -> pa.Table:
+        """Tree-combine layer for the left side: (key, cnt, pid) partials —
+        group by (key, pid) so per-shard attribution rows stay one-per-pair."""
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return (
+            merged.group_by([key_col, "pid"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns([key_col, "pid", "cnt"])
+            .select([key_col, "cnt", "pid"])
+        )
+
+    @ray.remote
+    def combine_right(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        keys = pa.table({right_col: merged.column(right_col).combine_chunks().unique()})
+        return keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
+
+    done = set(done_paths or ()) if partials_dir is not None else set()
+    lrefs = [
+        load_left_partial.remote(pids[p])
+        if p in done and os.path.exists(_partial_path(pids[p]))
+        else map_left.remote(p, pids[p])
+        for p in ordered
+    ]
     if right is None:
         rrefs = []
     elif isinstance(right, list):
@@ -236,11 +318,9 @@ def combined_key_checks_async(
         rrefs = [[r] for r in rrefs]
     dup_refs, orphan_refs = [], []
     for b in range(num_buckets):
-        d, o = reduce_bucket.remote(
-            len(lrefs),
-            *[lrefs[m][b] for m in range(len(lrefs))],
-            *[rrefs[m][b] for m in range(len(rrefs))],
-        )
+        lcombined = _tree_combine([lrefs[m][b] for m in range(len(lrefs))], combine_left)
+        rcombined = _tree_combine([rrefs[m][b] for m in range(len(rrefs))], combine_right)
+        d, o = reduce_bucket.remote(len(lcombined), *lcombined, *rcombined)
         dup_refs.append(d)
         orphan_refs.append(o)
 
@@ -311,6 +391,21 @@ def anti_join_shuffled(
             lagg = lagg.filter(pc.fill_null(mask, True))
         return lagg
 
+    @ray.remote
+    def combine_left(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return merged.group_by([left_col]).aggregate([("cnt", "sum")]).rename_columns([left_col, "cnt"])
+
+    @ray.remote
+    def combine_right(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        keys = pa.table({right_col: merged.column(right_col).combine_chunks().unique()})
+        return keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
+
     lrefs = [map_left.remote(p) for p in sorted(left_paths)]
     if isinstance(right, list):
         rrefs = [map_right_path.remote(p) for p in sorted(right)]
@@ -319,14 +414,11 @@ def anti_join_shuffled(
     if num_buckets == 1:
         lrefs = [[r] for r in lrefs]
         rrefs = [[r] for r in rrefs]
-    reduced = [
-        reduce_bucket.remote(
-            len(lrefs),
-            *[lrefs[m][b] for m in range(len(lrefs))],
-            *[rrefs[m][b] for m in range(len(rrefs))],
-        )
-        for b in range(num_buckets)
-    ]
+    reduced = []
+    for b in range(num_buckets):
+        lcombined = _tree_combine([lrefs[m][b] for m in range(len(lrefs))], combine_left)
+        rcombined = _tree_combine([rrefs[m][b] for m in range(len(rrefs))], combine_right)
+        reduced.append(reduce_bucket.remote(len(lcombined), *lcombined, *rcombined))
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
         return pa.table({left_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})

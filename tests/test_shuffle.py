@@ -119,3 +119,63 @@ def test_empty_and_no_dups(tmp_path_factory, ray_session):
     pq.write_table(pa.table({"k": pa.array(["a", "b"], pa.string())}), str(d / "x.parquet"))
     out = count_keys_shuffled([str(d / "x.parquet")], ["k"], min_count=2)
     assert out.num_rows == 0
+
+
+def test_incremental_partials_skip_source_reads(shard_dir, tmp_path_factory, ray_session):
+    """With partials_dir set, a re-run with done_paths=all must reload the
+    persisted per-shard key pre-aggs and NOT re-read the shards — proven by
+    replacing the source shards with different data and asserting the
+    results are unchanged from the first run."""
+    import shutil
+
+    from schemasaurus_ray.stages.shuffle import combined_key_checks_async
+
+    work = tmp_path_factory.mktemp("incr")
+    src = work / "shards"
+    src.mkdir()
+    for f in os.listdir(shard_dir):
+        shutil.copy(os.path.join(shard_dir, f), str(src / f))
+    partials = str(work / "partials")
+    paths = sorted(str(src / f) for f in os.listdir(str(src)))
+
+    dups1, orphans1 = combined_key_checks_async(
+        paths, "k", None, None, partials_dir=partials, done_paths=set()
+    )()
+    assert sorted(os.listdir(partials)) == [f"keys_k_p{i:05d}.parquet" for i in range(4)]
+
+    # clobber the sources: if the second run read them, counts would change
+    for p in paths:
+        pq.write_table(pa.table({"k": pa.array(["POISON"] * 5, pa.string())}), p)
+
+    dups2, _ = combined_key_checks_async(
+        paths, "k", None, None, partials_dir=partials, done_paths=set(paths)
+    )()
+
+    def as_set(t):
+        return set(zip(t.column("k").to_pylist(), t.column("cnt").to_pylist(), t.column("pid").to_pylist()))
+
+    assert as_set(dups2) == as_set(dups1)
+    assert "POISON" not in set(dups2.column("k").to_pylist())
+
+
+def test_tree_combine_many_shards(tmp_path_factory, ray_session):
+    """Fan-in layering: >_FAN_IN shards per bucket still reduce correctly
+    (synthetic many-shard smoke for the 10k-shard driver-blowup caveat)."""
+    from schemasaurus_ray.stages import shuffle as sh
+
+    d = tmp_path_factory.mktemp("many")
+    paths = []
+    n_shards = 20
+    for s in range(n_shards):
+        t = pa.table({"k": pa.array(["shared", f"u{s}"], pa.string())})
+        p = str(d / f"m{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    old = sh._FAN_IN
+    sh._FAN_IN = 3  # force a multi-layer tree with a small shard count
+    try:
+        out = sh.count_keys_shuffled(paths, ["k"], num_buckets=2, min_count=2)
+    finally:
+        sh._FAN_IN = old
+    assert out.column("k").to_pylist() == ["shared"]
+    assert out.column("cnt").to_pylist() == [n_shards]
