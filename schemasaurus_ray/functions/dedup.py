@@ -95,29 +95,51 @@ class MinHashStage:
             mixed = splitmix64(sh[:, None] ^ self.seeds[None, :])
         return mixed.min(axis=0)
 
+    def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(D, P) signatures → (D, bands) band hashes (vectorized)."""
+        d = sigs.shape[0]
+        bands = sigs.reshape(d, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            if self.rows_per_band == 1:
+                return splitmix64(bands[:, :, 0])
+            return splitmix64(
+                np.bitwise_xor.reduce(
+                    splitmix64(bands + np.arange(self.rows_per_band, dtype=np.uint64)), axis=2
+                )
+            )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        band_ids, band_hashes, doc_ids = [], [], []
+        ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
+        # gather every doc's shingle hashes into one flat array + offsets,
+        # then ONE (S_total, P) mix + per-doc segment-min (reduceat) — the
+        # only per-doc Python left is the n-gram string join
+        keep_ids, shingle_arrays = [], []
         for doc_id, text in zip(ids, texts):
             if not text:
                 continue
-            sig = self.signature(text)
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            with np.errstate(over="ignore"):
-                bh = splitmix64(
-                    bands[:, 0] if self.rows_per_band == 1 else np.bitwise_xor.reduce(
-                        splitmix64(bands + np.arange(self.rows_per_band, dtype=np.uint64)), axis=1
-                    )
-                )
-            band_ids.extend(range(self.bands))
-            band_hashes.extend(bh.view(np.int64).tolist())
-            doc_ids.extend([doc_id] * self.bands)
+            keep_ids.append(doc_id)
+            shingle_arrays.append(_shingle_hashes(text, self.shingle_n))
+        if not keep_ids:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate(shingle_arrays)
+        offsets = np.cumsum([0] + [len(a) for a in shingle_arrays[:-1]])
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(flat[:, None] ^ self.seeds[None, :])  # (S_total, P)
+        sigs = np.minimum.reduceat(mixed, offsets, axis=0)  # (D, P)
+        bh = self._band_hashes(sigs)  # (D, bands)
+        d = len(keep_ids)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                self.id_col: pa.array(doc_ids),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), d), pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
+                self.id_col: pa.array(np.repeat(np.asarray(keep_ids, dtype=np.int64), self.bands), pa.int64()),
             }
         )
 
@@ -353,8 +375,23 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = [self.simhash(t) if t else 0 for t in texts]
-        sig_arr = np.array(sigs, dtype=np.uint64)
+        # flat word-hash array + per-doc offsets → ONE (W_total, 64) bit
+        # expansion + per-doc vote sums via reduceat (the per-doc Python is
+        # only the whitespace split)
+        word_arrays = [np.array((t or "").split(), dtype=object) for t in texts]
+        lens = np.array([len(w) for w in word_arrays], dtype=np.int64)
+        nonempty = lens > 0
+        sig_arr = np.zeros(len(texts), dtype=np.uint64)
+        if nonempty.any():
+            flat_words = np.concatenate([w for w in word_arrays if len(w)])
+            h = _bytes_hash(flat_words)  # (W_total,)
+            bits = (h[:, None] & self.bit_masks[None, :]) != 0  # (W_total, 64)
+            ne_lens = lens[nonempty]
+            offsets = np.concatenate([[0], np.cumsum(ne_lens)[:-1]])
+            ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)  # (D, 64)
+            votes = ones * 2 - ne_lens[:, None]
+            packed = np.packbits((votes > 0)[:, ::-1], axis=1).view(">u8").reshape(-1)
+            sig_arr[nonempty] = packed.astype(np.uint64)
         out = {self.id_col: batch.column(self.id_col), "simhash": pa.array(sig_arr.view(np.int64), pa.int64())}
         # 4×16-bit bands for hamming≤3 candidate generation
         for b in range(4):

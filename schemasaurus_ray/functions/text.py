@@ -123,41 +123,52 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 
 
 class LangIdStage:
-    """Stateful language-ID stage: stopword tables + tokenizer compiled once
-    per actor (``map_batches(LangIdStage, concurrency=N)``)."""
+    """Stateful language-ID stage: stopword value-sets built once per actor
+    (``map_batches(LangIdStage, concurrency=N)``). Scoring is fully
+    vectorized: one Arrow lowercase+tokenize over the batch, one ``is_in``
+    per language over the flattened token array, per-doc sums via bincount
+    — no per-row Python loop (round 1 scored doc-by-doc)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        import re
-
         self.text_col = text_col
         self.id_col = id_col
-        self.word = re.compile(r"[a-zà-ÿäöüß']+")
-        self.tables = _LANG_STOPWORDS
+        # insertion order preserved: argmax's first-max tie-break then matches
+        # the round-1 strictly-greater iteration over the same order
+        self.langs = list(_LANG_STOPWORDS)
+        self.value_sets = {
+            lang: pa.array(sorted(_LANG_STOPWORDS[lang]), pa.string()) for lang in self.langs
+        }
+        # split on runs of non-word chars ≡ findall of the word class
+        self.sep_regex = r"[^a-zà-ÿäöüß']+"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            if not t:
-                preds.append(None)
-                scores.append(0.0)
-                continue
-            toks = self.word.findall(t.lower())[:200]
-            if not toks:
-                preds.append("unk")
-                scores.append(0.0)
-                continue
-            best, best_score = "unk", 0.0
-            for lang, stops in self.tables.items():
-                s = sum(1 for w in toks if w in stops) / len(toks)
-                if s > best_score:
-                    best, best_score = lang, s
-            preds.append(best if best_score > 0.05 else "unk")
-            scores.append(round(best_score, 4))
+        col = batch.column(self.text_col).combine_chunks()
+        n = len(col)
+        token_lists = pc.split_pattern_regex(pc.utf8_lower(col), self.sep_regex)
+        flat = pc.list_flatten(token_lists)
+        word_mask = np.asarray(pc.not_equal(flat, "").fill_null(False))
+        lens = np.asarray(pc.list_value_length(token_lists).fill_null(0), dtype=np.int64)
+        parents = np.repeat(np.arange(n), lens)
+        n_tokens = np.bincount(parents, weights=word_mask.astype(np.float64), minlength=n)
+        safe = np.maximum(n_tokens, 1.0)
+        scores = np.zeros((n, len(self.langs)))
+        for j, lang in enumerate(self.langs):
+            member = np.asarray(pc.is_in(flat, value_set=self.value_sets[lang]).fill_null(False))
+            scores[:, j] = np.bincount(parents, weights=member.astype(np.float64), minlength=n) / safe
+        best_j = scores.argmax(axis=1)
+        best_score = scores[np.arange(n), best_j]
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(best_score > 0.05, lang_arr[best_j], "unk")
+        is_null = np.asarray(pc.is_null(col))
+        empty = np.asarray(pc.equal(pc.fill_null(col, ""), ""))
+        preds = np.where(is_null | empty, None, preds)
+        out_scores = np.where(is_null | empty, 0.0, np.round(best_score, 4))
+        # reference behavior: null/empty text → null pred; tokenless text → "unk"
+        preds = np.where(~(is_null | empty) & (n_tokens == 0), "unk", preds)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "lang_pred": pa.array(preds, pa.string()),
-                "lang_score": pa.array(scores, pa.float64()),
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
+                "lang_score": pa.array(out_scores, pa.float64()),
             }
         )

@@ -408,12 +408,16 @@ def audio_features(sf_dir: str) -> pa.Table:
     # keep them as nulls, not a cast crash
     rms = np.asarray(tbl.column("rms").combine_chunks(), dtype=np.float64)
     ms = np.asarray(tbl.column("measured_ms").combine_chunks(), dtype=np.float64)
-    rms_bp = np.floor(rms * 10000.0)
+
+    def int_or_null(vals: np.ndarray) -> pa.Array:
+        mask = np.isnan(vals)
+        return pa.array(np.where(mask, 0, vals).astype(np.int64), pa.int64(), mask=mask)
+
     return pa.table(
         {
             "clip_id": tbl.column("clip_id"),
-            "rms_bp": pa.array([None if np.isnan(v) else int(v) for v in rms_bp], pa.int64()),
-            "measured_ms": pa.array([None if np.isnan(v) else int(v) for v in ms], pa.int64()),
+            "rms_bp": int_or_null(np.floor(rms * 10000.0)),
+            "measured_ms": int_or_null(ms),
         }
     ).sort_by("clip_id")
 

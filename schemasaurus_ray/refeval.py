@@ -264,6 +264,10 @@ class RowValidator:
             for i, sub in enumerate(items):
                 if i < len(value):
                     self._validate(sub, value[i], path + [str(i)])
+            if self.options.get("ignoreAdditionalItems"):
+                # reference option: skip the whole "additional" traversal
+                # (src/int/processor.js:54,71-86; compiler.js:135)
+                return
             extra = schema.get("additionalItems", True)
             if extra is False:
                 for i in range(len(items), len(value)):
@@ -313,6 +317,10 @@ class RowValidator:
                     matched_pattern = True
                     self._validate(sub, v, path + [key])
             if key in props or matched_pattern:
+                continue
+            if self.options.get("ignoreAdditionalItems"):
+                # reference option skips additional-property handling too
+                # (src/int/processor.js:71-86)
                 continue
             extra = schema.get("additionalProperties", True)
             if extra is False:

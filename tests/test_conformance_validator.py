@@ -296,6 +296,22 @@ def test_required_v3_merged():
     assert codes(s, {}) == ["required"]
 
 
+def test_ignore_additional_items_option():
+    """Reference option {ignoreAdditionalItems: true} skips the whole
+    'additional' traversal — both additionalItems and additionalProperties
+    (src/int/processor.js:54,71-86; used by examples/formgen_compiled.js:51)."""
+    s_items = {"type": "array", "items": [{"type": "integer"}], "additionalItems": False}
+    assert codes(s_items, [1, "extra"]) == ["additionalItems"]
+    assert codes(s_items, [1, "extra"], {"ignoreAdditionalItems": True}) == []
+    s_props = {"type": "object", "properties": {"a": {}}, "additionalProperties": False}
+    assert codes(s_props, {"a": 1, "b": 2}) == ["additionalProperties"]
+    assert codes(s_props, {"a": 1, "b": 2}, {"ignoreAdditionalItems": True}) == []
+    # additionalProperties as schema is skipped too
+    s_schema = {"type": "object", "additionalProperties": {"type": "integer"}}
+    assert codes(s_schema, {"x": "nope"}) == ["integer"]
+    assert codes(s_schema, {"x": "nope"}, {"ignoreAdditionalItems": True}) == []
+
+
 def test_unique_items():
     s = {"type": "array", "uniqueItems": True}
     assert codes(s, [1, 2, 3]) == []
