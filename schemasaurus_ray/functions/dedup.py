@@ -47,14 +47,72 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "d
 
 
 # ------------------------------------------------------------- shingle hashes
+# position multipliers (odd constants) make the word-hash combination
+# order-sensitive: shingle = splitmix64(XOR_j H[i+j] * MULT[j])
+_SHINGLE_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _shingle_hash_arrays(col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle hashes for a WHOLE string column, no per-doc
+    Python: one Arrow whitespace-split + one vectorized word-hash pass, then
+    shingles as position-weighted XOR combinations of n consecutive word
+    hashes (boundary-masked so shingles never span documents). Docs with
+    1 ≤ W < n words get one combined hash of all their words; docs with no
+    words contribute nothing. Returns (shingle_hashes uint64,
+    doc_index int64) sorted by doc index."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = len(col)
+    assert n <= len(_SHINGLE_MULT)
+    words = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    flat = pc.list_flatten(words)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    h_all = hash_column(flat)
+    parents_all = np.repeat(np.arange(d), lens)
+    h = h_all[keep]
+    parents = parents_all[keep]
+    s = len(h)
+    w_per_doc = np.bincount(parents, minlength=d)
+    out_h: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    mult = _SHINGLE_MULT
+    if s >= n:
+        with np.errstate(over="ignore"):
+            acc = h[: s - n + 1] * mult[0]
+            for j in range(1, n):
+                acc = acc ^ (h[j : s - n + 1 + j] * mult[j])
+            g = splitmix64(acc)
+        valid = parents[: s - n + 1] == parents[n - 1 :]
+        out_h.append(g[valid])
+        out_p.append(parents[: s - n + 1][valid])
+    short_docs = np.nonzero((w_per_doc > 0) & (w_per_doc < n))[0]
+    if len(short_docs):
+        starts = np.concatenate([[0], np.cumsum(w_per_doc)])
+        gh = np.empty(len(short_docs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k, doc in enumerate(short_docs):  # short docs only — rare
+                seg = h[starts[doc] : starts[doc + 1]]
+                gh[k] = splitmix64(
+                    np.bitwise_xor.reduce(seg * mult[: len(seg)])
+                )
+        out_h.append(gh)
+        out_p.append(short_docs.astype(np.int64))
+    if not out_h:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    hh = np.concatenate(out_h)
+    pp = np.concatenate(out_p)
+    order = np.argsort(pp, kind="stable")
+    return hh[order], pp[order]
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hashes (uint64). Vectorized over shingles."""
-    words = text.split()
-    if len(words) < n:
-        joined = " ".join(words) or ""
-        return _bytes_hash(np.array([joined], dtype=object))
-    shingles = np.array([" ".join(words[i : i + n]) for i in range(len(words) - n + 1)], dtype=object)
-    return _bytes_hash(shingles)
+    """Single-text shingle hashes (same scheme as the batch path)."""
+    hh, _ = _shingle_hash_arrays(pa.array([text or ""], pa.string()), n)
+    return hh
 
 
 def _bytes_hash(strings: np.ndarray) -> np.ndarray:
@@ -109,18 +167,18 @@ class MinHashStage:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
+        # bound the (S_chunk, P) mix matrix to ~1k docs per chunk: one giant
+        # (S_total, P) blows the cache (measured 5x slower per row on a
+        # 5000-doc block than on 1024-doc chunks)
+        if batch.num_rows > 1024:
+            return pa.concat_tables(
+                [self(batch.slice(o, 1024)) for o in range(0, batch.num_rows, 1024)]
+            )
         ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
-        # gather every doc's shingle hashes into one flat array + offsets,
-        # then ONE (S_total, P) mix + per-doc segment-min (reduceat) — the
-        # only per-doc Python left is the n-gram string join
-        keep_ids, shingle_arrays = [], []
-        for doc_id, text in zip(ids, texts):
-            if not text:
-                continue
-            keep_ids.append(doc_id)
-            shingle_arrays.append(_shingle_hashes(text, self.shingle_n))
-        if not keep_ids:
+        # fully vectorized: one batch-wide shingle pass, then one
+        # (S_chunk, P) mix + per-doc segment-min via reduceat
+        flat, parents = _shingle_hash_arrays(batch.column(self.text_col), self.shingle_n)
+        if len(flat) == 0:
             return pa.table(
                 {
                     "band": pa.array([], pa.int32()),
@@ -128,18 +186,20 @@ class MinHashStage:
                     self.id_col: pa.array([], pa.int64()),
                 }
             )
-        flat = np.concatenate(shingle_arrays)
-        offsets = np.cumsum([0] + [len(a) for a in shingle_arrays[:-1]])
+        # docs with ≥1 shingle, in parent order (parents is sorted)
+        doc_idx, counts = np.unique(parents, return_counts=True)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
         with np.errstate(over="ignore"):
-            mixed = splitmix64(flat[:, None] ^ self.seeds[None, :])  # (S_total, P)
+            mixed = splitmix64(flat[:, None] ^ self.seeds[None, :])  # (S_chunk, P)
         sigs = np.minimum.reduceat(mixed, offsets, axis=0)  # (D, P)
         bh = self._band_hashes(sigs)  # (D, bands)
+        keep_ids = ids[doc_idx]
         d = len(keep_ids)
         return pa.table(
             {
                 "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), d), pa.int32()),
                 "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
-                self.id_col: pa.array(np.repeat(np.asarray(keep_ids, dtype=np.int64), self.bands), pa.int64()),
+                self.id_col: pa.array(np.repeat(keep_ids, self.bands), pa.int64()),
             }
         )
 
@@ -153,46 +213,148 @@ def minhash_candidates(
     concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets —
-    shingle→minhash→band→bucket groupby (the canonical web-dedup shape)."""
-    sig = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "num_perm": num_perm,
-            "bands": bands,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    shingle→minhash→band→bucket shuffle (the canonical web-dedup shape).
+    Bucketing runs through :func:`lsh_bucket_pairs` (raw-Ray hash shuffle;
+    Ray Data's sort-based groupby measured ~10x slower here); (band,
+    band_hash) collapse to one int64 bucket key — a cross-band collision
+    only adds a false candidate that the exact-Jaccard verify discards."""
+    import ray.data as rd
+
+    from ..util import cached_stage
+
+    # stateless cached-plan tasks (not an actor pool): seeds are cheap to
+    # build, and tasks use every free CPU with no spawn cost; repartition
+    # first so a single-file read still parallelizes the signature compute
+    sig = (
+        ds.select_columns([id_col, text_col])
+        .repartition(16)
+        .map_batches(
+            cached_stage(
+                MinHashStage,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                bands=bands,
+            ),
+            batch_format="pyarrow",
+        )
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        return pairs_from_bucket(group, id_col)
+    def to_bkey(batch: pa.Table) -> pa.Table:
+        bkey = pc.bit_wise_xor(
+            batch.column("band_hash"),
+            pc.shift_left(pc.cast(batch.column("band"), pa.int64()), 48),
+        )
+        return pa.table({"bkey": bkey, id_col: batch.column(id_col)})
 
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs
+    keyed = sig.map_batches(to_bkey, batch_format="pyarrow")
+    return rd.from_arrow(lsh_bucket_pairs(keyed, id_col))
 
 
-def pairs_from_bucket(group: pa.Table, id_col: str, cap: int = 64) -> pa.Table:
-    """Candidate (id_a < id_b) pairs within one LSH bucket. Huge buckets
-    (hot keys) emit a star around the smallest id, bounding pair count at
-    O(n); transitive near-dups resolve via the caller's connected-component
-    pass."""
-    ids = sorted(set(group.column(id_col).to_pylist()))
-    if len(ids) < 2:
+def _pairs_from_key_rows(keys: np.ndarray, ids: np.ndarray, cap: int) -> pa.Table:
+    """(key, id) rows → candidate (id_a < id_b) pairs per key group,
+    star-capped for hot keys. Vectorized group segmentation via lexsort."""
+    order = np.lexsort((ids, keys))
+    k, i = keys[order], ids[order]
+    if len(k):
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
+        k, i = k[keep], i[keep]
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
+    starts = np.concatenate([[0], bounds]) if len(k) else []
+    ends = np.concatenate([bounds, [len(k)]]) if len(k) else []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        grp = i[s:e]  # ascending ids
+        if n <= cap:
+            ia, ib = np.triu_indices(n, k=1)
+            a_out.append(grp[ia])
+            b_out.append(grp[ib])
+        else:
+            # hot bucket: star around the smallest id bounds pairs at O(n)
+            a_out.append(np.full(n - 1, grp[0], dtype=np.int64))
+            b_out.append(grp[1:])
+    if not a_out:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    a, b = [], []
-    if len(ids) <= cap:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    else:
-        root = ids[0]
-        for other in ids[1:]:
-            a.append(root)
-            b.append(other)
-    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+        }
+    )
+
+
+def lsh_bucket_pairs(
+    keys_ds: "ray.data.Dataset",
+    id_col: str,
+    key_col: str = "bkey",
+    cap: int = 64,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """Candidate pairs from LSH (key, id) rows via a raw-Ray hash shuffle —
+    replaces ``Dataset.groupby(key).map_groups(...)``, whose sort-based
+    implementation measured ~2 s on 80k signature rows where this map/reduce
+    takes ~0.2 s (same rationale as stages/shuffle.py). Map: split each
+    signature block by splitmix64(key) %% B. Reduce: per bucket, lexsort
+    group segmentation + star-capped pair emission. Only (key, id) int64
+    rows move; output pairs are deduped by the caller."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+
+    @ray.remote(num_returns=num_buckets)
+    def map_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or key_col not in tbl.column_names:
+            # union/empty sentinel blocks can carry an empty schema
+            e = pa.table({key_col: pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+            return [e] * num_buckets if num_buckets > 1 else e
+        k = np.asarray(tbl.column(key_col).combine_chunks(), dtype=np.int64)
+        i = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
+        b = (splitmix64(k.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, ks, is_ = b[order], k[order], i[order]
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        out = [
+            pa.table(
+                {
+                    key_col: pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
+                    id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
+                }
+            )
+            for x in range(num_buckets)
+        ]
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        return _pairs_from_key_rows(
+            np.asarray(t.column(key_col).combine_chunks(), dtype=np.int64),
+            np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64),
+            cap,
+        )
+
+    refs = [map_block.remote(r) for r in keys_ds.to_arrow_refs()]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    return pa.concat_tables(tables)
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
@@ -243,15 +405,26 @@ def candidate_shingles(
         if not mask.any():
             return empty
         sub = batch.filter(pa.array(mask))
-        out_ids = sub.column(id_col).to_pylist()
-        shingle_lists = [
-            np.unique(_shingle_hashes(t or "", n)).view(np.int64).tolist()
-            for t in sub.column(text_col).to_pylist()
-        ]
+        sub_ids = np.asarray(sub.column(id_col).combine_chunks(), dtype=np.int64)
+        # one vectorized shingle pass over the kept docs, then per-doc
+        # unique via lexsort + adjacent-dedupe (no Python doc loop)
+        flat, parents = _shingle_hash_arrays(sub.column(text_col), n)
+        sflat = flat.view(np.int64)
+        order = np.lexsort((sflat, parents))
+        sp, sv = parents[order], sflat[order]
+        if len(sp):
+            keep = np.ones(len(sp), dtype=bool)
+            keep[1:] = (sp[1:] != sp[:-1]) | (sv[1:] != sv[:-1])
+            sp, sv = sp[keep], sv[keep]
+        counts = np.bincount(sp, minlength=sub.num_rows)
+        list_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        shingle_arr = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), pa.array(sv, pa.int64())
+        )
         return pa.table(
             {
-                id_col: pa.array(out_ids, pa.int64()),
-                "shingles": pa.array(shingle_lists, pa.list_(pa.int64())),
+                id_col: pa.array(sub_ids, pa.int64()),
+                "shingles": shingle_arr,
             }
         )
 
@@ -400,11 +573,11 @@ class SimHashStage:
 
 
 def simhash_signatures(ds: "ray.data.Dataset", text_col="text", id_col="doc_id", concurrency: int = 4):
+    from ..util import cached_stage
+
     return ds.select_columns([id_col, text_col]).map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        cached_stage(SimHashStage, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
@@ -499,32 +672,21 @@ def embedding_near_dups(
             "cosine": pa.array([], pa.float64()),
         }
     )
+    from ..util import cached_stage
+
     keys = ds.select_columns([id_col, vec_col]).map_batches(
-        EmbedLSHStage,
-        fn_constructor_kwargs={
-            "vec_col": vec_col,
-            "id_col": id_col,
-            "num_planes": num_planes,
-            "num_tables": num_tables,
-            "seed": seed,
-        },
+        cached_stage(
+            EmbedLSHStage,
+            vec_col=vec_col,
+            id_col=id_col,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            seed=seed,
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        return pairs_from_bucket(group, id_col, cap=256)
-
-    pairs = _dedupe_pairs(
-        pa.concat_tables(
-            list(
-                keys.groupby("bkey")
-                .map_groups(bucket_pairs, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow", batch_size=None)
-            )
-            or [pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})]
-        )
-    )
+    pairs = _dedupe_pairs(lsh_bucket_pairs(keys, id_col, cap=256))
     if pairs.num_rows == 0:
         return empty
 

@@ -253,22 +253,19 @@ def winnow_passages_documents(sf_dir: str) -> pa.Table:
     fingerprint bucket, then count shared fps per doc pair. Returns
     (id_a, id_b, n_shared) for pairs sharing ≥8 fingerprints — rows-only
     (winnowing is not SQL-expressible); golden counts in test_functions."""
-    from ..functions.dedup import pairs_from_bucket
+    from ..functions.dedup import lsh_bucket_pairs
     from ..functions.text import winnow_fingerprints
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # k=20-char grams / window=8 picked for selectivity: on sf0.01 this
     # recovers exactly the 25 planted near-dup pairs (k=8 matched almost
-    # all-pairs on the shared synthetic vocabulary).
-    # repartition before the groupby: thousands of tiny blocks make Ray's
-    # sort-based groupby collapse (measured 3x, see CLAUDE.md env quirks)
+    # all-pairs on the shared synthetic vocabulary). Bucketing goes through
+    # the raw-Ray lsh_bucket_pairs shuffle (Dataset.groupby was ~10x slower
+    # on these key row counts).
     fps = ds.map_batches(
         lambda b: winnow_fingerprints(b, k=20, window=8), batch_format="pyarrow"
-    ).repartition(8)
-    pairs_ds = fps.groupby("fp").map_groups(
-        lambda g: pairs_from_bucket(g, "doc_id"), batch_format="pyarrow"
     )
-    tbl = _collect(pairs_ds)
+    tbl = lsh_bucket_pairs(fps, "doc_id", key_col="fp")
     empty = pa.table(
         {
             "id_a": pa.array([], pa.int64()),
@@ -288,9 +285,11 @@ def winnow_passages_documents(sf_dir: str) -> pa.Table:
 
 
 def langid_documents(sf_dir: str) -> pa.Table:
+    from ..util import cached_stage
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(
-        ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+        ds.repartition(8).map_batches(cached_stage(LangIdStage), batch_format="pyarrow")
     )
     return out.select(["doc_id", "lang_pred"]).sort_by("doc_id")
 

@@ -97,3 +97,28 @@ def stringify_column(col: pa.ChunkedArray, indices: np.ndarray) -> pa.Array:
         return taken.cast(pa.string())
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
         return pa.array([None] * len(indices), pa.string())
+
+
+# Per-worker-process cache of constructed batch stages. Cheap-state stages
+# (seed arrays, stopword sets, compiled regexes) run as STATELESS TASKS with
+# the instance cached per worker instead of an actor pool: tasks use every
+# free CPU and skip the actor spawn cost, which measured 1-2 s x pool size
+# and anti-scales short jobs (same rationale as pipelines/validate.py's
+# _STAGE_CACHE; actor pools remain right for heavy state like model weights).
+_STAGE_FN_CACHE: dict = {}
+
+
+def cached_stage(cls, **kwargs):
+    """Return a plain function for ``map_batches`` that lazily constructs
+    ``cls(**kwargs)`` once per worker process and reuses it per batch.
+    kwargs must be hashable."""
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def fn(batch):
+        stage = _STAGE_FN_CACHE.get(key)
+        if stage is None:
+            stage = cls(**kwargs)
+            _STAGE_FN_CACHE[key] = stage
+        return stage(batch)
+
+    return fn
