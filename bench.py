@@ -180,10 +180,12 @@ def run_scaling_once() -> dict:
     # one untimed warm-up iteration: excludes the one-time Ray worker
     # spawn + import cost, which scales WITH worker count and would
     # otherwise dominate a ~10 s job (a long-running cluster job amortizes
-    # it); then best of 3 timed iterations (shared-VM CPU contention makes
+    # it); then best of 2 timed iterations per process — the outer
+    # run_scaling layer alternates two processes per level, so each level
+    # still gets 4 timed samples total (shared-VM CPU contention makes
     # single measurements a ±2-3× dice roll — BASELINE.md)
     one_run()
-    sec, rows = min(one_run() for _ in range(3))
+    sec, rows = min(one_run() for _ in range(2))
     ray.shutdown()
     return {
         "sec": round(sec, 3),
@@ -208,8 +210,15 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # two alternating passes per level, per-level best: a multi-minute
+    # neighbor-contention window on this shared VM otherwise lands entirely
+    # on one level and skews the ratio (observed 0.52-0.91 single-pass)
+    runs_lo = [run(lo)]
+    runs_hi = [run(hi)]
+    runs_lo.append(run(lo))
+    runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["sec"])
+    r_hi = min(runs_hi, key=lambda r: r["sec"])
     tp_lo = r_lo["rows_per_sec"]
     tp_hi = r_hi["rows_per_sec"]
     eff = tp_hi / (tp_lo * (hi / lo))
