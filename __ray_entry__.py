@@ -159,6 +159,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
         """,
+        "minhash_neardup_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3 THEN
+                           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                          for i in range(1, len(words) - 1)])
+                       ELSE [array_to_string(words, ' ')] END AS grams
+                  FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(FLOOR(10000.0 * len(list_intersect(a.grams, b.grams)) /
+                        len(list_distinct(list_concat(a.grams, b.grams)))) AS BIGINT) AS jacc_bp
+              FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+             WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
+                   len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
+             ORDER BY 1, 2
+        """,
         "token_count_documents": """
             SELECT doc_id,
                    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,

@@ -454,6 +454,7 @@ def verify_pairs_distributed(
             "id_a": pa.array([], pa.int64()),
             "id_b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
+            "jacc_bp": pa.array([], pa.int64()),
         }
     )
     pairs = _dedupe_pairs(pairs)
@@ -467,23 +468,27 @@ def verify_pairs_distributed(
 
     def verify(batch: pa.Table) -> pa.Table:
         sh = ray.get(sh_ref)
-        keep_a, keep_b, sims = [], [], []
+        keep_a, keep_b, sims, bps = [], [], [], []
         for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
             sa, sb = sh.get(a), sh.get(b)
             if sa is None or sb is None:
                 continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter = int(len(np.intersect1d(sa, sb, assume_unique=True)))
             union = len(sa) + len(sb) - inter
             j = 1.0 if union == 0 else inter / union
             if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
                 sims.append(round(j, 6))
+                # multiply-first basis points: identical double expression to
+                # the DuckDB oracle (FLOOR(10000.0 * inter / union))
+                bps.append(10000 if union == 0 else int(np.floor(10000.0 * inter / union)))
         return pa.table(
             {
                 "id_a": pa.array(keep_a, pa.int64()),
                 "id_b": pa.array(keep_b, pa.int64()),
                 "jaccard": pa.array(sims, pa.float64()),
+                "jacc_bp": pa.array(bps, pa.int64()),
             }
         )
 

@@ -160,7 +160,13 @@ def minhash_neardup_documents(sf_dir: str) -> pa.Table:
     """LSH candidates → DISTRIBUTED exact-Jaccard verify: only the candidate
     id set is broadcast; shingle sets are computed by a semi-join map_batches
     over the corpus and pairs verified in parallel tasks. No document text
-    ever reaches the driver (round-1 materialized the whole corpus here)."""
+    ever reaches the driver (round-1 materialized the whole corpus here).
+
+    Oracle-backed: the DuckDB oracle computes EXACT all-pairs word-trigram
+    Jaccard ≥ 0.8; the engine's banding (b=16, r=4) has miss probability
+    (1-j^4)^16 ≈ 1e-4 at j=0.8 and < 1e-15 at the j≥0.9 pairs present in
+    this data, so the outputs match exactly (verified sf0.001 + sf0.01).
+    jacc_bp is multiply-first floored basis points per CLAUDE.md."""
     from ..functions.dedup import _dedupe_pairs, candidate_shingles, verify_pairs_distributed
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -170,13 +176,15 @@ def minhash_neardup_documents(sf_dir: str) -> pa.Table:
             {
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "jacc_bp": pa.array([], pa.int64()),
             }
         )
     cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
     shingles = candidate_shingles(ds, cand_ids)
     out = verify_pairs_distributed(pairs, shingles, threshold=0.8)
-    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    return out.select(["id_a", "id_b", "jacc_bp"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
 
 
 def simhash_documents(sf_dir: str) -> pa.Table:

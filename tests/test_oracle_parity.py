@@ -60,6 +60,7 @@ ORACLE_NAMES = [
     "referential_events_customer",
     "histogram_events_type",
     "dedup_exact_documents",
+    "minhash_neardup_documents",
     "token_count_documents",
     "quality_documents",
     "fingerprint_documents",
@@ -91,7 +92,6 @@ def test_oracle_parity(name, entrymod, con):
 
 ROWS_ONLY = [
     "sample_documents",
-    "minhash_neardup_documents",
     "simhash_documents",
     "winnow_passages_documents",
     "langid_documents",
