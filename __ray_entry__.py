@@ -63,8 +63,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_oracle_sql() -> str:
+    """Generated from the SAME stopword tables the engine stage uses, so the
+    oracle and the engine cannot drift apart."""
+    from schemasaurus_ray.functions.text import _LANG_STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(_LANG_STOPWORDS[lang])) + "]"
+
+    score = {
+        lang: (
+            "CASE WHEN len(words)=0 THEN 0.0 ELSE "
+            f"len(list_filter(words, w -> list_contains({lst(lang)}, w))) * 1.0 / len(words) END"
+        )
+        for lang in _LANG_STOPWORDS
+    }
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß'']+'), t -> t <> '') AS words
+              FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   {score['en']} AS s_en,
+                   {score['de']} AS s_de,
+                   {score['fr']} AS s_fr,
+                   {score['es']} AS s_es
+              FROM toks
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN text IS NULL OR text = '' THEN NULL
+                 WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.05 THEN 'unk'
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es'
+               END AS lang_pred
+          FROM scored ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "langid_documents": _langid_oracle_sql(),
+        "sample_documents": """
+            SELECT doc_id FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+             ORDER BY doc_id
+        """,
         "validate_lineitem": """
             SELECT CAST(l_orderkey AS VARCHAR) AS row_ref, 'l_quantity' AS col, 'minimum' AS code
               FROM lineitem WHERE l_quantity < 5
@@ -244,8 +292,8 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
             ) <= 10
         """,
-        # minhash_neardup_documents, simhash_documents, embedding_neardup,
-        # langid_documents, ann_ivf_embeddings, validate_audio_clips,
-        # audio_features: non-SQL-expressible (sketch/LSH/heuristic/actor
-        # pipelines) → rows-only checks.
+        # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
+        # validate_audio_clips, audio_features: non-SQL-expressible
+        # (bit-signature / rolling-hash / approximate / actor pipelines)
+        # → rows-only checks.
     }

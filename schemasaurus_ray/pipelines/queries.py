@@ -295,6 +295,9 @@ def winnow_passages_documents(sf_dir: str) -> pa.Table:
 def langid_documents(sf_dir: str) -> pa.Table:
     from ..util import cached_stage
 
+    """Stopword-table language ID — oracle-backed: the scoring (token
+    fraction per language's stopword list, first-max tie-break, 0.05
+    threshold) is reproduced in SQL generated from the same tables."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(
         ds.repartition(8).map_batches(cached_stage(LangIdStage), batch_format="pyarrow")
@@ -576,7 +579,18 @@ def top_docs_by_length(sf_dir: str) -> pa.Table:
 
 
 def sample_documents(sf_dir: str) -> pa.Table:
-    """Seeded 10% sample (rows-only check — sampling is inherently
-    engine-specific)."""
+    """Deterministic hash-based ~10% sample: keep rows where
+    md5(doc_id)[:2] < '1a' (26/256 ≈ 10.2%). Unlike RNG-per-block
+    random_sample, the selection is reproducible regardless of block
+    layout, parallelism or cluster size — the property a resumable 100-TB
+    pipeline actually needs — and it is SQL-checkable (oracle-backed)."""
+    import hashlib
+
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return _collect(ds.random_sample(0.1, seed=42))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()[:2] < "1a" for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return _collect(ds.map_batches(pick, batch_format="pyarrow")).sort_by("doc_id")

@@ -61,6 +61,8 @@ ORACLE_NAMES = [
     "histogram_events_type",
     "dedup_exact_documents",
     "minhash_neardup_documents",
+    "langid_documents",
+    "sample_documents",
     "token_count_documents",
     "quality_documents",
     "fingerprint_documents",
@@ -91,10 +93,8 @@ def test_oracle_parity(name, entrymod, con):
 
 
 ROWS_ONLY = [
-    "sample_documents",
     "simhash_documents",
     "winnow_passages_documents",
-    "langid_documents",
     "ann_ivf_embeddings",
 ]
 
