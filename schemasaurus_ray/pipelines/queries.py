@@ -51,13 +51,28 @@ def _collect(ds) -> pa.Table:
     return pa.concat_tables(batches)
 
 
+# per-worker cache of compiled rule stages, keyed by spec hash — stateless
+# tasks (all free CPUs, no actor spawn) with one plan compile per worker
+_RULE_STAGE_CACHE: dict[str, RowRuleStage] = {}
+
+
 def _violations(ds, spec: dict) -> pa.Table:
+    import functools
+    import json
+
+    key = json.dumps(spec, sort_keys=True, default=str)
+
+    def run_rules(batch: pa.Table, *, key: str, spec: dict) -> pa.Table:
+        stage = _RULE_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = RowRuleStage(spec)
+            _RULE_STAGE_CACHE[key] = stage
+        return stage(batch)
+
     out = ds.map_batches(
-        RowRuleStage,
-        fn_constructor_args=(spec,),
+        functools.partial(run_rules, key=key, spec=spec),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
     )
     tbl = _collect(out)
     viol = tbl.filter(pc.equal(tbl.column("kind"), "violation"))
