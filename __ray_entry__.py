@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": q.validate_events,
         # normalizer (§2C)
         "normalize_lineitem": q.normalize_lineitem,
+        "normalize_events_defaults": q.normalize_events_defaults,
         # column stats (§2E)
         "stats_lineitem": q.stats_lineitem,
         "distinct_orderkeys": q.distinct_orderkeys,
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q.dedup_exact_documents,
         "minhash_neardup_documents": q.minhash_neardup_documents,
         "simhash_documents": q.simhash_documents,
+        "simhash_neardup_documents": q.simhash_neardup_documents,
         "embedding_neardup": q.embedding_neardup,
         # text analysis
         "token_count_documents": q.token_count_documents,
@@ -173,6 +175,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                    CAST(l_quantity AS BIGINT) AS qty_int
               FROM lineitem
+        """,
+        "normalize_events_defaults": """
+            SELECT event_id,
+                   CASE WHEN value > 100 THEN 0.0 ELSE value END AS value
+              FROM events ORDER BY event_id
         """,
         "stats_lineitem": """
             SELECT 'l_discount' AS col_name, count(*) AS cnt, count(*) - count(l_discount) AS nulls,

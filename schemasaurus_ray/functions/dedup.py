@@ -586,6 +586,101 @@ def simhash_signatures(ds: "ray.data.Dataset", text_col="text", id_col="doc_id",
     )
 
 
+def simhash_near_dups(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> pa.Table:
+    """SimHash near-duplicates: banded LSH candidates (4x16-bit bands ⇒
+    any pair with hamming ≤ 3 shares ≥ 1 exact band, pigeonhole) verified
+    by exact hamming distance on broadcast signatures. Same distributed
+    shape as MinHash: key-only band rows through lsh_bucket_pairs, tiny
+    signature lookup ray.put once. Returns (id_a, id_b, hamming)."""
+    import ray
+    import ray.data as rd
+
+    sigs_ds = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0 or id_col not in batch.column_names:
+            return pa.table({"bkey": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        keys, out_ids = [], []
+        for b in range(4):
+            band = np.asarray(batch.column(f"band{b}").combine_chunks(), dtype=np.int64)
+            keys.append(band | (np.int64(b) << np.int64(32)))
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(keys), pa.int64()),
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            }
+        )
+
+    keyed = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = _dedupe_pairs(lsh_bucket_pairs(keyed, id_col))
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+    # semi-join fetch of ONLY candidate ids' signatures (broadcast id
+    # array, np.isin per batch) — O(candidates), never O(corpus)
+    cand = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    ids_ref = ray.put(np.asarray(sorted(cand), dtype=np.int64))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        col = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(np.isin(col, wanted)))
+
+    sig_tbl = pa.concat_tables(
+        list(
+            sigs_ds.select_columns([id_col, "simhash"])
+            .map_batches(fetch, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    lookup = {
+        int(i): np.uint64(s)
+        for i, s in zip(
+            np.asarray(sig_tbl.column(id_col), dtype=np.int64),
+            np.asarray(sig_tbl.column("simhash"), dtype=np.int64).view(np.uint64),
+        )
+    }
+    sig_ref = ray.put(lookup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        sa = np.array([sigs[a] for a in a_ids], dtype=np.uint64)
+        sb = np.array([sigs[b] for b in b_ids], dtype=np.uint64)
+        d = hamming64(sa, sb)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(np.asarray(a_ids, dtype=np.int64)[keep], pa.int64()),
+                "id_b": pa.array(np.asarray(b_ids, dtype=np.int64)[keep], pa.int64()),
+                "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = list(
+        rd.from_arrow(pairs)
+        .map_batches(verify, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    result = pa.concat_tables(out) if out else empty
+    return result.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = a ^ b
     cnt = np.zeros(len(x), dtype=np.int32)

@@ -208,6 +208,16 @@ def simhash_documents(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "simhash"]).sort_by("doc_id")
 
 
+def simhash_neardup_documents(sf_dir: str) -> pa.Table:
+    """Banded SimHash near-dup pairs (hamming ≤ 3; 4×16-bit bands give
+    exact recall at that radius by pigeonhole) — rows-only (bit signatures
+    are not SQL-expressible); golden counts in test_functions."""
+    from ..functions.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds)
+
+
 def embedding_neardup(sf_dir: str) -> pa.Table:
     """Cosine near-dup over the embeddings table AUGMENTED with planted
     duplicates (vec_id+100000 copies of vec_id<50) so the positive path is
@@ -365,6 +375,37 @@ def normalize_lineitem(sf_dir: str) -> pa.Table:
         ds.map_batches(NormalizeStage(spec), batch_format="pyarrow")
     )
     return out.rename_columns(["l_orderkey", "l_linenumber", "qty_int"])
+
+
+def normalize_events_defaults(sf_dir: str) -> pa.Table:
+    """Normalizer [default] fill + [additionalProperty] removal, oracle-
+    backed: value is first masked to null where > 100 (simulating missing
+    data in a SQL-expressible way), then NormalizeStage fills the spec
+    default 0.0 and drops the props column (absent from the spec) — the
+    reference normalizer's two core ops (normalizer.js:16-44)."""
+    from ..stages.normalize import NormalizeStage
+
+    spec = {
+        "columns": {
+            "event_id": {"type": "integer"},
+            "value": {"type": "number", "default": 0.0},
+        }
+    }
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        masked = pc.if_else(pc.greater(v, 100.0), pa.nulls(batch.num_rows, pa.float64()), v)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "value": masked, "props": batch.column("props")}
+        )
+
+    out = _collect(
+        ds.map_batches(mask, batch_format="pyarrow").map_batches(
+            NormalizeStage(spec), batch_format="pyarrow"
+        )
+    )
+    return out.select(["event_id", "value"]).sort_by("event_id")
 
 
 # ---- audio flagship (rows-only; fixture-synthesized) ------------------------

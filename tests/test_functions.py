@@ -158,6 +158,25 @@ def test_simhash_near_dups(docs_ds):
     assert d_near < d_far
 
 
+def test_simhash_near_dup_pairs(docs_ds):
+    """Banded candidates + exact-hamming verify: exact dup pairs (i, i+1)
+    have hamming 0 and MUST all be found (pigeonhole recall at radius 3)."""
+    from schemasaurus_ray.functions.dedup import simhash_near_dups
+
+    ds, _ = docs_ds
+    out = simhash_near_dups(ds)
+    found = {
+        (a, b): h
+        for a, b, h in zip(
+            out.column("id_a").to_pylist(), out.column("id_b").to_pylist(), out.column("hamming").to_pylist()
+        )
+    }
+    for i in range(0, 400, 20):
+        if i + 1 < 400:
+            assert found.get((i, i + 1)) == 0, f"missing exact dup {i}"
+    assert all(h <= 3 for h in found.values())
+
+
 def test_embedding_near_dups(ray_session):
     import ray.data as rd
 

@@ -54,6 +54,7 @@ ORACLE_NAMES = [
     "validate_embeddings",
     "validate_events",
     "normalize_lineitem",
+    "normalize_events_defaults",
     "stats_lineitem",
     "distinct_orderkeys",
     "unique_lineitem_orderkey",
@@ -94,6 +95,7 @@ def test_oracle_parity(name, entrymod, con):
 
 ROWS_ONLY = [
     "simhash_documents",
+    "simhash_neardup_documents",
     "winnow_passages_documents",
     "ann_ivf_embeddings",
 ]
