@@ -26,11 +26,28 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def _polars_hash(col: pa.Array, seed: int) -> np.ndarray | None:
+    """String/binary hash via polars (Rust-vectorized ahash): ~70x faster
+    than the numpy polyhash on this box, where fresh-page allocation runs
+    at ~20 MB/s under host memory ballooning — the polyhash's 5 byte-sized
+    temporaries dominated its runtime. Deterministic for a fixed polars
+    wheel across processes (verified), which is all the engine needs: no
+    hash value is ever persisted across runs. Returns None if polars is
+    unavailable (numpy fallback below)."""
+    try:
+        import polars as pl
+    except ImportError:  # pragma: no cover - polars is in the baked env
+        return None
+    s = pl.from_arrow(col)
+    return s.hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy().astype(np.uint64, copy=False)
+
+
 def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
     """Stable uint64 hash of an Arrow column, vectorized.
 
-    ints → splitmix64; strings/binary → FNV-1a folded over a fixed-width
-    byte view (vectorized via offsets math), then splitmix64.
+    ints → splitmix64; strings/binary → polars ahash (numpy FNV-1a
+    polyhash fallback). Deterministic within one environment; never
+    persisted across runs.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -45,6 +62,9 @@ def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
         return splitmix64(vals + np.uint64(seed))
     # strings / binary: vectorized polyhash over the flat byte buffer
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        h = _polars_hash(col, seed)
+        if h is not None:
+            return h
         col = col.cast(pa.large_binary())
     else:
         raise TypeError(f"hash_column: unsupported Arrow type {t}")
