@@ -352,3 +352,25 @@ def test_winnow_fingerprints_detect_shared_passages():
     # deterministic
     out2 = winnow_fingerprints(t)
     assert out.equals(out2)
+
+
+def test_pairs_from_key_rows_star_cap_and_dedupe():
+    """Hot buckets emit O(n) star pairs; duplicate (key, id) rows collapse;
+    groups segment correctly across key boundaries."""
+    import numpy as np
+
+    from schemasaurus_ray.functions.dedup import _pairs_from_key_rows
+
+    # key 1: ids {1,2,3} (+ dup row) -> 3 pairs; key 2: single id -> none;
+    # key 3: 100 ids with cap 10 -> star = 99 pairs around min id
+    keys = np.array([1, 1, 1, 1, 2] + [3] * 100, dtype=np.int64)
+    ids = np.array([1, 2, 3, 2, 9] + list(range(100, 200)), dtype=np.int64)
+    out = _pairs_from_key_rows(keys, ids, cap=10)
+    pairs = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    star = [(a, b) for a, b in pairs if a == 100]
+    assert len(star) == 99
+    assert len(pairs) == 3 + 99
+    # empty input
+    empty = _pairs_from_key_rows(np.array([], dtype=np.int64), np.array([], dtype=np.int64), cap=10)
+    assert empty.num_rows == 0
