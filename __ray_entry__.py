@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_documents": q.validate_documents,
         "validate_embeddings": q.validate_embeddings,
         "validate_events": q.validate_events,
+        "validate_documents_formats": q.validate_documents_formats,
         # normalizer (§2C)
         "normalize_lineitem": q.normalize_lineitem,
         "normalize_events_defaults": q.normalize_events_defaults,
@@ -170,6 +171,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(event_id AS VARCHAR), 'props', 'json'
               FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        """,
+        "validate_documents_formats": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'source' AS col, 'format.uri' AS code
+              FROM documents
+             WHERE NOT regexp_matches(source, '^[a-zA-Z][a-zA-Z0-9+-.]*:[^\s]*$')
         """,
         "normalize_lineitem": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

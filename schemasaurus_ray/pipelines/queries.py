@@ -90,6 +90,26 @@ def validate_documents(sf_dir: str) -> pa.Table:
     return _violations(_read(sf_dir, "documents", cols), DOCUMENTS_SPEC)
 
 
+FORMATS_SPEC: dict = {
+    "columns": {
+        "doc_id": {"type": "integer", "required": True},
+        # exercises the [format] kernel (registry regexes, code "format.<name>"):
+        # "srcN" is a valid hostname (no violations) but not a URI (no scheme
+        # colon → every row violates)
+        "source": {"type": "string", "format": "uri"},
+    },
+    "table": {"key": "doc_id"},
+}
+
+
+def validate_documents_formats(sf_dir: str) -> pa.Table:
+    """[format] keyword end-to-end with an oracle: the registry's uri regex
+    (messages.py, mirroring v4validator.js fillDefaultFormats) evaluated by
+    the RE2 kernel must match DuckDB's regexp_matches of the same literal."""
+    cols = list(FORMATS_SPEC["columns"].keys())
+    return _violations(_read(sf_dir, "documents", cols), FORMATS_SPEC)
+
+
 # ---- stats ------------------------------------------------------------------
 STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 

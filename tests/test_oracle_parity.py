@@ -53,6 +53,7 @@ ORACLE_NAMES = [
     "validate_documents",
     "validate_embeddings",
     "validate_events",
+    "validate_documents_formats",
     "normalize_lineitem",
     "normalize_events_defaults",
     "stats_lineitem",
