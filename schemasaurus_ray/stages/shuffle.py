@@ -217,6 +217,10 @@ def combined_key_checks_async(
 
     @ray.remote(num_returns=num_buckets)
     def map_right_table(tbl: pa.Table):
+        if tbl.num_rows == 0 or right_col not in tbl.column_names:
+            # empty/union-sentinel blocks can carry an empty schema
+            e = pa.table({right_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+            return [e] * num_buckets if num_buckets > 1 else e
         keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
         keys = keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
         out = _split_buckets(keys, [right_col], num_buckets)
@@ -373,6 +377,9 @@ def anti_join_shuffled(
 
     @ray.remote(num_returns=num_buckets)
     def map_right_table(tbl: pa.Table):
+        if tbl.num_rows == 0 or right_col not in tbl.column_names:
+            e = pa.table({right_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+            return [e] * num_buckets if num_buckets > 1 else e
         keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
         out = _split_buckets(keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64())), [right_col], num_buckets)
         return out if num_buckets > 1 else out[0]
