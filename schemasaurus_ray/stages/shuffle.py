@@ -45,6 +45,19 @@ from ..util import hash_column, splitmix64
 _FAN_IN = 64
 
 
+def _default_buckets(n_shards: int) -> int:
+    """Reduce-bucket count scaled to the cluster: more buckets shorten the
+    reduce tail at high CPU counts; fewer keep task overhead low at small
+    ones. Bounded at 64 (per-bucket pre-agg fragments beyond that)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:  # pragma: no cover
+        cpus = 8
+    return min(64, max(4, n_shards // 4, cpus))
+
+
 def _tree_combine(refs: list, combine_remote, fan_in: int | None = None) -> list:
     """Collapse a list of per-map object refs for ONE bucket into ≤ fan_in
     refs by layering combine tasks. Returns the surviving refs (callers pass
@@ -93,7 +106,7 @@ def count_keys_shuffled(
     violations); min_count=1 → full distinct key counts."""
     import ray
 
-    num_buckets = num_buckets or min(32, max(4, len(paths) // 4))
+    num_buckets = num_buckets or _default_buckets(len(paths))
 
     @ray.remote(num_returns=num_buckets)
     def map_shard(path: str):
@@ -180,7 +193,7 @@ def combined_key_checks_async(
     shards touch the heavy input."""
     import ray
 
-    num_buckets = num_buckets or min(32, max(4, len(left_paths) // 4))
+    num_buckets = num_buckets or _default_buckets(len(left_paths))
     ordered = sorted(left_paths)
     pids = {p: (path_pids.get(p, -1) if path_pids else i) for i, p in enumerate(ordered)}
 
@@ -359,7 +372,7 @@ def anti_join_shuffled(
     columns move; co-partitioning comes from the shared hash."""
     import ray
 
-    num_buckets = num_buckets or min(32, max(4, len(left_paths) // 4))
+    num_buckets = num_buckets or _default_buckets(len(left_paths))
 
     @ray.remote(num_returns=num_buckets)
     def map_left(path: str):
