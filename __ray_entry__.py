@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "minhash_neardup_documents": q.minhash_neardup_documents,
+        "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,
         "simhash_documents": q.simhash_documents,
         "simhash_neardup_documents": q.simhash_neardup_documents,
         "embedding_neardup": q.embedding_neardup,
@@ -239,6 +240,33 @@ def oracle_sql() -> dict[str, str]:
              WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
                    len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
              ORDER BY 1, 2
+        """,
+        "dedup_neardup_survivors_documents": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3 THEN
+                           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                          for i in range(1, len(words) - 1)])
+                       ELSE [array_to_string(words, ' ')] END AS grams
+                  FROM toks
+            ),
+            edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM tri a JOIN tri b ON a.doc_id <> b.doc_id
+                 WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
+                       len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT doc_id FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM reach WHERE src = d.doc_id AND dst < d.doc_id)
+             ORDER BY doc_id
         """,
         "token_count_documents": """
             SELECT doc_id,

@@ -532,6 +532,62 @@ def verify_pairs_jaccard(
     )
 
 
+def connected_component_min(pairs: pa.Table) -> dict[int, int]:
+    """Union-find over near-dup pairs → {doc_id: min id of its component}.
+    Driver-side by design: the pair set is the LSH+verify output, tiny next
+    to the corpus (the only ids present are members of some near-dup pair).
+    At 100 TB, shard this by component via iterated label propagation if
+    pairs ever outgrow one machine."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen: set[int] = set()
+    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
+def neardup_survivors(
+    ds: "ray.data.Dataset",
+    pairs: pa.Table,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Corpus minus non-minimal members of each near-dup component: the
+    standard keep-one-per-cluster dedup product. The dropped-id set
+    (O(near-dups)) is broadcast; the corpus is filtered in map_batches."""
+    import ray
+
+    comp = connected_component_min(pairs)
+    dropped = np.asarray(sorted(x for x, root in comp.items() if x != root), dtype=np.int64)
+    drop_ref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(~np.isin(ids, drop)))
+
+    out = list(
+        ds.select_columns([id_col])
+        .map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    result = pa.concat_tables(out) if out else pa.table({id_col: pa.array([], pa.int64())})
+    return result.sort_by(id_col)
+
+
 # ------------------------------------------------------------------- SimHash
 class SimHashStage:
     """64-bit SimHash (Charikar) per document from word hashes; vectorized

@@ -222,6 +222,27 @@ def minhash_neardup_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def dedup_neardup_survivors_documents(sf_dir: str) -> pa.Table:
+    """Keep-one-per-cluster near-dup dedup: MinHash-LSH pairs → connected
+    components (union-by-min) → survivors = corpus minus non-minimal
+    component members. Oracle: the exact all-pairs trigram-Jaccard edge set
+    closed transitively with a recursive CTE — a doc is dropped iff it can
+    reach a smaller doc_id."""
+    from ..functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        neardup_survivors,
+        verify_pairs_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _dedupe_pairs(_collect(minhash_candidates(ds, concurrency=2)))
+    if pairs.num_rows:
+        cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+        pairs = verify_pairs_distributed(pairs, candidate_shingles(ds, cand_ids), threshold=0.8)
+    return neardup_survivors(ds, pairs)
+
+
 def simhash_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(simhash_signatures(ds, concurrency=2))

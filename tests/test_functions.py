@@ -374,3 +374,18 @@ def test_pairs_from_key_rows_star_cap_and_dedupe():
     # empty input
     empty = _pairs_from_key_rows(np.array([], dtype=np.int64), np.array([], dtype=np.int64), cap=10)
     assert empty.num_rows == 0
+
+
+def test_connected_component_min():
+    from schemasaurus_ray.functions.dedup import connected_component_min
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 10, 20, 7], pa.int64()),
+            "id_b": pa.array([2, 3, 11, 10, 7], pa.int64()),
+        }
+    )
+    comp = connected_component_min(pairs)
+    # chain 1-2-3 -> min 1; chain 10-11, 20-10 -> min 10; self-pair ignored
+    assert comp[2] == 1 and comp[3] == 1 and comp[1] == 1
+    assert comp[11] == 10 and comp[20] == 10 and comp[10] == 10

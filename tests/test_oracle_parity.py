@@ -63,6 +63,7 @@ ORACLE_NAMES = [
     "histogram_events_type",
     "dedup_exact_documents",
     "minhash_neardup_documents",
+    "dedup_neardup_survivors_documents",
     "langid_documents",
     "sample_documents",
     "token_count_documents",
