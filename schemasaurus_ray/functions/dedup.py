@@ -1,5 +1,7 @@
-"""Deduplication operators for the documents table — exact, MinHash+LSH,
-SimHash, n-gram Jaccard, embedding-cosine. Engine-native training-data ops
+"""Deduplication operators for the documents table — exact, MinHash+LSH
+(distributed exact-Jaccard verify), SimHash signatures + banded hamming
+pairs, embedding-cosine (multi-table hyperplane LSH), connected-component
+survivors. Engine-native training-data ops
 (the reference's only dedup notion is within-array ``uniqueItems``,
 v4validator.js:277-290; globalized here the same way uniqueness is in
 stages/unique.py).
