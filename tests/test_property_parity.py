@@ -176,3 +176,30 @@ def test_combinator_columns(cspec, values):
         expected = row_codes(cspec, v) & combinator_codes
         got = vec[i] & combinator_codes
         assert got == expected, f"value {v!r} spec {cspec}: {got} != {expected}"
+
+
+# ---- batch shingle hashing ≡ per-doc reference (round-2 primitive) ----------
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")), max_size=80),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_shingle_hash_batch_matches_per_doc(texts):
+    """_shingle_hash_arrays over a column must equal hashing each doc
+    alone: same multiset of shingle hashes per doc, no cross-doc bleed."""
+    import numpy as np
+    import pyarrow as pa
+
+    from schemasaurus_ray.functions.dedup import _shingle_hash_arrays
+
+    col = pa.array(texts, pa.string())
+    flat, parents = _shingle_hash_arrays(col, n=3)
+    by_doc: dict[int, list] = {}
+    for h, p in zip(flat.tolist(), parents.tolist()):
+        by_doc.setdefault(p, []).append(h)
+    for i, t in enumerate(texts):
+        solo, _ = _shingle_hash_arrays(pa.array([t], pa.string()), n=3)
+        assert sorted(by_doc.get(i, [])) == sorted(solo.tolist()), f"doc {i}: {t!r}"
