@@ -135,3 +135,61 @@ class StubImageDecodeStage:
                 "features": pa.array(feats, pa.list_(pa.float64())),
             }
         )
+
+
+class StubVideoFrameSampleStage:
+    """STUB video frame sampler (no ffmpeg in this container). The Ray-side
+    contract is real and tested: an actor-pool ``map_batches`` stage over an
+    opaque binary column that emits one row PER SAMPLED FRAME — (id,
+    frame_idx, frame_ms, frame_bytes) — the fan-out layout a real decoder
+    would produce. ``fake=True`` swaps in a deterministic splitter that
+    treats the blob as fixed-size synthetic "frames"; real decode raises
+    NotImplementedError with the dependency named.
+
+    Scale notes mirror AudioFeatureStage: small batch_size (frames multiply
+    rows), actor pool for the (eventual) codec state, binary payload never
+    re-encoded — frame bytes are zero-copy slices of the input blob."""
+
+    def __init__(
+        self,
+        bytes_col: str = "bytes",
+        id_col: str = "id",
+        every_nth: int = 10,
+        frame_size: int = 1024,
+        fps: float = 25.0,
+        fake: bool = False,
+    ):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.every_nth = every_nth
+        self.frame_size = frame_size
+        self.fps = fps
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video frame sampling requires ffmpeg/pyav — not available in "
+                "this container; construct with fake=True for the deterministic stub"
+            )
+        ids, fidx, fms, fbytes = [], [], [], []
+        blobs = batch.column(self.bytes_col)
+        id_vals = batch.column(self.id_col).to_pylist()
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                continue
+            n_frames = max(1, len(blob) // self.frame_size)
+            for k in range(0, n_frames, self.every_nth):
+                ids.append(id_vals[i])
+                fidx.append(k)
+                fms.append(int(k * 1000.0 / self.fps))
+                fbytes.append(blob[k * self.frame_size : (k + 1) * self.frame_size])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_ms": pa.array(fms, pa.int64()),
+                "frame_bytes": pa.array(fbytes, pa.binary()),
+            }
+        )

@@ -389,3 +389,34 @@ def test_connected_component_min():
     # chain 1-2-3 -> min 1; chain 10-11, 20-10 -> min 10; self-pair ignored
     assert comp[2] == 1 and comp[3] == 1 and comp[1] == 1
     assert comp[11] == 10 and comp[20] == 10 and comp[10] == 10
+
+
+def test_video_frame_sample_stub(ray_session):
+    """Frame-sampling plumbing: actor-pool map_batches fan-out of (id,
+    frame_idx, frame_ms, frame_bytes) rows; real decode raises with the
+    missing dependency named."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.multimodal import StubVideoFrameSampleStage
+
+    blobs = [bytes(range(256)) * 40, b"x" * 1024, None]  # 10240B, 1024B, null
+    tbl = pa.table({"id": pa.array([1, 2, 3], pa.int64()), "bytes": pa.array(blobs, pa.binary())})
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            StubVideoFrameSampleStage,
+            fn_constructor_kwargs={"fake": True, "every_nth": 3, "frame_size": 1024},
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=2,
+        )
+        .to_pandas()
+    )
+    # blob 1: 10 frames, every 3rd -> idx 0,3,6,9; blob 2: 1 frame; null skipped
+    assert out[out.id == 1].frame_idx.tolist() == [0, 3, 6, 9]
+    assert out[out.id == 2].frame_idx.tolist() == [0]
+    assert 3 not in set(out.id)
+    assert (out[out.id == 1].frame_ms == [0, 120, 240, 360]).all()
+    assert all(len(b) == 1024 for b in out[out.id == 1].frame_bytes)
+    with pytest.raises(NotImplementedError):
+        StubVideoFrameSampleStage()(tbl)
