@@ -9,14 +9,16 @@ drift compare vs snapshot → per-partition verdicts + violations parquet +
 manifest with lineage/metrics → checkpoint/resume by input shard.
 
 Scale notes:
-- the heavy input is touched ONCE by the combined stage; its output is
-  O(violations + batches×columns), not O(rows);
-- uniqueness/referential re-read only the key columns (parquet column
-  pruning) — the wide ``bytes`` payload never enters a shuffle
-  (SURVEY.md §7 hard part (d));
+- the heavy input is touched ONCE, full stop: the combined stage emits
+  violations to partition sinks, tiny count/partial rows to the driver,
+  AND persists each shard's (key, cnt, pid) pre-agg — the fused
+  uniqueness/referential shuffle then runs entirely from those partials
+  (no second scan of the table; the wide ``bytes`` payload never enters a
+  shuffle — SURVEY.md §7 hard part (d));
 - resume skips completed shards for the per-row pass (their partials and
-  violations are durably on disk) and re-runs only the cheap key-projection
-  global checks over the full input.
+  violations are durably on disk); global key checks re-run every time but
+  read only the persisted per-shard pre-aggs, falling back to a key-column
+  read for any shard whose partials are missing.
 """
 
 from __future__ import annotations
@@ -53,10 +55,14 @@ from ..stages.stats import batch_stats_partial, merge_stats_partials, stats_to_t
 _STAGE_CACHE: dict[str, "CombinedStage"] = {}
 
 
-def _run_combined(batch, *, spec, num_partitions, path_map, stats_columns, cache_key, sink_dir=None):
+def _run_combined(
+    batch, *, spec, num_partitions, path_map, stats_columns, cache_key, sink_dir=None, key_cols=None
+):
     stage = _STAGE_CACHE.get(cache_key)
     if stage is None:
-        stage = CombinedStage(spec, num_partitions, path_map, stats_columns, sink_dir=sink_dir)
+        stage = CombinedStage(
+            spec, num_partitions, path_map, stats_columns, sink_dir=sink_dir, key_cols=key_cols
+        )
         _STAGE_CACHE[cache_key] = stage
     return stage(batch)
 
@@ -70,10 +76,17 @@ class CombinedStage(RowRuleStage):
     the driver never holds violation rows, so a 100%-bad day costs worker
     disk, not driver heap (round 1 concat'd all violations driver-side)."""
 
-    def __init__(self, spec, num_partitions=64, path_map=None, stats_columns=None, sink_dir=None):
+    def __init__(
+        self, spec, num_partitions=64, path_map=None, stats_columns=None, sink_dir=None, key_cols=None
+    ):
         super().__init__(spec, num_partitions, path_map)
         self.stats_columns = stats_columns or []
         self.sink_dir = sink_dir
+        # key columns whose per-shard (key, cnt, pid) pre-agg this stage
+        # persists during the row pass, so the uniqueness/referential
+        # shuffle never re-reads the heavy input: at 100 TB this halves the
+        # table scans (round 2's key shuffle re-read every key column)
+        self.key_cols = key_cols or []
 
     def _sink_violations(self, viols: pa.Table) -> pa.Table:
         """Write violation rows per pid into violations/p*/part-r-<sha>.parquet;
@@ -115,9 +128,46 @@ class CombinedStage(RowRuleStage):
             schema=VIOLATION_SCHEMA,
         )
 
+    def _sink_key_partials(self, batch: pa.Table, pids: np.ndarray) -> None:
+        """Persist this batch's (key, cnt, pid) pre-agg per partition —
+        idempotent content-hashed chunk files under partials/. Schema and
+        naming prefix match stages/shuffle's per-shard partials so the
+        shuffle loads either format."""
+        for key in self.key_cols:
+            if key not in batch.column_names:
+                continue
+            t = pa.table(
+                {key: batch.column(key), "pid": pa.array(pids, pa.int32())}
+            )
+            agg = (
+                t.group_by([key, "pid"])
+                .aggregate([([], "count_all")])
+                .rename_columns([key, "pid", "cnt"])
+                .select([key, "cnt", "pid"])
+            )
+            pid_np = np.asarray(agg.column("pid").combine_chunks(), dtype=np.int64)
+            for pid in np.unique(pid_np):
+                sub = agg.filter(pc.equal(agg.column("pid"), int(pid)))
+                from ..util import hash_column
+
+                digest = hashlib.sha1()
+                digest.update(f"{key}|{int(pid)}|{sub.num_rows}".encode())
+                digest.update(hash_column(sub.column(key)).tobytes())
+                digest.update(np.asarray(sub.column("cnt").combine_chunks(), dtype=np.int64).tobytes())
+                pdir = os.path.join(self.sink_dir, "partials")
+                os.makedirs(pdir, exist_ok=True)
+                final = os.path.join(
+                    pdir, f"keys_{key}_p{int(pid):05d}-{digest.hexdigest()[:12]}.parquet"
+                )
+                tmp = final + f".tmp{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, final)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         pids = self.partitions_of(batch)
         base = RowRuleStage.__call__(self, batch, pids)
+        if self.sink_dir is not None and self.key_cols:
+            self._sink_key_partials(batch, pids)
         if self.sink_dir is not None:
             viol_mask = pc.equal(base.column("kind"), "violation")
             if pc.any(viol_mask).as_py():
@@ -284,9 +334,13 @@ class ValidationPipeline:
             c for c in self.spec.columns if self.spec.columns[c].get("type") != "binary"
         ]
 
-        # ---- launch the global key shuffle EARLY (async raw-Ray map/reduce,
-        # stages/shuffle.py) so it overlaps the row pass — no barrier between
-        # the two; results are collected after the row pass ----
+        # ---- select the fused key rule (uniqueness + referential sharing a
+        # key column). Its shuffle runs ENTIRELY FROM PARTIALS: the row pass
+        # below persists each shard's (key, cnt, pid) pre-agg while it
+        # already holds the batch, so the key column is never re-read from
+        # storage — ONE scan of the heavy input total (round 2 re-read every
+        # key column for the shuffle; at 100 TB that was a second full-table
+        # read) ----
         from ..stages.shuffle import anti_join_shuffled, combined_key_checks_async, count_keys_shuffled
 
         def _resolve_right(rule):
@@ -306,36 +360,13 @@ class ValidationPipeline:
                     break
             if fused_ref:
                 break
-        # persisted per-shard key-count partials: on resume, completed shards'
-        # key columns are NOT re-read — their (key, cnt, pid) pre-agg reloads
-        # from this directory (stages/shuffle.py incremental-resume path)
-        key_partials_dir = os.path.join(self.out_dir, "partials")
-        done_for_keys = set(completed)
-
-        fused_finish = None
         if fused_ref is not None:
-            fused_finish = combined_key_checks_async(
-                shards, fused_unique.columns[0], _resolve_right(fused_ref),
-                fused_ref.ref_column, path_pids=path_map,
-                partials_dir=key_partials_dir, done_paths=done_for_keys,
-            )
             unique_rules.remove(fused_unique)
             ref_rules.remove(fused_ref)
-        elif unique_rules:
-            # no referential partner: still overlap the uniqueness shuffle
-            only = unique_rules.pop(0)
-            fused_unique = only
-            fused_finish = (
-                combined_key_checks_async(
-                    shards, only.columns[0], None, None, path_pids=path_map,
-                    partials_dir=key_partials_dir, done_paths=done_for_keys,
-                )
-                if len(only.columns) == 1
-                else None
-            )
-            if fused_finish is None:
-                unique_rules.insert(0, only)
-                fused_unique = None
+        elif unique_rules and len(unique_rules[0].columns) == 1:
+            fused_unique = unique_rules.pop(0)
+        key_partials_dir = os.path.join(self.out_dir, "partials")
+        fused_key_cols = [fused_unique.columns[0]] if fused_unique is not None else []
         rows_validated_this_run = 0
 
         part_records: dict[int, dict[str, Any]] = {}
@@ -358,9 +389,13 @@ class ValidationPipeline:
             import glob as _glob
 
             for p in todo:
-                pdir = os.path.join(self.out_dir, "violations", f"p{path_map[p]:05d}")
-                for stale in _glob.glob(os.path.join(pdir, "part-r-*.parquet")) + _glob.glob(
-                    os.path.join(pdir, "part-0.parquet")
+                pid = path_map[p]
+                pdir = os.path.join(self.out_dir, "violations", f"p{pid:05d}")
+                for stale in (
+                    _glob.glob(os.path.join(pdir, "part-r-*.parquet"))
+                    + _glob.glob(os.path.join(pdir, "part-0.parquet"))
+                    # stale key pre-aggs: the row pass rewrites them below
+                    + _glob.glob(os.path.join(key_partials_dir, f"keys_*_p{pid:05d}*.parquet"))
                 ):
                     os.remove(stale)
 
@@ -380,8 +415,11 @@ class ValidationPipeline:
                     path_map=path_map,
                     stats_columns=stats_cols,
                     sink_dir=self.out_dir,
+                    key_cols=fused_key_cols,
                     cache_key=self.rule_hash
-                    + _spec_hash({"path_map": sorted(path_map.items()), "sink": self.out_dir}),
+                    + _spec_hash(
+                        {"path_map": sorted(path_map.items()), "sink": self.out_dir, "keys": fused_key_cols}
+                    ),
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -461,6 +499,23 @@ class ValidationPipeline:
             row_violations = 0
 
         t_row_pass = time.time() - t0
+
+        # ---- fused key shuffle, launched from the persisted partials (every
+        # shard's pre-agg is on disk: just written by the row pass for todo
+        # shards, durable from prior runs for completed ones; missing files
+        # fall back to reading that shard's key column) ----
+        fused_finish = None
+        if fused_unique is not None:
+            fused_finish = combined_key_checks_async(
+                shards,
+                fused_unique.columns[0],
+                _resolve_right(fused_ref) if fused_ref is not None else None,
+                fused_ref.ref_column if fused_ref is not None else None,
+                path_pids=path_map,
+                partials_dir=key_partials_dir,
+                done_paths=set(shards),
+            )
+
         merged_stats = merge_stats_partials(stats_partials)
         stats_tbl = stats_to_table(merged_stats)
 

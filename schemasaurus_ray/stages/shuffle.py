@@ -200,6 +200,14 @@ def combined_key_checks_async(
     def _partial_path(pid: int) -> str:
         return os.path.join(partials_dir, f"keys_{key_col}_p{pid:05d}.parquet")
 
+    def _partial_files(pid: int) -> list[str]:
+        """All persisted pre-agg files for this shard: the single-file form
+        this module writes AND the content-hashed chunk files the row pass's
+        CombinedStage sinks (keys_<col>_p<pid>-<hash>.parquet)."""
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(partials_dir, f"keys_{key_col}_p{pid:05d}*.parquet")))
+
     @ray.remote(num_returns=num_buckets)
     def map_left(path: str, pid: int):
         tbl = pq.read_table(path, columns=[key_col])
@@ -215,8 +223,17 @@ def combined_key_checks_async(
         return out if num_buckets > 1 else out[0]
 
     @ray.remote(num_returns=num_buckets)
-    def load_left_partial(pid: int):
-        counts = pq.read_table(_partial_path(pid))
+    def load_left_partial(files: list[str]):
+        counts = pa.concat_tables([pq.read_table(f) for f in files])
+        if len(files) > 1:
+            # chunked partials (one per row-pass batch): collapse to one row
+            # per (key, pid) so downstream attribution stays one-per-pair
+            counts = (
+                counts.group_by([key_col, "pid"])
+                .aggregate([("cnt", "sum")])
+                .rename_columns([key_col, "pid", "cnt"])
+                .select([key_col, "cnt", "pid"])
+            )
         out = _split_buckets(counts, [key_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -318,12 +335,12 @@ def combined_key_checks_async(
         return keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
 
     done = set(done_paths or ()) if partials_dir is not None else set()
-    lrefs = [
-        load_left_partial.remote(pids[p])
-        if p in done and os.path.exists(_partial_path(pids[p]))
-        else map_left.remote(p, pids[p])
-        for p in ordered
-    ]
+    lrefs = []
+    for p in ordered:
+        files = _partial_files(pids[p]) if p in done else []
+        lrefs.append(
+            load_left_partial.remote(files) if files else map_left.remote(p, pids[p])
+        )
     if right is None:
         rrefs = []
     elif isinstance(right, list):

@@ -196,6 +196,47 @@ def test_spec_change_invalidates_resume(fixture_dirs, tmp_path_factory, ray_sess
     assert rep2.metrics["rule_hash"] != rep1.metrics["rule_hash"]
 
 
+def test_key_checks_run_from_partials_not_input(fixture_dirs, tmp_path_factory, ray_session):
+    """One-scan property: after a full run, the fused uniqueness/referential
+    checks on resume read ONLY the persisted per-shard key pre-aggs —
+    proven by poisoning every clip shard's clip_id column between runs and
+    asserting identical duplicate/orphan metrics."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    work = tmp_path_factory.mktemp("onescan")
+    clips_dir = str(work / "clips")
+    shutil.copytree(fixture_dirs["clips"], clips_dir)
+    out_dir = str(work / "out")
+
+    pipe = ValidationPipeline(AUDIO_CLIP_SPEC, out_dir)
+    rep1 = pipe.run(
+        clips_dir, ref_datasets={"transcripts": rd.read_parquet(fixture_dirs["transcripts"])}
+    )
+    assert rep1.metrics["duplicate_keys"] > 0 and rep1.metrics["orphans"] > 0
+
+    for f in sorted(glob.glob(os.path.join(clips_dir, "*.parquet"))):
+        t = pq.read_table(f)
+        poisoned = t.set_column(
+            t.column_names.index("clip_id"),
+            "clip_id",
+            pa.array(["POISON"] * t.num_rows, pa.string()),
+        )
+        pq.write_table(poisoned, f)
+
+    rep2 = ValidationPipeline(AUDIO_CLIP_SPEC, out_dir).run(
+        clips_dir,
+        ref_datasets={"transcripts": rd.read_parquet(fixture_dirs["transcripts"])},
+        resume=True,
+    )
+    assert rep2.metrics["shards_validated_this_run"] == 0
+    assert rep2.metrics["duplicate_keys"] == rep1.metrics["duplicate_keys"]
+    assert rep2.metrics["orphans"] == rep1.metrics["orphans"]
+
+
 def test_global_violations_fail_validity(tmp_path_factory, ray_session):
     """Clean rows but a duplicated key → report.valid must be False even
     though every partition's bad_rows is 0 (code-review finding #1)."""
