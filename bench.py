@@ -215,7 +215,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N. Default 8 vs 32; override (e.g. LO=2 HI=8) to measure a 4x
+    # step where BOTH levels sit under this VM's ~5.5 GB/s aggregate
+    # memory-streaming cap — the faithful single-box analogue of cluster
+    # nodes that each bring their own DRAM (BASELINE.md round-2 notes)
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # two alternating passes per level, per-level best: a multi-minute
     # neighbor-contention window on this shared VM otherwise lands entirely
     # on one level and skews the ratio (observed 0.52-0.91 single-pass)
@@ -229,7 +234,7 @@ def run_scaling() -> dict:
     tp_hi = r_hi["rows_per_sec"]
     eff = tp_hi / (tp_lo * (hi / lo))
     return {
-        "metric": "scaling efficiency (8 -> 32 CPUs, fresh sessions, same input, metadata profile)",
+        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, fresh sessions, same input, metadata profile)",
         "sec_8": r_lo["sec"],
         "sec_32": r_hi["sec"],
         "rows_per_sec_8": tp_lo,
