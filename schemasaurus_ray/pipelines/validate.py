@@ -388,14 +388,21 @@ class ValidationPipeline:
             # — a mid-run crash or changed batching must not leave orphan files
             import glob as _glob
 
+            from ..stages.shuffle import partial_key_files
+
             for p in todo:
                 pid = path_map[p]
                 pdir = os.path.join(self.out_dir, "violations", f"p{pid:05d}")
+                stale_keys = [
+                    f
+                    for key in (fused_key_cols or [c.columns[0] for c in self.spec.unique if len(c.columns) == 1])
+                    for f in partial_key_files(key_partials_dir, key, pid)
+                ]
                 for stale in (
                     _glob.glob(os.path.join(pdir, "part-r-*.parquet"))
                     + _glob.glob(os.path.join(pdir, "part-0.parquet"))
                     # stale key pre-aggs: the row pass rewrites them below
-                    + _glob.glob(os.path.join(key_partials_dir, f"keys_*_p{pid:05d}*.parquet"))
+                    + stale_keys
                 ):
                     os.remove(stale)
 

@@ -66,6 +66,19 @@ def _tree_combine(refs: list, combine_remote, fan_in: int | None = None) -> list
     return refs
 
 
+def partial_key_files(partials_dir: str, key_col: str, pid: int) -> list[str]:
+    """Persisted key-pre-agg files for ONE shard: the single-file form
+    (keys_<col>_p<pid>.parquet, written by map_left) plus the row pass's
+    content-hashed chunk files (keys_<col>_p<pid>-<hash>.parquet).
+    The patterns are EXACT on the pid: an open-ended ``p{pid:05d}*`` glob
+    would let pid 3 swallow pid 31's files (p00003 is a string prefix of
+    p00031) and double-count keys across shards."""
+    import glob as _glob
+
+    base = os.path.join(partials_dir, f"keys_{key_col}_p{pid:05d}")
+    return sorted(_glob.glob(base + ".parquet") + _glob.glob(base + "-*.parquet"))
+
+
 def _combined_hash(table: pa.Table, columns: list[str]) -> np.ndarray:
     h = hash_column(table.column(columns[0]))
     for c in columns[1:]:
@@ -197,12 +210,7 @@ def combined_key_checks_async(
         return os.path.join(partials_dir, f"keys_{key_col}_p{pid:05d}.parquet")
 
     def _partial_files(pid: int) -> list[str]:
-        """All persisted pre-agg files for this shard: the single-file form
-        this module writes AND the content-hashed chunk files the row pass's
-        CombinedStage sinks (keys_<col>_p<pid>-<hash>.parquet)."""
-        import glob as _glob
-
-        return sorted(_glob.glob(os.path.join(partials_dir, f"keys_{key_col}_p{pid:05d}*.parquet")))
+        return partial_key_files(partials_dir, key_col, pid)
 
     @ray.remote(num_returns=num_buckets)
     def map_left(path: str, pid: int):

@@ -179,3 +179,27 @@ def test_tree_combine_many_shards(tmp_path_factory, ray_session):
         sh._FAN_IN = old
     assert out.column("k").to_pylist() == ["shared"]
     assert out.column("cnt").to_pylist() == [n_shards]
+
+
+def test_partial_key_files_pid_prefix_no_collision(tmp_path):
+    """pid 3's file list must NOT include pid 31's files (p00003 is a
+    string prefix of p00031 — an open-ended glob double-counted keys)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import partial_key_files
+
+    t = pa.table({"k": pa.array(["a"], pa.string()), "cnt": pa.array([1], pa.int64())})
+    names = [
+        "keys_k_p00003.parquet",
+        "keys_k_p00003-abc123.parquet",
+        "keys_k_p00031.parquet",
+        "keys_k_p00031-def456.parquet",
+        "keys_other_p00003.parquet",
+    ]
+    for n in names:
+        pq.write_table(t, str(tmp_path / n))
+    got = [os.path.basename(f) for f in partial_key_files(str(tmp_path), "k", 3)]
+    assert got == ["keys_k_p00003-abc123.parquet", "keys_k_p00003.parquet"]
+    got31 = [os.path.basename(f) for f in partial_key_files(str(tmp_path), "k", 31)]
+    assert got31 == ["keys_k_p00031-def456.parquet", "keys_k_p00031.parquet"]
