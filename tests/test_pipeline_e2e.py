@@ -300,3 +300,36 @@ def test_key_violations_land_in_partition_dirs(report):
     )
     # nothing left in the unattributed global bucket for the fused rules
     assert not os.path.exists(os.path.join(out_dir, "violations", "global", "part-0.parquet"))
+
+
+def test_many_shards_key_checks_exact(tmp_path_factory, ray_session):
+    """40 shards (pids 0..39): pid 3 vs 31 etc. exercise the partial-file
+    pid-prefix namespace; duplicate/orphan counts must be exact."""
+    import pyarrow as pa
+
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    d = tmp_path_factory.mktemp("manyshards")
+    n_shards, per = 40, 50
+    dup_ids = {f"clip-{7:010d}", f"clip-{1207:010d}"}  # planted cross-shard dups
+    for s in range(n_shards):
+        ids = [f"clip-{s * per + i:010d}" for i in range(per)]
+        if s == 20:
+            ids[0] = f"clip-{7:010d}"  # dup of shard 0's row 7
+        if s == 35:
+            ids[1] = f"clip-{1207:010d}"  # dup of shard 24's row 7
+        t = pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "sr_hz": pa.array([16000] * per, pa.int32()),
+            "dur_ms": pa.array([500] * per, pa.int32()),
+            "codec": pa.array(["wav"] * per, pa.string()),
+            "transcript": pa.array(["ok"] * per, pa.string()),
+        })
+        pq.write_table(t, str(d / f"s{s:03d}.parquet"))
+    out = str(tmp_path_factory.mktemp("manyshards_out"))
+    rep = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out).run(str(d), resume=True)
+    assert rep.metrics["duplicate_keys"] == len(dup_ids)
+    # resume re-run: key checks now load 40 shards' partials — still exact
+    rep2 = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out).run(str(d), resume=True)
+    assert rep2.metrics["shards_validated_this_run"] == 0
+    assert rep2.metrics["duplicate_keys"] == len(dup_ids)
