@@ -232,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
                                           for i in range(1, len(words) - 1)])
                        ELSE [array_to_string(words, ' ')] END AS grams
                   FROM toks
+                 WHERE len(words) > 0  -- zero-word docs have no shingles in the engine
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(FLOOR(10000.0 * len(list_intersect(a.grams, b.grams)) /
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
                                           for i in range(1, len(words) - 1)])
                        ELSE [array_to_string(words, ' ')] END AS grams
                   FROM toks
+                 WHERE len(words) > 0  -- zero-word docs have no shingles in the engine
             ),
             edges AS (
                 SELECT a.doc_id AS src, b.doc_id AS dst

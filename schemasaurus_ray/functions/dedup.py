@@ -69,7 +69,9 @@ def _shingle_hash_arrays(col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
         col = col.combine_chunks()
     d = len(col)
     assert n <= len(_SHINGLE_MULT)
-    words = pc.utf8_split_whitespace(pc.fill_null(col, ""))
+    # ASCII whitespace split, matching the DuckDB oracles' RE2 \S+ (RE2 \s
+    # is ASCII-only; utf8_split_whitespace would diverge on e.g. U+00A0)
+    words = pc.ascii_split_whitespace(pc.fill_null(col, ""))
     lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
     flat = pc.list_flatten(words)
     keep = np.asarray(pc.not_equal(flat, ""))
@@ -658,7 +660,10 @@ def simhash_near_dups(
     import ray
     import ray.data as rd
 
-    sigs_ds = simhash_signatures(ds, text_col=text_col, id_col=id_col)
+    # materialize: the signature table (id + sig + 4 band ints ≈ 40 B/doc)
+    # is consumed twice (band rows, then candidate fetch) — without this the
+    # whole corpus would be re-read and re-hashed for the second pass
+    sigs_ds = simhash_signatures(ds, text_col=text_col, id_col=id_col).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

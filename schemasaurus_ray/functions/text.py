@@ -8,7 +8,6 @@ All operators are vectorized batch transforms for ``Dataset.map_batches``
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -107,10 +106,11 @@ def winnow_fingerprints(
 
 def fingerprint(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(id, fp): md5 content fingerprint (hex) — exact-dup detection key that
-    an oracle can recompute."""
-    texts = batch.column(text_col).to_pylist()
-    fps = [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    return pa.table({id_col: batch.column(id_col), "fp": pa.array(fps, pa.string())})
+    an oracle can recompute. Vectorized (util.md5_hex, bit-exact with
+    hashlib/DuckDB md5) — no per-row hashlib loop."""
+    from ..util import md5_hex
+
+    return pa.table({id_col: batch.column(id_col), "fp": md5_hex(batch.column(text_col))})
 
 
 # frequent-word tables for a tiny trigram/stopword language-ID heuristic

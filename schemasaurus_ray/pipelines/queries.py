@@ -681,13 +681,14 @@ def sample_documents(sf_dir: str) -> pa.Table:
     random_sample, the selection is reproducible regardless of block
     layout, parallelism or cluster size — the property a resumable 100-TB
     pipeline actually needs — and it is SQL-checkable (oracle-backed)."""
-    import hashlib
+    from ..util import md5_digests
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keep = [hashlib.md5(str(i).encode()).hexdigest()[:2] < "1a" for i in ids]
+        # md5(doc_id)[:2] < '1a'  ⇔  first digest byte < 0x1a; vectorized
+        ids_str = batch.column("doc_id").cast(pa.string())
+        keep = md5_digests(ids_str)[:, 0] < 0x1A
         return batch.filter(pa.array(keep))
 
     return _collect(ds.map_batches(pick, batch_format="pyarrow")).sort_by("doc_id")

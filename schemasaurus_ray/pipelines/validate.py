@@ -88,24 +88,30 @@ class CombinedStage(RowRuleStage):
         # table scans (round 2's key shuffle re-read every key column)
         self.key_cols = key_cols or []
 
-    def _sink_violations(self, viols: pa.Table) -> pa.Table:
-        """Write violation rows per pid into violations/p*/part-r-<sha>.parquet;
-        return kind='viols' count rows. File name = content hash → a retried
-        task rewrites the same file instead of duplicating rows."""
+    def _sink_violations(self, viols: pa.Table, row_start: int | None = None) -> pa.Table:
+        """Write violation rows per pid into violations/p*/part-r-<id>.parquet;
+        return kind='viols' count rows. Chunk id = the batch's row_start
+        lineage (retry-stable AND unique per batch — a content hash alone
+        loses rows when a key-less spec makes two batches' violations
+        identical); content-hash fallback for direct callers."""
         counts: list[tuple[int, int]] = []
         pid_np = np.asarray(viols.column("partition_id").combine_chunks(), dtype=np.int64)
         for pid in np.unique(pid_np):
             sub = viols.filter(pc.equal(viols.column("partition_id"), int(pid)))
-            digest = hashlib.sha1()
-            digest.update(str(int(pid)).encode())
-            digest.update(str(sub.num_rows).encode())
-            for v in sub.column("row_ref").to_pylist():
-                digest.update((v or "").encode())
-            for v in sub.column("code").to_pylist():
-                digest.update((v or "").encode())
+            if row_start is not None:
+                chunk_id = f"r{row_start:012d}"
+            else:
+                digest = hashlib.sha1()
+                digest.update(str(int(pid)).encode())
+                digest.update(str(sub.num_rows).encode())
+                for v in sub.column("row_ref").to_pylist():
+                    digest.update((v or "").encode())
+                for v in sub.column("code").to_pylist():
+                    digest.update((v or "").encode())
+                chunk_id = digest.hexdigest()[:16]
             pdir = os.path.join(self.sink_dir, "violations", f"p{int(pid):05d}")
             os.makedirs(pdir, exist_ok=True)
-            final = os.path.join(pdir, f"part-r-{digest.hexdigest()[:16]}.parquet")
+            final = os.path.join(pdir, f"part-r-{chunk_id}.parquet")
             tmp = final + f".tmp{os.getpid()}"
             pq.write_table(sub, tmp)
             os.replace(tmp, final)
@@ -128,11 +134,14 @@ class CombinedStage(RowRuleStage):
             schema=VIOLATION_SCHEMA,
         )
 
-    def _sink_key_partials(self, batch: pa.Table, pids: np.ndarray) -> None:
+    def _sink_key_partials(self, batch: pa.Table, pids: np.ndarray, row_start: int | None) -> None:
         """Persist this batch's (key, cnt, pid) pre-agg per partition —
-        idempotent content-hashed chunk files under partials/. Schema and
-        naming prefix match stages/shuffle's per-shard partials so the
-        shuffle loads either format."""
+        idempotent chunk files under partials/, named by the batch's
+        row_start lineage (two DIFFERENT batches with identical pre-agg
+        content must not collapse into one file — a pure content hash
+        undercounted keys; review finding r2). Schema and naming prefix
+        match stages/shuffle's per-shard partials so the shuffle loads
+        either format."""
         for key in self.key_cols:
             if key not in batch.column_names:
                 continue
@@ -148,35 +157,47 @@ class CombinedStage(RowRuleStage):
             pid_np = np.asarray(agg.column("pid").combine_chunks(), dtype=np.int64)
             for pid in np.unique(pid_np):
                 sub = agg.filter(pc.equal(agg.column("pid"), int(pid)))
-                from ..util import hash_column
+                if row_start is not None:
+                    chunk_id = f"r{row_start:012d}"
+                else:
+                    from ..util import hash_column
 
-                digest = hashlib.sha1()
-                digest.update(f"{key}|{int(pid)}|{sub.num_rows}".encode())
-                digest.update(hash_column(sub.column(key)).tobytes())
-                digest.update(np.asarray(sub.column("cnt").combine_chunks(), dtype=np.int64).tobytes())
+                    digest = hashlib.sha1()
+                    digest.update(f"{key}|{int(pid)}|{sub.num_rows}".encode())
+                    digest.update(hash_column(sub.column(key)).tobytes())
+                    digest.update(
+                        np.asarray(sub.column("cnt").combine_chunks(), dtype=np.int64).tobytes()
+                    )
+                    chunk_id = digest.hexdigest()[:12]
                 pdir = os.path.join(self.sink_dir, "partials")
                 os.makedirs(pdir, exist_ok=True)
-                final = os.path.join(
-                    pdir, f"keys_{key}_p{int(pid):05d}-{digest.hexdigest()[:12]}.parquet"
-                )
+                final = os.path.join(pdir, f"keys_{key}_p{int(pid):05d}-{chunk_id}.parquet")
                 tmp = final + f".tmp{os.getpid()}"
                 pq.write_table(sub, tmp)
                 os.replace(tmp, final)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pids = self.partitions_of(batch)
+        # retry-stable batch identity for sink chunk names (sources/io.py
+        # lineage); None → content-hash fallback for direct callers
+        row_start = (
+            int(batch.column("row_start")[0].as_py())
+            if "row_start" in batch.column_names and batch.num_rows
+            else None
+        )
         base = RowRuleStage.__call__(self, batch, pids)
         if self.sink_dir is not None and self.key_cols:
-            self._sink_key_partials(batch, pids)
+            self._sink_key_partials(batch, pids, row_start)
         if self.sink_dir is not None:
             viol_mask = pc.equal(base.column("kind"), "violation")
             if pc.any(viol_mask).as_py():
                 viols = base.filter(viol_mask)
                 base = pa.concat_tables(
-                    [base.filter(pc.invert(viol_mask)), self._sink_violations(viols)]
+                    [base.filter(pc.invert(viol_mask)), self._sink_violations(viols, row_start)]
                 )
-        if "path" in batch.column_names and "path" not in self.plan.spec.columns:
-            batch = batch.drop_columns(["path"])
+        lineage = [c for c in ("path", "row_start") if c in batch.column_names and c not in self.plan.spec.columns]
+        if lineage:
+            batch = batch.drop_columns(lineage)
         extra: list[tuple[str, int, str, str]] = []
         if self.stats_columns:
             # per-shard stats partials (resume merges only completed shards)
@@ -390,12 +411,27 @@ class ValidationPipeline:
 
             from ..stages.shuffle import partial_key_files
 
+            # ALL candidate key columns, not just the currently-fused one:
+            # a spec/ref_datasets change can fuse a different key next run,
+            # and a surviving stale pre-agg for the other key would then be
+            # loaded as truth (review finding r3)
+            all_key_cols = set(fused_key_cols) | {
+                c.columns[0] for c in self.spec.unique if len(c.columns) == 1
+            } | {r.column for r in self.spec.references}
+            if len(todo) == len(shards):
+                # full (re)validation: clear block-level schema-issue rows
+                # (pid -1 — not attributable to one shard, so only safe to
+                # drop when every shard re-runs; partial resumes keep them)
+                for stale in _glob.glob(
+                    os.path.join(self.out_dir, "violations", "p-0001", "part-r-*.parquet")
+                ):
+                    os.remove(stale)
             for p in todo:
                 pid = path_map[p]
                 pdir = os.path.join(self.out_dir, "violations", f"p{pid:05d}")
                 stale_keys = [
                     f
-                    for key in (fused_key_cols or [c.columns[0] for c in self.spec.unique if len(c.columns) == 1])
+                    for key in sorted(all_key_cols)
                     for f in partial_key_files(key_partials_dir, key, pid)
                 ]
                 for stale in (

@@ -122,18 +122,35 @@ class RowValidator:
         return res
 
     # -- core recursion --------------------------------------------------------
-    def _validate(self, schema: dict[str, Any], value: Any, path: list[str], is_root: bool = False) -> None:
+    def _validate(
+        self,
+        schema: dict[str, Any],
+        value: Any,
+        path: list[str],
+        is_root: bool = False,
+        _refs_seen: tuple = (),
+    ) -> None:
         if not isinstance(schema, dict):
             return
         if "$ref" in schema:
             from .spec import resolve_ref
 
-            target = resolve_ref(self.root, schema["$ref"])
+            ref = schema["$ref"]
+            # pure ref-to-ref cycles consume no value depth: without this
+            # guard {"a": {"$ref": "#/b"}, "b": {"$ref": "#/a"}} recurses
+            # forever. The guard resets (default ()) on every hop that
+            # descends into the VALUE, so self-recursive schemas like
+            # $ref:"#" under properties still validate.
+            if ref in _refs_seen:
+                raise SpecError(f"$ref cycle with no value progress: {ref}")
+            target = resolve_ref(self.root, ref)
             siblings = {k: v for k, v in schema.items() if k != "$ref"}
             if isinstance(target, dict) and siblings:
                 # sibling keys overlay the target (reference inlining merge)
                 target = {**target, **siblings}
-            return self._validate(target, value, path, is_root=is_root)
+            return self._validate(
+                target, value, path, is_root=is_root, _refs_seen=_refs_seen + (ref,)
+            )
         # [^required] short-circuit: absent + not required → skip everything
         # (src/v4validator.js:81-86; not applied at root)
         if value is MISSING:

@@ -91,8 +91,11 @@ class RowRuleStage:
     def __call__(self, batch: pa.Table, pids: np.ndarray | None = None) -> pa.Table:
         if pids is None:
             pids = self.partitions_of(batch)
-        if "path" in batch.column_names and "path" not in self.plan.spec.columns:
-            batch = batch.drop_columns(["path"])
+        lineage_cols = [
+            c for c in ("path", "row_start") if c in batch.column_names and c not in self.plan.spec.columns
+        ]
+        if lineage_cols:
+            batch = batch.drop_columns(lineage_cols)
         n = batch.num_rows
         if n == 0:
             return _empty_out()

@@ -252,8 +252,12 @@ def combined_key_checks_async(
     @ray.remote(num_returns=num_buckets)
     def map_right_table(tbl: pa.Table):
         if tbl.num_rows == 0 or right_col not in tbl.column_names:
-            # empty/union-sentinel blocks can carry an empty schema
-            e = pa.table({right_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+            # empty/union-sentinel blocks can carry an empty schema; type the
+            # sentinel from the block when possible (a string-typed sentinel
+            # crashed concat for int reference keys). Schema-less sentinels
+            # are safe only because combine/reduce FILTER empty tables out.
+            ktype = tbl.schema.field(right_col).type if right_col in tbl.column_names else pa.string()
+            e = pa.table({right_col: pa.array([], ktype), "cnt": pa.array([], pa.int64())})
             return [e] * num_buckets if num_buckets > 1 else e
         keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
         keys = keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
@@ -320,9 +324,10 @@ def combined_key_checks_async(
     def combine_left(*tables: pa.Table) -> pa.Table:
         """Tree-combine layer for the left side: (key, cnt, pid) partials —
         group by (key, pid) so per-shard attribution rows stay one-per-pair."""
-        merged = pa.concat_tables(tables)
-        if merged.num_rows == 0:
-            return merged
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        merged = pa.concat_tables(nonempty)
         return (
             merged.group_by([key_col, "pid"])
             .aggregate([("cnt", "sum")])
@@ -332,9 +337,10 @@ def combined_key_checks_async(
 
     @ray.remote
     def combine_right(*tables: pa.Table) -> pa.Table:
-        merged = pa.concat_tables(tables)
-        if merged.num_rows == 0:
-            return merged
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        merged = pa.concat_tables(nonempty)
         keys = pa.table({right_col: merged.column(right_col).combine_chunks().unique()})
         return keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
 
@@ -412,7 +418,8 @@ def anti_join_shuffled(
     @ray.remote(num_returns=num_buckets)
     def map_right_table(tbl: pa.Table):
         if tbl.num_rows == 0 or right_col not in tbl.column_names:
-            e = pa.table({right_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+            ktype = tbl.schema.field(right_col).type if right_col in tbl.column_names else pa.string()
+            e = pa.table({right_col: pa.array([], ktype), "cnt": pa.array([], pa.int64())})
             return [e] * num_buckets if num_buckets > 1 else e
         keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
         out = _split_buckets(keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64())), [right_col], num_buckets)
@@ -434,16 +441,18 @@ def anti_join_shuffled(
 
     @ray.remote
     def combine_left(*tables: pa.Table) -> pa.Table:
-        merged = pa.concat_tables(tables)
-        if merged.num_rows == 0:
-            return merged
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        merged = pa.concat_tables(nonempty)
         return merged.group_by([left_col]).aggregate([("cnt", "sum")]).rename_columns([left_col, "cnt"])
 
     @ray.remote
     def combine_right(*tables: pa.Table) -> pa.Table:
-        merged = pa.concat_tables(tables)
-        if merged.num_rows == 0:
-            return merged
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        merged = pa.concat_tables(nonempty)
         keys = pa.table({right_col: merged.column(right_col).combine_chunks().unique()})
         return keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
 

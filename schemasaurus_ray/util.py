@@ -142,3 +142,117 @@ def cached_stage(cls, **kwargs):
         return stage(batch)
 
     return fn
+
+
+# ---------------------------------------------------------------- batch MD5
+# Vectorized MD5 over an Arrow string/binary column — one numpy pass per
+# 64-byte block ROUND, not per row (the last Python row loops in the hot
+# paths were hashlib calls in fingerprint/sampling). Bit-exact with
+# hashlib.md5/DuckDB md5() (oracle-checked).
+import math as _math
+
+_MD5_K = np.array(
+    [int(_math.floor(abs(_math.sin(i + 1)) * 2**32)) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32,
+)
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint32,
+)
+_MD5_G = np.array(
+    [i for i in range(16)]
+    + [(5 * i + 1) % 16 for i in range(16)]
+    + [(3 * i + 5) % 16 for i in range(16)]
+    + [(7 * i) % 16 for i in range(16)],
+    dtype=np.int64,
+)
+_HEX = np.frombuffer(b"0123456789abcdef", dtype="S1")
+
+
+def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
+    return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+
+
+def md5_digests(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, 16) uint8 MD5 digests of a string/binary column (nulls → the
+    digest of b'', callers mask separately)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_binary()).fill_null(b"")
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 16), dtype=np.uint8)
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    starts = (offsets - offsets[0]).astype(np.int64)
+    lengths = np.diff(starts)
+    data = buf[offsets[0] : offsets[-1]]
+    # padded length: msg + 0x80 + zeros to 56 mod 64 + 8-byte bit length
+    n_blocks = ((lengths + 8) // 64 + 1).astype(np.int64)
+    max_blocks = int(n_blocks.max()) if n else 1
+    padded = np.zeros((n, max_blocks * 64), dtype=np.uint8)
+    # scatter message bytes: row_of_byte/pos built once (tiny for key-ish cols)
+    if len(data):
+        row_of_byte = np.repeat(np.arange(n), lengths)
+        pos = np.arange(len(data), dtype=np.int64) - starts[row_of_byte]
+        padded[row_of_byte, pos] = data
+    padded[np.arange(n), lengths] = 0x80
+    bitlen = (lengths.astype(np.uint64) * np.uint64(8))
+    for j in range(8):
+        padded[np.arange(n), n_blocks * 64 - 8 + j] = ((bitlen >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+    words = padded.reshape(n, max_blocks, 16, 4)
+    m = (
+        words[..., 0].astype(np.uint32)
+        | (words[..., 1].astype(np.uint32) << np.uint32(8))
+        | (words[..., 2].astype(np.uint32) << np.uint32(16))
+        | (words[..., 3].astype(np.uint32) << np.uint32(24))
+    )  # (n, max_blocks, 16) little-endian words
+    a0 = np.full(n, 0x67452301, dtype=np.uint32)
+    b0 = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    c0 = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    d0 = np.full(n, 0x10325476, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for blk in range(max_blocks):
+            active = n_blocks > blk  # rows whose message spans this block
+            if not active.any():
+                break
+            a, b, c, d = a0[active].copy(), b0[active].copy(), c0[active].copy(), d0[active].copy()
+            mw = m[active, blk]  # (na, 16)
+            for i in range(64):
+                if i < 16:
+                    f = (b & c) | (~b & d)
+                elif i < 32:
+                    f = (d & b) | (~d & c)
+                elif i < 48:
+                    f = b ^ c ^ d
+                else:
+                    f = c ^ (b | ~d)
+                f = f + a + _MD5_K[i] + mw[:, _MD5_G[i]]
+                a, d, c = d, c, b
+                b = b + _rotl32(f, int(_MD5_S[i]))
+                # note: b here uses the PRE-rotation b via the f sum chain
+            a0[active] += a
+            b0[active] += b
+            c0[active] += c
+            d0[active] += d
+    out = np.empty((n, 16), dtype=np.uint8)
+    for j, reg in enumerate((a0, b0, c0, d0)):
+        for k in range(4):
+            out[:, 4 * j + k] = ((reg >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.uint8)
+    return out
+
+
+def md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Lowercase hex MD5 per row (null → null), fully vectorized."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dig = md5_digests(col)
+    n = len(dig)
+    if n == 0:
+        return pa.array([], pa.string())
+    chars = np.empty((n, 32), dtype="S1")
+    chars[:, 0::2] = _HEX[dig >> 4]
+    chars[:, 1::2] = _HEX[dig & 0x0F]
+    hexes = chars.view("S32").ravel().astype("U32")
+    mask = np.asarray(pc.is_null(col))
+    return pa.array(np.where(mask, None, hexes).tolist(), pa.string())

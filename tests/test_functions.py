@@ -420,3 +420,20 @@ def test_video_frame_sample_stub(ray_session):
     assert all(len(b) == 1024 for b in out[out.id == 1].frame_bytes)
     with pytest.raises(NotImplementedError):
         StubVideoFrameSampleStage()(tbl)
+
+
+def test_md5_vectorized_parity():
+    """util.md5_hex must be bit-exact with hashlib across lengths spanning
+    1..8 blocks, nulls and unicode."""
+    import hashlib
+
+    from schemasaurus_ray.util import md5_hex
+
+    cases = ["", "a", "abc", "x" * 55, "y" * 56, "z" * 63, "w" * 64, "v" * 65,
+             "u" * 119, "t" * 120, "s" * 400, None, "ünïcode ✓  "]
+    got = md5_hex(pa.array(cases, pa.string())).to_pylist()
+    for s, g in zip(cases, got):
+        if s is None:
+            assert g is None
+        else:
+            assert g == hashlib.md5(s.encode("utf-8")).hexdigest(), s

@@ -31,8 +31,11 @@ def test_read_all(files):
 def test_column_pruning_and_paths(files):
     ds = read_parquet_tasks(files, columns=["k"], include_paths=True)
     tbl = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
-    assert set(tbl.column_names) == {"k", "path"}
+    # include_paths carries BOTH lineage columns: source path + the slice's
+    # row offset within the file (retry-stable batch identity for sinks)
+    assert set(tbl.column_names) == {"k", "path", "row_start"}
     assert set(tbl.column("path").to_pylist()) == set(files)
+    assert set(tbl.column("row_start").to_pylist()) == {0}  # un-split files
 
 
 def test_block_split_for_big_files(files):
