@@ -88,18 +88,21 @@ class CombinedStage(RowRuleStage):
         # table scans (round 2's key shuffle re-read every key column)
         self.key_cols = key_cols or []
 
-    def _sink_violations(self, viols: pa.Table, row_start: int | None = None) -> pa.Table:
+    def _sink_violations(self, viols: pa.Table, batch_chunk_id: str | None = None) -> pa.Table:
         """Write violation rows per pid into violations/p*/part-r-<id>.parquet;
-        return kind='viols' count rows. Chunk id = the batch's row_start
-        lineage (retry-stable AND unique per batch — a content hash alone
-        loses rows when a key-less spec makes two batches' violations
-        identical); content-hash fallback for direct callers."""
+        return kind='viols' count rows. Chunk id = the batch's first-row
+        (path, row_start) lineage (retry-stable AND unique per batch
+        REGARDLESS of batch_size — a block-constant id collided when
+        map_batches sliced one block into several batches, silently
+        overwriting sibling files; a content hash alone loses rows when a
+        key-less spec makes two batches' violations identical);
+        content-hash fallback for direct callers."""
         counts: list[tuple[int, int]] = []
         pid_np = np.asarray(viols.column("partition_id").combine_chunks(), dtype=np.int64)
         for pid in np.unique(pid_np):
             sub = viols.filter(pc.equal(viols.column("partition_id"), int(pid)))
-            if row_start is not None:
-                chunk_id = f"r{row_start:012d}"
+            if batch_chunk_id is not None:
+                chunk_id = batch_chunk_id
             else:
                 digest = hashlib.sha1()
                 digest.update(str(int(pid)).encode())
@@ -134,14 +137,15 @@ class CombinedStage(RowRuleStage):
             schema=VIOLATION_SCHEMA,
         )
 
-    def _sink_key_partials(self, batch: pa.Table, pids: np.ndarray, row_start: int | None) -> None:
+    def _sink_key_partials(self, batch: pa.Table, pids: np.ndarray, batch_chunk_id: str | None) -> None:
         """Persist this batch's (key, cnt, pid) pre-agg per partition —
         idempotent chunk files under partials/, named by the batch's
-        row_start lineage (two DIFFERENT batches with identical pre-agg
-        content must not collapse into one file — a pure content hash
-        undercounted keys; review finding r2). Schema and naming prefix
-        match stages/shuffle's per-shard partials so the shuffle loads
-        either format."""
+        first-row (path, row_start) lineage (two DIFFERENT batches with
+        identical pre-agg content must not collapse into one file — a pure
+        content hash undercounted keys, and a block-constant row_start
+        collided under batch_size < block; review findings r2/r3). Schema
+        and naming prefix match stages/shuffle's per-shard partials so the
+        shuffle loads either format."""
         for key in self.key_cols:
             if key not in batch.column_names:
                 continue
@@ -157,8 +161,8 @@ class CombinedStage(RowRuleStage):
             pid_np = np.asarray(agg.column("pid").combine_chunks(), dtype=np.int64)
             for pid in np.unique(pid_np):
                 sub = agg.filter(pc.equal(agg.column("pid"), int(pid)))
-                if row_start is not None:
-                    chunk_id = f"r{row_start:012d}"
+                if batch_chunk_id is not None:
+                    chunk_id = batch_chunk_id
                 else:
                     from ..util import hash_column
 
@@ -178,22 +182,31 @@ class CombinedStage(RowRuleStage):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pids = self.partitions_of(batch)
-        # retry-stable batch identity for sink chunk names (sources/io.py
-        # lineage); None → content-hash fallback for direct callers
-        row_start = (
-            int(batch.column("row_start")[0].as_py())
-            if "row_start" in batch.column_names and batch.num_rows
-            else None
-        )
+        # retry-stable batch identity for sink chunk names: the first row's
+        # (path, row_start) pair is unique per batch — row identity is
+        # unique within the input and every row heads at most one batch —
+        # even when map_batches slices one block into several batches
+        # (sources/io.py lineage); None → content-hash fallback for callers
+        # that bypass the lineage reader
+        batch_chunk_id = None
+        if "row_start" in batch.column_names and batch.num_rows:
+            off0 = int(batch.column("row_start")[0].as_py())
+            p0 = (
+                batch.column("path")[0].as_py()
+                if "path" in batch.column_names
+                else ""
+            )
+            path8 = hashlib.sha1((p0 or "").encode()).hexdigest()[:8]
+            batch_chunk_id = f"r{off0:012d}-{path8}"
         base = RowRuleStage.__call__(self, batch, pids)
         if self.sink_dir is not None and self.key_cols:
-            self._sink_key_partials(batch, pids, row_start)
+            self._sink_key_partials(batch, pids, batch_chunk_id)
         if self.sink_dir is not None:
             viol_mask = pc.equal(base.column("kind"), "violation")
             if pc.any(viol_mask).as_py():
                 viols = base.filter(viol_mask)
                 base = pa.concat_tables(
-                    [base.filter(pc.invert(viol_mask)), self._sink_violations(viols, row_start)]
+                    [base.filter(pc.invert(viol_mask)), self._sink_violations(viols, batch_chunk_id)]
                 )
         lineage = [c for c in ("path", "row_start") if c in batch.column_names and c not in self.plan.spec.columns]
         if lineage:

@@ -40,26 +40,29 @@ def read_parquet_tasks(
         # generator UDF: a file larger than the target block size is yielded
         # in row slices so downstream stages see ~128 MiB blocks regardless
         # of shard sizing (zero-copy slices of the decoded table). With
-        # include_paths, each slice also carries "row_start" — its first
-        # row's offset within the file — a deterministic, retry-stable batch
-        # identity that downstream sinks use for idempotent chunk-file names
-        # (content hashes alone collapse distinct-but-identical batches).
+        # include_paths, each slice also carries "row_start" — EACH ROW's
+        # offset within its file — so any batch's first row yields a
+        # deterministic, retry-stable batch identity (path, row_start[0])
+        # that downstream sinks use for idempotent chunk-file names even
+        # when map_batches re-slices blocks with a smaller batch_size
+        # (a block-constant value made sub-block batches collide; content
+        # hashes alone collapse distinct-but-identical batches).
+        import numpy as np
+
         for p in batch.column("path").to_pylist():
             t = pq.read_table(p, columns=cols)
             if include_paths:
                 t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
+                t = t.append_column(
+                    "row_start", pa.array(np.arange(t.num_rows, dtype=np.int64), pa.int64())
+                )
             if t.nbytes <= target_block_bytes or t.num_rows <= 1:
-                if include_paths:
-                    t = t.append_column("row_start", pa.array([0] * t.num_rows, pa.int64()))
                 yield t
                 continue
             n_chunks = min(t.num_rows, -(-t.nbytes // target_block_bytes))
             per = -(-t.num_rows // n_chunks)
             for start in range(0, t.num_rows, per):
-                s = t.slice(start, per)
-                if include_paths:
-                    s = s.append_column("row_start", pa.array([start] * s.num_rows, pa.int64()))
-                yield s
+                yield t.slice(start, per)
 
     files = rd.from_items([{"path": p} for p in sorted(paths)])
     return files.repartition(len(paths)).map_batches(

@@ -31,11 +31,14 @@ def test_read_all(files):
 def test_column_pruning_and_paths(files):
     ds = read_parquet_tasks(files, columns=["k"], include_paths=True)
     tbl = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
-    # include_paths carries BOTH lineage columns: source path + the slice's
-    # row offset within the file (retry-stable batch identity for sinks)
+    # include_paths carries BOTH lineage columns: source path + EACH ROW's
+    # offset within its file (any batch's first row is then a retry-stable,
+    # batching-independent batch identity for sinks)
     assert set(tbl.column_names) == {"k", "path", "row_start"}
     assert set(tbl.column("path").to_pylist()) == set(files)
-    assert set(tbl.column("row_start").to_pylist()) == {0}  # un-split files
+    per_file = tbl.group_by("path").aggregate([("row_start", "list")])
+    for offs in per_file.column("row_start_list").to_pylist():
+        assert sorted(offs) == list(range(1000))  # per-row offsets 0..n-1
 
 
 def test_block_split_for_big_files(files):
