@@ -202,10 +202,18 @@ def minhash_neardup_documents(sf_dir: str) -> pa.Table:
     (1-j^4)^16 ≈ 1e-4 at j=0.8 and < 1e-15 at the j≥0.9 pairs present in
     this data, so the outputs match exactly (verified sf0.001 + sf0.01).
     jacc_bp is multiply-first floored basis points per CLAUDE.md."""
-    from ..functions.dedup import _dedupe_pairs, candidate_shingles, verify_pairs_distributed
+    from ..functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        expand_candidate_pairs,
+        verify_pairs_distributed,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _dedupe_pairs(_collect(minhash_candidates(ds, concurrency=2)))
+    # transitive closure of the star-capped candidates: without it a hot
+    # bucket's (x, y) pairs never reach the verify and the all-pairs oracle
+    # would see more rows (ADVICE r2)
+    pairs = expand_candidate_pairs(_dedupe_pairs(_collect(minhash_candidates(ds, concurrency=2))))
     if pairs.num_rows == 0:
         return pa.table(
             {

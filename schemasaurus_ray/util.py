@@ -173,9 +173,17 @@ def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
     return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
 
 
-def md5_digests(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+def md5_digests(col: pa.ChunkedArray | pa.Array, pass_budget: int = 64 << 20) -> np.ndarray:
     """(n, 16) uint8 MD5 digests of a string/binary column (nulls → the
-    digest of b'', callers mask separately)."""
+    digest of b'', callers mask separately).
+
+    The padded working buffer is (rows, max_blocks*64); hashing full
+    document text with one outlier-long row would inflate it to
+    n×max_doc_len (ADVICE r2: a 100 MB doc in a 4096-row batch ≈ 400 GB).
+    Rows are therefore processed in length classes: sorted by block count
+    and greedily grouped so each pass's buffer stays ≤ ``pass_budget``
+    (singleton outliers get their own pass bounded by their own length) —
+    peak allocation is max(pass_budget, longest row), not n×max_len."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     arr = col.cast(pa.large_binary()).fill_null(b"")
@@ -190,11 +198,45 @@ def md5_digests(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     # padded length: msg + 0x80 + zeros to 56 mod 64 + 8-byte bit length
     n_blocks = ((lengths + 8) // 64 + 1).astype(np.int64)
     max_blocks = int(n_blocks.max()) if n else 1
+    if n * max_blocks * 64 <= pass_budget:
+        return _md5_core(data, lengths)
+    out = np.empty((n, 16), dtype=np.uint8)
+    order = np.argsort(n_blocks, kind="stable")
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and (j - i + 1) * int(n_blocks[order[j]]) * 64 <= pass_budget:
+            j += 1
+        idx = order[i:j]
+        sub_len = lengths[idx]
+        total = int(sub_len.sum())
+        if total:
+            row = np.repeat(np.arange(len(idx)), sub_len)
+            sub_starts = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(sub_len, out=sub_starts[1:])
+            pos = np.arange(total, dtype=np.int64) - sub_starts[:-1][row]
+            sub_data = data[starts[idx][row] + pos]
+        else:
+            sub_data = data[:0]
+        out[idx] = _md5_core(sub_data, sub_len)
+        i = j
+    return out
+
+
+def _md5_core(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """MD5 of n contiguously-packed rows (``data`` = their concatenated
+    bytes, ``lengths`` per row) → (n, 16) uint8. One numpy pass per 64-byte
+    block round; bit-exact with hashlib.md5/DuckDB md5()."""
+    n = len(lengths)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    n_blocks = ((lengths + 8) // 64 + 1).astype(np.int64)
+    max_blocks = int(n_blocks.max()) if n else 1
     padded = np.zeros((n, max_blocks * 64), dtype=np.uint8)
     # scatter message bytes: row_of_byte/pos built once (tiny for key-ish cols)
     if len(data):
         row_of_byte = np.repeat(np.arange(n), lengths)
-        pos = np.arange(len(data), dtype=np.int64) - starts[row_of_byte]
+        pos = np.arange(len(data), dtype=np.int64) - starts[:-1][row_of_byte]
         padded[row_of_byte, pos] = data
     padded[np.arange(n), lengths] = 0x80
     bitlen = (lengths.astype(np.uint64) * np.uint64(8))
