@@ -46,6 +46,23 @@ BENCH_QUERIES = [
 ]
 
 
+def _window_healthy() -> bool:
+    """Calibration gate (BASELINE.md): this host's fresh-page allocation
+    rate swings 10-200x with hypervisor ballooning; np.arange(8M) best-of-3
+    under 250 ms marks a healthy measurement window. Timings taken outside
+    one are dominated by page faults, not the engine."""
+    import numpy as np
+
+    best = min(_timed(lambda: np.arange(8_000_000)) for _ in range(3))
+    return best < 0.25
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def _init_ray():
     import ray
 
@@ -111,10 +128,33 @@ def run_bench() -> dict:
         return sec, rep.metrics["rows_total"]
 
     # one untimed warm-up (Ray worker spawn + import amortizes on a real
-    # long-running cluster), then best of 3: shared-VM contention makes
-    # single timings a dice roll (observed 2x spikes mid-run)
+    # long-running cluster), then best-of-3 CALIBRATION-GATED samples
+    # (VERDICT r2 #1): a sample counts only if the page-fault window is
+    # healthy BEFORE and AFTER the run (windows flip mid-run: a pre-check
+    # alone admitted 2-4x-degraded timings — measured 20+ consecutive
+    # healthy-window runs at 3.8-5 s vs 10-18 s in bad windows, same code).
+    # Bounded by a deadline so the driver never hangs here; if the window
+    # never clears, the degraded number is reported with
+    # calibrated_window=false so it is never mistaken for an engine number.
     one_pipeline()
-    headline_sec, rows = min(one_pipeline() for _ in range(3))
+    samples: list[tuple[float, int]] = []
+    rejected: list[float] = []
+    uncalibrated = 0
+    deadline = time.time() + 300
+    while len(samples) < 3 and time.time() < deadline:
+        if not _window_healthy():
+            uncalibrated += 1
+            time.sleep(4)
+            continue
+        s = one_pipeline()
+        if _window_healthy():
+            samples.append(s)
+        else:
+            rejected.append(round(s[0], 3))  # window flipped mid-run
+    calibrated = bool(samples)
+    if not samples:  # window never cleared: measure anyway, flag it
+        samples = [one_pipeline() for _ in range(2)]
+    headline_sec, rows = min(samples)
 
     # ---- per-query timings over the driver tables (min of 2 passes) ----
     qtimes: dict[str, float] = {}
@@ -137,6 +177,10 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "clips": rows,
         "clips_per_sec": round(rows / headline_sec, 1),
+        "calibrated_window": calibrated,
+        "uncalibrated_retries": uncalibrated,
+        "headline_samples": [round(s[0], 3) for s in samples],
+        "rejected_midflip_samples": rejected,
     }
 
 
@@ -189,18 +233,30 @@ def run_scaling_once() -> dict:
     # one untimed warm-up iteration: excludes the one-time Ray worker
     # spawn + import cost, which scales WITH worker count and would
     # otherwise dominate a ~10 s job (a long-running cluster job amortizes
-    # it); then best of 2 timed iterations per process — the outer
-    # run_scaling layer alternates two processes per level, so each level
-    # still gets 4 timed samples total (shared-VM CPU contention makes
-    # single measurements a ±2-3× dice roll — BASELINE.md)
+    # it); then calibration-gated best-of-2 (window healthy before AND
+    # after each timed run — same protocol as the headline; the outer
+    # run_scaling layer additionally alternates two processes per level)
     one_run()
-    sec, rows = min(one_run() for _ in range(2))
+    samples: list[tuple[float, int]] = []
+    deadline = time.time() + 240
+    while len(samples) < 2 and time.time() < deadline:
+        if not _window_healthy():
+            time.sleep(4)
+            continue
+        s = one_run()
+        if _window_healthy():
+            samples.append(s)
+    calibrated = bool(samples)
+    if not samples:
+        samples = [one_run() for _ in range(2)]
+    sec, rows = min(samples)
     ray.shutdown()
     return {
         "sec": round(sec, 3),
         "rows": rows,
         "rows_per_sec": round(rows / sec, 1),
         "num_cpus": NUM_CPUS,
+        "calibrated_window": calibrated,
     }
 
 
@@ -244,6 +300,9 @@ def run_scaling() -> dict:
         "rows_per_sec_32": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "rows": r_hi["rows"],
+        "calibrated_window": bool(
+            r_lo.get("calibrated_window", True) and r_hi.get("calibrated_window", True)
+        ),
     }
 
 

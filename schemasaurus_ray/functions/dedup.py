@@ -578,8 +578,9 @@ def connected_component_min(pairs: pa.Table) -> dict[int, int]:
     """Union-find over near-dup pairs → {doc_id: min id of its component}.
     Driver-side by design: the pair set is the LSH+verify output, tiny next
     to the corpus (the only ids present are members of some near-dup pair).
-    At 100 TB, shard this by component via iterated label propagation if
-    pairs ever outgrow one machine."""
+    Pair sets above CC_SHARD_THRESHOLD go through
+    :func:`connected_component_min_sharded` (distributed min-label
+    propagation) via :func:`connected_component_dropped` instead."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -602,6 +603,110 @@ def connected_component_min(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in seen}
 
 
+def connected_component_min_sharded(
+    pairs: pa.Table, num_shards: int = 8, max_iters: int = 64
+) -> pa.Table:
+    """(id, root) component labels via DISTRIBUTED min-label propagation —
+    the promised fallback for pair sets too big for the driver union-find
+    (boilerplate-heavy web corpora can make |pairs| ≈ O(corpus)).
+
+    Shape: edges are sharded once by hash(src) (both orientations), labels
+    (id, label) by the same hash; each round, S propagate tasks join their
+    edge shard against their label shard (sorted-id searchsorted) and emit
+    (dst, label) messages re-sharded by hash(dst); S update tasks take the
+    per-id minimum of incoming messages ∪ current labels. Labels stay in
+    the object store between rounds (only per-shard change counts return to
+    the driver). Converges in O(component diameter) rounds — near-dup
+    clusters are shallow; ``max_iters`` guards pathological chains."""
+    import ray
+
+    a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
+    b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
+    if len(a) == 0:
+        return pa.table({"id": pa.array([], pa.int64()), "root": pa.array([], pa.int64())})
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    h_src = (splitmix64(src.view(np.uint64)) % np.uint64(num_shards)).astype(np.int64)
+    edge_shards = []
+    for s in range(num_shards):
+        m = h_src == s
+        edge_shards.append(ray.put((src[m], dst[m])))
+    ids = np.unique(src)
+    h_id = (splitmix64(ids.view(np.uint64)) % np.uint64(num_shards)).astype(np.int64)
+    lab_shards = []
+    for s in range(num_shards):
+        part = ids[h_id == s]  # sorted (np.unique) — searchsorted invariant
+        lab_shards.append(ray.put((part, part.copy())))
+
+    @ray.remote
+    def propagate(edges, labels, num_shards: int):
+        e_src, e_dst = edges
+        l_id, l_lab = labels
+        lab = l_lab[np.searchsorted(l_id, e_src)]
+        h = (splitmix64(e_dst.view(np.uint64)) % np.uint64(num_shards)).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hd, dd, ld = h[order], e_dst[order], lab[order]
+        bounds = np.searchsorted(hd, np.arange(num_shards + 1))
+        out = [(dd[bounds[i] : bounds[i + 1]], ld[bounds[i] : bounds[i + 1]]) for i in range(num_shards)]
+        return out if num_shards > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def update(labels, *msgs):
+        l_id, l_lab = labels
+        ids_all = np.concatenate([l_id] + [m[0] for m in msgs])
+        labs_all = np.concatenate([l_lab] + [m[1] for m in msgs])
+        order = np.lexsort((labs_all, ids_all))
+        ii, ll = ids_all[order], labs_all[order]
+        first = np.ones(len(ii), dtype=bool)
+        first[1:] = ii[1:] != ii[:-1]
+        new_lab = ll[first]  # per-id minimum (lexsort puts it first)
+        return (l_id, new_lab), int((new_lab != l_lab).sum())
+
+    for _ in range(max_iters):
+        msg_refs = [
+            propagate.options(num_returns=num_shards if num_shards > 1 else 1).remote(
+                edge_shards[s], lab_shards[s], num_shards
+            )
+            for s in range(num_shards)
+        ]
+        if num_shards == 1:
+            msg_refs = [[r] for r in msg_refs]
+        outs = [
+            update.remote(lab_shards[t], *[msg_refs[s][t] for s in range(num_shards)])
+            for t in range(num_shards)
+        ]
+        lab_shards = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
+            break
+    parts = ray.get(lab_shards)
+    return pa.table(
+        {
+            "id": pa.array(np.concatenate([p[0] for p in parts]), pa.int64()),
+            "root": pa.array(np.concatenate([p[1] for p in parts]), pa.int64()),
+        }
+    )
+
+
+# above this many pairs the driver union-find (Python dicts, O(pairs) heap)
+# hands off to the sharded label propagation
+CC_SHARD_THRESHOLD = 2_000_000
+
+
+def connected_component_dropped(
+    pairs: pa.Table, shard_threshold: int = CC_SHARD_THRESHOLD
+) -> np.ndarray:
+    """Sorted ids to DROP (non-minimal members of each component). Small
+    pair sets use the driver union-find; larger ones the sharded
+    propagation — identical output either way (pinned in tests)."""
+    if pairs.num_rows <= shard_threshold:
+        comp = connected_component_min(pairs)
+        return np.asarray(sorted(x for x, root in comp.items() if x != root), dtype=np.int64)
+    labels = connected_component_min_sharded(pairs)
+    ids = np.asarray(labels.column("id").combine_chunks(), dtype=np.int64)
+    roots = np.asarray(labels.column("root").combine_chunks(), dtype=np.int64)
+    return np.sort(ids[ids != roots])
+
+
 def neardup_survivors(
     ds: "ray.data.Dataset",
     pairs: pa.Table,
@@ -612,8 +717,7 @@ def neardup_survivors(
     (O(near-dups)) is broadcast; the corpus is filtered in map_batches."""
     import ray
 
-    comp = connected_component_min(pairs)
-    dropped = np.asarray(sorted(x for x, root in comp.items() if x != root), dtype=np.int64)
+    dropped = connected_component_dropped(pairs)
     drop_ref = ray.put(dropped)
 
     def keep(batch: pa.Table) -> pa.Table:

@@ -79,28 +79,82 @@ def winnow_fingerprints(
     corpus finds copied passages. Rolling hash is vectorized per document."""
     from ..util import splitmix64
 
-    ids_out, fps_out = [], []
-    for doc_id, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-        if not text or len(text) < k:
-            continue
-        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(b) < k:
-            continue
-        # k-gram polyhash via stride trick: sum over window of byte*P^i
-        P = np.uint64(1099511628211)
-        powers = P ** np.arange(k, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-            h = splitmix64((grams * powers[None, :]).sum(axis=1))
-        if len(h) < window:
-            sel = np.unique(h.min(keepdims=True))
-        else:
-            wins = np.lib.stride_tricks.sliding_window_view(h, window)
-            sel = np.unique(wins.min(axis=1))
-        ids_out.extend([doc_id] * len(sel))
-        fps_out.extend(sel.view(np.int64).tolist())
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    empty = pa.table({id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    # BATCH-VECTORIZED (VERDICT r2 #4): one concatenated byte buffer for the
+    # whole column, k shifted-view multiply-adds for the rolling hash (no
+    # (bytes, k) gram matrix), boundary masks so grams/windows never span
+    # documents, per-doc minima via segment reduceat — no per-doc Python.
+    bin_col = col.cast(pa.large_binary()).fill_null(b"")
+    buf = np.frombuffer(bin_col.buffers()[2] or b"", dtype=np.uint8)
+    offsets = np.frombuffer(bin_col.buffers()[1], dtype=np.int64)[
+        bin_col.offset : bin_col.offset + n + 1
+    ]
+    starts = (offsets - offsets[0]).astype(np.int64)
+    lengths = np.diff(starts)
+    data = buf[offsets[0] : offsets[-1]]
+    B = len(data)
+    if B < k:
+        return empty
+    ids_np = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+    # chars < k skips a doc even when its UTF-8 bytes reach k (legacy parity
+    # with the per-doc path's `len(text) < k` pre-check)
+    char_ok = np.asarray(pc.fill_null(pc.utf8_length(col), 0), dtype=np.int64) >= k
+    P = np.uint64(1099511628211)
+    powers = P ** np.arange(k, dtype=np.uint64)
+    G = B - k + 1
+    with np.errstate(over="ignore"):
+        d64 = data.astype(np.uint64)
+        acc = d64[:G] * powers[0]
+        for j in range(1, k):
+            acc += d64[j : G + j] * powers[j]
+        h = splitmix64(acc)
+    doc_of = np.repeat(np.arange(n), lengths)
+    valid_gram = (doc_of[:G] == doc_of[k - 1 :]) & char_ok[doc_of[:G]]
+    ids_out: list[np.ndarray] = []
+    fps_out: list[np.ndarray] = []
+    # windowed minima: a window of `window` grams starting at q spans bytes
+    # q .. q+window+k-2, valid iff wholly inside one (char-ok) document
+    if G >= window:
+        W = G - window + 1
+        win_valid = (doc_of[:W] == doc_of[window + k - 2 :]) & char_ok[doc_of[:W]]
+        if win_valid.any():
+            win_min = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            ids_out.append(doc_of[:W][win_valid])
+            fps_out.append(win_min[win_valid])
+    # docs with 1..window-1 grams contribute their single gram-set minimum;
+    # per-doc gram counts come from the valid-gram segments
+    n_grams = np.where(char_ok, np.maximum(lengths - k + 1, 0), 0)
+    small = (n_grams > 0) & (n_grams < window)
+    if small.any():
+        # per-segment minima over the (tiny) small-doc set: these docs are
+        # < k+window-1 bytes long, so the loop is bounded by window*k bytes each
+        doc_idx = np.nonzero(small)[0]
+        gmins = np.empty(len(doc_idx), dtype=np.uint64)
+        for j, d in enumerate(doc_idx):  # rare: docs of < k+window-1 bytes
+            s = starts[d]
+            gmins[j] = h[s : s + n_grams[d]].min()
+        ids_out.append(doc_idx.astype(np.int64))
+        fps_out.append(gmins)
+    if not ids_out:
+        return empty
+    docs = np.concatenate(ids_out)
+    fps = np.concatenate(fps_out).view(np.int64)
+    # dedupe (doc, fp) per document
+    order = np.lexsort((fps, docs))
+    docs, fps = docs[order], fps[order]
+    keep = np.ones(len(docs), dtype=bool)
+    keep[1:] = (docs[1:] != docs[:-1]) | (fps[1:] != fps[:-1])
     return pa.table(
-        {id_col: pa.array(ids_out), "fp": pa.array(fps_out, pa.int64())}
+        {
+            id_col: pa.array(ids_np[docs[keep]], pa.int64()),
+            "fp": pa.array(fps[keep], pa.int64()),
+        }
     )
 
 

@@ -38,10 +38,20 @@ DOCUMENTS_SPEC: dict = {
 }
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Zero-copy drop of parquet/pandas schema metadata: a pa.Schema with a
+    metadata dict is unhashable, so every Ray Data schema-dedup on such
+    blocks logs 'Failed to hash the schemas' and skips its fast path
+    (VERDICT r2 #8). Fuses with the read stage — no extra pass."""
+    return batch.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _collect(ds) -> pa.Table:

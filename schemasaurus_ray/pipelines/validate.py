@@ -375,7 +375,13 @@ class ValidationPipeline:
         # storage — ONE scan of the heavy input total (round 2 re-read every
         # key column for the shuffle; at 100 TB that was a second full-table
         # read) ----
-        from ..stages.shuffle import anti_join_shuffled, combined_key_checks_async, count_keys_shuffled
+        from ..stages.shuffle import (
+            _default_buckets,
+            anti_join_shuffled,
+            combined_key_checks_async,
+            count_keys_shuffled,
+            launch_right_maps,
+        )
 
         def _resolve_right(rule):
             if not ref_datasets or rule.ref_table not in ref_datasets:
@@ -401,6 +407,17 @@ class ValidationPipeline:
             fused_unique = unique_rules.pop(0)
         key_partials_dir = os.path.join(self.out_dir, "partials")
         fused_key_cols = [fused_unique.columns[0]] if fused_unique is not None else []
+        # the reference side of the fused key check has NO dependency on the
+        # row pass — launch its read+hash+bucket maps NOW so they fill the
+        # idle CPU the row pass leaves (~40% at 32 CPUs measured); the left
+        # side still runs from the partials the row pass persists
+        fused_nb = _default_buckets(len(shards))
+        fused_right = _resolve_right(fused_ref) if fused_ref is not None else None
+        early_rrefs = (
+            launch_right_maps(fused_right, fused_ref.ref_column, fused_nb)
+            if fused_right is not None
+            else None
+        )
         rows_validated_this_run = 0
 
         part_records: dict[int, dict[str, Any]] = {}
@@ -565,11 +582,13 @@ class ValidationPipeline:
             fused_finish = combined_key_checks_async(
                 shards,
                 fused_unique.columns[0],
-                _resolve_right(fused_ref) if fused_ref is not None else None,
+                fused_right,
                 fused_ref.ref_column if fused_ref is not None else None,
+                num_buckets=fused_nb,
                 path_pids=path_map,
                 partials_dir=key_partials_dir,
                 done_paths=set(shards),
+                right_refs=early_rrefs,
             )
 
         merged_stats = merge_stats_partials(stats_partials)

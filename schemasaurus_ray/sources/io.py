@@ -50,7 +50,11 @@ def read_parquet_tasks(
         import numpy as np
 
         for p in batch.column("path").to_pylist():
-            t = pq.read_table(p, columns=cols)
+            # drop parquet/pandas schema metadata: pa.Schema with a metadata
+            # dict is unhashable, which makes every downstream Ray Data
+            # schema-dedup log a warning per block (VERDICT r2 #8) and
+            # defeats the early-exit schema unification fast path
+            t = pq.read_table(p, columns=cols).replace_schema_metadata(None)
             if include_paths:
                 t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
                 t = t.append_column(

@@ -55,10 +55,22 @@ def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
             col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
     t = col.type
     if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_boolean(t):
-        vals = np.asarray(col.cast(pa.int64()).fill_null(-1)).astype(np.uint64)
+        # null-free int64 (the common key-column case) is a zero-copy view;
+        # the old unconditional cast+fill_null+astype chain made 3 copies
+        # per batch — measurable at 32 CPUs where the host memory bus, not
+        # CPU, is the scaling ceiling (VERDICT r2 #2)
+        if col.null_count == 0 and pa.types.is_int64(t):
+            vals = np.asarray(col).view(np.uint64)
+        elif col.null_count == 0:
+            vals = np.asarray(col.cast(pa.int64())).view(np.uint64)
+        else:
+            vals = np.asarray(col.cast(pa.int64()).fill_null(-1)).view(np.uint64)
         return splitmix64(vals + np.uint64(seed))
     if pa.types.is_floating(t):
-        vals = np.asarray(col.fill_null(np.nan), dtype=np.float64).view(np.uint64)
+        if col.null_count == 0 and pa.types.is_float64(t):
+            vals = np.asarray(col).view(np.uint64)
+        else:
+            vals = np.asarray(col.fill_null(np.nan), dtype=np.float64).view(np.uint64)
         return splitmix64(vals + np.uint64(seed))
     # strings / binary: vectorized polyhash over the flat byte buffer
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):

@@ -137,6 +137,49 @@ def test_winnow_shared_passages_corpus(docs_ds, tmp_path):
             assert shared.get((i, i + 2), 0) >= 5, f"near dup {i} not detected"
 
 
+def test_winnow_batch_matches_reference_rows():
+    """The batch-vectorized winnowing kernel (one concatenated buffer +
+    boundary masks) must emit exactly the per-doc reference's (id, fp) set:
+    same rolling hashes, same window minima, same short-doc handling, same
+    char-vs-byte length skip quirk."""
+    from schemasaurus_ray.functions.text import winnow_fingerprints
+    from schemasaurus_ray.util import splitmix64
+
+    k, window = 8, 4
+    rng = np.random.default_rng(5)
+    texts = [
+        None, "", "short", "exactly8", "九字の文字列です",  # multibyte ≥8 bytes, <8 chars
+        "just over the k threshold", "x" * 7, "y" * 8, "z" * 12,
+    ] + ["".join(rng.choice(list("abcdef "), size=int(rng.integers(1, 120)))) for _ in range(60)]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+    # transcribed reference (the former per-doc implementation)
+    ref_pairs = set()
+    for doc_id, text in zip(range(len(texts)), texts):
+        if not text or len(text) < k:
+            continue
+        b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            continue
+        P = np.uint64(1099511628211)
+        powers = P ** np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            h = splitmix64((grams * powers[None, :]).sum(axis=1))
+        if len(h) < window:
+            sel = np.unique(h.min(keepdims=True))
+        else:
+            sel = np.unique(np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+        for fp in sel.view(np.int64).tolist():
+            ref_pairs.add((doc_id, fp))
+
+    out = winnow_fingerprints(tbl, k=k, window=window)
+    got = set(zip(out.column("doc_id").to_pylist(), out.column("fp").to_pylist()))
+    assert got == ref_pairs and len(got) > 0
+
+
 def test_jaccard():
     assert jaccard("a b c d e", "a b c d e") == 1.0
     assert jaccard("a b c d e", "x y z w v") == 0.0
@@ -252,6 +295,48 @@ def test_expand_candidate_pairs_closes_star_caps():
     )
     out_big = expand_candidate_pairs(big, max_component=512)
     assert out_big.num_rows == 600  # unchanged: component of 601 > cap
+
+
+def test_sharded_cc_matches_union_find(ray_session):
+    """Distributed min-label propagation must drop exactly the ids the
+    driver union-find drops — random graph with chains, stars, and
+    singletons-by-absence (VERDICT r2 #5)."""
+    from schemasaurus_ray.functions.dedup import (
+        connected_component_dropped,
+        connected_component_min,
+        connected_component_min_sharded,
+    )
+
+    rng = np.random.default_rng(17)
+    # chains of length 2..40 over disjoint id ranges + random cross edges
+    a_list, b_list = [], []
+    base = 0
+    for L in rng.integers(2, 40, size=200):
+        ids = np.arange(base, base + L, dtype=np.int64)
+        rng.shuffle(ids)
+        a_list.append(ids[:-1])
+        b_list.append(ids[1:])
+        base += L + int(rng.integers(1, 5))  # gaps → absent ids
+    a = np.concatenate(a_list)
+    b = np.concatenate(b_list)
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    comp = connected_component_min(pairs)
+    exp_dropped = np.asarray(sorted(x for x, r in comp.items() if x != r), dtype=np.int64)
+
+    labels = connected_component_min_sharded(pairs, num_shards=4)
+    ids = np.asarray(labels.column("id"), dtype=np.int64)
+    roots = np.asarray(labels.column("root"), dtype=np.int64)
+    assert (np.sort(ids[ids != roots]) == exp_dropped).all()
+    # every root is its component's minimum
+    for x, r in comp.items():
+        assert roots[np.searchsorted(np.sort(ids), x)] is not None
+    lut = dict(zip(ids.tolist(), roots.tolist()))
+    assert all(lut[x] == r for x, r in comp.items())
+
+    # the threshold dispatch picks the sharded path and agrees
+    got = connected_component_dropped(pairs, shard_threshold=0)
+    assert (got == exp_dropped).all()
 
 
 def test_simhash_near_dup_pairs(docs_ds):
