@@ -84,11 +84,15 @@ def pcm_consistency(bytes_col, batch, *_args) -> np.ndarray:
     """
     import pyarrow as pa
 
-    sr = np.asarray(batch.column("sr_hz").combine_chunks().cast(pa.int64()).fill_null(0))
-    dur = np.asarray(batch.column("dur_ms").combine_chunks().cast(pa.int64()).fill_null(0))
-    arr = bytes_col.combine_chunks() if isinstance(bytes_col, pa.ChunkedArray) else bytes_col
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.binary())
+    from .util import single_chunk
+
+    sr = np.asarray(single_chunk(batch.column("sr_hz")).cast(pa.int64()).fill_null(0))
+    dur = np.asarray(single_chunk(batch.column("dur_ms")).cast(pa.int64()).fill_null(0))
+    # single_chunk: combine_chunks would memcpy the whole audio payload
+    # (85 ms / 110 MB batch) just to read 44-byte headers
+    arr = single_chunk(bytes_col)
+    if arr.type == pa.null():
+        arr = pa.array([], pa.binary())
     n = len(arr)
     if n == 0:
         return np.ones(0, dtype=bool)

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 
 from .errors import SpecError
 from .messages import MESSAGES, render, resolve_formats
+from .util import single_chunk
 
 BoolMask = np.ndarray  # shape (n,), dtype bool — True = violation
 
@@ -50,8 +51,7 @@ class KernelRule:
 
 def _np_bool(mask: pa.ChunkedArray | pa.Array) -> BoolMask:
     """Arrow boolean (possibly with nulls) → numpy bool, nulls → False."""
-    if isinstance(mask, pa.ChunkedArray):
-        mask = mask.combine_chunks()
+    mask = single_chunk(mask)
     return np.asarray(mask.fill_null(False))
 
 
@@ -66,7 +66,7 @@ def _col(table: pa.Table, name: str) -> pa.ChunkedArray:
 
 def _numeric_np(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """Numeric column → (float64 values with nulls as nan, valid mask)."""
-    arr = col.combine_chunks()
+    arr = single_chunk(col)
     valid = np.asarray(pc.is_valid(arr))
     vals = np.asarray(arr.cast(pa.float64()).fill_null(np.nan))
     return vals, valid
@@ -298,7 +298,9 @@ def k_conform(column: str, spec: dict, opts: dict) -> list[KernelRule]:
             col = _col(t, column)
             ok = fn_user(col, t, *extra_args)
             ok = np.asarray(ok, dtype=bool)
-            return (~ok) & np.asarray(pc.is_valid(col.combine_chunks()))
+            # is_valid on the UNcombined column: combine_chunks copied the
+            # whole payload (binary conform columns = the full audio bytes)
+            return (~ok) & _np_bool(pc.is_valid(col))
 
         return KernelRule(column, code, None, _message(spec, code if code in MESSAGES else "custom", None, opts["gettext"]), fn)
 

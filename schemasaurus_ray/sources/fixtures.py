@@ -29,6 +29,13 @@ import pyarrow.parquet as pq
 from ..audio import synth_samples, wav_encode
 from ..util import partition_ids
 
+# Audio payloads are already codec-compressed in production (opus/flac) and
+# the synthetic WAVs barely compress either (snappy: 110.35 -> 110.39 MB per
+# shard, i.e. NEGATIVE savings) — but snappy-decoding them cost the dominant
+# share of row-pass CPU at 32-way concurrency. Store clip shards uncompressed
+# so reads are a near-zero-copy mmap off tmpfs/page cache.
+CLIP_WRITE_OPTS = {"compression": "NONE", "use_dictionary": False}
+
 WORDS = (
     "the quick brown fox jumps over lazy dog alpha beta gamma delta epsilon "
     "zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon "
@@ -162,7 +169,7 @@ def write_fixture(
     for s in range(shards):
         part = clips.slice(s * per, per)
         if part.num_rows:
-            pq.write_table(part, os.path.join(clips_dir, f"shard-{s:05d}.parquet"))
+            pq.write_table(part, os.path.join(clips_dir, f"shard-{s:05d}.parquet"), **CLIP_WRITE_OPTS)
     pq.write_table(transcripts, os.path.join(tr_dir, "shard-00000.parquet"))
     return {"clips": clips_dir, "transcripts": tr_dir}
 
@@ -201,7 +208,7 @@ def write_fixture_parallel(
             count, seed=seed, start=start, with_audio=with_audio, inject=True,
             num_partitions=num_partitions,
         )
-        pq.write_table(clips, os.path.join(clips_dir, f"shard-{s:05d}.parquet"))
+        pq.write_table(clips, os.path.join(clips_dir, f"shard-{s:05d}.parquet"), **CLIP_WRITE_OPTS)
         tr = make_transcripts(clips, seed=seed, start=start)
         pq.write_table(tr, os.path.join(tr_dir, f"shard-{s:05d}.parquet"))
         return count

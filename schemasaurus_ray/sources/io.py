@@ -54,7 +54,10 @@ def read_parquet_tasks(
             # dict is unhashable, which makes every downstream Ray Data
             # schema-dedup log a warning per block (VERDICT r2 #8) and
             # defeats the early-exit schema unification fast path
-            t = pq.read_table(p, columns=cols).replace_schema_metadata(None)
+            # memory_map: local files (tmpfs/page cache) assemble Arrow
+            # buffers from mapped pages instead of read()-copies — with
+            # uncompressed binary columns this is the near-zero-copy path
+            t = pq.read_table(p, columns=cols, memory_map=True).replace_schema_metadata(None)
             if include_paths:
                 t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
                 t = t.append_column(

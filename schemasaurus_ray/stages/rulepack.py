@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ..plan import BoundPlan, RowRulePlan, compile_plan
 from ..spec import TableSpec
-from ..util import partition_ids, stringify_column
+from ..util import partition_ids, single_chunk, stringify_column
 
 VIOLATION_SCHEMA = pa.schema(
     [
@@ -103,7 +103,7 @@ class RowRuleStage:
 
         key_col = self.plan.spec.row_ref_column
         if key_col and key_col in batch.column_names:
-            refs = batch.column(key_col).combine_chunks().cast(pa.string())
+            refs = single_chunk(batch.column(key_col)).cast(pa.string())
         else:
             refs = None
 

@@ -42,6 +42,23 @@ def _polars_hash(col: pa.Array, seed: int) -> np.ndarray | None:
     return s.hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy().astype(np.uint64, copy=False)
 
 
+def single_chunk(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """ChunkedArray → Array WITHOUT copying when already one chunk.
+    ``combine_chunks()`` memcpys even a single-chunk column (measured 85 ms
+    per 110 MB binary batch — the audio row pass paid it several times per
+    batch); ``chunk(0)`` is a refcount bump. Genuine multi-chunk columns
+    still concatenate."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        if col.num_chunks == 0:
+            return pa.array([], col.type)
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # pyarrow version differences
+            return col.chunk(0)
+    return col
+
+
 def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
     """Stable uint64 hash of an Arrow column, vectorized.
 
@@ -49,10 +66,7 @@ def hash_column(col: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
     polyhash fallback). Deterministic within one environment; never
     persisted across runs.
     """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-        if isinstance(col, pa.ChunkedArray):  # pyarrow version differences
-            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    col = single_chunk(col)
     t = col.type
     if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_boolean(t):
         # null-free int64 (the common key-column case) is a zero-copy view;
@@ -118,8 +132,10 @@ def partition_ids(col: pa.ChunkedArray | pa.Array, num_partitions: int, seed: in
 def stringify_column(col: pa.ChunkedArray, indices: np.ndarray) -> pa.Array:
     """Offending values as strings for the violation sink; binary columns are
     summarized as their byte length (never ship audio payloads into the
-    violations table — SURVEY.md §7 hard part (d))."""
-    taken = col.combine_chunks().take(pa.array(indices, pa.int64()))
+    violations table — SURVEY.md §7 hard part (d)). Take BEFORE any chunk
+    combine: combine_chunks here copied the full column (110 MB of audio
+    bytes per batch) to render a handful of violating rows."""
+    taken = single_chunk(col.take(pa.array(indices, pa.int64())))
     t = taken.type
     try:
         if pa.types.is_binary(t) or pa.types.is_large_binary(t):
