@@ -184,6 +184,50 @@ def run_bench() -> dict:
     }
 
 
+def _host_probes() -> dict:
+    """Host-ceiling probes at the CURRENT cpu count, run inside the same Ray
+    session as the engine measurement (same contention window):
+
+    - ``stream``: warm sequential np.sum over pre-faulted 256 MB arrays —
+      pure DRAM read bandwidth (measured ~280 GB/s aggregate at 32 tasks on
+      this VM: DRAM is NOT the scaling ceiling).
+    - ``alloc``: np.empty + touch-every-page over fresh 128 MB arrays — the
+      host page-fault/zeroing path every fresh Arrow buffer takes (parquet
+      decode, group_by outputs). Its 8→32 efficiency (~0.61 measured)
+      matches the engine row pass (~0.60), pinning the scaling residual on
+      the host, not the engine's bytes/row.
+    """
+    import numpy as np
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def stream(mb: int, iters: int) -> float:
+        a = np.random.default_rng(0).integers(0, 255, size=mb * 1024 * 1024 // 8, dtype=np.uint64)
+        a.sum()  # fault pages in before timing
+        t0 = time.time()
+        for _ in range(iters):
+            a.sum()
+        return mb * iters / (time.time() - t0) / 1024
+
+    @ray.remote(num_cpus=1)
+    def alloc(mb: int, iters: int) -> float:
+        t0 = time.time()
+        for _ in range(iters):
+            a = np.empty(mb * 1024 * 1024 // 8, dtype=np.uint64)
+            a[::512] = 1  # touch every 4 KiB page
+            del a
+        return mb * iters / (time.time() - t0) / 1024
+
+    ray.get([stream.remote(32, 1) for _ in range(NUM_CPUS)])  # warm workers
+    out = {}
+    for name, fn, mb, iters in (("stream", stream, 256, 3), ("alloc", alloc, 128, 4)):
+        best = 0.0
+        for _ in range(2):
+            best = max(best, sum(ray.get([fn.remote(mb, iters) for _ in range(NUM_CPUS)])))
+        out[f"probe_{name}_gbps"] = round(best, 2)
+    return out
+
+
 def run_scaling_once() -> dict:
     """One scaling-profile run in THIS process: the full validation pipeline
     (rules + stats + uniqueness + referential + drift) over a
@@ -250,6 +294,7 @@ def run_scaling_once() -> dict:
     if not samples:
         samples = [one_run() for _ in range(2)]
     sec, rows = min(samples)
+    probes = _host_probes()
     ray.shutdown()
     return {
         "sec": round(sec, 3),
@@ -257,6 +302,7 @@ def run_scaling_once() -> dict:
         "rows_per_sec": round(rows / sec, 1),
         "num_cpus": NUM_CPUS,
         "calibrated_window": calibrated,
+        **probes,
     }
 
 
@@ -292,7 +338,7 @@ def run_scaling() -> dict:
     tp_lo = r_lo["rows_per_sec"]
     tp_hi = r_hi["rows_per_sec"]
     eff = tp_hi / (tp_lo * (hi / lo))
-    return {
+    out = {
         "metric": f"scaling efficiency ({lo} -> {hi} CPUs, fresh sessions, same input, metadata profile)",
         "sec_8": r_lo["sec"],
         "sec_32": r_hi["sec"],
@@ -304,6 +350,17 @@ def run_scaling() -> dict:
             r_lo.get("calibrated_window", True) and r_hi.get("calibrated_window", True)
         ),
     }
+    # host-ceiling evidence (BASELINE.md): alloc-probe efficiency is the
+    # page-fault path's own N->4N scaling on this VM; the engine cannot
+    # exceed it while every fresh Arrow buffer takes that path
+    for k in ("probe_stream_gbps", "probe_alloc_gbps"):
+        if k in r_lo and k in r_hi:
+            out[f"{k}_{lo}"] = r_lo[k]
+            out[f"{k}_{hi}"] = r_hi[k]
+            out[f"{k.replace('_gbps', '')}_efficiency"] = round(
+                r_hi[k] / (r_lo[k] * (hi / lo)), 3
+            )
+    return out
 
 
 if __name__ == "__main__":

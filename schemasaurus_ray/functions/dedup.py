@@ -65,8 +65,9 @@ def _shingle_hash_arrays(col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     1 ≤ W < n words get one combined hash of all their words; docs with no
     words contribute nothing. Returns (shingle_hashes uint64,
     doc_index int64) sorted by doc index."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    from ..util import single_chunk
+
+    col = single_chunk(col)
     d = len(col)
     assert n <= len(_SHINGLE_MULT)
     # ASCII whitespace split, matching the DuckDB oracles' RE2 \S+ (RE2 \s

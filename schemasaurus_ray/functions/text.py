@@ -79,9 +79,9 @@ def winnow_fingerprints(
     corpus finds copied passages. Rolling hash is vectorized per document."""
     from ..util import splitmix64
 
-    col = batch.column(text_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    from ..util import single_chunk
+
+    col = single_chunk(batch.column(text_col))
     n = len(col)
     empty = pa.table({id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())})
     if n == 0:
@@ -196,7 +196,9 @@ class LangIdStage:
         self.sep_regex = r"[^a-zà-ÿäöüß']+"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.text_col).combine_chunks()
+        from ..util import single_chunk
+
+        col = single_chunk(batch.column(self.text_col))
         n = len(col)
         token_lists = pc.split_pattern_regex(pc.utf8_lower(col), self.sep_regex)
         flat = pc.list_flatten(token_lists)

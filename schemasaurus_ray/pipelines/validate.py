@@ -138,25 +138,31 @@ class CombinedStage(RowRuleStage):
         )
 
     def _sink_key_partials(self, batch: pa.Table, pids: np.ndarray, batch_chunk_id: str | None) -> None:
-        """Persist this batch's (key, cnt, pid) pre-agg per partition —
+        """Persist this batch's (key..., cnt, pid) pre-agg per partition —
         idempotent chunk files under partials/, named by the batch's
         first-row (path, row_start) lineage (two DIFFERENT batches with
         identical pre-agg content must not collapse into one file — a pure
         content hash undercounted keys, and a block-constant row_start
         collided under batch_size < block; review findings r2/r3). Schema
         and naming prefix match stages/shuffle's per-shard partials so the
-        shuffle loads either format."""
+        shuffle loads either format. A key spec may be a single column name
+        or a LIST of columns (composite unique keys): composite partials
+        carry one column per key component and are filed under the
+        '+'-joined name — the one-scan invariant holds for multi-column
+        unique rules too (VERDICT r2 #10)."""
         for key in self.key_cols:
-            if key not in batch.column_names:
+            cols = [key] if isinstance(key, str) else list(key)
+            if any(c not in batch.column_names for c in cols):
                 continue
+            key_name = "+".join(cols)
             t = pa.table(
-                {key: batch.column(key), "pid": pa.array(pids, pa.int32())}
+                {**{c: batch.column(c) for c in cols}, "pid": pa.array(pids, pa.int32())}
             )
             agg = (
-                t.group_by([key, "pid"])
+                t.group_by(cols + ["pid"])
                 .aggregate([([], "count_all")])
-                .rename_columns([key, "pid", "cnt"])
-                .select([key, "cnt", "pid"])
+                .rename_columns(cols + ["pid", "cnt"])
+                .select(cols + ["cnt", "pid"])
             )
             pid_np = np.asarray(agg.column("pid").combine_chunks(), dtype=np.int64)
             for pid in np.unique(pid_np):
@@ -167,15 +173,16 @@ class CombinedStage(RowRuleStage):
                     from ..util import hash_column
 
                     digest = hashlib.sha1()
-                    digest.update(f"{key}|{int(pid)}|{sub.num_rows}".encode())
-                    digest.update(hash_column(sub.column(key)).tobytes())
+                    digest.update(f"{key_name}|{int(pid)}|{sub.num_rows}".encode())
+                    for c in cols:
+                        digest.update(hash_column(sub.column(c)).tobytes())
                     digest.update(
                         np.asarray(sub.column("cnt").combine_chunks(), dtype=np.int64).tobytes()
                     )
                     chunk_id = digest.hexdigest()[:12]
                 pdir = os.path.join(self.sink_dir, "partials")
                 os.makedirs(pdir, exist_ok=True)
-                final = os.path.join(pdir, f"keys_{key}_p{int(pid):05d}-{chunk_id}.parquet")
+                final = os.path.join(pdir, f"keys_{key_name}_p{int(pid):05d}-{chunk_id}.parquet")
                 tmp = final + f".tmp{os.getpid()}"
                 pq.write_table(sub, tmp)
                 os.replace(tmp, final)
@@ -406,7 +413,19 @@ class ValidationPipeline:
         elif unique_rules and len(unique_rules[0].columns) == 1:
             fused_unique = unique_rules.pop(0)
         key_partials_dir = os.path.join(self.out_dir, "partials")
-        fused_key_cols = [fused_unique.columns[0]] if fused_unique is not None else []
+        # key specs the row pass persists pre-aggs for: the fused single key,
+        # EVERY remaining unique rule — composite keys included (their
+        # partial carries one column per component) — and every non-fused
+        # referential rule's left column, so no key shuffle re-reads the
+        # heavy input (one-scan invariant, VERDICT r2 #10)
+        fused_key_cols = []
+        for spec_key in (
+            ([fused_unique.columns[0]] if fused_unique is not None else [])
+            + [tuple(r.columns) for r in unique_rules]
+            + [rr.column for rr in ref_rules]
+        ):
+            if spec_key not in fused_key_cols:
+                fused_key_cols.append(spec_key)
         # the reference side of the fused key check has NO dependency on the
         # row pass — launch its read+hash+bucket maps NOW so they fill the
         # idle CPU the row pass leaves (~40% at 32 CPUs measured); the left
@@ -441,13 +460,16 @@ class ValidationPipeline:
 
             from ..stages.shuffle import partial_key_files
 
-            # ALL candidate key columns, not just the currently-fused one:
+            # ALL candidate key names, not just the currently-sunk ones:
             # a spec/ref_datasets change can fuse a different key next run,
             # and a surviving stale pre-agg for the other key would then be
-            # loaded as truth (review finding r3)
-            all_key_cols = set(fused_key_cols) | {
-                c.columns[0] for c in self.spec.unique if len(c.columns) == 1
-            } | {r.column for r in self.spec.references}
+            # loaded as truth (review finding r3). Names are '+'-joined for
+            # composite keys, matching _sink_key_partials' file naming.
+            all_key_cols = (
+                {("+".join(k) if not isinstance(k, str) else k) for k in fused_key_cols}
+                | {"+".join(c.columns) for c in self.spec.unique}
+                | {r.column for r in self.spec.references}
+            )
             if len(todo) == len(shards):
                 # full (re)validation: clear block-level schema-issue rows
                 # (pid -1 — not attributable to one shard, so only safe to
@@ -652,12 +674,33 @@ class ValidationPipeline:
                 fused_orphans = [(fused_ref, o_tbl)]
 
         for rule in unique_rules:
-            # explicit hash-partitioned shuffle over key columns only
-            # (raw Ray map/reduce — see stages/shuffle.py for why)
-            _emit_dups(rule, count_keys_shuffled(shards, list(rule.columns), min_count=2))
+            # explicit hash-partitioned shuffle over key columns only (raw
+            # Ray map/reduce — see stages/shuffle.py for why), served from
+            # the row pass's persisted pre-aggs — composite keys included —
+            # so the heavy input is never re-read (one-scan invariant)
+            _emit_dups(
+                rule,
+                count_keys_shuffled(
+                    shards,
+                    list(rule.columns),
+                    min_count=2,
+                    path_pids=path_map,
+                    partials_dir=key_partials_dir,
+                ),
+            )
 
         orphan_results = fused_orphans + [
-            (rr, anti_join_shuffled(shards, rr.column, _resolve_right(rr), rr.ref_column))
+            (
+                rr,
+                anti_join_shuffled(
+                    shards,
+                    rr.column,
+                    _resolve_right(rr),
+                    rr.ref_column,
+                    path_pids=path_map,
+                    partials_dir=key_partials_dir,
+                ),
+            )
             for rr in ref_rules
         ]
         for ref_rule, o_tbl in orphan_results:

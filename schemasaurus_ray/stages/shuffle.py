@@ -109,18 +109,36 @@ def count_keys_shuffled(
     columns: list[str],
     num_buckets: int | None = None,
     min_count: int = 2,
+    path_pids: dict[str, int] | None = None,
+    partials_dir: str | None = None,
 ) -> pa.Table:
     """(key columns..., cnt) for keys with total count ≥ ``min_count``
     across all parquet shards. min_count=2 → duplicate keys (uniqueness
-    violations); min_count=1 → full distinct key counts."""
+    violations); min_count=1 → full distinct key counts.
+
+    With ``partials_dir``/``path_pids`` set, shards whose row-pass key
+    pre-agg chunks exist on disk (written by CombinedStage._sink_key_partials
+    under the '+'-joined column name) are served from those tiny files —
+    including COMPOSITE keys — so this shuffle re-reads NOTHING from the
+    heavy input (one-scan invariant, VERDICT r2 #10)."""
     import ray
 
     num_buckets = num_buckets or _default_buckets(len(paths))
+    key_name = "+".join(columns)
 
     @ray.remote(num_returns=num_buckets)
     def map_shard(path: str):
         tbl = pq.read_table(path, columns=columns)
         counts = _precount_table(tbl, columns)
+        out = _split_buckets(counts, columns, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def load_partial(files: list[str]):
+        merged = pa.concat_tables([pq.read_table(f, columns=columns + ["cnt"]) for f in files])
+        counts = (
+            merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+        )
         out = _split_buckets(counts, columns, num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -142,7 +160,14 @@ def count_keys_shuffled(
             agg = agg.filter(pc.greater_equal(agg.column("cnt"), min_count))
         return agg
 
-    refs = [map_shard.remote(p) for p in sorted(paths)]
+    refs = []
+    for p in sorted(paths):
+        files = (
+            partial_key_files(partials_dir, key_name, path_pids[p])
+            if partials_dir is not None and path_pids is not None and p in path_pids
+            else []
+        )
+        refs.append(load_partial.remote(files) if files else map_shard.remote(p))
     if num_buckets == 1:
         refs = [[r] for r in refs]
     reduced = [
@@ -418,12 +443,16 @@ def anti_join_shuffled(
     right: "Any",  # list[str] of parquet paths OR a ray.data.Dataset
     right_col: str,
     num_buckets: int | None = None,
+    path_pids: dict[str, int] | None = None,
+    partials_dir: str | None = None,
 ) -> pa.Table:
     """Hash-partitioned anti-join (referential check): left keys with no
     match in right → (key, cnt) rows. Same raw-Ray map/reduce shape as
     :func:`count_keys_shuffled` — both sides reduced to per-bucket key
     tables, verified per bucket with one vectorized ``is_in``. Only key
-    columns move; co-partitioning comes from the shared hash."""
+    columns move; co-partitioning comes from the shared hash. With
+    ``partials_dir``/``path_pids``, left shards whose row-pass key pre-aggs
+    exist are served from those files (one-scan invariant)."""
     import ray
 
     num_buckets = num_buckets or _default_buckets(len(left_paths))
@@ -432,6 +461,17 @@ def anti_join_shuffled(
     def map_left(path: str):
         tbl = pq.read_table(path, columns=[left_col])
         counts = _precount_table(tbl, [left_col])
+        out = _split_buckets(counts, [left_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def load_left_partial(files: list[str]):
+        merged = pa.concat_tables(
+            [pq.read_table(f, columns=[left_col, "cnt"]) for f in files]
+        )
+        counts = (
+            merged.group_by([left_col]).aggregate([("cnt", "sum")]).rename_columns([left_col, "cnt"])
+        )
         out = _split_buckets(counts, [left_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -485,7 +525,14 @@ def anti_join_shuffled(
         keys = pa.table({right_col: merged.column(right_col).combine_chunks().unique()})
         return keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64()))
 
-    lrefs = [map_left.remote(p) for p in sorted(left_paths)]
+    lrefs = []
+    for p in sorted(left_paths):
+        files = (
+            partial_key_files(partials_dir, left_col, path_pids[p])
+            if partials_dir is not None and path_pids is not None and p in path_pids
+            else []
+        )
+        lrefs.append(load_left_partial.remote(files) if files else map_left.remote(p))
     if isinstance(right, list):
         rrefs = [map_right_path.remote(p) for p in sorted(right)]
     else:

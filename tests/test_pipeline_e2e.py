@@ -237,6 +237,120 @@ def test_key_checks_run_from_partials_not_input(fixture_dirs, tmp_path_factory, 
     assert rep2.metrics["orphans"] == rep1.metrics["orphans"]
 
 
+def test_composite_key_checks_run_from_partials(tmp_path_factory, ray_session):
+    """One-scan invariant for MULTI-COLUMN unique rules (VERDICT r2 #10):
+    the row pass persists a composite (codec, transcript) pre-agg and the
+    uniqueness shuffle must run entirely from it — proven by poisoning
+    every key column on disk between runs and asserting identical metrics."""
+    import copy
+    import glob
+
+    import pyarrow as pa
+
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    spec = copy.deepcopy(AUDIO_CLIP_SPEC_NO_BYTES)
+    spec["table"] = dict(spec["table"], unique=["clip_id", ["codec", "transcript"]], references=[])
+
+    d = tmp_path_factory.mktemp("composite_in")
+    rows = [
+        # one clip_id duplicate (rows 0/1), one (codec, transcript) duplicate
+        # across shards (rows 2 and 4)
+        ("clip-0000000001", 16000, 500, "wav", "alpha"),
+        ("clip-0000000001", 16000, 500, "flac", "beta"),
+        ("clip-0000000002", 16000, 500, "opus", "gamma"),
+    ], [
+        ("clip-0000000003", 16000, 500, "wav", "delta"),
+        ("clip-0000000004", 16000, 500, "opus", "gamma"),
+    ]
+    for s, shard_rows in enumerate(rows):
+        t = pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in shard_rows], pa.string()),
+                "sr_hz": pa.array([r[1] for r in shard_rows], pa.int32()),
+                "dur_ms": pa.array([r[2] for r in shard_rows], pa.int32()),
+                "codec": pa.array([r[3] for r in shard_rows], pa.string()),
+                "transcript": pa.array([r[4] for r in shard_rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / f"shard-{s:05d}.parquet"))
+
+    out = str(tmp_path_factory.mktemp("composite_out"))
+    rep1 = ValidationPipeline(spec, out).run(str(d), resume=False)
+    assert rep1.metrics["duplicate_keys"] == 2  # clip_id dup + composite dup
+
+    # composite partials exist under the '+'-joined name
+    assert glob.glob(os.path.join(out, "partials", "keys_codec+transcript_p*.parquet"))
+
+    for f in sorted(glob.glob(os.path.join(str(d), "*.parquet"))):
+        t = pq.read_table(f)
+        for col in ("clip_id", "codec", "transcript"):
+            t = t.set_column(
+                t.column_names.index(col), col, pa.array(["POISON"] * t.num_rows, pa.string())
+            )
+        pq.write_table(t, f)
+
+    rep2 = ValidationPipeline(spec, out).run(str(d), resume=True)
+    assert rep2.metrics["shards_validated_this_run"] == 0
+    assert rep2.metrics["duplicate_keys"] == rep1.metrics["duplicate_keys"]
+
+
+def test_unfused_referential_runs_from_partials(tmp_path_factory, ray_session):
+    """One-scan invariant for a referential rule WITHOUT a matching unique
+    rule (no fusion): the anti-join's left side must load the row pass's
+    persisted pre-aggs instead of re-reading the input."""
+    import copy
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    spec = copy.deepcopy(AUDIO_CLIP_SPEC_NO_BYTES)
+    spec["table"] = dict(
+        spec["table"],
+        unique=[],
+        references=[{"column": "clip_id", "table": "transcripts", "key": "clip_id"}],
+    )
+
+    d = tmp_path_factory.mktemp("unfused_in")
+    t = pa.table(
+        {
+            "clip_id": pa.array([f"clip-{i:010d}" for i in range(6)], pa.string()),
+            "sr_hz": pa.array([16000] * 6, pa.int32()),
+            "dur_ms": pa.array([500] * 6, pa.int32()),
+            "codec": pa.array(["wav"] * 6, pa.string()),
+            "transcript": pa.array(["t"] * 6, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "shard-00000.parquet"))
+    tr = pa.table({"clip_id": pa.array([f"clip-{i:010d}" for i in range(4)], pa.string())})
+    trd = tmp_path_factory.mktemp("unfused_tr")
+    pq.write_table(tr, str(trd / "t.parquet"))
+
+    out = str(tmp_path_factory.mktemp("unfused_out"))
+    rep1 = ValidationPipeline(spec, out).run(
+        str(d), ref_datasets={"transcripts": rd.read_parquet(str(trd))}, resume=False
+    )
+    assert rep1.metrics["orphans"] == 2  # clips 4 and 5 have no transcript
+
+    for f in sorted(glob.glob(os.path.join(str(d), "*.parquet"))):
+        p = pq.read_table(f)
+        p = p.set_column(
+            p.column_names.index("clip_id"),
+            "clip_id",
+            pa.array(["POISON"] * p.num_rows, pa.string()),
+        )
+        pq.write_table(p, f)
+
+    rep2 = ValidationPipeline(spec, out).run(
+        str(d), ref_datasets={"transcripts": rd.read_parquet(str(trd))}, resume=True
+    )
+    assert rep2.metrics["shards_validated_this_run"] == 0
+    assert rep2.metrics["orphans"] == 2
+
+
 def test_global_violations_fail_validity(tmp_path_factory, ray_session):
     """Clean rows but a duplicated key → report.valid must be False even
     though every partition's bad_rows is 0 (code-review finding #1)."""
