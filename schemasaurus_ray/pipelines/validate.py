@@ -437,6 +437,7 @@ class ValidationPipeline:
             if fused_right is not None
             else None
         )
+        fused_streamer = None  # created once stale partials are cleaned
         rows_validated_this_run = 0
 
         part_records: dict[int, dict[str, Any]] = {}
@@ -494,6 +495,16 @@ class ValidationPipeline:
                 ):
                     os.remove(stale)
 
+            # stream the fused key check's LEFT side during the row pass:
+            # each partial chunk file gets its bucket-split task as soon as
+            # it lands (created AFTER stale cleanup so old files are gone)
+            if fused_unique is not None:
+                from ..stages.shuffle import FusedLeftStreamer
+
+                fused_streamer = FusedLeftStreamer(
+                    fused_unique.columns[0], fused_nb, key_partials_dir
+                )
+
             ds = read_parquet_tasks(todo, include_paths=True)
             kwargs: dict[str, Any] = {}
             if self.batch_size:
@@ -521,11 +532,15 @@ class ValidationPipeline:
                 **kwargs,
             )
             # the union output is O(batches×cols) count/partial rows — tiny;
-            # violation rows were already sunk to disk by the map tasks
-            out = pa.concat_tables(
-                list(union.iter_batches(batch_format="pyarrow", batch_size=None))
-                or [VIOLATION_SCHEMA.empty_table()]
-            )
+            # violation rows were already sunk to disk by the map tasks.
+            # The driver is idle between drained batches — poll the partials
+            # dir there so the fused shuffle's map side overlaps the row pass
+            out_batches = []
+            for _b in union.iter_batches(batch_format="pyarrow", batch_size=None):
+                out_batches.append(_b)
+                if fused_streamer is not None:
+                    fused_streamer.poll()
+            out = pa.concat_tables(out_batches or [VIOLATION_SCHEMA.empty_table()])
             kinds = out.column("kind")
             viols_counts = out.filter(pc.equal(kinds, "viols"))
             row_violations = int(pc.sum(viols_counts.column("rows")).as_py() or 0)
@@ -611,6 +626,7 @@ class ValidationPipeline:
                 partials_dir=key_partials_dir,
                 done_paths=set(shards),
                 right_refs=early_rrefs,
+                left_refs=fused_streamer.refs() if fused_streamer is not None else None,
             )
 
         merged_stats = merge_stats_partials(stats_partials)

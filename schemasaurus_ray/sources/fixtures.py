@@ -190,7 +190,10 @@ def write_fixture_parallel(
 
     clips_dir = os.path.join(out_dir, "clips")
     tr_dir = os.path.join(out_dir, "transcripts")
-    done_marker = os.path.join(out_dir, f".done-n{n}-s{shards}")
+    # v2: clip shards uncompressed (CLIP_WRITE_OPTS) — the marker is
+    # format-versioned so a stale snappy fixture from an older run is
+    # regenerated instead of silently reused
+    done_marker = os.path.join(out_dir, f".done-n{n}-s{shards}-v2")
     if os.path.exists(done_marker):
         return {"clips": clips_dir, "transcripts": tr_dir}
     os.makedirs(clips_dir, exist_ok=True)

@@ -227,6 +227,61 @@ def launch_right_maps(right: "Any", right_col: str, num_buckets: int) -> list:
     return [map_right_table.remote(ref) for ref in right.to_arrow_refs()]
 
 
+class FusedLeftStreamer:
+    """Overlap the fused key check's LEFT side with the row pass.
+
+    The row pass writes each batch's (key, cnt, pid) pre-agg chunk to
+    ``partials_dir`` (atomic rename, so every visible file is complete).
+    The driver calls :meth:`poll` between drained row-pass batches — it is
+    otherwise idle-waiting there — and each new chunk file immediately gets
+    a bucket-split task, so by the time the row pass finishes most of the
+    shuffle's map side is already done. Pass :meth:`refs` as ``left_refs``
+    to :func:`combined_key_checks_async` (same ``num_buckets``); duplicate
+    (key, pid) rows across one shard's chunk files are collapsed in the
+    reduce's attribution step."""
+
+    def __init__(self, key_col: str, num_buckets: int, partials_dir: str):
+        import glob as _glob
+        import re as _re
+
+        import ray
+
+        self._glob = _glob
+        self._pattern = os.path.join(partials_dir, f"keys_{key_col}_p*.parquet")
+        # exact-name check behind the glob: a column literally named
+        # "<key>_p00003" must not have its files swallowed by this key
+        self._re = _re.compile(
+            _re.escape(os.path.join(partials_dir, f"keys_{key_col}_p"))
+            + r"\d{5}(-[^/]+)?\.parquet$"
+        )
+        self._seen: set[str] = set()
+        self._refs: list = []
+        self._num_buckets = num_buckets
+
+        @ray.remote(num_returns=num_buckets)
+        def split_chunk(path: str):
+            tbl = pq.read_table(path)  # (key, cnt, pid) rows
+            out = _split_buckets(tbl, [key_col], num_buckets)
+            return out if num_buckets > 1 else out[0]
+
+        self._split = split_chunk
+
+    def poll(self) -> int:
+        """Launch split tasks for chunk files that appeared since the last
+        call; returns the number launched."""
+        new = 0
+        for f in self._glob.glob(self._pattern):
+            if f not in self._seen and self._re.match(f):
+                self._seen.add(f)
+                self._refs.append(self._split.remote(f))
+                new += 1
+        return new
+
+    def refs(self) -> list:
+        self.poll()
+        return self._refs
+
+
 def combined_key_checks(
     left_paths: list[str],
     key_col: str,
@@ -250,6 +305,7 @@ def combined_key_checks_async(
     partials_dir: str | None = None,
     done_paths: "set[str] | None" = None,
     right_refs: list | None = None,
+    left_refs: list | None = None,
 ):
     """ONE shuffle for both key rules when uniqueness and referential share
     the key column (the common case: clip_id): the left key column is read
@@ -340,6 +396,15 @@ def combined_key_checks_async(
             hit = per_pid.filter(
                 pc.is_in(per_pid.column(key_col), value_set=bad_keys.column(key_col).combine_chunks())
             )
+            # collapse to ONE row per (key, pid): streamed per-FILE inputs
+            # (FusedLeftStreamer) can carry the same (key, pid) in several
+            # chunk files of one shard — cheap here because `hit` is only
+            # the violating keys, not the bucket
+            hit = (
+                hit.group_by([key_col, "pid"])
+                .aggregate([("cnt", "sum")])
+                .rename_columns([key_col, "pid", "cnt"])
+            )
             totals = {
                 k: c
                 for k, c in zip(
@@ -397,12 +462,21 @@ def combined_key_checks_async(
         return pa.concat_tables(nonempty)
 
     done = set(done_paths or ()) if partials_dir is not None else set()
-    lrefs = []
-    for p in ordered:
-        files = _partial_files(pids[p]) if p in done else []
-        lrefs.append(
-            load_left_partial.remote(files) if files else map_left.remote(p, pids[p])
-        )
+    if left_refs is not None:
+        # per-chunk-file split tasks launched DURING the row pass by
+        # FusedLeftStreamer; add a read-the-shard fallback for any shard
+        # with no partial on disk (e.g. key column absent from its batches)
+        lrefs = list(left_refs)
+        for p in ordered:
+            if not _partial_files(pids[p]):
+                lrefs.append(map_left.remote(p, pids[p]))
+    else:
+        lrefs = []
+        for p in ordered:
+            files = _partial_files(pids[p]) if p in done else []
+            lrefs.append(
+                load_left_partial.remote(files) if files else map_left.remote(p, pids[p])
+            )
     if right_refs is not None:
         rrefs = right_refs  # launched early by the caller (launch_right_maps)
     elif right is None:
