@@ -144,13 +144,19 @@ class MinHashStage:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
-        self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+        # odd multipliers: the permutation family is h_i(x) = a_i·x over
+        # Z/2^64 (bijective for odd a_i) — shingle hashes arrive already
+        # splitmix64-mixed from _shingle_hash_arrays, so one multiply per
+        # element replaces the former full splitmix remix (9 vector ops whose
+        # large temporaries hit this host's page-fault pathology)
+        self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)) | np.uint64(1)
+        self._buf = np.empty((num_perm, 0), dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.shingle_n)  # (S,)
-        # (S, P) mixed hashes → column-min = signature; vectorized outer xor
+        # (S, P) permuted hashes → column-min = signature
         with np.errstate(over="ignore"):
-            mixed = splitmix64(sh[:, None] ^ self.seeds[None, :])
+            mixed = sh[:, None] * self.seeds[None, :]
         return mixed.min(axis=0)
 
     def _band_hashes(self, sigs: np.ndarray) -> np.ndarray:
@@ -167,16 +173,9 @@ class MinHashStage:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # bound the (S_chunk, P) mix matrix to ~1k docs per chunk: one giant
-        # (S_total, P) blows the cache (measured 5x slower per row on a
-        # 5000-doc block than on 1024-doc chunks)
-        if batch.num_rows > 1024:
-            return pa.concat_tables(
-                [self(batch.slice(o, 1024)) for o in range(0, batch.num_rows, 1024)]
-            )
         ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
-        # fully vectorized: one batch-wide shingle pass, then one
-        # (S_chunk, P) mix + per-doc segment-min via reduceat
+        # fully vectorized: one batch-wide shingle pass, then per-chunk
+        # in-place (S_chunk, P) permutation + per-doc segment-min via reduceat
         flat, parents = _shingle_hash_arrays(batch.column(self.text_col), self.shingle_n)
         if len(flat) == 0:
             return pa.table(
@@ -188,10 +187,37 @@ class MinHashStage:
             )
         # docs with ≥1 shingle, in parent order (parents is sorted)
         doc_idx, counts = np.unique(parents, return_counts=True)
-        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        with np.errstate(over="ignore"):
-            mixed = splitmix64(flat[:, None] ^ self.seeds[None, :])  # (S_chunk, P)
-        sigs = np.minimum.reduceat(mixed, offsets, axis=0)  # (D, P)
+        ends = np.cumsum(counts)
+        offsets = np.concatenate([[0], ends[:-1]])
+        # chunk DOCUMENTS so the (S_chunk, P) product stays ~32 MB and is
+        # written IN PLACE into a buffer reused across batches (this stage is
+        # worker-cached): fresh multi-MB allocations pay this host's
+        # page-zeroing pathology, measured ~10× the arithmetic cost
+        # (P, S_chunk) layout: the reduction axis is contiguous, which makes
+        # minimum.reduceat ~10× faster than the (S, P) row-major layout
+        max_s = max(65536, int(counts.max()))
+        if self._buf.shape[1] < max_s:
+            self._buf = np.empty((self.num_perm, max_s), dtype=np.uint64)
+        n_docs = len(doc_idx)
+        sigs_t = np.empty((self.num_perm, n_docs), dtype=np.uint64)
+        start_doc = 0
+        while start_doc < n_docs:
+            end_doc = int(
+                np.searchsorted(ends, offsets[start_doc] + max_s, side="right")
+            )
+            end_doc = max(end_doc, start_doc + 1)
+            s0, s1 = int(offsets[start_doc]), int(ends[end_doc - 1])
+            buf = self._buf[:, : s1 - s0]
+            with np.errstate(over="ignore"):
+                np.multiply(self.seeds[:, None], flat[None, s0:s1], out=buf)
+            np.minimum.reduceat(
+                buf,
+                offsets[start_doc:end_doc] - s0,
+                axis=1,
+                out=sigs_t[:, start_doc:end_doc],
+            )
+            start_doc = end_doc
+        sigs = np.ascontiguousarray(sigs_t.T)  # (D, P), tiny copy
         bh = self._band_hashes(sigs)  # (D, bands)
         keep_ids = ids[doc_idx]
         d = len(keep_ids)
@@ -779,10 +805,15 @@ class SimHashStage:
         sig_arr = np.zeros(d, dtype=np.uint64)
         if nonempty.any():
             h = hash_column(flat)[keep]  # (W_total,)
-            bits = (h[:, None] & self.bit_masks[None, :]) != 0  # (W_total, 64)
+            # (64, W) layout: the reduction axis is contiguous (~10× faster
+            # reduceat than row-major), and summing the bool view as int8
+            # avoids the former (W, 64) int64 blowup
+            bits_t = (self.bit_masks[:, None] & h[None, :]) != 0  # (64, W)
             ne_lens = wc[nonempty]
             offsets = np.concatenate([[0], np.cumsum(ne_lens)[:-1]])
-            ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)  # (D, 64)
+            ones = np.add.reduceat(
+                bits_t.view(np.int8), offsets, axis=1, dtype=np.int64
+            ).T  # (D, 64)
             votes = ones * 2 - ne_lens[:, None]
             packed = np.packbits((votes > 0)[:, ::-1], axis=1).view(">u8").reshape(-1)
             sig_arr[nonempty] = packed.astype(np.uint64)
