@@ -66,6 +66,9 @@ def _timed(fn) -> float:
 def _init_ray():
     import ray
 
+    from schemasaurus_ray.util import apply_malloc_tuning
+
+    apply_malloc_tuning()  # before ray.init so workers inherit it
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

@@ -26,7 +26,10 @@ import sys
 def _ensure_ray(num_cpus: int | None) -> None:
     import ray
 
+    from .util import apply_malloc_tuning
+
     if not ray.is_initialized():
+        apply_malloc_tuning()  # before ray.init so workers inherit it
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus

