@@ -159,16 +159,32 @@ def run_bench() -> dict:
         samples = [one_pipeline() for _ in range(2)]
     headline_sec, rows = min(samples)
 
-    # ---- per-query timings over the driver tables (min of 2 passes) ----
+    # ---- per-query timings over the driver tables (min of 2 passes; a
+    # third pass if any pass started in an unhealthy page-fault window —
+    # same calibration protocol as the headline, because per-query numbers
+    # taken in a degraded window measured 2-5x slow on identical code) ----
     qtimes: dict[str, float] = {}
     fns = {name: getattr(q, name) for name in BENCH_QUERIES}
-    for _pass in range(2):
+    query_windows_healthy = True
+    qdeadline = time.time() + 240
+    npass = 2
+    _pass = 0
+    while _pass < npass:
+        healthy = _window_healthy()
+        while not healthy and time.time() < qdeadline:
+            time.sleep(4)
+            healthy = _window_healthy()
+        if not healthy:
+            query_windows_healthy = False
+            if npass == 2:
+                npass = 3  # one extra chance at a clean min
         for name, fn in fns.items():
             t0 = time.time()
             fn(SF_DIR)
             dt = round(time.time() - t0, 3)
             if name not in qtimes or dt < qtimes[name]:
                 qtimes[name] = dt
+        _pass += 1
 
     ray.shutdown()
     return {
@@ -184,6 +200,7 @@ def run_bench() -> dict:
         "uncalibrated_retries": uncalibrated,
         "headline_samples": [round(s[0], 3) for s in samples],
         "rejected_midflip_samples": rejected,
+        "query_windows_healthy": query_windows_healthy,
     }
 
 
