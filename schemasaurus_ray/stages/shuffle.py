@@ -425,7 +425,12 @@ def combined_key_checks_async(
             return dups, empty
         if rights:
             # no .unique() on the right side: is_in accepts duplicate value
-            # sets, and uniquing 16M strings per bucket was a full hash pass
+            # sets, and uniquing 16M strings per bucket was a full hash pass.
+            # Keep pc.is_in here: a polars semi-join microbenches 3x faster
+            # but measured 2x SLOWER inside 16 concurrent reduce workers —
+            # pl.from_arrow copies the string data through polars' internal
+            # mimalloc, which the glibc page-reuse tuning cannot reach, so
+            # every concurrent task re-pays the kernel page-zeroing tax.
             rkeys = pa.concat_tables(rights).column(right_col).combine_chunks()
             mask = pc.invert(
                 pc.is_in(lagg.column(key_col), value_set=rkeys.cast(lagg.column(key_col).type))
@@ -577,6 +582,8 @@ def anti_join_shuffled(
         if rights:
             # combine layers already uniqued per input; is_in tolerates any
             # residual duplicates in the value set — no final unique pass
+            # (pc.is_in over a polars semi-join for the same reason as the
+            # fused reduce: polars' from_arrow copy thrashes concurrently)
             rkeys = pa.concat_tables(rights).column(right_col).combine_chunks()
             mask = pc.invert(pc.is_in(lagg.column(left_col), value_set=rkeys.cast(lagg.column(left_col).type)))
             lagg = lagg.filter(pc.fill_null(mask, True))

@@ -37,6 +37,13 @@ def apply_malloc_tuning() -> None:
 
     for key in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(key, str(1 << 30))
+    # polars sizes its rayon pool from HOST cores at import: without a cap,
+    # every worker of a 32-worker session spawns 32 threads (1024 runnable
+    # threads at full fan-out), and an 8-CPU session silently borrows the
+    # other 24 host cores — inflating the low leg of the N-vs-4N scaling
+    # protocol. One thread per worker matches the 1-CPU Ray task contract
+    # (same reason workers run OMP_NUM_THREADS=1).
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
