@@ -19,6 +19,7 @@ import pyarrow as pa
 
 from ..spec import DriftRule
 from ..state.tdigest import TDigest, ks_statistic, psi
+from ..util import single_chunk
 
 
 def batch_drift_partials(
@@ -28,13 +29,15 @@ def batch_drift_partials(
     out = []
     for pid in np.unique(pids):
         sel = pids == pid
-        idx = pa.array(np.nonzero(sel)[0], pa.int64())
+        # one file = one pid is the common case: the whole batch belongs to
+        # this pid, and take(arange(n)) would copy every column for nothing
+        full = bool(sel.all())
+        idx = None if full else pa.array(np.nonzero(sel)[0], pa.int64())
         for col in rule.numeric:
             if col not in table.column_names:
                 continue
-            vals = np.asarray(
-                table.column(col).combine_chunks().take(idx).cast(pa.float64()).drop_null()
-            )
+            c = single_chunk(table.column(col))
+            vals = np.asarray((c if full else c.take(idx)).cast(pa.float64()).drop_null())
             if len(vals) == 0:
                 continue
             td = TDigest(digest_delta)
@@ -43,7 +46,8 @@ def batch_drift_partials(
         for col in rule.categorical:
             if col not in table.column_names:
                 continue
-            arr = table.column(col).combine_chunks().take(idx)
+            c = single_chunk(table.column(col))
+            arr = c if full else c.take(idx)
             counts = arr.drop_null().value_counts()
             hist = {str(v["values"]): int(v["counts"]) for v in counts.to_pylist()}
             out.append(

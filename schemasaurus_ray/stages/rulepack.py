@@ -75,6 +75,13 @@ class RowRuleStage:
     def partitions_of(self, batch: pa.Table) -> np.ndarray:
         if self.path_map is not None and "path" in batch.column_names:
             paths = batch.column("path")
+            n = len(paths)
+            # lineage batches are contiguous per-file segments in file order,
+            # so first==last proves the whole batch is ONE file — the
+            # standard case, where dictionary-encoding 250k identical
+            # strings was pure overhead
+            if n and paths[0].as_py() == paths[n - 1].as_py():
+                return np.full(n, self.path_map.get(paths[0].as_py(), -1), dtype=np.int32)
             enc = paths.combine_chunks().dictionary_encode()
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()

@@ -46,21 +46,33 @@ class TDigest:
         self._buf_means, self._buf_weights = [], []
         if len(means) == 0:
             return
-        order = np.argsort(means, kind="stable")
-        means, weights = means[order], weights[order]
-        total = weights.sum()
         # Fully vectorized merge: map each point's mid-quantile through the
         # k2 scale function k(q) = (asin(2q-1)/π + 1/2)·δ (Dunning & Ertl's
         # scale family — fine clusters at the tails) and coalesce points
         # sharing a k-cell with one bincount. No Python loop.
-        q_right = np.cumsum(weights) / total
-        q_mid = q_right - weights / (2 * total)
+        unit = bool(weights.size) and bool((weights == 1.0).all())
+        if unit:
+            # raw-batch case (one digest per batch in the stats/drift
+            # partials): all-ones weights need no argsort+double-gather —
+            # one direct sort, and the quantile grid is closed-form
+            means = np.sort(means)
+            q_mid = (np.arange(len(means)) + 0.5) / len(means)
+        else:
+            order = np.argsort(means, kind="stable")
+            means, weights = means[order], weights[order]
+            total = weights.sum()
+            q_right = np.cumsum(weights) / total
+            q_mid = q_right - weights / (2 * total)
         k = (np.arcsin(np.clip(2 * q_mid - 1, -1, 1)) / np.pi + 0.5) * self.delta
         cluster = np.floor(k).astype(np.int64)
         cluster = np.maximum.accumulate(cluster)  # monotone under float noise
         ncl = int(cluster[-1]) + 1
-        new_w = np.bincount(cluster, weights=weights, minlength=ncl)
-        new_sum = np.bincount(cluster, weights=weights * means, minlength=ncl)
+        if unit:
+            new_w = np.bincount(cluster, minlength=ncl).astype(np.float64)
+            new_sum = np.bincount(cluster, weights=means, minlength=ncl)
+        else:
+            new_w = np.bincount(cluster, weights=weights, minlength=ncl)
+            new_sum = np.bincount(cluster, weights=weights * means, minlength=ncl)
         nz = new_w > 0
         self.means = new_sum[nz] / new_w[nz]
         self.weights = new_w[nz]
