@@ -159,15 +159,23 @@ def run_bench() -> dict:
         samples = [one_pipeline() for _ in range(2)]
     headline_sec, rows = min(samples)
 
-    # ---- per-query timings over the driver tables (min of 2 passes; a
-    # third pass if any pass started in an unhealthy page-fault window —
+    # ---- per-query timings over the driver tables (min of 3 passes; a
+    # fourth pass if any pass started in an unhealthy page-fault window —
     # same calibration protocol as the headline, because per-query numbers
     # taken in a degraded window measured 2-5x slow on identical code) ----
+    # warm the page cache for the query tables first: the first pass
+    # otherwise measures this VM's ~600 MB/s disk, and shuffle-heavy
+    # queries (minhash) measured 2x slow even on pass 2 when pass 1 left
+    # the host in a degraded fault window
+    for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     qtimes: dict[str, float] = {}
     fns = {name: getattr(q, name) for name in BENCH_QUERIES}
     query_windows_healthy = True
     qdeadline = time.time() + 240
-    npass = 2
+    npass = 3
     _pass = 0
     while _pass < npass:
         healthy = _window_healthy()
@@ -176,8 +184,8 @@ def run_bench() -> dict:
             healthy = _window_healthy()
         if not healthy:
             query_windows_healthy = False
-            if npass == 2:
-                npass = 3  # one extra chance at a clean min
+            if npass == 3:
+                npass = 4  # one extra chance at a clean min
         for name, fn in fns.items():
             t0 = time.time()
             fn(SF_DIR)
