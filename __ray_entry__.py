@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "minhash_neardup_documents": q.minhash_neardup_documents,
+        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,
         "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,
         "simhash_documents": q.simhash_documents,
         "simhash_neardup_documents": q.simhash_neardup_documents,
@@ -222,6 +223,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
         """,
         "minhash_neardup_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3 THEN
+                           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                          for i in range(1, len(words) - 1)])
+                       ELSE [array_to_string(words, ' ')] END AS grams
+                  FROM toks
+                 WHERE len(words) > 0  -- zero-word docs have no shingles in the engine
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(FLOOR(10000.0 * len(list_intersect(a.grams, b.grams)) /
+                        len(list_distinct(list_concat(a.grams, b.grams)))) AS BIGINT) AS jacc_bp
+              FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+             WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
+                   len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
+             ORDER BY 1, 2
+        """,
+        # identical all-pairs ground truth as minhash_neardup_documents: the
+        # engine path differs (exact prefix-filter join vs LSH banding) but
+        # the product contract is the same
+        "ngram_jaccard_neardup_documents": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
             ),

@@ -389,6 +389,145 @@ def lsh_bucket_pairs(
     return pa.concat_tables(tables)
 
 
+# -------------------------------------------- exact n-gram Jaccard join
+def hot_shingle_set(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sample_mod: int = 20,
+    batch_min: int = 4,
+    global_min: int = 16,
+    cap: int = 65536,
+) -> np.ndarray:
+    """Boilerplate (high-document-frequency) shingles from a deterministic
+    ~1/sample_mod doc-hash sample. Used only to ORDER tokens in the prefix
+    filter (frequent shingles last), so it affects candidate-set SIZE, never
+    correctness — any consistent total order preserves the prefix guarantee.
+    Driver-side rows are bounded: only shingles already frequent WITHIN a
+    sampled batch (>= batch_min docs) are returned, then globally thresholded
+    at global_min and capped at the `cap` most frequent."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"sh": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        mask = splitmix64(ids.view(np.uint64)) % np.uint64(sample_mod) == 0
+        if not mask.any():
+            return empty
+        sub = batch.filter(pa.array(mask))
+        flat, parents = _shingle_hash_arrays(sub.column(text_col), n)
+        if not len(flat):
+            return empty
+        # per-doc unique first (df counts DOCS, not occurrences)
+        order = np.lexsort((flat.view(np.int64), parents))
+        p, v = parents[order], flat[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
+        uniq, cnt = np.unique(v[keep], return_counts=True)
+        m = cnt >= batch_min
+        return pa.table(
+            {
+                "sh": pa.array(uniq[m].view(np.int64), pa.int64()),
+                "cnt": pa.array(cnt[m], pa.int64()),
+            }
+        )
+
+    batches = list(
+        ds.select_columns([id_col, text_col])
+        .map_batches(stage, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not batches:
+        return np.zeros(0, dtype=np.uint64)
+    t = pa.concat_tables(batches)
+    if t.num_rows == 0:
+        return np.zeros(0, dtype=np.uint64)
+    sh = np.asarray(t.column("sh").combine_chunks(), dtype=np.int64).view(np.uint64)
+    cnt = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+    uniq, inv = np.unique(sh, return_inverse=True)
+    tot = np.bincount(inv, weights=cnt.astype(np.float64)).astype(np.int64)
+    hot = uniq[tot * sample_mod >= global_min]  # scale sample counts back up
+    if len(hot) > cap:
+        tot_hot = tot[tot * sample_mod >= global_min]
+        hot = hot[np.argsort(tot_hot)[::-1][:cap]]
+    return np.sort(hot)
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    cap: int = 64,
+) -> pa.Table:
+    """EXACT candidate generation for the word-n-gram Jaccard >= threshold
+    self-join via prefix filtering (the All-Pairs / PPJoin technique) —
+    the deterministic sibling of :func:`minhash_candidates` (whose banding
+    has a ~(1-t^r)^b miss probability). Guarantee: fix any total order on
+    shingles and let each doc emit only its p = |S| - ceil(t*|S|) + 1
+    order-smallest shingles ("prefix"). For a pair with J(x,y) >= t, the
+    order-SMALLEST shared shingle e* is in both prefixes: if e* were outside
+    x's prefix, the >= p shingles of x ordered before e* would all be
+    non-shared (e* is the smallest shared), so |x \\ y| >= p and
+    |x∩y| <= ceil(t|x|) - 1 < t|x| <= t|x∪y| — contradicting J >= t.
+    Symmetric for y. So grouping prefix rows by shingle finds every
+    qualifying pair.
+
+    The order places sampled-hot (boilerplate) shingles last and is
+    otherwise shingle-hash order, keeping prefix groups rare → small.
+    Shuffle cost: O(total prefix tokens) ≈ (1-t)·corpus shingles, key-only
+    int64 rows through the raw-Ray bucket shuffle; hot groups are
+    star-capped (expand transitively + verify exactly, as with MinHash).
+    Returns candidate (id_a < id_b) pairs — a superset of the true pairs;
+    verify with :func:`verify_pairs_distributed`."""
+    import ray
+
+    hot = hot_shingle_set(ds, text_col, id_col, n)
+    hot_ref = ray.put(hot)
+    tb = int(round(threshold * 10000))
+    empty = pa.table({"bkey": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+
+    def prefix_stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        flat, parents = _shingle_hash_arrays(batch.column(text_col), n)
+        if not len(flat):
+            return empty
+        # per-doc unique shingle sets
+        order = np.lexsort((flat.view(np.int64), parents))
+        p, v = parents[order], flat[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
+        p, v = p[keep], v[keep]
+        # total order: hot shingles last (top bit), hash order otherwise
+        okey = v >> np.uint64(1)
+        hotset = ray.get(hot_ref)
+        if len(hotset):
+            okey = okey | (
+                np.isin(v, hotset, assume_unique=False).astype(np.uint64) << np.uint64(63)
+            )
+        order2 = np.lexsort((okey, p))
+        p2, v2 = p[order2], v[order2]
+        sizes = np.bincount(p2, minlength=len(ids))
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        rank = np.arange(len(p2)) - starts[p2]
+        # p = |S| - ceil(t*|S|) + 1, integer-exact (float ceil of t*s can
+        # round 0.8*5 up to 5 and silently shrink the prefix → missed pairs)
+        plen = sizes - (tb * sizes + 9999) // 10000 + 1
+        m = rank < plen[p2]
+        return pa.table(
+            {
+                "bkey": pa.array(v2[m].view(np.int64), pa.int64()),
+                id_col: pa.array(ids[p2[m]], pa.int64()),
+            }
+        )
+
+    prefix = ds.select_columns([id_col, text_col]).map_batches(
+        prefix_stage, batch_format="pyarrow"
+    )
+    return lsh_bucket_pairs(prefix, id_col, cap=cap)
+
+
 def jaccard(a: str, b: str, n: int = 3) -> float:
     """Exact word-n-gram Jaccard — the verify step after LSH candidates."""
     sa = set(_shingle_hashes(a, n).tolist())

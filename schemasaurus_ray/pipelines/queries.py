@@ -240,6 +240,40 @@ def minhash_neardup_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def ngram_jaccard_neardup_documents(sf_dir: str) -> pa.Table:
+    """EXACT word-trigram Jaccard >= 0.8 self-join via prefix filtering
+    (All-Pairs/PPJoin candidate generation — deterministic, unlike MinHash
+    banding's ~1e-4 miss probability) → distributed exact-Jaccard verify.
+    Same output product and DuckDB oracle as minhash_neardup_documents,
+    through an entirely different candidate path: each doc ships only its
+    |S| - ceil(0.8|S|) + 1 order-smallest shingles into the bucket shuffle
+    (hot/boilerplate shingles ordered last from a sampled df pass)."""
+    from ..functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        expand_candidate_pairs,
+        ngram_jaccard_pairs,
+        verify_pairs_distributed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = expand_candidate_pairs(_dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8)))
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jacc_bp": pa.array([], pa.int64()),
+            }
+        )
+    cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    shingles = candidate_shingles(ds, cand_ids)
+    out = verify_pairs_distributed(pairs, shingles, threshold=0.8)
+    return out.select(["id_a", "id_b", "jacc_bp"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
 def dedup_neardup_survivors_documents(sf_dir: str) -> pa.Table:
     """Keep-one-per-cluster near-dup dedup: MinHash-LSH pairs → connected
     components (union-by-min) → survivors = corpus minus non-minimal

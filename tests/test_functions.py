@@ -275,6 +275,99 @@ def test_lsh_bucket_pairs_empty_input(ray_session):
     assert out.column_names == ["id_a", "id_b"]
 
 
+def _true_jaccard_pairs(tbl, threshold=0.8, n=3):
+    """Brute-force ground truth: one shingle pass over the whole column,
+    then all-pairs set Jaccard (exact, engine-independent of the join)."""
+    from schemasaurus_ray.functions.dedup import _shingle_hash_arrays
+
+    flat, parents = _shingle_hash_arrays(tbl.column("text"), n)
+    ids = tbl.column("doc_id").to_pylist()
+    sets: dict[int, set] = {}
+    for h, p in zip(flat.tolist(), parents.tolist()):
+        sets.setdefault(ids[p], set()).add(h)
+    out = set()
+    keys = sorted(sets)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union == 0 or inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_exact_join(docs_ds):
+    """Prefix-filter candidates + exact verify must equal brute-force
+    all-pairs Jaccard EXACTLY — no banding miss probability to tolerate."""
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        expand_candidate_pairs,
+        ngram_jaccard_pairs,
+        verify_pairs_distributed,
+    )
+
+    ds, tbl = docs_ds
+    truth = _true_jaccard_pairs(tbl, 0.8)
+    assert len(truth) > 10  # planted dups present
+    pairs = expand_candidate_pairs(_dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8)))
+    cand = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert truth <= cand  # candidate generation is a superset — the guarantee
+    shingles = candidate_shingles(ds, {x for p in cand for x in p})
+    verified = verify_pairs_distributed(pairs, shingles, threshold=0.8)
+    got = set(zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()))
+    assert got == truth
+
+
+def test_ngram_jaccard_boilerplate_hot_shingles(ray_session):
+    """Docs sharing a long boilerplate header (hot shingles) must still join
+    exactly: the hot-set ordering only reshapes prefixes, never correctness,
+    and near-dup pairs whose overlap is mostly boilerplate still surface."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        expand_candidate_pairs,
+        ngram_jaccard_pairs,
+        verify_pairs_distributed,
+    )
+
+    header = " ".join(f"boiler{j}" for j in range(30))
+    texts = [header + f" unique{i}a unique{i}b unique{i}c" for i in range(120)]
+    texts[7] = texts[3]  # exact dup on top of shared boilerplate
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    truth = _true_jaccard_pairs(tbl, 0.8)
+    ds = rd.from_arrow(tbl)
+    # force the sampled-hot-set path to see every doc
+    from schemasaurus_ray.functions import dedup as dd
+
+    hot = dd.hot_shingle_set(ds, sample_mod=1, batch_min=4, global_min=4)
+    assert len(hot) > 0  # boilerplate shingles detected
+    pairs = expand_candidate_pairs(_dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8)))
+    shingles = candidate_shingles(
+        ds, set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
+    )
+    verified = verify_pairs_distributed(pairs, shingles, threshold=0.8)
+    got = set(zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()))
+    assert got == truth and (3, 7) in got
+
+
+def test_ngram_jaccard_empty_input(ray_session):
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import ngram_jaccard_pairs
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = ngram_jaccard_pairs(empty)
+    assert out.num_rows == 0 and out.column_names == ["id_a", "id_b"]
+
+
 def test_expand_candidate_pairs_closes_star_caps():
     """A star-shaped candidate set (hot-bucket cap artifact) must be closed
     to all intra-component pairs so the verify sees (x, y), while huge
