@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "histogram_events_type",
     "dedup_exact_documents",
     "minhash_neardup_documents",
+    "ngram_jaccard_neardup_documents",
     "token_count_documents",
     "quality_documents",
     "langid_documents",

@@ -390,26 +390,35 @@ def lsh_bucket_pairs(
 
 
 # -------------------------------------------- exact n-gram Jaccard join
-def hot_shingle_set(
+def sampled_df_table(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     sample_mod: int = 20,
-    batch_min: int = 4,
-    global_min: int = 16,
-    cap: int = 65536,
-) -> np.ndarray:
-    """Boilerplate (high-document-frequency) shingles from a deterministic
-    ~1/sample_mod doc-hash sample. Used only to ORDER tokens in the prefix
-    filter (frequent shingles last), so it affects candidate-set SIZE, never
-    correctness — any consistent total order preserves the prefix guarantee.
-    Driver-side rows are bounded: only shingles already frequent WITHIN a
-    sampled batch (>= batch_min docs) are returned, then globally thresholded
-    at global_min and capped at the `cap` most frequent."""
+    min_df: int = 2,
+    cap: int = 1 << 20,
+    num_buckets: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Approximate shingle document frequencies from a deterministic
+    ~1/sample_mod doc-hash sample, as (sorted shingles uint64, sampled df
+    int64). Used only to ORDER tokens in the prefix filter (rare shingles
+    first), so it affects candidate-set SIZE, never correctness — any
+    consistent total order preserves the prefix guarantee; df-ascending
+    makes prefixes the RAREST shingles of each doc, which is what keeps
+    prefix-token groups (and so candidate pairs) small even on corpora where
+    every shingle is moderately shared. Scale shape: map tasks emit per-doc
+    unique shingles for sampled docs only (≈ corpus_shingles / sample_mod
+    int64 rows), counted in a raw-Ray bucket shuffle; each reduce keeps its
+    shingles with count >= min_df capped at the cap/num_buckets most
+    frequent, so the broadcast table is bounded regardless of corpus size
+    (shingles below min_df in the sample default to df=1 at lookup)."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
 
     def stage(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"sh": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        empty = pa.table({"sh": pa.array([], pa.int64())})
         ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
         mask = splitmix64(ids.view(np.uint64)) % np.uint64(sample_mod) == 0
         if not mask.any():
@@ -423,34 +432,210 @@ def hot_shingle_set(
         p, v = parents[order], flat[order]
         keep = np.ones(len(p), dtype=bool)
         keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
-        uniq, cnt = np.unique(v[keep], return_counts=True)
-        m = cnt >= batch_min
-        return pa.table(
-            {
-                "sh": pa.array(uniq[m].view(np.int64), pa.int64()),
-                "cnt": pa.array(cnt[m], pa.int64()),
-            }
+        return pa.table({"sh": pa.array(v[keep].view(np.int64), pa.int64())})
+
+    per_bucket_cap = max(1, cap // num_buckets)
+
+    @ray.remote(num_returns=num_buckets)
+    def map_block(tbl: pa.Table):
+        empty = pa.table({"sh": pa.array([], pa.int64())})
+        if tbl.num_rows == 0 or "sh" not in tbl.column_names:
+            return [empty] * num_buckets if num_buckets > 1 else empty
+        v = np.asarray(tbl.column("sh").combine_chunks(), dtype=np.int64)
+        b = (splitmix64(v.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, vs = b[order], v[order]
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        out = [
+            pa.table({"sh": pa.array(vs[bounds[x] : bounds[x + 1]], pa.int64())})
+            for x in range(num_buckets)
+        ]
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables(tables)
+        e = pa.table({"sh": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return e
+        uniq, cnt = np.unique(
+            np.asarray(t.column("sh").combine_chunks(), dtype=np.int64), return_counts=True
+        )
+        m = cnt >= min_df
+        uniq, cnt = uniq[m], cnt[m]
+        if len(uniq) > per_bucket_cap:
+            top = np.argsort(cnt)[::-1][:per_bucket_cap]
+            uniq, cnt = uniq[top], cnt[top]
+        return pa.table({"sh": pa.array(uniq, pa.int64()), "df": pa.array(cnt, pa.int64())})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(stage, batch_format="pyarrow")
+    refs = [map_block.remote(r) for r in rows.to_arrow_refs()]
+    if not refs:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = ray.get(
+        [
+            reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
+            for b in range(num_buckets)
+        ]
+    )
+    t = pa.concat_tables(reduced)
+    if t.num_rows == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    sh = np.asarray(t.column("sh").combine_chunks(), dtype=np.int64).view(np.uint64)
+    df = np.asarray(t.column("df").combine_chunks(), dtype=np.int64)
+    order = np.argsort(sh)
+    return sh[order], df[order]
+
+
+def _pairs_from_prefix_rows(
+    keys: np.ndarray,
+    ids: np.ndarray,
+    pos: np.ndarray,
+    size: np.ndarray,
+    tb: int,
+    cap: int,
+) -> pa.Table:
+    """(key, id, pos, size) prefix rows → candidate (id_a < id_b) pairs per
+    key group with the PPJoin size + positional filters applied BEFORE any
+    star-capping. Both filters are exact-safe:
+
+    - size: J(x,y) >= t needs t*|x| <= |y| (multiply-first integer form).
+    - positional: a shared token at sorted positions (i, j) bounds the
+      overlap at ub = min(i,j) + 1 + min(|x|-i-1, |y|-j-1); J >= t needs
+      overlap >= o_min = ceil(t*(|x|+|y|)/(1+t)), so ub < o_min proves the
+      pair fails — the bound holds for EVERY collision, so filtering each
+      collision row independently never drops a qualifying pair (it still
+      collides on the order-smallest shared token, whose positions satisfy
+      the bound).
+
+    Star-capping then only triggers on groups still > cap AFTER filtering —
+    at that point the group is a genuine near-dup cluster and the
+    transitive-expansion + verify step recovers intra-cluster pairs."""
+    order = np.lexsort((ids, keys))
+    k, i, p, s = keys[order], ids[order], pos[order], size[order]
+    if len(k):
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
+        k, i, p, s = k[keep], i[keep], p[keep], s[keep]
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
+    starts = np.concatenate([[0], bounds]) if len(k) else []
+    ends = np.concatenate([bounds, [len(k)]]) if len(k) else []
+    denom = tb + 10000
+    for st, en in zip(starts, ends):
+        g = en - st
+        if g < 2:
+            continue
+        gi, gp, gs = i[st:en], p[st:en], s[st:en]
+        ia, ib = np.triu_indices(g, k=1)
+        sa, sb = gs[ia], gs[ib]
+        # size filter: t*max <= min  (multiply-first)
+        m = tb * np.maximum(sa, sb) <= 10000 * np.minimum(sa, sb)
+        if not m.any():
+            continue
+        ia, ib, sa, sb = ia[m], ib[m], sa[m], sb[m]
+        pa_, pb_ = gp[ia], gp[ib]
+        o_min = -(-(tb * (sa + sb)) // denom)
+        ub = np.minimum(pa_, pb_) + 1 + np.minimum(sa - pa_ - 1, sb - pb_ - 1)
+        m2 = ub >= o_min
+        if not m2.any():
+            continue
+        da, db = gi[ia[m2]], gi[ib[m2]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        if len(lo) > cap * (cap - 1) // 2:
+            # genuinely hot cluster: star around the group's min id, O(g)
+            gmin = gi.min()
+            rest = np.unique(np.concatenate([lo, hi]))
+            rest = rest[rest != gmin]
+            lo = np.full(len(rest), gmin, dtype=np.int64)
+            hi = rest
+        a_out.append(lo)
+        b_out.append(hi)
+    if not a_out:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+        }
+    )
+
+
+def prefix_bucket_pairs(
+    rows_ds: "ray.data.Dataset",
+    id_col: str,
+    tb: int,
+    key_col: str = "bkey",
+    cap: int = 64,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """Candidate pairs from prefix (key, id, pos, size) rows via the raw-Ray
+    bucket shuffle — the positional-filter sibling of
+    :func:`lsh_bucket_pairs` (same map/combine/reduce shape, four int64
+    columns instead of two)."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+
+    cols = [key_col, id_col, "pos", "size"]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or key_col not in tbl.column_names:
+            e = pa.table({c: pa.array([], pa.int64()) for c in cols})
+            return [e] * num_buckets if num_buckets > 1 else e
+        arrs = [np.asarray(tbl.column(c).combine_chunks(), dtype=np.int64) for c in cols]
+        b = (splitmix64(arrs[0].view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        sorted_arrs = [a[order] for a in arrs]
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        out = [
+            pa.table(
+                {
+                    c: pa.array(a[bounds[x] : bounds[x + 1]], pa.int64())
+                    for c, a in zip(cols, sorted_arrs)
+                }
+            )
+            for x in range(num_buckets)
+        ]
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        return _pairs_from_prefix_rows(
+            *(np.asarray(t.column(c).combine_chunks(), dtype=np.int64) for c in cols),
+            tb=tb,
+            cap=cap,
         )
 
-    batches = list(
-        ds.select_columns([id_col, text_col])
-        .map_batches(stage, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    if not batches:
-        return np.zeros(0, dtype=np.uint64)
-    t = pa.concat_tables(batches)
-    if t.num_rows == 0:
-        return np.zeros(0, dtype=np.uint64)
-    sh = np.asarray(t.column("sh").combine_chunks(), dtype=np.int64).view(np.uint64)
-    cnt = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
-    uniq, inv = np.unique(sh, return_inverse=True)
-    tot = np.bincount(inv, weights=cnt.astype(np.float64)).astype(np.int64)
-    hot = uniq[tot * sample_mod >= global_min]  # scale sample counts back up
-    if len(hot) > cap:
-        tot_hot = tot[tot * sample_mod >= global_min]
-        hot = hot[np.argsort(tot_hot)[::-1][:cap]]
-    return np.sort(hot)
+    refs = [map_block.remote(r) for r in rows_ds.to_arrow_refs()]
+    if not refs:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    return pa.concat_tables(tables)
 
 
 def ngram_jaccard_pairs(
@@ -474,19 +659,27 @@ def ngram_jaccard_pairs(
     Symmetric for y. So grouping prefix rows by shingle finds every
     qualifying pair.
 
-    The order places sampled-hot (boilerplate) shingles last and is
-    otherwise shingle-hash order, keeping prefix groups rare → small.
-    Shuffle cost: O(total prefix tokens) ≈ (1-t)·corpus shingles, key-only
-    int64 rows through the raw-Ray bucket shuffle; hot groups are
-    star-capped (expand transitively + verify exactly, as with MinHash).
-    Returns candidate (id_a < id_b) pairs — a superset of the true pairs;
-    verify with :func:`verify_pairs_distributed`."""
+    The token order is (sampled df ascending, shingle) — each doc's prefix
+    is its RAREST shingles, so prefix-token groups stay small even when the
+    corpus shares most shingles broadly (frequency-ordering is the All-Pairs
+    paper's key trick). Shuffle cost: O(total prefix tokens) ≈ (1-t)·corpus
+    shingles, key-only int64 rows through the raw-Ray bucket shuffle; hot
+    groups are star-capped (expand transitively + verify exactly, as with
+    MinHash). Returns candidate (id_a < id_b) pairs — a superset of the true
+    pairs; verify with :func:`verify_pairs_distributed`."""
     import ray
 
-    hot = hot_shingle_set(ds, text_col, id_col, n)
-    hot_ref = ray.put(hot)
+    df_sh, df_cnt = sampled_df_table(ds, text_col, id_col, n)
+    df_ref = ray.put((df_sh, df_cnt))
     tb = int(round(threshold * 10000))
-    empty = pa.table({"bkey": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+    empty = pa.table(
+        {
+            "bkey": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "size": pa.array([], pa.int64()),
+        }
+    )
 
     def prefix_stage(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
@@ -499,14 +692,17 @@ def ngram_jaccard_pairs(
         keep = np.ones(len(p), dtype=bool)
         keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
         p, v = p[keep], v[keep]
-        # total order: hot shingles last (top bit), hash order otherwise
-        okey = v >> np.uint64(1)
-        hotset = ray.get(hot_ref)
-        if len(hotset):
-            okey = okey | (
-                np.isin(v, hotset, assume_unique=False).astype(np.uint64) << np.uint64(63)
-            )
-        order2 = np.lexsort((okey, p))
+        # total order (df asc, shingle asc): df from the broadcast sampled
+        # table, unseen shingles default df=1 (rarest). Ties broken by the
+        # full shingle value so the order is total and globally consistent.
+        tsh, tdf = ray.get(df_ref)
+        dfv = np.ones(len(v), dtype=np.int64)
+        if len(tsh):
+            idx = np.searchsorted(tsh, v)
+            idx[idx == len(tsh)] = 0
+            m = tsh[idx] == v
+            dfv[m] = tdf[idx[m]]
+        order2 = np.lexsort((v.view(np.int64), dfv, p))
         p2, v2 = p[order2], v[order2]
         sizes = np.bincount(p2, minlength=len(ids))
         starts = np.concatenate([[0], np.cumsum(sizes)])
@@ -519,13 +715,15 @@ def ngram_jaccard_pairs(
             {
                 "bkey": pa.array(v2[m].view(np.int64), pa.int64()),
                 id_col: pa.array(ids[p2[m]], pa.int64()),
+                "pos": pa.array(rank[m], pa.int64()),
+                "size": pa.array(sizes[p2[m]], pa.int64()),
             }
         )
 
     prefix = ds.select_columns([id_col, text_col]).map_batches(
         prefix_stage, batch_format="pyarrow"
     )
-    return lsh_bucket_pairs(prefix, id_col, cap=cap)
+    return prefix_bucket_pairs(prefix, id_col, tb, cap=cap)
 
 
 def jaccard(a: str, b: str, n: int = 3) -> float:
@@ -669,7 +867,7 @@ def verify_pairs_distributed(
     if pairs.num_rows == 0:
         return empty
     lookup = {
-        i: np.sort(np.asarray(s, dtype=np.int64))
+        i: frozenset(s)
         for i, s in zip(shingle_tbl.column(id_col).to_pylist(), shingle_tbl.column("shingles").to_pylist())
     }
     sh_ref = ray.put(lookup)
@@ -681,7 +879,9 @@ def verify_pairs_distributed(
             sa, sb = sh.get(a), sh.get(b)
             if sa is None or sb is None:
                 continue
-            inter = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+            # C-level set intersection: ~10x over np.intersect1d per pair
+            # at these set sizes (the verify fan-out is pair-count bound)
+            inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             j = 1.0 if union == 0 else inter / union
             if j >= threshold:

@@ -342,11 +342,11 @@ def test_ngram_jaccard_boilerplate_hot_shingles(ray_session):
     )
     truth = _true_jaccard_pairs(tbl, 0.8)
     ds = rd.from_arrow(tbl)
-    # force the sampled-hot-set path to see every doc
+    # the sampled-df pass must see the boilerplate shingles as frequent
     from schemasaurus_ray.functions import dedup as dd
 
-    hot = dd.hot_shingle_set(ds, sample_mod=1, batch_min=4, global_min=4)
-    assert len(hot) > 0  # boilerplate shingles detected
+    sh, df = dd.sampled_df_table(ds, sample_mod=1)
+    assert len(sh) > 0 and df.max() >= 100  # boilerplate trigram df ≈ n_docs
     pairs = expand_candidate_pairs(_dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8)))
     shingles = candidate_shingles(
         ds, set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
