@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audio flagship (fixture-synthesized; rows-only)
         "validate_audio_clips": q.validate_audio_clips,
         "audio_features": q.audio_features,
+        "audio_quality_clips": q.audio_quality_clips,
     }
 
 
@@ -361,7 +362,7 @@ def oracle_sql() -> dict[str, str]:
             ) <= 10
         """,
         # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
-        # validate_audio_clips, audio_features: non-SQL-expressible
-        # (bit-signature / rolling-hash / approximate / actor pipelines)
-        # → rows-only checks.
+        # validate_audio_clips, audio_features, audio_quality_clips:
+        # non-SQL-expressible (bit-signature / rolling-hash / approximate /
+        # binary-decode actor pipelines) → rows-only checks.
     }

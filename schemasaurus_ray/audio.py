@@ -72,6 +72,186 @@ def snr_db(decoded: np.ndarray, reference: np.ndarray) -> float:
     return 10.0 * np.log10(p_sig / p_err)
 
 
+def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(data uint8, starts, lengths, null_mask) for an Arrow binary array —
+    raw zero-copy views of the value buffer and offsets."""
+    import pyarrow as pa
+
+    n = len(arr)
+    if arr.type == pa.null():
+        return (
+            np.zeros(0, np.uint8),
+            np.zeros(n, np.int64),
+            np.zeros(n, np.int64),
+            np.ones(n, dtype=bool),
+        )
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    null_mask = np.zeros(n, dtype=bool)
+    if arr.null_count and arr.buffers()[0] is not None:
+        bits = np.unpackbits(np.frombuffer(arr.buffers()[0], dtype=np.uint8), bitorder="little")
+        null_mask = ~bits[arr.offset : arr.offset + n].astype(bool)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    return data, offsets[:-1], offsets[1:] - offsets[:-1], null_mask
+
+
+def pcm_segment_stats(bytes_col) -> dict[str, np.ndarray]:
+    """Whole-batch PCM16 feature extraction with NO per-row Python: headers
+    are gathered straight from the Arrow binary buffers (like
+    pcm_consistency) and per-clip stats computed with cumulative-sum /
+    reduceat segment reductions over ONE flat int16 view of the payload.
+    When every clip's data section is 2-byte aligned in the value buffer
+    (the common case — WAV PCM16 blobs have even length) the view is
+    zero-copy; otherwise one vectorized gather re-packs the payload.
+
+    Returns float64 arrays (NaN where the blob is null/undecodable):
+    ``rms`` / ``peak`` (normalized to ±1), ``zcr`` (mean sign-change rate,
+    identical formula to the per-row loop it replaces), ``measured_ms``,
+    ``clip_ratio`` (fraction of samples at |s| >= 32760, clipping detector),
+    ``dc`` (normalized mean sample — DC-offset detector), and the bool
+    ``valid`` mask. Decodability matches ``wav_decode``: RIFF/WAVE magic,
+    PCM16 mono, in-bounds data section."""
+    from .util import single_chunk
+
+    arr = single_chunk(bytes_col)
+    n = len(arr)
+    nan = np.full(n, np.nan)
+    out = {
+        "rms": nan.copy(),
+        "peak": nan.copy(),
+        "zcr": nan.copy(),
+        "measured_ms": nan.copy(),
+        "clip_ratio": nan.copy(),
+        "dc": nan.copy(),
+        "valid": np.zeros(n, dtype=bool),
+    }
+    if n == 0:
+        return out
+    data, starts, lengths, null_mask = _binary_buffers(arr)
+    long_enough = (lengths >= HEADER_SIZE) & ~null_mask
+    if len(data) < HEADER_SIZE or not long_enough.any():
+        return out
+    safe = np.where(long_enough, starts, 0)
+    safe = np.minimum(safe, len(data) - HEADER_SIZE)
+
+    def u16(at: int) -> np.ndarray:
+        return data[safe + at].astype(np.int64) | (data[safe + at + 1].astype(np.int64) << 8)
+
+    def u32(at: int) -> np.ndarray:
+        return u16(at) | (u16(at + 2) << 16)
+
+    magic = (
+        (data[safe] == 0x52) & (data[safe + 1] == 0x49)  # RI
+        & (data[safe + 2] == 0x46) & (data[safe + 3] == 0x46)  # FF
+        & (data[safe + 8] == 0x57) & (data[safe + 9] == 0x41)  # WA
+        & (data[safe + 10] == 0x56) & (data[safe + 11] == 0x45)  # VE
+    )
+    fmt_ok = (u16(20) == 1) & (u16(22) == 1) & (u16(34) == 16)  # PCM16 mono
+    data_len = u32(40)
+    sr = u32(24)
+    # wav_decode slices blob[44 : 44+data_len] — a short data section
+    # truncates rather than failing, so clamp to the available bytes and
+    # round down to whole samples (decode-parity, not the stricter
+    # pcm_consistency contract)
+    eff_len = np.minimum(data_len, np.maximum(lengths - HEADER_SIZE, 0)) & ~np.int64(1)
+    valid = long_enough & magic & fmt_ok & (sr > 0) & (eff_len > 0)
+    out["valid"] = valid
+    if not valid.any():
+        return out
+    v = np.nonzero(valid)[0]
+    seg_b = starts[v] + HEADER_SIZE  # byte offsets of PCM data
+    seg_len_b = eff_len[v]
+    aligned = bool((seg_b % 2 == 0).all())
+    if aligned:
+        x_all = data[: len(data) & ~1].view(np.int16)
+        seg_s = seg_b // 2
+        seg_e = (seg_b + seg_len_b) // 2
+    else:  # misaligned payload (odd-length neighbor blob): gather per chunk
+        x_all = None
+        ends = np.cumsum(seg_len_b)
+        seg_e = ends // 2
+        seg_s = (ends - seg_len_b) // 2
+    srv = sr[v]
+    # Bounded-chunk processing: unchunked, the cumsum reductions allocate
+    # GBs of fresh pages over a 100-clip-seconds batch, which this host's
+    # page-fault pathology turns into minutes (BASELINE.md; measured 136 s
+    # → ~2 s warm on a 2000-clip table after chunking, identical results).
+    # The chunk is kept small and the kernels dtype-minimal (~35 bytes of
+    # temporaries per sample) because a WORKER'S FIRST batch pays the
+    # first-touch fault cost of the whole buffer set — at the degraded
+    # ~20 MB/s fault windows this host hits, every 10 MB of cold footprint
+    # is half a second of actor-pool cold start.
+    chunk = 1_000_000
+    k = 0
+    m = len(v)
+    while k < m:
+        j = k + 1
+        while j < m and seg_e[j] - seg_s[k] <= chunk:
+            j += 1
+        if aligned:
+            lo = seg_s[k]
+            x = x_all[lo : seg_e[j - 1]]
+        else:
+            lo = seg_s[k]
+            ln_b = seg_len_b[k:j]
+            total = int(ln_b.sum())
+            e_rel = np.cumsum(ln_b)
+            intra = np.arange(total) - np.repeat(e_rel - ln_b, ln_b)
+            x = data[np.repeat(seg_b[k:j], ln_b) + intra].view(np.int16)
+        ss = seg_s[k:j] - lo
+        ee = seg_e[k:j] - lo
+        _seg_stats_into(x, ss, ee, srv[k:j], out, v[k:j])
+        k = j
+    return out
+
+
+def _seg_stats_into(x, ss, ee, sr, out, idx) -> None:
+    """Segment-reduction kernels over one flat int16 chunk: dtype-minimal
+    integer cumsums (sum |x| <= 32768·1M < 2^63; x² <= 32768² fits int32;
+    per-chunk counts fit int32) + paired reduceat; results written into the
+    output arrays at ``idx``."""
+    ln = (ee - ss).astype(np.int64)  # all >= 1
+    c1 = np.empty(len(x) + 1, dtype=np.int64)
+    c1[0] = 0
+    np.cumsum(x, dtype=np.int64, out=c1[1:])
+    sums = (c1[ee] - c1[ss]).astype(np.float64)
+    sq = np.square(x, dtype=np.int32)  # 32768² < 2^31
+    c2 = np.empty(len(x) + 1, dtype=np.int64)
+    c2[0] = 0
+    np.cumsum(sq, dtype=np.int64, out=c2[1:])
+    sqs = (c2[ee] - c2[ss]).astype(np.float64)
+    out["rms"][idx] = np.sqrt(sqs / ln) / 32768.0
+    out["dc"][idx] = sums / ln / 32768.0
+    out["measured_ms"][idx] = 1000.0 * ln / sr
+    ax = np.abs(x, dtype=np.int32)  # |-32768| overflows int16, not int32
+    clip_cnt = np.empty(len(x) + 1, dtype=np.int32)
+    clip_cnt[0] = 0
+    np.cumsum(ax >= 32760, dtype=np.int32, out=clip_cnt[1:])
+    out["clip_ratio"][idx] = (clip_cnt[ee] - clip_cnt[ss]) / ln
+    # peak via paired reduceat [s0,e0,s1,e1,...] → even slots; indices must
+    # stay < len(x) (segments are non-empty so s < e <= len)
+    inds = np.empty(2 * len(ss), dtype=np.int64)
+    inds[0::2] = ss
+    inds[1::2] = np.minimum(ee, len(x) - 1)
+    peaks = np.maximum.reduceat(ax, inds)[0::2]
+    # a segment ending at len(x) loses its last sample to the index clamp
+    tail = ee == len(x)
+    if tail.any():
+        peaks[tail] = np.maximum(peaks[tail], ax[-1])
+    out["peak"][idx] = peaks / 32768.0
+    # zcr: mean rate of sign changes between consecutive samples, matching
+    # np.mean(np.abs(np.diff(np.signbit(x).astype(int8)))) from the old loop
+    sb = np.signbit(x)
+    ch = np.empty(len(x), dtype=np.int32)
+    ch[0] = 0
+    np.cumsum(sb[1:] != sb[:-1], dtype=np.int32, out=ch[1:])
+    zc = ch[np.maximum(ee - 1, ss)] - ch[ss]
+    with np.errstate(invalid="ignore"):
+        out["zcr"][idx] = np.where(ln > 1, zc / np.maximum(ln - 1, 1), 0.0)
+
+
 def pcm_consistency(bytes_col, batch, *_args) -> np.ndarray:
     """Vectorized conform UDF (engine analogue of the reference's conform
     hook, v4validator.js:355-373, receiving the whole batch as ctx.parent):

@@ -558,7 +558,13 @@ def audio_features(sf_dir: str) -> pa.Table:
     from ..functions.multimodal import AudioFeatureStage
 
     fix = _audio_fixture()
-    ds = rd.read_parquet(os.path.join(fix, "clips"))
+    # Ray's parquet scanner burns CPU on binary columns (CLAUDE.md quirk) —
+    # the clip payload must go through the task-based reader
+    import glob as glob_
+
+    from ..sources.io import read_parquet_tasks
+
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
     out = ds.map_batches(
         AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
     )
@@ -579,6 +585,40 @@ def audio_features(sf_dir: str) -> pa.Table:
             "measured_ms": int_or_null(ms),
         }
     ).sort_by("clip_id")
+
+
+def audio_quality_clips(sf_dir: str) -> pa.Table:
+    """Audio quality validation over the clip fixture: decodability,
+    clipping ratio, DC offset, silence flag — actor-pool AudioQualityStage
+    (vectorized pcm_segment_stats core, no per-row decode loop). The audio
+    analogue of quality_documents; returns per-quality-signal counts so the
+    result is a compact verdict table."""
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioQualityStage
+
+    fix = _audio_fixture()
+    import glob as glob_
+
+    from ..sources.io import read_parquet_tasks
+
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
+    out = ds.map_batches(
+        AudioQualityStage, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    tbl = _collect(out)
+    dec = np.asarray(tbl.column("decodable").combine_chunks(), dtype=bool)
+    sil = np.asarray(tbl.column("silence").combine_chunks(), dtype=bool)
+    clip_bp = tbl.column("clip_bp").combine_chunks()
+    clipped = pc.sum(pc.and_(pc.is_valid(clip_bp), pc.greater(clip_bp, 0))).as_py() or 0
+    return pa.table(
+        {
+            "n_clips": pa.array([len(dec)], pa.int64()),
+            "n_undecodable": pa.array([int((~dec).sum())], pa.int64()),
+            "n_silent": pa.array([int(sil.sum())], pa.int64()),
+            "n_clipped": pa.array([int(clipped)], pa.int64()),
+        }
+    )
 
 
 EVENTS_SPEC: dict = {

@@ -87,3 +87,102 @@ def test_fixture_injection_counts():
     assert sum(1 for x in t["clip_id"] if x.startswith("CLIP_")) == 1
     # duplicate ids
     assert len(set(t["clip_id"])) == n - len([i for i in range(n) if i % 500 == 131])
+
+
+def _loop_stats(blobs):
+    """Reference per-row loop (the implementation pcm_segment_stats
+    replaced) — ground truth for the vectorized parity test."""
+    out = {k: [] for k in ("rms", "peak", "zcr", "measured_ms", "clip_ratio", "dc", "valid")}
+    for blob in blobs:
+        ok = False
+        vals = dict.fromkeys(out, float("nan"))
+        if blob is not None:
+            try:
+                pcm, sr = wav_decode(blob)
+                if len(pcm) > 0:
+                    ok = True
+                    x = pcm.astype(np.float64) / 32768.0
+                    vals["rms"] = float(np.sqrt(np.mean(x * x)))
+                    vals["peak"] = float(np.abs(x).max())
+                    vals["zcr"] = (
+                        float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
+                        if len(pcm) > 1
+                        else 0.0
+                    )
+                    vals["measured_ms"] = 1000.0 * len(pcm) / sr
+                    vals["clip_ratio"] = float(np.mean(np.abs(pcm.astype(np.int64)) >= 32760))
+                    vals["dc"] = float(np.mean(pcm.astype(np.float64))) / 32768.0
+            except ValueError:
+                pass
+        vals["valid"] = ok
+        for k, v in vals.items():
+            out[k].append(v)
+    return out
+
+
+def _assert_stats_match(blobs):
+    from schemasaurus_ray.audio import pcm_segment_stats
+
+    got = pcm_segment_stats(pa.array(blobs, pa.binary()))
+    ref = _loop_stats(blobs)
+    assert got["valid"].tolist() == ref["valid"]
+    for k in ("rms", "peak", "zcr", "measured_ms", "clip_ratio", "dc"):
+        g, r = np.asarray(got[k]), np.asarray(ref[k], dtype=np.float64)
+        m = ~np.isnan(r)
+        assert (np.isnan(g) == ~m).all(), k
+        assert np.allclose(g[m], r[m], rtol=1e-12, atol=1e-12), k
+
+
+def test_pcm_segment_stats_parity():
+    """Vectorized whole-batch stats ≡ per-row decode loop on fixture clips
+    mixed with nulls, truncated and non-WAV blobs."""
+    clips = make_clips(40, inject=False)
+    blobs = clips.column("bytes").to_pylist()
+    blobs[3] = None
+    blobs[7] = blobs[7][:20]          # truncated header
+    blobs[11] = b"not a wav at all"   # bad magic
+    blobs[13] = blobs[13][:60]        # header ok, data section truncated
+    _assert_stats_match(blobs)
+
+
+def test_pcm_segment_stats_odd_alignment():
+    """An odd-length garbage blob misaligns every later clip's data section
+    in the Arrow value buffer — the gather fallback must produce identical
+    stats (the zero-copy int16 view would be undefined there)."""
+    clips = make_clips(6, inject=False)
+    blobs = clips.column("bytes").to_pylist()
+    blobs.insert(0, b"\x01\x02\x03")  # 3 bytes: every later offset is odd
+    _assert_stats_match(blobs)
+
+
+def test_pcm_segment_stats_edge_clips():
+    """Single-sample clip (zcr=0), all-clipped clip, pure-DC clip."""
+    one = wav_encode(np.array([1000], np.int16), 8000)
+    clipped = wav_encode(np.full(100, 32767, np.int16), 8000)
+    dc = wav_encode(np.full(50, 1600, np.int16), 16000)
+    _assert_stats_match([one, clipped, dc])
+    from schemasaurus_ray.audio import pcm_segment_stats
+
+    st = pcm_segment_stats(pa.array([one, clipped, dc], pa.binary()))
+    assert st["zcr"][0] == 0.0
+    assert st["clip_ratio"][1] == 1.0
+    assert abs(st["dc"][2] - 1600 / 32768) < 1e-12
+
+
+def test_audio_quality_stage():
+    from schemasaurus_ray.functions.multimodal import AudioQualityStage
+
+    silent = wav_encode(np.zeros(400, np.int16), 8000)
+    loud = wav_encode(np.full(400, 32767, np.int16), 8000)
+    normal = wav_encode(synth_samples(1, 16000, 100), 16000)
+    t = pa.table(
+        {
+            "clip_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "bytes": pa.array([silent, loud, normal, None], pa.binary()),
+        }
+    )
+    out = AudioQualityStage()(t)
+    assert out.column("decodable").to_pylist() == [True, True, True, False]
+    assert out.column("silence").to_pylist() == [True, False, False, False]
+    assert out.column("clip_bp").to_pylist() == [0, 10000, 0, None]
+    assert out.column("dc_bp").to_pylist()[0] == 0
