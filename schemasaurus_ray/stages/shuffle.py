@@ -48,9 +48,16 @@ _FAN_IN = 64
 def _default_buckets(n_shards: int) -> int:
     """Reduce-bucket count: shards/4, floor 4, cap 32. Measured on the
     16M-key scaling profile: raising this to the CPU count (32) made the
-    32-CPU wall WORSE (4.2 s -> 4.9-5.9 s) — per-map object multiplication
-    (maps x buckets tiny objects) costs more than the extra reduce
-    parallelism buys."""
+    32-CPU wall WORSE (4.2 s -> 4.9-5.9 s pre-malloc-tuning; re-confirmed
+    post-tuning round 3: 3.0 s @ 16 vs 3.4 s @ 32) — per-map object
+    multiplication (maps x buckets tiny objects) costs more than the extra
+    reduce parallelism buys. GRAFT_SHUFFLE_BUCKETS overrides for
+    experiments."""
+    import os
+
+    env = os.environ.get("GRAFT_SHUFFLE_BUCKETS")
+    if env:
+        return int(env)
     return min(32, max(4, n_shards // 4))
 
 
