@@ -727,3 +727,52 @@ def test_md5_length_class_passes_bound_memory():
     assert digs.shape == (502, 16)
     for r, d in zip(rows, digs):
         assert bytes(d) == hashlib.md5(r).digest()
+
+
+def test_ngram_jaccard_property_random_corpora(ray_session):
+    """Property harness for the prefix-filter join's exactness guarantee:
+    random small-vocabulary corpora (forcing heavy shingle sharing, the
+    hard case for prefix filtering) across thresholds — the join must equal
+    brute-force all-pairs Jaccard EXACTLY every time. Deterministic seeds
+    rather than hypothesis: each example spins Ray datasets, so a bounded
+    fixed set keeps the suite fast while still sweeping corpus shapes."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        candidate_shingles,
+        expand_candidate_pairs,
+        ngram_jaccard_pairs,
+        verify_pairs_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    for case, (vocab, n_docs, lo_w, hi_w, thresh) in enumerate(
+        [
+            (8, 40, 3, 10, 0.8),    # tiny vocab: every shingle shared
+            (30, 60, 5, 14, 0.7),   # moderate sharing, lower threshold
+            (12, 50, 1, 4, 0.9),    # short docs (<n words → single shingle)
+            (50, 60, 6, 12, 0.5),   # low threshold → long prefixes
+        ]
+    ):
+        words = [f"v{case}w{k}" for k in range(vocab)]
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(lo_w, hi_w + 1)))
+            for _ in range(n_docs)
+        ]
+        texts[5] = texts[2]  # plant one exact dup
+        tbl = pa.table(
+            {"doc_id": pa.array(range(n_docs), pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+        truth = _true_jaccard_pairs(tbl, thresh)
+        ds = rd.from_arrow(tbl)
+        pairs = expand_candidate_pairs(
+            _dedupe_pairs(ngram_jaccard_pairs(ds, threshold=thresh))
+        )
+        cand = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+        assert truth <= cand, f"case {case}: prefix filter missed {truth - cand}"
+        sh = candidate_shingles(ds, {x for p in cand for x in p})
+        ver = verify_pairs_distributed(pairs, sh, threshold=thresh)
+        got = set(zip(ver.column("id_a").to_pylist(), ver.column("id_b").to_pylist()))
+        assert got == truth, f"case {case}: {got ^ truth}"
+        assert (2, 5) in got or (5, 2) in got  # planted dup found
