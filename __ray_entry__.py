@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,
+        "curate_documents": q.curate_documents,
         "fingerprint_documents": q.fingerprint_documents,
         "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
@@ -69,9 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _langid_oracle_sql() -> str:
-    """Generated from the SAME stopword tables the engine stage uses, so the
-    oracle and the engine cannot drift apart."""
+def _langid_pred_ctes() -> str:
+    """CTEs ending in ``lang(doc_id, text, lang_pred)`` — generated from the
+    SAME stopword tables the engine stage uses, so the oracle and the engine
+    cannot drift apart. Shared by the langid and curation oracles."""
     from schemasaurus_ray.functions.text import _LANG_STOPWORDS
 
     def lst(lang: str) -> str:
@@ -85,7 +87,7 @@ def _langid_oracle_sql() -> str:
         for lang in _LANG_STOPWORDS
     }
     return f"""
-        WITH toks AS (
+        toks AS (
             SELECT doc_id, text,
                    list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß'']+'), t -> t <> '') AS words
               FROM documents
@@ -97,23 +99,51 @@ def _langid_oracle_sql() -> str:
                    {score['fr']} AS s_fr,
                    {score['es']} AS s_es
               FROM toks
+        ),
+        lang AS (
+            SELECT doc_id, text,
+                   CASE
+                     WHEN text IS NULL OR text = '' THEN NULL
+                     WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.05 THEN 'unk'
+                     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es'
+                   END AS lang_pred
+              FROM scored
         )
-        SELECT doc_id,
-               CASE
-                 WHEN text IS NULL OR text = '' THEN NULL
-                 WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.05 THEN 'unk'
-                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                 WHEN s_fr >= s_es THEN 'fr'
-                 ELSE 'es'
-               END AS lang_pred
-          FROM scored ORDER BY doc_id
+    """
+
+
+def _langid_oracle_sql() -> str:
+    return f"WITH {_langid_pred_ctes()} SELECT doc_id, lang_pred FROM lang ORDER BY doc_id"
+
+
+def _curate_oracle_sql() -> str:
+    """Composition of the three curation predicates — the same min-per-text
+    survivors, quality ratio, and generated stopword language score the
+    engine applies."""
+    return f"""
+        WITH {_langid_pred_ctes()},
+        survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+        SELECT l.doc_id,
+               CAST(length(l.text) AS BIGINT) AS n_chars,
+               CAST(FLOOR(10000.0 * length(regexp_extract_all(l.text, '[A-Za-z]')) /
+                    GREATEST(length(l.text), 1)) AS BIGINT) AS alpha_bp
+          FROM lang l
+          JOIN survivors s ON s.doc_id = l.doc_id
+         WHERE l.lang_pred = 'en'
+           AND length(l.text) >= 20
+           AND FLOOR(10000.0 * length(regexp_extract_all(l.text, '[A-Za-z]')) /
+               GREATEST(length(l.text), 1)) >= 6000
+         ORDER BY l.doc_id
     """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "langid_documents": _langid_oracle_sql(),
+        "curate_documents": _curate_oracle_sql(),
         "sample_documents": """
             SELECT doc_id FROM documents
              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

@@ -367,6 +367,56 @@ def quality_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(bp, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def curate_documents(sf_dir: str) -> pa.Table:
+    """End-to-end corpus CURATION — the canonical LLM-training-data shape
+    (dedup → quality floor → language filter → keep list) composed as one
+    streaming pass: exact-dup survivors come from the distributed
+    groupby-min (the only shuffle) and are broadcast once via ``ray.put``;
+    quality basis points and stopword language-ID are computed batch-local
+    inside the SAME ``map_batches`` as the final keep mask, so document
+    text never leaves the workers and no second shuffle happens. Keep =
+    survivor ∧ alpha_bp >= 6000 ∧ n_chars >= 20 ∧ lang_pred = 'en'.
+    Fully oracle-backed: the SQL composes the identical three predicates
+    (min-per-text-group, the quality ratios, the generated stopword
+    scoring)."""
+    import ray
+
+    from ..functions.dedup import exact_dedup
+    from ..util import cached_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    surv = np.sort(
+        np.asarray(_collect(exact_dedup(ds)).column("doc_id").combine_chunks(), dtype=np.int64)
+    )
+    surv_ref = ray.put(surv)
+    langid = cached_stage(LangIdStage)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..util import single_chunk
+
+        ids = np.asarray(single_chunk(batch.column("doc_id")), dtype=np.int64)
+        m = np.isin(ids, ray.get(surv_ref))
+        col = single_chunk(batch.column("text"))
+        n_chars = pc.cast(pc.utf8_length(col), pa.float64())
+        safe = pc.max_element_wise(n_chars, 1.0)
+        n_alpha = pc.cast(pc.count_substring_regex(col, "[A-Za-z]"), pa.float64())
+        alpha_bp = pc.cast(pc.floor(pc.divide(pc.multiply(n_alpha, 10000.0), safe)), pa.int64())
+        lang = single_chunk(langid(batch).column("lang_pred"))
+        m &= np.asarray(pc.fill_null(pc.equal(lang, "en"), False))
+        m &= np.asarray(pc.fill_null(alpha_bp, 0)) >= 6000
+        m &= np.asarray(pc.fill_null(pc.greater_equal(n_chars, 20.0), False))
+        sel = pa.array(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "n_chars": pc.cast(n_chars, pa.int64()).filter(sel),
+                "alpha_bp": alpha_bp.filter(sel),
+            }
+        )
+
+    return _collect(ds.map_batches(keep, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def fingerprint_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _collect(ds.map_batches(fingerprint, batch_format="pyarrow")).sort_by("doc_id")

@@ -63,11 +63,13 @@ ORACLE_NAMES = [
     "histogram_events_type",
     "dedup_exact_documents",
     "minhash_neardup_documents",
+    "ngram_jaccard_neardup_documents",
     "dedup_neardup_survivors_documents",
     "langid_documents",
     "sample_documents",
     "token_count_documents",
     "quality_documents",
+    "curate_documents",
     "fingerprint_documents",
     "ann_topk_embeddings",
     "embedding_neardup",
@@ -100,6 +102,7 @@ ROWS_ONLY = [
     "simhash_neardup_documents",
     "winnow_passages_documents",
     "ann_ivf_embeddings",
+    "audio_quality_clips",
 ]
 
 
