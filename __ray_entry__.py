@@ -60,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
+        # temporal keyed operators (as-of / range join / sessionization)
+        "asof_events_purchase": q.asof_events_purchase,
+        "activity_window_events": q.activity_window_events,
+        "sessionize_events": q.sessionize_events,
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
         "sample_documents": q.sample_documents,
@@ -345,6 +349,37 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_length": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 5
+        """,
+        "asof_events_purchase": """
+            SELECT e.event_id, e.user_id, max(p.ts) AS last_purchase_ts
+              FROM events e LEFT JOIN events p
+                ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts < e.ts
+             GROUP BY e.event_id, e.user_id ORDER BY e.event_id
+        """,
+        "activity_window_events": """
+            SELECT e.event_id, count(p.event_id) AS n_prev_hour
+              FROM events e LEFT JOIN events p
+                ON p.user_id = e.user_id
+               AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
+             GROUP BY e.event_id ORDER BY e.event_id
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                            THEN 1 ELSE 0 END AS new_s
+                  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+                  FROM g
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+              FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
         """,
         "windowed_events": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -796,6 +796,70 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
     return pa.table({"psi_bp": pa.array([int(math.floor(value * 10000))], pa.int64())})
 
 
+# ---- temporal keyed operators (stages/temporal.py; SURVEY.md §2G custom) ----
+_US_PER_HOUR = 3_600_000_000
+
+
+def asof_events_purchase(sf_dir: str) -> pa.Table:
+    """Point-in-time feature join: for every event, the timestamp of the
+    same user's most recent PRIOR 'purchase' event (strictly before — an
+    event never sees itself). Distributed as-of join: both sides hash-
+    partitioned by user_id, one vectorized merged-sort kernel per bucket."""
+    from ..stages.temporal import asof_join_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    purchases = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    out = asof_join_shuffled(
+        events,
+        "user_id",
+        "ts",
+        ["event_id"],
+        purchases,
+        "user_id",
+        "ts",
+        out_col="last_purchase_ts",
+        strict=True,
+    )
+    return out.select(["event_id", "user_id", "last_purchase_ts"]).sort_by("event_id")
+
+
+def activity_window_events(sf_dir: str) -> pa.Table:
+    """Bounded-range count feature: per event, how many events the same
+    user generated in the preceding hour [ts-1h, ts) — the sliding-window
+    activity feature of a training pipeline, as a co-partitioned range
+    join (two cumulative-rank passes per bucket, no pair materialization)."""
+    from ..stages.temporal import range_count_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = range_count_shuffled(
+        events,
+        "user_id",
+        "ts",
+        ["event_id"],
+        events,
+        "user_id",
+        "ts",
+        lo_offset=-_US_PER_HOUR,
+        hi_offset=0,
+        out_col="n_prev_hour",
+    )
+    return out.select(["event_id", "n_prev_hour"]).sort_by("event_id")
+
+
+def sessionize_events(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization of the events stream (new session after
+    >2h of inactivity per user): per-session (user_id, session_no,
+    n_events, session_start, session_end). One hash-partitioned pass;
+    per-key history is co-located by the shuffle."""
+    from ..stages.temporal import sessionize_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sessionize_shuffled(events, "user_id", "ts", "event_id", gap=2 * _US_PER_HOUR)
+    return out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
+
+
 # ---- sort / top-k / sampling (SURVEY.md §2G: optional surfaces) -------------
 def top_docs_by_length(sf_dir: str) -> pa.Table:
     """Global top-5 by n_chars via per-batch local top-k + tiny driver

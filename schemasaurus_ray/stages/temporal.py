@@ -1,0 +1,433 @@
+"""Temporal keyed operators — as-of join, bounded-range counting and
+sessionization — as hash-partitioned shuffles with fully vectorized
+merged-sort kernels.
+
+These are the point-in-time operators a training-data pipeline needs
+(\"seconds since last purchase\", \"events in the preceding hour\",
+\"session id\") that Ray Data has no primitive for. Reference counterpart:
+none (SURVEY.md §2G custom operators); the reference's per-row visitor
+could only express these as O(n²) row loops.
+
+Physical plan (same raw-Ray map/reduce shape as stages/shuffle.py, and for
+the same measured reason — Ray Data's sort-based groupby is ~60× slower on
+this machine for key shuffles):
+
+- **map** (one task per input shard / block): project ONLY
+  (key, ts, carry…) columns, split rows by ``splitmix64(key) % B`` into B
+  bucket tables. No pre-aggregation is possible (the ops are row-level),
+  but nothing except the projected columns ever moves.
+- **reduce** (one task per bucket): concat both sides' bucket slices,
+  run ONE vectorized numpy kernel (lexsort + cumulative scan — O(n log n),
+  no per-row Python), emit result rows.
+
+Co-partitioning comes from the shared key hash, so every key's full
+history lands in exactly one reduce task — the partitioning assumption
+these semantics require. Skew note for 100 TB: a single pathological key
+(one user with a billion events) serializes into one reduce; the
+mitigation is time-sliced sub-partitioning with a one-window overlap
+(carry the last `max_gap`/`window` of each slice into the next), which
+composes with these kernels but is not needed at the test scales.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .shuffle import _default_buckets, _split_buckets, _tree_combine
+
+# ---------------------------------------------------------------------------
+# vectorized kernels (pure numpy; unit-tested against brute force)
+# ---------------------------------------------------------------------------
+
+
+def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boolean mask: True where a new key segment begins in a key-sorted
+    array."""
+    new = np.empty(sorted_keys.shape[0], dtype=bool)
+    if sorted_keys.shape[0]:
+        new[0] = True
+        np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=new[1:])
+    return new
+
+
+def asof_last_indices(
+    keys_l: np.ndarray,
+    ts_l: np.ndarray,
+    keys_r: np.ndarray,
+    ts_r: np.ndarray,
+    strict: bool = False,
+) -> np.ndarray:
+    """For each left row i, the index j into the RIGHT arrays of the row
+    with ``keys_r[j] == keys_l[i]`` and maximal ``ts_r[j] <= ts_l[i]``
+    (``<`` when ``strict``); -1 where no such row exists.
+
+    Merged-sort trick, fully vectorized: sort right by (key, ts), merge
+    both sides sorted by (key, ts, side-flag), then a single
+    ``np.maximum.accumulate`` over right-row positions gives each left row
+    its latest preceding right row. A maximum carried across a key-segment
+    boundary is detected (and nulled) by re-checking the matched row's key
+    — the carried position always belongs to a different key.
+    """
+    n_r, n_l = keys_r.shape[0], keys_l.shape[0]
+    out = np.full(n_l, -1, dtype=np.int64)
+    if n_r == 0 or n_l == 0:
+        return out
+    order_r = np.lexsort((ts_r, keys_r))
+    rk, rt = keys_r[order_r], ts_r[order_r]
+
+    keys = np.concatenate([rk, keys_l])
+    ts = np.concatenate([rt, ts_l])
+    # at equal ts: inclusive ⇒ right rows sort BEFORE left probes (flag 0<1);
+    # strict ⇒ probes first, so an equal-ts right row is not visible to them
+    rflag, lflag = (1, 0) if strict else (0, 1)
+    flag = np.concatenate(
+        [np.full(n_r, rflag, np.int8), np.full(n_l, lflag, np.int8)]
+    )
+    marker = np.concatenate(
+        [np.arange(n_r, dtype=np.int64), np.full(n_l, -1, np.int64)]
+    )
+    lidx = np.concatenate(
+        [np.full(n_r, -1, np.int64), np.arange(n_l, dtype=np.int64)]
+    )
+    perm = np.lexsort((flag, ts, keys))
+    m = np.maximum.accumulate(marker[perm])
+    lperm = lidx[perm]
+    sel = lperm >= 0
+    lpos = lperm[sel]
+    mm = m[sel]
+    valid = mm >= 0
+    matched = np.clip(mm, 0, None)
+    valid &= rk[matched] == keys_l[lpos]
+    out[lpos[valid]] = order_r[mm[valid]]
+    return out
+
+
+def count_before(
+    keys_p: np.ndarray,
+    ts_p: np.ndarray,
+    keys_r: np.ndarray,
+    ts_r: np.ndarray,
+) -> np.ndarray:
+    """For each probe row i, the number of right rows with
+    ``keys_r == keys_p[i]`` and ``ts_r < ts_p[i]`` (strict).
+
+    Merge both sides sorted by (key, ts, probe-first-at-ties); an exclusive
+    cumulative count of right rows, rebased at each key-segment start,
+    gives every probe its in-segment rank — one lexsort + one cumsum.
+    """
+    n_r, n_p = keys_r.shape[0], keys_p.shape[0]
+    if n_r == 0 or n_p == 0:
+        return np.zeros(n_p, dtype=np.int64)
+    keys = np.concatenate([keys_r, keys_p])
+    ts = np.concatenate([ts_r, ts_p])
+    # probes sort before right rows at equal ts ⇒ equal-ts rows not counted
+    flag = np.concatenate([np.ones(n_r, np.int8), np.zeros(n_p, np.int8)])
+    pidx = np.concatenate(
+        [np.full(n_r, -1, np.int64), np.arange(n_p, dtype=np.int64)]
+    )
+    perm = np.lexsort((flag, ts, keys))
+    f = flag[perm].astype(np.int64)
+    cum = np.cumsum(f) - f  # exclusive: right rows strictly before this pos
+    kk = keys[perm]
+    new_seg = _segment_starts(kk)
+    seg_id = np.cumsum(new_seg) - 1
+    base = cum[new_seg][seg_id]
+    cnt = cum - base
+    pperm = pidx[perm]
+    sel = pperm >= 0
+    out = np.zeros(n_p, dtype=np.int64)
+    out[pperm[sel]] = cnt[sel]
+    return out
+
+
+def count_in_range(
+    keys_p: np.ndarray,
+    lo_p: np.ndarray,
+    hi_p: np.ndarray,
+    keys_r: np.ndarray,
+    ts_r: np.ndarray,
+) -> np.ndarray:
+    """Per probe: count of right rows with same key and ``lo <= ts < hi``
+    — two :func:`count_before` passes (count(<hi) − count(<lo))."""
+    return count_before(keys_p, hi_p, keys_r, ts_r) - count_before(
+        keys_p, lo_p, keys_r, ts_r
+    )
+
+
+def session_ordinals(
+    keys: np.ndarray,
+    ts: np.ndarray,
+    tiebreak: np.ndarray,
+    gap: int,
+) -> np.ndarray:
+    """Per-row session ordinal (1-based within key): a new session starts at
+    each key's first event and whenever the gap to the previous event of the
+    same key exceeds ``gap`` (same units as ``ts``). Returned in INPUT row
+    order. Rows are ordered by (key, ts, tiebreak); equal-ts rows always
+    share a session (gap 0), so the tiebreak only fixes determinism."""
+    n = keys.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    perm = np.lexsort((tiebreak, ts, keys))
+    kk, tt = keys[perm], ts[perm]
+    new_key = _segment_starts(kk)
+    new_sess = new_key.copy()
+    np.logical_or(new_sess[1:], (tt[1:] - tt[:-1]) > gap, out=new_sess[1:])
+    sess_glob = np.cumsum(new_sess)
+    seg_id = np.cumsum(new_key) - 1
+    ordinal_sorted = sess_glob - sess_glob[new_key][seg_id] + 1
+    out = np.empty(n, dtype=np.int64)
+    out[perm] = ordinal_sorted
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed wiring (two-sided keyed bucket shuffle, raw Ray)
+# ---------------------------------------------------------------------------
+
+
+def _np_col(tbl: pa.Table, name: str) -> np.ndarray:
+    """int64 view of a key/timestamp column (timestamps are us-since-epoch
+    int64 underneath; zero-copy when null-free)."""
+    col = tbl.column(name)
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return np.asarray(col.combine_chunks(), dtype=np.int64)
+
+
+def _bucket_map_refs(
+    src: Any, cols: list[str], key_col: str, num_buckets: int
+) -> list:
+    """Map side: one task per parquet path (column-pruned read) or per
+    Dataset block; each returns ``num_buckets`` row tables split by
+    hash(key)."""
+    import ray
+
+    @ray.remote(num_returns=num_buckets)
+    def map_path(path: str):
+        tbl = pq.read_table(path, columns=cols)
+        out = _split_buckets(tbl, [key_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_table(tbl: pa.Table):
+        tbl = tbl.select(cols)
+        out = _split_buckets(tbl, [key_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    if isinstance(src, list):
+        refs = [map_path.remote(p) for p in sorted(src)]
+    else:
+        refs = [map_table.remote(ref) for ref in src.to_arrow_refs()]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    return refs
+
+
+def _concat_remote():
+    import ray
+
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        return pa.concat_tables(nonempty) if nonempty else tables[0]
+
+    return combine
+
+
+def asof_join_shuffled(
+    left: Any,
+    left_key: str,
+    left_ts: str,
+    left_carry: list[str],
+    right: Any,
+    right_key: str,
+    right_ts: str,
+    out_col: str,
+    strict: bool = False,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Distributed as-of join: for every left row, attach the greatest
+    ``right_ts`` of the same key at/before (``strict``: strictly before)
+    the left row's ``left_ts`` as column ``out_col`` (null when no match).
+    ``left``/``right`` are parquet path lists or ray.data Datasets."""
+    import ray
+
+    lsrcs = left if isinstance(left, list) else None
+    num_buckets = num_buckets or _default_buckets(
+        len(lsrcs) if lsrcs is not None else 8
+    )
+    lcols = [left_key, left_ts, *left_carry]
+    rcols = [right_key, right_ts]
+
+    @ray.remote
+    def reduce_bucket(n_left: int, *tables: pa.Table) -> pa.Table:
+        lparts = [t for t in tables[:n_left] if t.num_rows]
+        rparts = [t for t in tables[n_left:] if t.num_rows]
+        if not lparts:
+            return tables[0].slice(0, 0).append_column(
+                out_col, pa.array([], tables[0].schema.field(left_ts).type)
+            )
+        ltbl = pa.concat_tables(lparts)
+        ts_type = ltbl.schema.field(left_ts).type
+        if rparts:
+            rtbl = pa.concat_tables(rparts)
+            idx = asof_last_indices(
+                _np_col(ltbl, left_key),
+                _np_col(ltbl, left_ts),
+                _np_col(rtbl, right_key),
+                _np_col(rtbl, right_ts),
+                strict=strict,
+            )
+            matched_ts = _np_col(rtbl, right_ts)[np.clip(idx, 0, None)]
+            matched = pa.array(matched_ts, pa.int64(), mask=idx < 0).cast(ts_type)
+        else:
+            matched = pa.nulls(ltbl.num_rows, ts_type)
+        return ltbl.append_column(out_col, matched)
+
+    combine = _concat_remote()
+    lrefs = _bucket_map_refs(left, lcols, left_key, num_buckets)
+    rrefs = _bucket_map_refs(right, rcols, right_key, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        lc = _tree_combine([lrefs[m][b] for m in range(len(lrefs))], combine)
+        rc = _tree_combine([rrefs[m][b] for m in range(len(rrefs))], combine)
+        reduced.append(reduce_bucket.remote(len(lc), *lc, *rc))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
+
+
+def range_count_shuffled(
+    probe: Any,
+    probe_key: str,
+    probe_ts: str,
+    probe_carry: list[str],
+    right: Any,
+    right_key: str,
+    right_ts: str,
+    lo_offset: int,
+    hi_offset: int,
+    out_col: str = "cnt",
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Per probe row: count of right rows with the same key and
+    ``probe_ts + lo_offset <= right_ts < probe_ts + hi_offset`` (offsets in
+    the timestamp's integer unit, e.g. microseconds)."""
+    import ray
+
+    psrcs = probe if isinstance(probe, list) else None
+    num_buckets = num_buckets or _default_buckets(
+        len(psrcs) if psrcs is not None else 8
+    )
+    pcols = [probe_key, probe_ts, *probe_carry]
+    rcols = [right_key, right_ts]
+
+    @ray.remote
+    def reduce_bucket(n_probe: int, *tables: pa.Table) -> pa.Table:
+        pparts = [t for t in tables[:n_probe] if t.num_rows]
+        rparts = [t for t in tables[n_probe:] if t.num_rows]
+        if not pparts:
+            return tables[0].slice(0, 0).append_column(
+                out_col, pa.array([], pa.int64())
+            )
+        ptbl = pa.concat_tables(pparts)
+        if rparts:
+            rtbl = pa.concat_tables(rparts)
+            pk, pt = _np_col(ptbl, probe_key), _np_col(ptbl, probe_ts)
+            cnt = count_in_range(
+                pk,
+                pt + np.int64(lo_offset),
+                pt + np.int64(hi_offset),
+                _np_col(rtbl, right_key),
+                _np_col(rtbl, right_ts),
+            )
+        else:
+            cnt = np.zeros(ptbl.num_rows, dtype=np.int64)
+        return ptbl.append_column(out_col, pa.array(cnt, pa.int64()))
+
+    combine = _concat_remote()
+    prefs = _bucket_map_refs(probe, pcols, probe_key, num_buckets)
+    rrefs = _bucket_map_refs(right, rcols, right_key, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        pc_ = _tree_combine([prefs[m][b] for m in range(len(prefs))], combine)
+        rc = _tree_combine([rrefs[m][b] for m in range(len(rrefs))], combine)
+        reduced.append(reduce_bucket.remote(len(pc_), *pc_, *rc))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
+
+
+def sessionize_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap: int,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Gap-based sessionization: assign per-key 1-based session ordinals
+    (new session when the gap to the previous event of the key exceeds
+    ``gap``, in the timestamp's integer unit) and aggregate per session:
+    (key, session_no, n_events, session_start, session_end)."""
+    import ray
+
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(
+        len(srcs) if srcs is not None else 8
+    )
+    cols = [key_col, ts_col, tiebreak_col]
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            t0 = tables[0]
+            return pa.table(
+                {
+                    key_col: pa.array([], t0.schema.field(key_col).type),
+                    "session_no": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], t0.schema.field(ts_col).type),
+                    "session_end": pa.array([], t0.schema.field(ts_col).type),
+                }
+            )
+        tbl = pa.concat_tables(parts)
+        ords = session_ordinals(
+            _np_col(tbl, key_col),
+            _np_col(tbl, ts_col),
+            _np_col(tbl, tiebreak_col),
+            gap,
+        )
+        with_s = pa.table(
+            {
+                key_col: tbl.column(key_col),
+                "session_no": pa.array(ords, pa.int64()),
+                "ts": tbl.column(ts_col),
+            }
+        )
+        g = with_s.group_by([key_col, "session_no"]).aggregate(
+            [([], "count_all"), ("ts", "min"), ("ts", "max")]
+        )
+        return g.rename_columns(
+            [key_col, "session_no", "n_events", "session_start", "session_end"]
+        )
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)

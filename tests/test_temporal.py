@@ -1,0 +1,240 @@
+"""Temporal operators (stages/temporal.py): kernel parity vs brute force
+(fixed + hypothesis) and the distributed shuffled variants vs a single
+in-memory kernel run."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from schemasaurus_ray.stages.temporal import (
+    asof_last_indices,
+    count_before,
+    count_in_range,
+    session_ordinals,
+)
+
+# ---------------------------------------------------------------------------
+# brute-force references
+# ---------------------------------------------------------------------------
+
+
+def _brute_asof(kl, tl, kr, tr, strict=False):
+    out = []
+    for k, t in zip(kl, tl):
+        best, best_t = -1, None
+        for j, (rk, rt) in enumerate(zip(kr, tr)):
+            if rk != k:
+                continue
+            ok = rt < t if strict else rt <= t
+            if ok and (best_t is None or rt > best_t or (rt == best_t)):
+                # maximal ts; any index with that ts is acceptable for the
+                # ts-value contract (we compare matched TS, not index)
+                if best_t is None or rt >= best_t:
+                    best, best_t = j, rt
+        out.append(best)
+    return out
+
+
+def _brute_count_before(kp, tp, kr, tr):
+    return [
+        sum(1 for rk, rt in zip(kr, tr) if rk == k and rt < t)
+        for k, t in zip(kp, tp)
+    ]
+
+
+def _brute_sessions(keys, ts, tiebreak, gap):
+    """session ordinal per row, in input order"""
+    rows = sorted(range(len(keys)), key=lambda i: (keys[i], ts[i], tiebreak[i]))
+    out = [0] * len(keys)
+    prev_key, prev_ts, ordinal = None, None, 0
+    for i in rows:
+        if keys[i] != prev_key:
+            ordinal = 1
+        elif ts[i] - prev_ts > gap:
+            ordinal += 1
+        out[i] = ordinal
+        prev_key, prev_ts = keys[i], ts[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kernel tests
+# ---------------------------------------------------------------------------
+
+ARR = lambda xs: np.asarray(xs, dtype=np.int64)  # noqa: E731
+
+
+def test_asof_basic():
+    kl, tl = ARR([1, 1, 2, 3]), ARR([10, 5, 7, 9])
+    kr, tr = ARR([1, 1, 2]), ARR([4, 8, 7])
+    idx = asof_last_indices(kl, tl, kr, tr)
+    # event(1,10) -> right(1,8)=idx1; (1,5)->(1,4)=idx0; (2,7)->(2,7)=idx2 inclusive; (3,9)->none
+    assert idx.tolist() == [1, 0, 2, -1]
+    idx_s = asof_last_indices(kl, tl, kr, tr, strict=True)
+    assert idx_s.tolist() == [1, 0, -1, -1]  # strict drops the equal-ts match
+
+
+def test_asof_empty_sides():
+    e = ARR([])
+    assert asof_last_indices(e, e, ARR([1]), ARR([1])).tolist() == []
+    assert asof_last_indices(ARR([1]), ARR([1]), e, e).tolist() == [-1]
+
+
+def test_count_before_basic():
+    kp, tp = ARR([1, 1, 2]), ARR([10, 4, 8])
+    kr, tr = ARR([1, 1, 1, 2]), ARR([4, 6, 10, 7])
+    # strict <: probe(1,10) sees ts 4,6 => 2 ; probe(1,4) sees none (4 not <4)
+    assert count_before(kp, tp, kr, tr).tolist() == [2, 0, 1]
+
+
+def test_count_in_range_window():
+    kp, tp = ARR([7, 7]), ARR([100, 50])
+    kr, tr = ARR([7, 7, 7, 7]), ARR([90, 99, 100, 40])
+    # window [t-10, t): probe@100 -> ts in [90,100) = {90,99}; probe@50 -> [40,50)={40}
+    lo = tp - 10
+    assert count_in_range(kp, lo, tp, kr, tr).tolist() == [2, 1]
+
+
+def test_session_ordinals_basic():
+    keys = ARR([5, 5, 5, 9, 5])
+    ts = ARR([0, 10, 100, 7, 11])
+    tb = ARR([0, 1, 2, 3, 4])
+    # key5 sorted ts: 0,10,11,100 with gap>30 → sessions 1,1,1,2 ; key9 → 1
+    assert session_ordinals(keys, ts, tb, 30).tolist() == [1, 1, 2, 1, 1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), max_size=40),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), max_size=40),
+    st.booleans(),
+)
+def test_asof_matches_brute(left, right, strict):
+    kl = ARR([k for k, _ in left])
+    tl = ARR([t for _, t in left])
+    kr = ARR([k for k, _ in right])
+    tr = ARR([t for _, t in right])
+    got = asof_last_indices(kl, tl, kr, tr, strict=strict)
+    want = _brute_asof(kl.tolist(), tl.tolist(), kr.tolist(), tr.tolist(), strict)
+    # compare matched TS values (ties on ts make the index ambiguous)
+    got_ts = [tr[i] if i >= 0 else None for i in got]
+    want_ts = [tr[i] if i >= 0 else None for i in want]
+    assert got_ts == want_ts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), max_size=40),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), max_size=40),
+)
+def test_count_before_matches_brute(probes, right):
+    kp = ARR([k for k, _ in probes])
+    tp = ARR([t for _, t in probes])
+    kr = ARR([k for k, _ in right])
+    tr = ARR([t for _, t in right])
+    got = count_before(kp, tp, kr, tr).tolist()
+    assert got == _brute_count_before(kp, tp, kr, tr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)), max_size=50),
+    st.integers(1, 20),
+)
+def test_sessions_match_brute(rows, gap):
+    keys = ARR([k for k, _ in rows])
+    ts = ARR([t for _, t in rows])
+    tb = ARR(range(len(rows)))
+    got = session_ordinals(keys, ts, tb, gap).tolist()
+    assert got == _brute_sessions(keys.tolist(), ts.tolist(), tb.tolist(), gap)
+
+
+# ---------------------------------------------------------------------------
+# distributed variants (need the shared Ray session)
+# ---------------------------------------------------------------------------
+
+
+def _events_table(n=500, n_keys=13, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, n_keys, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10_000, n), pa.timestamp("us")),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase", "view"], n).tolist(), pa.string()
+            ),
+        }
+    )
+
+
+@pytest.fixture()
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return _events_table(), rd.from_arrow(_events_table())
+
+
+def test_asof_join_shuffled(events_ds):
+    import ray.data as rd
+
+    from schemasaurus_ray.stages.temporal import asof_join_shuffled
+
+    tbl, ds = events_ds
+    right_tbl = tbl.filter(pa.compute.equal(tbl.column("event_type"), "purchase"))
+    right = rd.from_arrow(right_tbl)
+    out = asof_join_shuffled(
+        ds, "user_id", "ts", ["event_id"], right, "user_id", "ts",
+        out_col="last_purchase_ts", strict=True, num_buckets=3,
+    ).sort_by("event_id")
+    kl = np.asarray(tbl.column("user_id"), dtype=np.int64)
+    tl = np.asarray(tbl.column("ts").cast(pa.int64()), dtype=np.int64)
+    kr = np.asarray(right_tbl.column("user_id"), dtype=np.int64)
+    tr = np.asarray(right_tbl.column("ts").cast(pa.int64()), dtype=np.int64)
+    idx = asof_last_indices(kl, tl, kr, tr, strict=True)
+    want = [int(tr[i]) if i >= 0 else None for i in idx]
+    got = out.column("last_purchase_ts").cast(pa.int64()).to_pylist()
+    assert got == want
+    assert out.num_rows == tbl.num_rows
+
+
+def test_range_count_shuffled(events_ds):
+    from schemasaurus_ray.stages.temporal import range_count_shuffled
+
+    tbl, ds = events_ds
+    out = range_count_shuffled(
+        ds, "user_id", "ts", ["event_id"], ds, "user_id", "ts",
+        lo_offset=-1000, hi_offset=0, out_col="n_prev", num_buckets=3,
+    ).sort_by("event_id")
+    kl = np.asarray(tbl.column("user_id"), dtype=np.int64)
+    tl = np.asarray(tbl.column("ts").cast(pa.int64()), dtype=np.int64)
+    want = count_in_range(kl, tl - 1000, tl, kl, tl).tolist()
+    assert out.column("n_prev").to_pylist() == want
+
+
+def test_sessionize_shuffled(events_ds):
+    from schemasaurus_ray.stages.temporal import sessionize_shuffled
+
+    tbl, ds = events_ds
+    out = sessionize_shuffled(ds, "user_id", "ts", "event_id", gap=500, num_buckets=3)
+    out = out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
+    keys = np.asarray(tbl.column("user_id"), dtype=np.int64)
+    ts = np.asarray(tbl.column("ts").cast(pa.int64()), dtype=np.int64)
+    tb = np.asarray(tbl.column("event_id"), dtype=np.int64)
+    ords = session_ordinals(keys, ts, tb, 500)
+    ref = pa.table(
+        {"user_id": pa.array(keys), "session_no": pa.array(ords), "ts": tbl.column("ts")}
+    )
+    want = (
+        ref.group_by(["user_id", "session_no"])
+        .aggregate([([], "count_all"), ("ts", "min"), ("ts", "max")])
+        .rename_columns(["user_id", "session_no", "n_events", "session_start", "session_end"])
+        .sort_by([("user_id", "ascending"), ("session_no", "ascending")])
+    )
+    assert out.equals(want)
+    # total events conserved across sessions
+    assert sum(out.column("n_events").to_pylist()) == tbl.num_rows
