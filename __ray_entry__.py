@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events_type": q.histogram_events_type,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
+        "dedup_incremental_documents": q.dedup_incremental_documents,
         "minhash_neardup_documents": q.minhash_neardup_documents,
         "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,
         "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,
@@ -54,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
+        "vocab_topk_documents": q.vocab_topk_documents,
+        # joins
+        "enrich_events_customer": q.enrich_events_customer,
         # similarity search
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ann_ivf_embeddings": q.ann_ivf_embeddings,
@@ -349,6 +353,23 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_length": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 5
+        """,
+        "dedup_incremental_documents": """
+            SELECT d.doc_id FROM documents d
+             WHERE d.doc_id % 2 = 1
+               AND NOT EXISTS (SELECT 1 FROM documents s
+                                WHERE s.doc_id % 2 = 0 AND s.text = d.text)
+             ORDER BY d.doc_id
+        """,
+        "vocab_topk_documents": r"""
+            SELECT token, count(*) AS cnt
+              FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+             GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+        """,
+        "enrich_events_customer": """
+            SELECT c.c_mktsegment, count(*) AS cnt
+              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             GROUP BY 1 ORDER BY 1
         """,
         "asof_events_purchase": """
             SELECT e.event_id, e.user_id, max(p.ts) AS last_purchase_ts

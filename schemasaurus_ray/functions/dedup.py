@@ -1429,3 +1429,75 @@ def embedding_near_dups(
     )
     result = pa.concat_tables(out) if out else empty
     return result.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# -------------------------------------------------------- incremental dedup
+def incremental_dedup_shuffled(
+    incoming: "ray.data.Dataset",
+    snapshot: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Snapshot-based incremental dedup: ids of ``incoming`` rows whose
+    content does not appear in ``snapshot`` (NOT EXISTS by exact text).
+    The shape a 100-TB ingest actually runs: each new crawl drop is
+    anti-joined against the corpus content-hash index, so only 64-bit
+    (hash, id) pairs move — never document text, never the snapshot corpus.
+    Both sides are hash-partitioned by content hash into the same buckets
+    (map side pre-uniques the snapshot's hashes per block); each reduce does
+    ONE vectorized ``is_in``. Same collision stance as :func:`exact_dedup`."""
+    import ray
+
+    from ..stages.shuffle import _default_buckets, _split_buckets, _tree_combine
+
+    num_buckets = num_buckets or _default_buckets(8)
+
+    @ray.remote(num_returns=num_buckets)
+    def map_incoming(tbl: pa.Table):
+        h = hash_column(tbl.column(text_col)).view(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()), id_col: tbl.column(id_col)})
+        out = _split_buckets(t, ["h"], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_snapshot(tbl: pa.Table):
+        h = hash_column(tbl.column(text_col)).view(np.int64)
+        t = pa.table({"h": pa.array(np.unique(h), pa.int64())})
+        out = _split_buckets(t, ["h"], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        return pa.concat_tables(nonempty) if nonempty else tables[0]
+
+    @ray.remote
+    def reduce_bucket(n_in: int, *tables: pa.Table) -> pa.Table:
+        inc = [t for t in tables[:n_in] if t.num_rows]
+        snaps = [t for t in tables[n_in:] if t.num_rows]
+        if not inc:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        itbl = pa.concat_tables(inc)
+        if snaps:
+            seen = pa.concat_tables(snaps).column("h").combine_chunks()
+            mask = pc.invert(pc.is_in(itbl.column("h"), value_set=seen))
+            itbl = itbl.filter(pc.fill_null(mask, True))
+        return itbl.select([id_col])
+
+    irefs_raw = incoming.to_arrow_refs()
+    srefs_raw = snapshot.to_arrow_refs()
+    irefs = [map_incoming.remote(r) for r in irefs_raw]
+    srefs = [map_snapshot.remote(r) for r in srefs_raw]
+    if num_buckets == 1:
+        irefs = [[r] for r in irefs]
+        srefs = [[r] for r in srefs]
+    reduced = []
+    for b in range(num_buckets):
+        ic = _tree_combine([irefs[m][b] for m in range(len(irefs))], combine)
+        sc = _tree_combine([srefs[m][b] for m in range(len(srefs))], combine) if srefs else []
+        reduced.append(reduce_bucket.remote(len(ic), *ic, *sc))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({id_col: pa.array([], pa.int64())})
+    return pa.concat_tables(tables)

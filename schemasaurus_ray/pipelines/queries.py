@@ -796,6 +796,133 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
     return pa.table({"psi_bp": pa.array([int(math.floor(value * 10000))], pa.int64())})
 
 
+def dedup_incremental_documents(sf_dir: str) -> pa.Table:
+    """Incremental (snapshot) dedup: odd-doc_id documents are the incoming
+    crawl drop, even-doc_id documents the existing corpus snapshot; keep
+    incoming ids whose text is NOT in the snapshot. Only (hash, id) pairs
+    shuffle — the ingest-side anti-join of a continuously-fed corpus."""
+    from ..functions.dedup import incremental_dedup_shuffled
+
+    def parity(batch: pa.Table, *, odd: bool) -> pa.Table:
+        ids = batch.column("doc_id")
+        is_odd = pc.equal(pc.bit_wise_and(ids, 1), 1)
+        return batch.filter(is_odd if odd else pc.invert(is_odd))
+
+    import functools
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    incoming = docs.map_batches(
+        functools.partial(parity, odd=True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    snapshot = docs.map_batches(
+        functools.partial(parity, odd=False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = incremental_dedup_shuffled(incoming, snapshot)
+    return out.sort_by("doc_id")
+
+
+def vocab_topk_documents(sf_dir: str, k: int = 100) -> pa.Table:
+    """Corpus vocabulary top-k: the k most frequent whitespace tokens
+    (ties broken by token asc). Per-batch vectorized tokenize + local
+    count (the combiner), hash-bucket shuffle of (token, cnt) partials,
+    per-bucket sum + local top-k — exact, because a token lives wholly in
+    one bucket — then a tiny driver re-top-k over B×k candidate rows."""
+    import ray
+
+    from ..stages.shuffle import _split_buckets, _tree_combine
+
+    num_buckets = 8
+    ds = _read(sf_dir, "documents", ["text"])
+
+    @ray.remote(num_returns=num_buckets)
+    def map_tokens(tbl: pa.Table):
+        flat = pc.list_flatten(pc.ascii_split_whitespace(tbl.column("text")))
+        g = (
+            pa.table({"token": flat})
+            .group_by(["token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "cnt"])
+        )
+        out = _split_buckets(g, ["token"], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        merged = pa.concat_tables(nonempty)
+        return (
+            merged.group_by(["token"]).aggregate([("cnt", "sum")]).rename_columns(["token", "cnt"])
+        )
+
+    @ray.remote
+    def reduce_topk(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return pa.table({"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        g = (
+            pa.concat_tables(nonempty)
+            .group_by(["token"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["token", "cnt"])
+        )
+        top = g.sort_by([("cnt", "descending"), ("token", "ascending")])
+        return top.slice(0, k)
+
+    refs = [map_tokens.remote(r) for r in ds.to_arrow_refs()]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_topk.remote(*c))
+    cand = pa.concat_tables([t for t in ray.get(reduced) if t.num_rows])
+    return cand.sort_by([("cnt", "descending"), ("token", "ascending")]).slice(0, k)
+
+
+def enrich_events_customer(sf_dir: str) -> pa.Table:
+    """Broadcast-join enrichment: events joined to the small customer
+    dimension (user_id → c_mktsegment) with the dimension ``ray.put`` ONCE
+    as sorted key + code arrays (never re-shipped per batch), lookup via
+    searchsorted inside map_batches, per-batch count partials (combiner),
+    tiny final groupby — the dimension-join shape that avoids an
+    all-to-all shuffle entirely."""
+    import pyarrow.parquet as pq_
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.asarray(cust.column("c_custkey").combine_chunks(), dtype=np.int64)
+    seg_dict = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+    codes = np.asarray(seg_dict.indices, dtype=np.int64)
+    segments = seg_dict.dictionary.to_pylist()
+    order = np.argsort(keys)
+    dim_ref = ray.put((keys[order], codes[order]))
+
+    def lookup_count(batch: pa.Table) -> pa.Table:
+        skeys, scodes = ray.get(dim_ref)
+        uid = np.asarray(batch.column("user_id").combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(skeys, uid)
+        pos_c = np.clip(pos, 0, len(skeys) - 1)
+        hit = skeys[pos_c] == uid
+        cnt = np.bincount(scodes[pos_c[hit]], minlength=len(segments))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segments, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    pre = _read(sf_dir, "events", ["user_id"]).map_batches(lookup_count, batch_format="pyarrow")
+    agg = pre.groupby("c_mktsegment").aggregate(Sum("cnt", alias_name="cnt"))
+    out = _collect(agg)
+    out = out.set_column(1, "cnt", out.column("cnt").cast(pa.int64()))
+    return out.filter(pc.greater(out.column("cnt"), 0)).sort_by("c_mktsegment")
+
+
 # ---- temporal keyed operators (stages/temporal.py; SURVEY.md §2G custom) ----
 _US_PER_HOUR = 3_600_000_000
 

@@ -76,6 +76,12 @@ ORACLE_NAMES = [
     "windowed_events",
     "drift_psi_events",
     "top_docs_by_length",
+    "dedup_incremental_documents",
+    "vocab_topk_documents",
+    "enrich_events_customer",
+    "asof_events_purchase",
+    "activity_window_events",
+    "sessionize_events",
 ]
 
 
