@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk_documents": q.vocab_topk_documents,
         # joins
         "enrich_events_customer": q.enrich_events_customer,
+        "join_orders_customer": q.join_orders_customer,
         # similarity search
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ann_ivf_embeddings": q.ann_ivf_embeddings,
@@ -369,6 +370,12 @@ def oracle_sql() -> dict[str, str]:
         "enrich_events_customer": """
             SELECT c.c_mktsegment, count(*) AS cnt
               FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             GROUP BY 1 ORDER BY 1
+        """,
+        "join_orders_customer": """
+            SELECT c.c_mktsegment, count(*) AS cnt,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
              GROUP BY 1 ORDER BY 1
         """,
         "asof_events_purchase": """

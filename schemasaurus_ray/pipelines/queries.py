@@ -923,6 +923,46 @@ def enrich_events_customer(sf_dir: str) -> pa.Table:
     return out.filter(pc.greater(out.column("cnt"), 0)).sort_by("c_mktsegment")
 
 
+def join_orders_customer(sf_dir: str) -> pa.Table:
+    """Shuffle hash join (both sides large): orders ⋈ customer on custkey,
+    revenue by market segment. Each side is hash-partitioned by key into
+    shared buckets; every reduce runs ONE pyarrow C++ hash join and
+    aggregates INSIDE the task (integer cents so the distributed sum is
+    associative), so only 5-segment partials return to the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import equi_join_shuffled
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_partial(joined: pa.Table) -> pa.Table:
+        if joined.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        cents = pc.cast(pc.round(pc.multiply(joined.column("o_totalprice"), 100.0)), pa.int64())
+        t = pa.table({"c_mktsegment": joined.column("c_mktsegment"), "cents": cents})
+        g = t.group_by(["c_mktsegment"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["c_mktsegment", "cnt", "sum_cents"])
+
+    partials = equi_join_shuffled(
+        orders,
+        "o_custkey",
+        ["o_custkey", "o_totalprice"],
+        customer,
+        "c_custkey",
+        ["c_custkey", "c_mktsegment"],
+        reduce_fn=seg_partial,
+    )
+    g = partials.group_by(["c_mktsegment"]).aggregate([("cnt", "sum"), ("sum_cents", "sum")])
+    return g.rename_columns(["c_mktsegment", "cnt", "sum_cents"]).sort_by("c_mktsegment")
+
+
 # ---- temporal keyed operators (stages/temporal.py; SURVEY.md §2G custom) ----
 _US_PER_HOUR = 3_600_000_000
 

@@ -216,6 +216,10 @@ def _bucket_map_refs(
 
     @ray.remote(num_returns=num_buckets)
     def map_table(tbl: pa.Table):
+        if tbl.num_rows == 0 and not set(cols) <= set(tbl.column_names):
+            # schema-less empty block (e.g. a fully-filtered Dataset)
+            e = pa.table({})
+            return [e] * num_buckets if num_buckets > 1 else e
         tbl = tbl.select(cols)
         out = _split_buckets(tbl, [key_col], num_buckets)
         return out if num_buckets > 1 else out[0]
@@ -270,8 +274,11 @@ def asof_join_shuffled(
         lparts = [t for t in tables[:n_left] if t.num_rows]
         rparts = [t for t in tables[n_left:] if t.num_rows]
         if not lparts:
-            return tables[0].slice(0, 0).append_column(
-                out_col, pa.array([], tables[0].schema.field(left_ts).type)
+            typed = [t for t in tables[:n_left] if t.num_columns]
+            if not typed:
+                return pa.table({})
+            return typed[0].slice(0, 0).append_column(
+                out_col, pa.array([], typed[0].schema.field(left_ts).type)
             )
         ltbl = pa.concat_tables(lparts)
         ts_type = ltbl.schema.field(left_ts).type
@@ -334,7 +341,10 @@ def range_count_shuffled(
         pparts = [t for t in tables[:n_probe] if t.num_rows]
         rparts = [t for t in tables[n_probe:] if t.num_rows]
         if not pparts:
-            return tables[0].slice(0, 0).append_column(
+            typed = [t for t in tables[:n_probe] if t.num_columns]
+            if not typed:
+                return pa.table({})
+            return typed[0].slice(0, 0).append_column(
                 out_col, pa.array([], pa.int64())
             )
         ptbl = pa.concat_tables(pparts)
@@ -390,7 +400,10 @@ def sessionize_shuffled(
     def reduce_bucket(*tables: pa.Table) -> pa.Table:
         parts = [t for t in tables if t.num_rows]
         if not parts:
-            t0 = tables[0]
+            typed = [t for t in tables if t.num_columns]
+            if not typed:
+                return pa.table({})
+            t0 = typed[0]
             return pa.table(
                 {
                     key_col: pa.array([], t0.schema.field(key_col).type),

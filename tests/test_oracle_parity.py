@@ -79,6 +79,7 @@ ORACLE_NAMES = [
     "dedup_incremental_documents",
     "vocab_topk_documents",
     "enrich_events_customer",
+    "join_orders_customer",
     "asof_events_purchase",
     "activity_window_events",
     "sessionize_events",
