@@ -97,6 +97,45 @@ def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
     return data, offsets[:-1], offsets[1:] - offsets[:-1], null_mask
 
 
+def _pcm_layout(arr):
+    """Vectorized WAV-header parse for a whole Arrow binary array: returns
+    ``(data, starts, lengths, sr, eff_len, valid)`` or None when nothing in
+    the batch can be laid out (no blob reaches HEADER_SIZE). ``eff_len`` is
+    the decodable PCM byte count per blob with ``wav_decode``'s truncation
+    semantics (short data section truncates, rounded down to whole
+    samples); ``valid`` matches decodability (RIFF/WAVE magic, PCM16 mono,
+    sr > 0, non-empty data)."""
+    data, starts, lengths, null_mask = _binary_buffers(arr)
+    long_enough = (lengths >= HEADER_SIZE) & ~null_mask
+    if len(data) < HEADER_SIZE or not long_enough.any():
+        return None
+    safe = np.where(long_enough, starts, 0)
+    safe = np.minimum(safe, len(data) - HEADER_SIZE)
+
+    def u16(at: int) -> np.ndarray:
+        return data[safe + at].astype(np.int64) | (data[safe + at + 1].astype(np.int64) << 8)
+
+    def u32(at: int) -> np.ndarray:
+        return u16(at) | (u16(at + 2) << 16)
+
+    magic = (
+        (data[safe] == 0x52) & (data[safe + 1] == 0x49)  # RI
+        & (data[safe + 2] == 0x46) & (data[safe + 3] == 0x46)  # FF
+        & (data[safe + 8] == 0x57) & (data[safe + 9] == 0x41)  # WA
+        & (data[safe + 10] == 0x56) & (data[safe + 11] == 0x45)  # VE
+    )
+    fmt_ok = (u16(20) == 1) & (u16(22) == 1) & (u16(34) == 16)  # PCM16 mono
+    data_len = u32(40)
+    sr = u32(24)
+    # wav_decode slices blob[44 : 44+data_len] — a short data section
+    # truncates rather than failing, so clamp to the available bytes and
+    # round down to whole samples (decode-parity, not the stricter
+    # pcm_consistency contract)
+    eff_len = np.minimum(data_len, np.maximum(lengths - HEADER_SIZE, 0)) & ~np.int64(1)
+    valid = long_enough & magic & fmt_ok & (sr > 0) & (eff_len > 0)
+    return data, starts, lengths, sr, eff_len, valid
+
+
 def pcm_segment_stats(bytes_col) -> dict[str, np.ndarray]:
     """Whole-batch PCM16 feature extraction with NO per-row Python: headers
     are gathered straight from the Arrow binary buffers (like
@@ -129,34 +168,10 @@ def pcm_segment_stats(bytes_col) -> dict[str, np.ndarray]:
     }
     if n == 0:
         return out
-    data, starts, lengths, null_mask = _binary_buffers(arr)
-    long_enough = (lengths >= HEADER_SIZE) & ~null_mask
-    if len(data) < HEADER_SIZE or not long_enough.any():
+    layout = _pcm_layout(arr)
+    if layout is None:
         return out
-    safe = np.where(long_enough, starts, 0)
-    safe = np.minimum(safe, len(data) - HEADER_SIZE)
-
-    def u16(at: int) -> np.ndarray:
-        return data[safe + at].astype(np.int64) | (data[safe + at + 1].astype(np.int64) << 8)
-
-    def u32(at: int) -> np.ndarray:
-        return u16(at) | (u16(at + 2) << 16)
-
-    magic = (
-        (data[safe] == 0x52) & (data[safe + 1] == 0x49)  # RI
-        & (data[safe + 2] == 0x46) & (data[safe + 3] == 0x46)  # FF
-        & (data[safe + 8] == 0x57) & (data[safe + 9] == 0x41)  # WA
-        & (data[safe + 10] == 0x56) & (data[safe + 11] == 0x45)  # VE
-    )
-    fmt_ok = (u16(20) == 1) & (u16(22) == 1) & (u16(34) == 16)  # PCM16 mono
-    data_len = u32(40)
-    sr = u32(24)
-    # wav_decode slices blob[44 : 44+data_len] — a short data section
-    # truncates rather than failing, so clamp to the available bytes and
-    # round down to whole samples (decode-parity, not the stricter
-    # pcm_consistency contract)
-    eff_len = np.minimum(data_len, np.maximum(lengths - HEADER_SIZE, 0)) & ~np.int64(1)
-    valid = long_enough & magic & fmt_ok & (sr > 0) & (eff_len > 0)
+    data, starts, lengths, sr, eff_len, valid = layout
     out["valid"] = valid
     if not valid.any():
         return out
@@ -250,6 +265,101 @@ def _seg_stats_into(x, ss, ee, sr, out, idx) -> None:
     zc = ch[np.maximum(ee - 1, ss)] - ch[ss]
     with np.errstate(invalid="ignore"):
         out["zcr"][idx] = np.where(ln > 1, zc / np.maximum(ln - 1, 1), 0.0)
+
+
+def pcm_spectral_stats(
+    bytes_col, frame: int = 512, max_frames: int = 8
+) -> dict[str, np.ndarray]:
+    """Frame-based spectral features for a WHOLE batch of WAV blobs, no
+    per-row Python: up to ``max_frames`` evenly-spaced Hann-windowed frames
+    of ``frame`` samples per clip are gathered into ONE (n_frames, frame)
+    float32 matrix per bounded chunk, run through ONE batched ``np.fft.rfft``,
+    and aggregated per clip with ``reduceat`` means.
+
+    Returns float64 arrays (NaN where the blob is null/undecodable):
+    ``peak_hz`` (dominant rFFT bin → Hz — for the fixture's sine clips this
+    recovers f_i to bin resolution sr/frame), ``centroid_hz`` (power-weighted
+    mean frequency), ``rolloff_hz`` (85% cumulative-energy frequency), plus
+    the ``valid`` mask. Samples are gathered straight from the Arrow value
+    buffer with two byte gathers (alignment-agnostic — frames are bounded,
+    so the gather cost is ~max_frames·frame·2 bytes per clip regardless of
+    clip length). Chunked so the live float32 footprint stays ~16 MB
+    (CLAUDE.md cold-footprint lesson: a worker's first batch pays
+    first-touch faults on every large temporary)."""
+    from .util import single_chunk
+
+    arr = single_chunk(bytes_col)
+    n = len(arr)
+    nan = np.full(n, np.nan)
+    out = {
+        "peak_hz": nan.copy(),
+        "centroid_hz": nan.copy(),
+        "rolloff_hz": nan.copy(),
+        "valid": np.zeros(n, dtype=bool),
+    }
+    if n == 0:
+        return out
+    layout = _pcm_layout(arr)
+    if layout is None:
+        return out
+    data, starts, lengths, sr, eff_len, valid = layout
+    out["valid"] = valid
+    if not valid.any():
+        return out
+    v = np.nonzero(valid)[0]
+    seg_b = starts[v] + HEADER_SIZE
+    n_samp = eff_len[v] // 2
+    srv = sr[v].astype(np.float64)
+    nf = np.clip(n_samp // frame, 1, max_frames).astype(np.int64)
+
+    window = np.hanning(frame).astype(np.float32)
+    bins = np.arange(frame // 2 + 1, dtype=np.float32)
+
+    # chunk clips so each gathered frame matrix stays small
+    chunk_frames = 4096
+    m = len(v)
+    nf_cum = np.concatenate([[0], np.cumsum(nf)])
+    k = 0
+    while k < m:
+        j = k + 1
+        while j < m and nf_cum[j + 1] - nf_cum[k] <= chunk_frames:
+            j += 1
+        sl = slice(k, j)
+        nf_c = nf[sl]
+        total = int(nf_c.sum())
+        # frame ordinal within clip: 0..nf_i-1
+        off = np.cumsum(nf_c) - nf_c
+        jj = np.arange(total, dtype=np.int64) - np.repeat(off, nf_c)
+        ns_rep = np.repeat(n_samp[sl], nf_c)
+        nf_rep = np.repeat(nf_c, nf_c)
+        span = np.maximum(ns_rep - frame, 0)
+        fstart = (jj * span) // np.maximum(nf_rep - 1, 1)
+        sidx = fstart[:, None] + np.arange(frame, dtype=np.int64)[None, :]
+        in_bounds = sidx < ns_rep[:, None]
+        sidx = np.minimum(sidx, np.maximum(ns_rep[:, None] - 1, 0))
+        b = np.repeat(seg_b[sl], nf_c)[:, None] + 2 * sidx
+        x = (
+            data[b].astype(np.int16) | (data[b + 1].astype(np.int16) << 8)
+        ).astype(np.float32)
+        x *= in_bounds  # zero-pad short clips
+        x *= window
+        p = np.abs(np.fft.rfft(x, axis=1)) ** 2  # (total, frame//2+1) f32
+        ptot = p.sum(axis=1)
+        safe_tot = np.maximum(ptot, 1e-20)
+        peak_bin = np.argmax(p, axis=1).astype(np.float64)
+        centroid_bin = (p @ bins) / safe_tot
+        roll_bin = (np.cumsum(p, axis=1) < (0.85 * safe_tot)[:, None]).sum(axis=1)
+        # per-clip frame means (frames of a clip are contiguous rows)
+        red = off
+        hz = np.repeat(srv[sl], nf_c) / frame  # Hz per bin, per frame row
+        for name, per_frame in (
+            ("peak_hz", peak_bin),
+            ("centroid_hz", centroid_bin),
+            ("rolloff_hz", roll_bin.astype(np.float64)),
+        ):
+            out[name][v[sl]] = np.add.reduceat(per_frame * hz, red) / nf_c
+        k = j
+    return out
 
 
 def pcm_consistency(bytes_col, batch, *_args) -> np.ndarray:

@@ -90,6 +90,48 @@ class AudioQualityStage:
         )
 
 
+class AudioSpectralStage:
+    """Actor-pool stage: frame-based spectral features per clip (dominant
+    frequency, spectral centroid, 85% rolloff) via the batched-rFFT kernel
+    ``audio.pcm_spectral_stats`` — one (frames × frame_size) float32 matrix
+    per bounded chunk, zero per-row Python. Hz values are emitted as
+    floored int64 (value-representation rule) with nulls for undecodable
+    blobs."""
+
+    def __init__(
+        self,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+        frame: int = 512,
+        max_frames: int = 8,
+    ):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.frame = frame
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_spectral_stats
+
+        st = pcm_spectral_stats(
+            batch.column(self.bytes_col), frame=self.frame, max_frames=self.max_frames
+        )
+        nanmask = ~st["valid"]
+
+        def hz(vals: np.ndarray) -> pa.Array:
+            ints = np.floor(np.where(nanmask, 0.0, vals)).astype(np.int64)
+            return pa.array(ints, pa.int64(), mask=nanmask)
+
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "peak_hz": hz(st["peak_hz"]),
+                "centroid_hz": hz(st["centroid_hz"]),
+                "rolloff_hz": hz(st["rolloff_hz"]),
+            }
+        )
+
+
 class AudioResampleStage:
     """Actor-pool stage: naive integer-factor resample (decimate / repeat) of
     WAV payloads to a target rate — the 'transform a binary column, emit a

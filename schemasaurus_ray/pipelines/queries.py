@@ -1027,6 +1027,97 @@ def sessionize_events(sf_dir: str) -> pa.Table:
     return out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
 
 
+def audio_spectral_clips(sf_dir: str) -> pa.Table:
+    """Spectral features over the clip fixture (sf_dir ignored — audio is
+    fixture-synthesized): per-clip dominant frequency / centroid / 85%
+    rolloff from the batched-rFFT kernel. For the fixture's sine clips the
+    dominant frequency recovers f_i = 200 + (i mod 37)·20 Hz to one bin —
+    the pytest golden pins that, making this engine-verifiable without SQL
+    (FFTs aren't SQL-expressible)."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioSpectralStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
+    out = ds.map_batches(
+        AudioSpectralStage, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    return _collect(out).sort_by("clip_id")
+
+
+def speech_rate_clips(sf_dir: str) -> pa.Table:
+    """Audio↔transcript consistency: tokens-per-second of each clip's
+    transcript vs its duration — the cross-modal validation a speech
+    corpus needs (too-slow rates signal duration drift / wrong alignment,
+    dur=0 signals corrupt metadata). clips(dur_ms) ⋈ transcripts(text) via
+    the hash equi-join (bytes column never read); token counts + rate
+    thresholds computed vectorized INSIDE each reduce. Emits
+    (clip_id, code, rate_milli) violations, rate in tokens/s × 1000."""
+    import glob as glob_
+
+    import ray.data as rd
+
+    from ..stages.join import equi_join_shuffled
+
+    fix = _audio_fixture()
+    clips = rd.read_parquet(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "dur_ms"],
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+    transcripts = rd.read_parquet(
+        os.path.join(fix, "transcripts"), columns=["clip_id", "transcript"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "clip_id": pa.array([], pa.string()),
+            "code": pa.array([], pa.string()),
+            "rate_milli": pa.array([], pa.int64()),
+        }
+    )
+
+    def rate_violations(joined: pa.Table) -> pa.Table:
+        if joined.num_rows == 0:
+            return empty
+        toks_a = pc.count_substring_regex(joined.column("transcript"), r"\S+")
+        toks = np.asarray(toks_a.combine_chunks().cast(pa.int64()).fill_null(-1))
+        dur = np.asarray(joined.column("dur_ms").combine_chunks().cast(pa.int64()))
+        known = toks >= 0
+        rate = (toks * 1_000_000) // np.maximum(dur, 1)  # tokens/s × 1000, floored
+        undef = known & (dur <= 0)
+        low = known & ~undef & (rate < 1500)
+        high = known & ~undef & (rate > 8000)
+        parts = []
+        for mask, code in ((undef, "speechRate.undefined"), (low, "speechRate.low"), (high, "speechRate.high")):
+            if mask.any():
+                sel = joined.filter(pa.array(mask))
+                parts.append(
+                    pa.table(
+                        {
+                            "clip_id": sel.column("clip_id"),
+                            "code": pa.array([code] * sel.num_rows, pa.string()),
+                            "rate_milli": pa.array(rate[mask], pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts) if parts else empty
+
+    out = equi_join_shuffled(
+        clips,
+        "clip_id",
+        ["clip_id", "dur_ms"],
+        transcripts,
+        "clip_id",
+        ["clip_id", "transcript"],
+        reduce_fn=rate_violations,
+    )
+    if out.num_rows == 0:
+        return empty
+    return out.sort_by([("clip_id", "ascending"), ("code", "ascending")])
+
+
 # ---- sort / top-k / sampling (SURVEY.md §2G: optional surfaces) -------------
 def top_docs_by_length(sf_dir: str) -> pa.Table:
     """Global top-5 by n_chars via per-batch local top-k + tiny driver

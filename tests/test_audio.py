@@ -186,3 +186,120 @@ def test_audio_quality_stage():
     assert out.column("silence").to_pylist() == [True, False, False, False]
     assert out.column("clip_bp").to_pylist() == [0, 10000, 0, None]
     assert out.column("dc_bp").to_pylist()[0] == 0
+
+
+def test_pcm_spectral_stats_golden_and_parity():
+    """The batched-rFFT kernel recovers each fixture sine's frequency to one
+    bin, matches a slow per-clip reference exactly, and NaNs invalid blobs."""
+    from schemasaurus_ray.audio import pcm_spectral_stats, wav_decode
+
+    blobs, freqs, srs = [], [], []
+    for i in range(40):
+        sr = [8000, 16000, 22050][i % 3]
+        f = 200.0 + (i % 37) * 20.0
+        blobs.append(wav_encode(synth_samples(i, sr, 600), sr))
+        freqs.append(f)
+        srs.append(sr)
+    blobs += [None, b"not a wav", wav_encode(np.zeros(0, np.int16), 8000)]
+    col = pa.chunked_array([pa.array(blobs, pa.binary())])
+    res = pcm_spectral_stats(col)
+
+    for i in range(40):
+        assert abs(res["peak_hz"][i] - freqs[i]) <= srs[i] / 512 + 1e-9
+    assert not res["valid"][40:].any()
+    assert np.isnan(res["peak_hz"][40:]).all()
+    assert np.isnan(res["centroid_hz"][40:]).all()
+
+    frame, max_frames = 512, 8
+    win = np.hanning(frame).astype(np.float32)
+    bins = np.arange(frame // 2 + 1, dtype=np.float32)
+    for i in (0, 7, 23, 39):
+        x, sr = wav_decode(blobs[i])
+        ns = len(x)
+        nf = min(max(ns // frame, 1), max_frames)
+        span = max(ns - frame, 0)
+        pk, cs, rs = [], [], []
+        for j in range(nf):
+            st = (j * span) // max(nf - 1, 1)
+            seg = x[st : st + frame].astype(np.float32)
+            if len(seg) < frame:
+                seg = np.pad(seg, (0, frame - len(seg)))
+            p = np.abs(np.fft.rfft(seg * win)) ** 2
+            tot = max(p.sum(), 1e-20)
+            pk.append(float(np.argmax(p)))
+            cs.append(float((p.astype(np.float32) @ bins) / tot))
+            rs.append(float((np.cumsum(p) < 0.85 * tot).sum()))
+        hz = sr / frame
+        assert np.isclose(res["peak_hz"][i], np.mean(pk) * hz, rtol=1e-6)
+        assert np.isclose(res["centroid_hz"][i], np.mean(cs) * hz, rtol=1e-3)
+        assert np.isclose(res["rolloff_hz"][i], np.mean(rs) * hz, rtol=1e-6)
+
+
+def test_audio_spectral_stage_nulls_and_schema():
+    from schemasaurus_ray.functions.multimodal import AudioSpectralStage
+
+    clips = make_clips(64, with_audio=True, inject=True)
+    out = AudioSpectralStage()(clips)
+    assert out.column_names == ["clip_id", "peak_hz", "centroid_hz", "rolloff_hz"]
+    assert out.num_rows == 64
+    # every decodable clip got a finite dominant frequency
+    peaks = out.column("peak_hz")
+    assert peaks.null_count < 64
+    vals = [v for v in peaks.to_pylist() if v is not None]
+    assert all(0 <= v <= 48000 for v in vals)
+
+
+def test_speech_rate_clips_golden(ray_session):
+    """Engine speech-rate violations ≡ an independent driver-side
+    recomputation (single pyarrow join + the same thresholds) over the
+    SAME fixture — the non-SQL second path the audio queries use."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.speech_rate_clips("unused")
+    fix = q._audio_fixture()
+    clips = pa.concat_tables(
+        [
+            pq.read_table(f, columns=["clip_id", "dur_ms"])
+            for f in sorted(glob.glob(os.path.join(fix, "clips", "*.parquet")))
+        ]
+    )
+    tr = pa.concat_tables(
+        [
+            pq.read_table(f, columns=["clip_id", "transcript"])
+            for f in sorted(glob.glob(os.path.join(fix, "transcripts", "*.parquet")))
+        ]
+    )
+    j = clips.join(tr, keys=["clip_id"], join_type="inner")
+    toks = np.asarray(
+        pc.count_substring_regex(j.column("transcript"), r"\S+")
+        .combine_chunks()
+        .cast(pa.int64())
+        .fill_null(-1)
+    )
+    dur = np.asarray(j.column("dur_ms").combine_chunks().cast(pa.int64()))
+    known = toks >= 0
+    rate = (toks * 1_000_000) // np.maximum(dur, 1)
+    undef = known & (dur <= 0)
+    low = known & ~undef & (rate < 1500)
+    high = known & ~undef & (rate > 8000)
+    ids = np.asarray(j.column("clip_id").combine_chunks(), dtype=object)
+    want = sorted(
+        [(str(i), "speechRate.undefined", int(r)) for i, r in zip(ids[undef], rate[undef])]
+        + [(str(i), "speechRate.low", int(r)) for i, r in zip(ids[low], rate[low])]
+        + [(str(i), "speechRate.high", int(r)) for i, r in zip(ids[high], rate[high])]
+    )
+    got_rows = sorted(
+        zip(
+            got.column("clip_id").to_pylist(),
+            got.column("code").to_pylist(),
+            got.column("rate_milli").to_pylist(),
+        )
+    )
+    assert got_rows == want
+    assert len(want) > 0  # fixture injections guarantee violations

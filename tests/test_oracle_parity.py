@@ -110,6 +110,8 @@ ROWS_ONLY = [
     "winnow_passages_documents",
     "ann_ivf_embeddings",
     "audio_quality_clips",
+    "audio_spectral_clips",
+    "speech_rate_clips",
 ]
 
 
