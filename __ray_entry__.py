@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_purchase": q.asof_events_purchase,
         "activity_window_events": q.activity_window_events,
         "sessionize_events": q.sessionize_events,
+        # spec inference (profile → suggested validation spec)
+        "infer_spec_documents": q.infer_spec_documents,
+        "infer_spec_events": q.infer_spec_events,
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
         "sample_documents": q.sample_documents,
@@ -151,8 +154,81 @@ def _curate_oracle_sql() -> str:
     """
 
 
+def _infer_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    """Per-column profile SQL generated from the SAME format registry the
+    engine's inference stage uses (stages/infer.py ← messages.FORMATS ←
+    reference src/v4validator.js:8-33) — the cascade cannot drift. One
+    UNION ALL arm per column; kinds: integer | number | string | date-time."""
+    from schemasaurus_ray.messages import FORMATS
+    from schemasaurus_ray.stages.infer import ENUM_CAP, FORMAT_MAX_LEN, FORMAT_PRIORITY
+
+    arms = []
+    for name, kind in cols:
+        if kind in ("integer", "number"):
+            min_v = f"CAST(MIN({name}) AS DOUBLE)"
+            max_v = f"CAST(MAX({name}) AS DOUBLE)"
+        elif kind == "date-time":
+            min_v = f"CAST(epoch_us(MIN({name})) AS DOUBLE)"
+            max_v = f"CAST(epoch_us(MAX({name})) AS DOUBLE)"
+        else:
+            min_v = max_v = "CAST(NULL AS DOUBLE)"
+        if kind == "string":
+            min_len = f"CAST(MIN(length({name})) AS BIGINT)"
+            max_len = f"CAST(MAX(length({name})) AS BIGINT)"
+        else:
+            min_len = max_len = "CAST(NULL AS BIGINT)"
+        n_distinct = f"CASE WHEN COUNT(DISTINCT {name}) <= {ENUM_CAP} THEN COUNT(DISTINCT {name}) END"
+        if kind in ("integer", "string"):
+            enum_vals = (
+                f"CASE WHEN COUNT(DISTINCT {name}) <= {ENUM_CAP} THEN "
+                f"(SELECT string_agg(CAST(v AS VARCHAR), ',' ORDER BY CAST(v AS VARCHAR)) "
+                f"FROM (SELECT DISTINCT {name} AS v FROM {table} WHERE {name} IS NOT NULL)) END"
+            )
+        else:
+            enum_vals = "CAST(NULL AS VARCHAR)"
+        if kind == "string":
+            cascade = " ".join(
+                f"WHEN bool_and(regexp_matches({name}, '{FORMATS[f]['regexp']}')) THEN '{f}'"
+                for f in FORMAT_PRIORITY
+            )
+            fmt = (
+                f"CASE WHEN COUNT({name}) > 0 AND MAX(length({name})) <= {FORMAT_MAX_LEN} "
+                f"THEN CASE {cascade} END END"
+            )
+        else:
+            fmt = "CAST(NULL AS VARCHAR)"
+        arms.append(
+            f"SELECT '{name}' AS col_name, '{kind}' AS inferred_type, "
+            f"CASE WHEN COUNT(*) FILTER (WHERE {name} IS NULL) = 0 AND COUNT(*) > 0 THEN 1 ELSE 0 END AS required, "
+            f"{min_v} AS min_v, {max_v} AS max_v, {min_len} AS min_len, {max_len} AS max_len, "
+            f"{n_distinct} AS n_distinct, {enum_vals} AS enum_vals, {fmt} AS fmt FROM {table}"
+        )
+    return " UNION ALL ".join(arms) + " ORDER BY col_name"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "infer_spec_documents": _infer_oracle_sql(
+            "documents",
+            [
+                ("doc_id", "integer"),
+                ("text", "string"),
+                ("lang", "string"),
+                ("source", "string"),
+                ("n_chars", "integer"),
+            ],
+        ),
+        "infer_spec_events": _infer_oracle_sql(
+            "events",
+            [
+                ("event_id", "integer"),
+                ("ts", "date-time"),
+                ("user_id", "integer"),
+                ("event_type", "string"),
+                ("value", "number"),
+                ("props", "string"),
+            ],
+        ),
         "langid_documents": _langid_oracle_sql(),
         "curate_documents": _curate_oracle_sql(),
         "sample_documents": """

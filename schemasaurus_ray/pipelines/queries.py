@@ -1139,6 +1139,44 @@ def top_docs_by_length(sf_dir: str) -> pa.Table:
     return cand.take(pa.array(np.lexsort((ids, -nc))[:k]))
 
 
+def _infer_spec_table(sf_dir: str, table: str) -> pa.Table:
+    """Spec inference (stages/infer.py): ONE streaming pass of per-batch
+    per-column partials (min/max, length bounds, capped distinct set,
+    format AND-mask) merged on the driver — O(batches × columns) driver
+    bytes, nothing proportional to rows. The inverse of the reference's
+    schema→iterator compiler: table → suggested spec."""
+    import json
+
+    from ..stages.infer import batch_infer_partial, merge_infer_partials, profile_to_table
+
+    ds = _read(sf_dir, table)
+
+    def part(batch: pa.Table) -> pa.Table:
+        recs = batch_infer_partial(batch)
+        return pa.table({"payload": pa.array([json.dumps(recs)], pa.string())})
+
+    partials: list[dict] = []
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for p in b.column("payload").to_pylist():
+            partials.extend(json.loads(p))
+    return profile_to_table(merge_infer_partials(partials))
+
+
+def infer_spec_documents(sf_dir: str) -> pa.Table:
+    """Profile → spec over documents: lang becomes an enum candidate,
+    source detects format=hostname via the reference format registry,
+    text stays free-form (length gate)."""
+    return _infer_spec_table(sf_dir, "documents")
+
+
+def infer_spec_events(sf_dir: str) -> pa.Table:
+    """Profile → spec over events: event_type enum, ts epoch-micros range,
+    high-cardinality ids/value overflow the enum cap → range-only."""
+    return _infer_spec_table(sf_dir, "events")
+
+
 def sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic hash-based ~10% sample: keep rows where
     md5(doc_id)[:2] < '1a' (26/256 ≈ 10.2%). Unlike RNG-per-block
