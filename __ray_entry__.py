@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spec inference (profile → suggested validation spec)
         "infer_spec_documents": q.infer_spec_documents,
         "infer_spec_events": q.infer_spec_events,
+        # exact bounded-domain quantiles (sibling of the t-digest sketch)
+        "quantiles_lineitem": q.quantiles_lineitem,
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
         "sample_documents": q.sample_documents,
@@ -206,8 +208,21 @@ def _infer_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
     return " UNION ALL ".join(arms) + " ORDER BY col_name"
 
 
+def _quantiles_oracle_sql() -> str:
+    from schemasaurus_ray.pipelines.queries import QUANTILE_BPS, QUANTILE_COLS
+
+    arms = [
+        f"SELECT '{col}' AS col_name, {bp} AS q_bp, "
+        f"CAST(quantile_disc({col}, {bp / 10000}) AS DOUBLE) AS val FROM lineitem"
+        for col in QUANTILE_COLS
+        for bp in QUANTILE_BPS
+    ]
+    return " UNION ALL ".join(arms)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "quantiles_lineitem": _quantiles_oracle_sql(),
         "infer_spec_documents": _infer_oracle_sql(
             "documents",
             [

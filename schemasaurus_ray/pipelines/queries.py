@@ -1139,6 +1139,53 @@ def top_docs_by_length(sf_dir: str) -> pa.Table:
     return cand.take(pa.array(np.lexsort((ids, -nc))[:k]))
 
 
+QUANTILE_COLS = ["l_quantity", "l_discount", "l_tax"]
+QUANTILE_BPS = [2500, 5000, 7500, 9500]
+
+
+def quantiles_lineitem(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles over bounded-domain columns: per-batch
+    value→count partials (O(domain) each, stages/stats.py) merged on the
+    driver, quantile_disc picked by integer rank arithmetic — the exact
+    sibling of the t-digest sketch in stats_lineitem, for the dur_ms /
+    sr_hz-style discrete domains where exactness is free."""
+    import json
+
+    from ..stages.stats import (
+        batch_value_counts,
+        exact_quantiles_from_counts,
+        merge_value_counts,
+    )
+
+    ds = _read(sf_dir, "lineitem", QUANTILE_COLS)
+
+    def part(batch: pa.Table) -> pa.Table:
+        vc = batch_value_counts(batch, QUANTILE_COLS)
+        return pa.table({"payload": pa.array([json.dumps(vc)], pa.string())})
+
+    partials = []
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for p in b.column("payload").to_pylist():
+            # JSON keys are strings; restore the float domain
+            partials.append({c: {float(k): v for k, v in m.items()} for c, m in json.loads(p).items()})
+    merged = merge_value_counts(partials)
+    names, bps, vals = [], [], []
+    for col in QUANTILE_COLS:
+        for q_bp, v in zip(QUANTILE_BPS, exact_quantiles_from_counts(merged[col], QUANTILE_BPS)):
+            names.append(col)
+            bps.append(q_bp)
+            vals.append(v)
+    return pa.table(
+        {
+            "col_name": pa.array(names, pa.string()),
+            "q_bp": pa.array(bps, pa.int64()),
+            "val": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def _infer_spec_table(sf_dir: str, table: str) -> pa.Table:
     """Spec inference (stages/infer.py): ONE streaming pass of per-batch
     per-column partials (min/max, length bounds, capped distinct set,

@@ -108,6 +108,68 @@ def merge_stats_partials(partials: list[dict[str, Any]]) -> dict[str, dict[str, 
     return agg
 
 
+def batch_value_counts(
+    table: pa.Table, columns: list[str], max_distinct: int = 100_000
+) -> dict[str, dict[Any, int]]:
+    """Per-batch exact value→count maps (nulls dropped) — the partial for
+    EXACT quantiles over bounded-domain columns (dur_ms/sr_hz/codec-style
+    discrete domains). Each batch contributes O(domain) entries, so the
+    driver merge is O(batches × domain), never O(rows). For unbounded
+    domains the mergeable t-digest above is the right tool; ``max_distinct``
+    trips a loud error instead of a silent driver blow-up."""
+    out: dict[str, dict[Any, int]] = {}
+    for col in columns:
+        vc = table.column(col).drop_null().value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        if len(vc) > max_distinct:
+            raise ValueError(
+                f"column {col!r}: {len(vc)} distinct values in one batch exceeds "
+                f"max_distinct={max_distinct}; use the t-digest quantile path"
+            )
+        out[col] = dict(zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()))
+    return out
+
+
+def merge_value_counts(
+    partials: list[dict[str, dict[Any, int]]], max_distinct: int = 100_000
+) -> dict[str, dict[Any, int]]:
+    merged: dict[str, dict[Any, int]] = {}
+    for part in partials:
+        for col, counts in part.items():
+            m = merged.setdefault(col, {})
+            for v, c in counts.items():
+                m[v] = m.get(v, 0) + c
+            if len(m) > max_distinct:
+                raise ValueError(
+                    f"column {col!r}: merged domain exceeds max_distinct={max_distinct}; "
+                    "use the t-digest quantile path"
+                )
+    return merged
+
+
+def exact_quantiles_from_counts(counts: dict[Any, int], q_bps: list[int]) -> list[Any]:
+    """Discrete quantile with DuckDB quantile_disc semantics — the value at
+    1-indexed rank ceil(q·n) of the sorted multiset (pinned empirically;
+    exact integer arithmetic in basis points, no float rank drift)."""
+    vals = sorted(counts)
+    n = sum(counts.values())
+    if n == 0:
+        return [None] * len(q_bps)
+    out = []
+    cum = 0
+    it = iter(vals)
+    v = None
+    for q_bp in sorted(q_bps):
+        rank = max(1, -(-q_bp * n // 10000))
+        while cum < rank:
+            v = next(it)
+            cum += counts[v]
+        out.append((q_bp, v))
+    by_bp = dict(out)
+    return [by_bp[q] for q in q_bps]
+
+
 def stats_to_table(stats: dict[str, dict[str, Any]]) -> pa.Table:
     """Final stats as an Arrow table (column, count, nulls, min, max, mean,
     approx_distinct)."""

@@ -74,3 +74,56 @@ def test_psi():
     shifted = {"wav": 100, "flac": 100, "opus": 800}
     assert psi(e, same) < 0.02
     assert psi(e, shifted) > 1.0
+
+
+def test_exact_quantiles_match_duckdb_convention():
+    """exact_quantiles_from_counts pins DuckDB quantile_disc (rank =
+    ceil(q*n), 1-indexed) on random multisets."""
+    import duckdb
+    import numpy as np
+
+    from schemasaurus_ray.stages.stats import (
+        batch_value_counts,
+        exact_quantiles_from_counts,
+        merge_value_counts,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    con = duckdb.connect()
+    bps = [100, 2500, 5000, 7500, 9500, 9999, 10000]
+    for trial in range(20):
+        n = int(rng.integers(1, 2000))
+        vals = rng.integers(-50, 50, size=n).astype(np.float64)
+        # split into uneven batches and merge partials
+        cuts = sorted(rng.integers(0, n, size=3))
+        parts = []
+        prev = 0
+        for c in [*cuts, n]:
+            t = pa.table({"x": pa.array(vals[prev:c], pa.float64())})
+            parts.append(batch_value_counts(t, ["x"]))
+            prev = c
+        merged = merge_value_counts(parts)
+        got = exact_quantiles_from_counts(merged["x"], bps)
+        con.register("t", pa.table({"x": pa.array(vals)}))
+        want = [
+            con.sql(f"SELECT quantile_disc(x, {bp / 10000}) FROM t").fetchone()[0]
+            for bp in bps
+        ]
+        con.unregister("t")
+        assert got == want, (trial, got, want)
+
+
+def test_exact_quantiles_empty_and_cap():
+    import pyarrow as pa
+    import pytest
+
+    from schemasaurus_ray.stages.stats import (
+        batch_value_counts,
+        exact_quantiles_from_counts,
+    )
+
+    assert exact_quantiles_from_counts({}, [5000]) == [None]
+    t = pa.table({"x": pa.array(list(range(100)), pa.int64())})
+    with pytest.raises(ValueError, match="max_distinct"):
+        batch_value_counts(t, ["x"], max_distinct=10)
