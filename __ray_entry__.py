@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem": q.quantiles_lineitem,
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
+        "top_docs_per_lang": q.top_docs_per_lang,
         "sample_documents": q.sample_documents,
         # audio flagship (fixture-synthesized; rows-only)
         "validate_audio_clips": q.validate_audio_clips,
@@ -223,6 +224,13 @@ def _quantiles_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rnk FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+                  FROM documents
+            ) WHERE rnk <= 3 ORDER BY lang, rnk
+        """,
         "infer_spec_documents": _infer_oracle_sql(
             "documents",
             [

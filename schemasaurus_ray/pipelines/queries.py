@@ -1224,6 +1224,24 @@ def infer_spec_events(sf_dir: str) -> pa.Table:
     return _infer_spec_table(sf_dir, "events")
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k (top-3 docs per lang by n_chars, doc_id tie-break):
+    per-batch per-group local top-k then one driver re-rank over the
+    O(batches × groups × k) candidates — the global per-group top-k is
+    always a subset of the local winners, so no global sort shuffle.
+    Groups = full lang domain including out-of-enum values."""
+    from ..stages.stats import grouped_topk_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        return grouped_topk_table(batch, "lang", "n_chars", "doc_id", k).drop_columns(["rnk"])
+
+    cand = _collect(ds.map_batches(local, batch_format="pyarrow"))
+    out = grouped_topk_table(cand, "lang", "n_chars", "doc_id", k)
+    return out.sort_by([("lang", "ascending"), ("rnk", "ascending")])
+
+
 def sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic hash-based ~10% sample: keep rows where
     md5(doc_id)[:2] < '1a' (26/256 ≈ 10.2%). Unlike RNG-per-block

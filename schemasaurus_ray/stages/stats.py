@@ -170,6 +170,34 @@ def exact_quantiles_from_counts(counts: dict[Any, int], q_bps: list[int]) -> lis
     return [by_bp[q] for q in q_bps]
 
 
+def grouped_topk_table(
+    table: pa.Table, group_col: str, order_col: str, tiebreak_col: str, k: int
+) -> pa.Table:
+    """Top-k rows PER GROUP (order_col desc, tiebreak asc) — one vectorized
+    kernel: dictionary-encode the group, lexsort, rank-within-group via a
+    repeated-boundary subtraction, keep rank < k. Used per batch (local
+    candidates) and once on the driver over the O(batches × groups × k)
+    candidate set — a grouped top-k with NO global sort shuffle."""
+    if len(table) == 0:
+        return table
+    codes_arr = table.column(group_col).combine_chunks().dictionary_encode()
+    codes = np.asarray(codes_arr.indices.fill_null(-1), dtype=np.int64)
+    order_c = table.column(order_col)
+    tie_c = table.column(tiebreak_col)
+    if order_c.null_count or tie_c.null_count:
+        raise ValueError("grouped_topk_table: order/tiebreak columns must be non-null")
+    order_v = np.asarray(order_c.combine_chunks(), dtype=np.int64)
+    tie_v = np.asarray(tie_c.combine_chunks(), dtype=np.int64)
+    perm = np.lexsort((tie_v, -order_v, codes))
+    c = codes[perm]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    group_start = np.repeat(starts, np.diff(np.r_[starts, len(c)]))
+    rank = np.arange(len(c)) - group_start
+    keep = rank < k
+    out = table.take(pa.array(perm[keep], pa.int64()))
+    return out.append_column("rnk", pa.array(rank[keep] + 1, pa.int64()))
+
+
 def stats_to_table(stats: dict[str, dict[str, Any]]) -> pa.Table:
     """Final stats as an Arrow table (column, count, nulls, min, max, mean,
     approx_distinct)."""

@@ -83,3 +83,35 @@ def test_orphan_rows_shuffle_matches_broadcast(ray_session):
     sh = collect(orphan_rows(lds, "fk", rds, "pk", method="shuffle"))
     assert bc == ["4", "5"]
     assert sh == ["4", "5"]
+
+
+def test_grouped_topk_table_kernel():
+    import numpy as np
+    import pyarrow as pa
+
+    from schemasaurus_ray.stages.stats import grouped_topk_table
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "b", "a", "a", None, "b", "a"]),
+            "v": pa.array([5, 9, 7, 7, 3, 1, 2], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        }
+    )
+    out = grouped_topk_table(t, "g", "v", "id", 2)
+    rows = sorted(zip(*[out.column(c).to_pylist() for c in ("g", "v", "id", "rnk")]), key=str)
+    # group a: v=7 ids 3,4 (tie -> id asc); group b: 9 then 1; null group kept
+    assert (("a", 7, 3, 1) in rows) and (("a", 7, 4, 2) in rows)
+    assert (("b", 9, 2, 1) in rows) and (("b", 1, 6, 2) in rows)
+    assert ((None, 3, 5, 1) in rows)
+    assert len(rows) == 5
+    # two-phase (per-slice local winners -> final) == single pass
+    whole = grouped_topk_table(t, "g", "v", "id", 2)
+    cands = pa.concat_tables(
+        [grouped_topk_table(t.slice(o, 3), "g", "v", "id", 2).drop_columns(["rnk"]) for o in (0, 3, 6)]
+    )
+    two = grouped_topk_table(cands, "g", "v", "id", 2)
+    key = lambda tb: sorted(zip(*[tb.column(c).to_pylist() for c in ("g", "v", "id", "rnk")]), key=str)
+    assert key(two) == key(whole)
+    # empty input passes through
+    assert len(grouped_topk_table(t.slice(0, 0), "g", "v", "id", 2)) == 0
