@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uniqueness / referential shuffles (§2E)
         "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
         "referential_events_customer": q.referential_events_customer,
+        "referential_bloom_orders": q.referential_bloom_orders,
         # grouped histogram (drift PSI input, §2E)
         "histogram_events_type": q.histogram_events_type,
         # dedup family
@@ -224,6 +225,11 @@ def _quantiles_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
+        "referential_bloom_orders": """
+            SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS col, 'reference' AS code
+              FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey > 1000)
+        """,
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars, rnk FROM (
                 SELECT lang, doc_id, n_chars,

@@ -186,6 +186,20 @@ def referential_events_customer(sf_dir: str) -> pa.Table:
     return _collect(orphans).rename_columns(["row_ref", "col", "code"])
 
 
+def referential_bloom_orders(sf_dir: str) -> pa.Table:
+    """Referential check via the Bloom scale path (exact mode): the ref
+    side (customers with c_custkey > 1000) is summarized into a ~10-bit/key
+    bitmap broadcast once; most orders fail the filter and stream out as
+    definite orphans with NO shuffle — only filter-passing keys enter the
+    exact confirm. Same output contract as referential_events_customer."""
+    from ..stages.referential import orphan_rows
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    customers = _read(sf_dir, "customer", ["c_custkey"]).filter(expr="c_custkey > 1000")
+    orphans = orphan_rows(orders, "o_custkey", customers, "c_custkey", method="bloom")
+    return _collect(orphans).rename_columns(["row_ref", "col", "code"])
+
+
 # ---- grouped histogram (PSI input) -----------------------------------------
 def histogram_events_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count

@@ -115,3 +115,58 @@ def test_grouped_topk_table_kernel():
     assert key(two) == key(whole)
     # empty input passes through
     assert len(grouped_topk_table(t.slice(0, 0), "g", "v", "id", 2)) == 0
+
+
+def test_bloom_filter_basics():
+    import numpy as np
+
+    from schemasaurus_ray.state.bloom import BloomFilter
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    bf = BloomFilter.sized_for(len(keys), fp_rate=0.01)
+    bf.add_hashes(keys)
+    # NO false negatives, ever
+    assert bf.contains_hashes(keys).all()
+    # fp rate in the right ballpark (generous 5x bound)
+    probe = rng.integers(0, 2**63, size=20000, dtype=np.uint64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = bf.contains_hashes(fresh).mean()
+    assert fp < 0.05, fp
+    # merge == build-once
+    a = BloomFilter(bf.m, bf.k)
+    b = BloomFilter(bf.m, bf.k)
+    a.add_hashes(keys[:2500])
+    b.add_hashes(keys[2500:])
+    a.merge(b)
+    assert (a.words == bf.words).all()
+    # serialization round-trip
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt.m == bf.m and rt.k == bf.k and (rt.words == bf.words).all()
+
+
+def test_orphan_rows_bloom_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from schemasaurus_ray.stages.referential import orphan_rows
+
+    # duplicate orphan keys + nulls: per-occurrence semantics must hold
+    left = rd.from_arrow(
+        pa.table({"x": pa.array([1, 2, 2, 3, 7, 7, 7, None, 4], pa.int64())})
+    )
+    ref = rd.from_arrow(pa.table({"r": pa.array([1, 3, 4, 5], pa.int64())}))
+
+    def rows(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+        return sorted(zip(t.column("row_ref").to_pylist(), t.column("code").to_pylist()))
+
+    want = rows(orphan_rows(left, "x", ref, "r", method="broadcast"))
+    got = rows(orphan_rows(left, "x", ref, "r", method="bloom"))
+    assert got == want and len(want) == 5  # 2,2,7,7,7
+    # approx mode reports a SUBSET of true orphans (definite ones only)
+    approx = rows(orphan_rows(left, "x", ref, "r", method="bloom_approx"))
+    assert set(approx) <= set(want)
+    # empty ref side: everything non-null is a definite orphan
+    empty_ref = rd.from_arrow(pa.table({"r": pa.array([], pa.int64())}))
+    got = rows(orphan_rows(left, "x", empty_ref, "r", method="bloom"))
+    assert len(got) == 8
