@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_bloom_orders": q.referential_bloom_orders,
         # grouped histogram (drift PSI input, §2E)
         "histogram_events_type": q.histogram_events_type,
+        # grouped aggregate constraint + join rollup
+        "agg_constraint_orders": q.agg_constraint_orders,
+        "revenue_by_segment": q.revenue_by_segment,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_incremental_documents": q.dedup_incremental_documents,
@@ -229,6 +232,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS col, 'reference' AS code
               FROM orders
              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey > 1000)
+        """,
+        "agg_constraint_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_lines
+              FROM lineitem
+             GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 120
+             ORDER BY l_orderkey
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars, rnk FROM (

@@ -200,6 +200,88 @@ def referential_bloom_orders(sf_dir: str) -> pa.Table:
     return _collect(orphans).rename_columns(["row_ref", "col", "code"])
 
 
+def agg_constraint_orders(sf_dir: str) -> pa.Table:
+    """Grouped aggregate constraint (dbt-style HAVING check): orders whose
+    total lineitem quantity exceeds 120 — per-shard combiner pre-agg, key
+    shuffle via stages/shuffle.agg_keys_shuffled, HAVING applied inside the
+    reduce so only violating keys reach the driver. Quantities cast to
+    int64 in the map (whole-valued doubles) so distributed sums stay
+    associative/exact (CLAUDE.md float rule)."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def cast_qty(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("l_quantity").cast(pa.int64())
+        return tbl.drop_columns(["l_quantity"]).append_column("l_quantity", q)
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        ["l_orderkey"],
+        [("l_quantity", "sum"), ("l_quantity", "count")],
+        transform_fn=cast_qty,
+        having_fn=lambda t: t.filter(pc.greater(t.column("sum_l_quantity"), 120)),
+    )
+    out = out.rename_columns(["l_orderkey", "sum_qty", "n_lines"])
+    return out.sort_by("l_orderkey")
+
+
+def revenue_by_segment(sf_dir: str) -> pa.Table:
+    """Join + rollup: orders revenue per customer market segment — the
+    dimension broadcast once (ray.put sorted keys + segment codes), one
+    map_batches over orders doing searchsorted lookup and a WEIGHTED
+    bincount partial (integer cents — associative), tiny final groupby
+    over segments × batches. No all-to-all shuffle anywhere."""
+    import pyarrow.parquet as pq_
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.asarray(cust.column("c_custkey").combine_chunks(), dtype=np.int64)
+    seg_dict = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+    codes = np.asarray(seg_dict.indices, dtype=np.int64)
+    segments = seg_dict.dictionary.to_pylist()
+    order = np.argsort(keys)
+    dim_ref = ray.put((keys[order], codes[order]))
+
+    def lookup_sum(batch: pa.Table) -> pa.Table:
+        skeys, scodes = ray.get(dim_ref)
+        ck = np.asarray(batch.column("o_custkey").combine_chunks(), dtype=np.int64)
+        # floor(x*100 + 0.5): same double ops as the oracle SQL — avoids the
+        # np.round (banker's) vs DuckDB round (half-away) convention split
+        cents = np.floor(
+            np.asarray(batch.column("o_totalprice").combine_chunks(), dtype=np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        pos = np.searchsorted(skeys, ck).clip(max=max(len(skeys) - 1, 0))
+        hit = skeys[pos] == ck if len(skeys) else np.zeros(len(ck), bool)
+        seg = scodes[pos[hit]]
+        rev = np.bincount(seg, weights=cents[hit].astype(np.float64), minlength=len(segments))
+        cnt = np.bincount(seg, minlength=len(segments))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segments, pa.string()),
+                "revenue_cents": pa.array(rev.astype(np.int64), pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pre = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lookup_sum, batch_format="pyarrow"
+    )
+    agg = pre.groupby("c_mktsegment").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders")
+    )
+    out = _collect(agg)
+    out = pa.table(
+        {
+            "c_mktsegment": out.column("c_mktsegment"),
+            "revenue_cents": out.column("revenue_cents").cast(pa.int64()),
+            "n_orders": out.column("n_orders").cast(pa.int64()),
+        }
+    )
+    return out.filter(pc.greater(out.column("n_orders"), 0)).sort_by("c_mktsegment")
+
+
 # ---- grouped histogram (PSI input) -----------------------------------------
 def histogram_events_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count

@@ -637,3 +637,87 @@ def anti_join_shuffled(
     if not tables:
         return pa.table({left_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     return pa.concat_tables(tables)
+
+
+def agg_keys_shuffled(
+    paths: list[str],
+    key_cols: list[str],
+    aggs: list[tuple[str, str]],
+    num_buckets: int | None = None,
+    transform_fn=None,
+    having_fn=None,
+    read_cols: list[str] | None = None,
+) -> pa.Table:
+    """Generic keyed aggregate over parquet shards — the engine's grouped
+    aggregate-constraint primitive (sum/min/max/count per key, then an
+    optional HAVING predicate applied INSIDE the reduce tasks).
+
+    Same raw-Ray map/reduce shape as :func:`count_keys_shuffled`: every map
+    task pre-aggregates its shard (the combiner — only O(distinct keys per
+    shard) partial rows enter the bucket shuffle), buckets tree-combine at
+    fan-in 64, and each reduce finalizes + filters, so the driver receives
+    only violating keys. All listed aggregates are mergeable (sum of sums,
+    min of mins, max of maxes, count as summed counts); non-associative
+    float means belong to the stats/t-digest path — for exactness cast
+    value columns to integers in ``transform_fn`` (CLAUDE.md float rule).
+
+    aggs: (column, fn) with fn ∈ {sum, min, max, count}; output column
+    names are ``{fn}_{column}`` (``cnt`` for count, column ignored).
+    transform_fn(tbl) -> tbl runs per shard BEFORE the pre-agg (casts,
+    derived columns). having_fn(tbl) -> tbl runs per reduce bucket.
+    """
+    import ray
+
+    num_buckets = num_buckets or _default_buckets(len(paths))
+    out_names = [("cnt" if f == "count" else f"{f}_{c}") for c, f in aggs]
+    value_cols = sorted({c for c, f in aggs if f != "count"})
+    merge_specs = [
+        (name, "sum" if f in ("sum", "count") else f) for name, (c, f) in zip(out_names, aggs)
+    ]
+
+    def _preagg(tbl: pa.Table) -> pa.Table:
+        if transform_fn is not None:
+            tbl = transform_fn(tbl)
+        sub = tbl.select(key_cols + [c for c in value_cols if c not in key_cols])
+        specs = [([], "count_all") if f == "count" else (c, f) for c, f in aggs]
+        out = sub.group_by(key_cols).aggregate(specs)
+        return out.rename_columns(key_cols + out_names)
+
+    def _merge(tables: tuple) -> pa.Table:
+        merged = pa.concat_tables([t for t in tables if t.num_rows] or list(tables))
+        if merged.num_rows == 0:
+            return merged
+        out = merged.group_by(key_cols).aggregate([(n, f) for n, f in merge_specs])
+        return out.rename_columns(key_cols + out_names)
+
+    cols_to_read = read_cols or sorted(set(key_cols) | set(value_cols))
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=cols_to_read)
+        parts = _preagg(tbl)
+        out = _split_buckets(parts, key_cols, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return _merge(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        out = _merge(tables)
+        if having_fn is not None and out.num_rows:
+            out = having_fn(out)
+        return out
+
+    refs = [map_shard.remote(p) for p in sorted(paths)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)

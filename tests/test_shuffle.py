@@ -203,3 +203,51 @@ def test_partial_key_files_pid_prefix_no_collision(tmp_path):
     assert got == ["keys_k_p00003-abc123.parquet", "keys_k_p00003.parquet"]
     got31 = [os.path.basename(f) for f in partial_key_files(str(tmp_path), "k", 31)]
     assert got31 == ["keys_k_p00031-def456.parquet", "keys_k_p00031.parquet"]
+
+
+def test_agg_keys_shuffled_mergeable_and_having(tmp_path_factory, ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import agg_keys_shuffled
+
+    d = tmp_path_factory.mktemp("aggshards")
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, size=600).astype(np.int64)
+    vals = rng.integers(-5, 50, size=600).astype(np.int64)
+    for i in range(3):  # keys deliberately span shards
+        pq.write_table(
+            pa.table({"k": pa.array(keys[i::3]), "v": pa.array(vals[i::3])}),
+            str(d / f"s{i}.parquet"),
+        )
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    out = agg_keys_shuffled(
+        paths, ["k"], [("v", "sum"), ("v", "min"), ("v", "max"), ("v", "count")]
+    )
+    got = {
+        r["k"]: (r["sum_v"], r["min_v"], r["max_v"], r["cnt"]) for r in out.to_pylist()
+    }
+    for k in np.unique(keys):
+        sel = vals[keys == k]
+        assert got[k] == (sel.sum(), sel.min(), sel.max(), len(sel)), k
+    # HAVING inside the reduce
+    out = agg_keys_shuffled(
+        paths,
+        ["k"],
+        [("v", "sum")],
+        having_fn=lambda t: t.filter(pa.compute.greater(t.column("sum_v"), 300)),
+    )
+    want = {int(k) for k in np.unique(keys) if vals[keys == k].sum() > 300}
+    assert {r["k"] for r in out.to_pylist()} == want and want
+    # transform_fn derives the value column; empty result returns cleanly
+    out = agg_keys_shuffled(
+        paths,
+        ["k"],
+        [("v2", "sum")],
+        transform_fn=lambda t: t.append_column(
+            "v2", pa.compute.multiply(t.column("v"), 2)
+        ),
+        having_fn=lambda t: t.filter(pa.compute.greater(t.column("sum_v2"), 10**9)),
+        read_cols=["k", "v"],
+    )
+    assert out.num_rows == 0
