@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
+        "drift_partition_verdicts": q.drift_partition_verdicts,
         # temporal keyed operators (as-of / range join / sessionization)
         "asof_events_purchase": q.asof_events_purchase,
         "activity_window_events": q.activity_window_events,
@@ -559,6 +560,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM hist e GROUP BY 1
             )
             SELECT CAST(FLOOR(10000 * SUM((pa - pe) * LN(pa / pe))) AS BIGINT) AS psi_bp FROM p
+        """,
+        "drift_partition_verdicts": """
+            WITH hist AS (
+                SELECT user_id % 8 AS pid, event_type, COUNT(*) AS cnt
+                  FROM events GROUP BY 1, 2
+            ),
+            ghist AS (SELECT event_type, SUM(cnt) AS cnt FROM hist GROUP BY 1),
+            gt AS (SELECT SUM(cnt) AS s FROM ghist),
+            pt AS (SELECT pid, SUM(cnt) AS s FROM hist GROUP BY 1),
+            p AS (
+                SELECT pt.pid, g.event_type,
+                       GREATEST(g.cnt * 1.0 / (SELECT s FROM gt), 1e-6) AS pe,
+                       GREATEST(COALESCE(h.cnt, 0) * 1.0 / pt.s, 1e-6) AS pa
+                  FROM pt CROSS JOIN ghist g
+                  LEFT JOIN hist h ON h.pid = pt.pid AND h.event_type = g.event_type
+            )
+            SELECT pid,
+                   CAST(FLOOR(10000 * SUM((pa - pe) * LN(pa / pe))) AS BIGINT) AS psi_bp,
+                   CASE WHEN FLOOR(10000 * SUM((pa - pe) * LN(pa / pe))) >= 250
+                        THEN 'fail' ELSE 'pass' END AS verdict
+              FROM p GROUP BY pid ORDER BY pid
         """,
         "embedding_neardup": """
             WITH aug AS (

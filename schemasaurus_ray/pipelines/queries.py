@@ -892,6 +892,52 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
     return pa.table({"psi_bp": pa.array([int(math.floor(value * 10000))], pa.int64())})
 
 
+def drift_partition_verdicts(sf_dir: str) -> pa.Table:
+    """PER-PARTITION drift verdicts (the north rule's 'flag drift per
+    partition'): each partition's event_type distribution PSI'd against
+    the GLOBAL distribution, pass/fail at 250 bp. One scan: per-batch
+    (pid, event_type, cnt) partials → tiny groupby (partitions × types
+    rows); the global histogram is the partition sum — no second pass."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..state.tdigest import psi
+
+    n_parts = 8
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        pid = pc.bit_wise_and(batch.column("user_id"), n_parts - 1)  # user_id % 8
+        t = pa.table({"pid": pid, "event_type": batch.column("event_type")})
+        g = t.group_by(["pid", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["pid", "event_type", "cnt"])
+
+    agg = _collect(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["pid", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    per_pid: dict[int, dict[str, float]] = {}
+    glob: dict[str, float] = {}
+    for pid, et, cnt in zip(
+        agg.column("pid").to_pylist(),
+        agg.column("event_type").to_pylist(),
+        agg.column("cnt").to_pylist(),
+    ):
+        per_pid.setdefault(int(pid), {})[et] = float(cnt)
+        glob[et] = glob.get(et, 0.0) + float(cnt)
+    pids = sorted(per_pid)
+    bps = [int(math.floor(psi(glob, per_pid[p]) * 10000)) for p in pids]
+    return pa.table(
+        {
+            "pid": pa.array(pids, pa.int64()),
+            "psi_bp": pa.array(bps, pa.int64()),
+            "verdict": pa.array(["fail" if b >= 250 else "pass" for b in bps], pa.string()),
+        }
+    )
+
+
 def dedup_incremental_documents(sf_dir: str) -> pa.Table:
     """Incremental (snapshot) dedup: odd-doc_id documents are the incoming
     crawl drop, even-doc_id documents the existing corpus snapshot; keep
