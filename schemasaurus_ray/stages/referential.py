@@ -121,37 +121,58 @@ def _violations_from_keys(keys: pa.Array, counts: np.ndarray, column: str) -> pa
 def _orphans_bloom(ds, column, ref_ds, ref_column, fp_rate, exact):
     """Bloom-summarized referential check (state/bloom.py).
 
-    Build: per-batch partial bitmaps over the ref keys OR-merged on the
-    driver (associative — switch to a tree reduce when batches × m/8
-    outgrows the driver), broadcast ONCE via ``ray.put`` (tasks read the
-    word array zero-copy from the object store). Probe: one map_batches
-    over the dirty side classifies every row — filter-rejected keys are
-    DEFINITE orphans (no false negatives) and never touch a shuffle;
-    filter-passing keys are pre-aggregated to per-batch (key, cnt) rows.
-    Exact mode routes ONLY those survivors through the co-partitioned
-    anti-join (carrying cnt so per-occurrence violation semantics are
-    preserved); approx mode stops at the definite orphans, missing at most
-    ``fp_rate`` of orphan *keys* — zero shuffle, fixed memory."""
+    Each side is scanned ONCE. Ref side: one prep pass emits per-batch
+    distinct keys as tiny (k, h) blocks, materialized; the filter is sized
+    from their count (an upper bound — only over-provisions bits), built
+    from the in-memory blocks (per-partial bitmaps OR-merged; switch to a
+    tree reduce when batches × m/8 outgrows the driver) and broadcast ONCE
+    via ``ray.put`` (tasks read the word array zero-copy). Probe: one
+    map_batches over the dirty side classifies every row — filter-rejected
+    keys are DEFINITE orphans (no false negatives) and never touch a
+    shuffle; filter-passing keys are pre-aggregated to per-batch (key,
+    cnt) rows. The probe output is materialized (it is the pre-agg, tiny)
+    because both the definite-expansion and the confirm consume it — two
+    lazy consumers would re-run the probe. Exact mode routes ONLY the
+    survivors through a raw-Ray bucketed anti-join against the prepped ref
+    keys (NOT Dataset.groupby — measured 60× slower on string keys),
+    carrying cnt so per-occurrence violation semantics are preserved;
+    approx mode stops at the definite orphans, missing at most ``fp_rate``
+    of orphan *keys* — zero shuffle, fixed memory."""
     import ray
+    import ray.data as rd
 
     from ..state.bloom import BloomFilter
+    from .shuffle import _split_buckets, _tree_combine
 
-    n_ref = ref_ds.count()
-    proto = BloomFilter.sized_for(max(n_ref, 1), fp_rate)
+    def prep_ref(batch: pa.Table) -> pa.Table:
+        col = batch.column(ref_column).drop_null()
+        uniq = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).unique()
+        return pa.table(
+            {
+                "k": uniq.cast(pa.string()),
+                "h": pa.array(hash_column(uniq).view(np.int64), pa.int64()),
+            }
+        )
+
+    ref_keys = (
+        ref_ds.select_columns([ref_column])
+        .map_batches(prep_ref, batch_format="pyarrow", batch_size=262144)
+        .materialize()
+    )
+    n_upper = ref_keys.count()  # metadata count on materialized blocks
+    proto = BloomFilter.sized_for(max(n_upper, 1), fp_rate)
     m, k = proto.m, proto.k
 
     def build(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(m, k)
-        col = batch.column(ref_column).drop_null()
-        if len(col):
-            bf.add_hashes(np.unique(hash_column(col)))
+        if len(batch):
+            bf.add_hashes(np.asarray(batch.column("h").combine_chunks()).view(np.uint64))
         return pa.table({"words": pa.array([bf.words.tobytes()], pa.binary())})
 
     merged = BloomFilter(m, k)
-    built = ref_ds.select_columns([ref_column]).map_batches(
-        build, batch_format="pyarrow", batch_size=262144
-    )
-    for b in built.iter_batches(batch_format="pyarrow", batch_size=None):
+    for b in ref_keys.map_batches(build, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
         for w in b.column("words").to_pylist():
             merged.words |= np.frombuffer(w, dtype=np.uint64)
     words_ref = ray.put(merged.words)
@@ -187,7 +208,9 @@ def _orphans_bloom(ds, column, ref_ds, ref_column, fp_rate, exact):
             )
         return pa.concat_tables(parts)
 
-    marked = ds.select_columns([column]).map_batches(probe, batch_format="pyarrow")
+    marked = (
+        ds.select_columns([column]).map_batches(probe, batch_format="pyarrow").materialize()
+    )
 
     def expand_definite(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pa.compute.equal(batch.column("definite"), 1))
@@ -201,44 +224,65 @@ def _orphans_bloom(ds, column, ref_ds, ref_column, fp_rate, exact):
     if not exact:
         return definite_viol
 
-    # exact confirm of the filter-passing keys: co-partitioned anti-join at
-    # (key, cnt) granularity — false positives are orphans, members vanish
-    cand = marked.filter(expr="definite == 0")
+    # exact confirm of the filter-passing keys: raw-Ray bucketed anti-join
+    # at (key, cnt) granularity — false positives are orphans, members
+    # vanish; both sides are already per-batch-distinct blocks
+    num_buckets = 4
 
-    def tag_cand(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "k": batch.column("k").combine_chunks(),
-                "cnt": batch.column("cnt").combine_chunks().cast(pa.int64()),
-                "side": pa.array([0] * len(batch), pa.int8()),
-            }
+    _EMPTY_KC = pa.table({"k": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    _EMPTY_K = pa.table({"k": pa.array([], pa.string())})
+
+    @ray.remote(num_returns=num_buckets)
+    def map_cand(tbl: pa.Table):
+        if "k" not in tbl.column_names:  # schema-less empty block
+            return [_EMPTY_KC] * num_buckets if num_buckets > 1 else _EMPTY_KC
+        sel = tbl.filter(pa.compute.equal(tbl.column("definite"), 0))
+        counts = pa.table(
+            {"k": sel.column("k"), "cnt": sel.column("cnt").cast(pa.int64())}
         )
+        out = _split_buckets(counts, ["k"], num_buckets)
+        return out if num_buckets > 1 else out[0]
 
-    def tag_ref(batch: pa.Table) -> pa.Table:
-        col = batch.column(ref_column).combine_chunks().cast(pa.string())
-        uniq = col.drop_null().unique()
-        return pa.table(
-            {
-                "k": uniq,
-                "cnt": pa.array([0] * len(uniq), pa.int64()),
-                "side": pa.array([1] * len(uniq), pa.int8()),
-            }
-        )
+    @ray.remote(num_returns=num_buckets)
+    def map_ref(tbl: pa.Table):
+        if "k" not in tbl.column_names:  # schema-less empty block
+            return [_EMPTY_K] * num_buckets if num_buckets > 1 else _EMPTY_K
+        keys = pa.table({"k": tbl.column("k")})
+        out = _split_buckets(keys, ["k"], num_buckets)
+        return out if num_buckets > 1 else out[0]
 
-    left = cand.map_batches(tag_cand, batch_format="pyarrow")
-    right = ref_ds.select_columns([ref_column]).map_batches(tag_ref, batch_format="pyarrow")
-    both = left.union(right)
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
 
-    def anti(group: pa.Table) -> pa.Table:
-        side = np.asarray(group.column("side").combine_chunks())
-        if (side == 1).any():
+    @ray.remote
+    def reduce_bucket(n_cand: int, *tables: pa.Table) -> pa.Table:
+        cand = pa.concat_tables(tables[:n_cand])
+        refk = pa.concat_tables(tables[n_cand:])
+        if cand.num_rows == 0:
             return ORPHAN_SCHEMA.empty_table()
-        total = int(np.asarray(group.column("cnt").combine_chunks()).sum())
-        key = group.column("k").combine_chunks().slice(0, 1)
-        return _violations_from_keys(key, np.array([total], dtype=np.int64), column)
+        agg = cand.group_by(["k"]).aggregate([("cnt", "sum")]).rename_columns(["k", "cnt"])
+        member = pa.compute.is_in(agg.column("k"), value_set=refk.column("k").combine_chunks())
+        orphans = agg.filter(pa.compute.invert(member))
+        return _violations_from_keys(
+            orphans.column("k").combine_chunks(),
+            np.asarray(orphans.column("cnt").combine_chunks(), dtype=np.int64),
+            column,
+        )
 
-    confirmed = both.groupby("k").map_groups(anti, batch_format="pyarrow")
-    return definite_viol.union(confirmed)
+    cand_refs = [map_cand.remote(r) for r in marked.to_arrow_refs()]
+    ref_refs = [map_ref.remote(r) for r in ref_keys.to_arrow_refs()]
+    if num_buckets == 1:
+        cand_refs = [[r] for r in cand_refs]
+        ref_refs = [[r] for r in ref_refs]
+    reduced = []
+    for b in range(num_buckets):
+        lc = _tree_combine([cand_refs[i][b] for i in range(len(cand_refs))], combine)
+        rc = _tree_combine([ref_refs[i][b] for i in range(len(ref_refs))], combine)
+        reduced.append(reduce_bucket.remote(len(lc), *lc, *rc))
+    confirmed = [t for t in ray.get(reduced) if t.num_rows]
+    conf_tbl = pa.concat_tables(confirmed) if confirmed else ORPHAN_SCHEMA.empty_table()
+    return definite_viol.union(rd.from_arrow(conf_tbl))
 
 
 def _orphans_shuffle(ds, column, ref_ds, ref_column):
