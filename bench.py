@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "quality_documents",
     "langid_documents",
     "ann_topk_embeddings",
+    "quantiles_lineitem",
+    "agg_constraint_orders",
+    "infer_spec_events",
 ]
 
 

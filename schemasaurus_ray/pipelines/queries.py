@@ -47,11 +47,18 @@ def _strip_meta(batch: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned parquet read with a METADATA-STRIPPED schema passed to
+    the reader, so every block leaves the scan with a hashable pa.Schema —
+    kills the 'Failed to hash the schemas' warning at the source instead of
+    in a fused map stage (_strip_meta kept for non-parquet entry points)."""
+    import pyarrow.parquet as pq_
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns).map_batches(
-        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
-    )
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq_.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _collect(ds) -> pa.Table:
