@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spec inference (profile → suggested validation spec)
         "infer_spec_documents": q.infer_spec_documents,
         "infer_spec_events": q.infer_spec_events,
+        "spec_diff_documents": q.spec_diff_documents,
         # exact bounded-domain quantiles (sibling of the t-digest sketch)
         "quantiles_lineitem": q.quantiles_lineitem,
         # sort/top-k + sampling
@@ -214,6 +215,69 @@ def _infer_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
     return " UNION ALL ".join(arms) + " ORDER BY col_name"
 
 
+def _spec_diff_oracle_sql() -> str:
+    """Diff of two generated profile queries (full documents vs the
+    simulated snapshot: even doc_ids, source column dropped) — field arms
+    generated from the SAME NUM_FIELDS/STR_FIELDS lists the engine's
+    spec_diff_profiles uses, numeric values kept as DOUBLE columns so no
+    float→string rendering has to match."""
+    from schemasaurus_ray.stages.infer import NUM_FIELDS, STR_FIELDS
+
+    cols_a = [
+        ("doc_id", "integer"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "integer"),
+    ]
+    cols_b = [c for c in cols_a if c[0] != "source"]
+    rel_b = "(SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 2 = 0)"
+    pa_sql = _infer_oracle_sql("documents", cols_a)
+    pb_sql = _infer_oracle_sql(rel_b, cols_b)
+    fields = list(NUM_FIELDS) + list(STR_FIELDS)
+    carries = ",\n                   ".join(
+        f"a.{f} AS a_{f}, b.{f} AS b_{f}" for f in fields
+    )
+    arms = [
+        """
+        SELECT col_name, 'presence' AS field,
+               CAST(NULL AS DOUBLE) AS val_a_num, CAST(NULL AS DOUBLE) AS val_b_num,
+               CASE WHEN a_col IS NOT NULL THEN 'present' END AS val_a_str,
+               CASE WHEN b_col IS NOT NULL THEN 'present' END AS val_b_str
+          FROM j WHERE a_col IS NULL OR b_col IS NULL
+        """
+    ]
+    for f in NUM_FIELDS:
+        arms.append(
+            f"""
+        SELECT col_name, '{f}', CAST(a_{f} AS DOUBLE), CAST(b_{f} AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+          FROM j WHERE a_col IS NOT NULL AND b_col IS NOT NULL
+                   AND a_{f} IS DISTINCT FROM b_{f}
+        """
+        )
+    for f in STR_FIELDS:
+        arms.append(
+            f"""
+        SELECT col_name, '{f}', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), a_{f}, b_{f}
+          FROM j WHERE a_col IS NOT NULL AND b_col IS NOT NULL
+                   AND a_{f} IS DISTINCT FROM b_{f}
+        """
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH prof_a AS ({pa_sql}), prof_b AS ({pb_sql}),
+        j AS (
+            SELECT a.col_name AS a_col, b.col_name AS b_col,
+                   COALESCE(a.col_name, b.col_name) AS col_name,
+                   {carries}
+              FROM prof_a a FULL JOIN prof_b b ON a.col_name = b.col_name
+        )
+        {union}
+        ORDER BY col_name, field
+    """
+
+
 def _quantiles_oracle_sql() -> str:
     from schemasaurus_ray.pipelines.queries import QUANTILE_BPS, QUANTILE_COLS
 
@@ -229,6 +293,7 @@ def _quantiles_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
+        "spec_diff_documents": _spec_diff_oracle_sql(),
         "referential_bloom_orders": """
             SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS col, 'reference' AS code
               FROM orders

@@ -1373,6 +1373,40 @@ def infer_spec_events(sf_dir: str) -> pa.Table:
     return _infer_spec_table(sf_dir, "events")
 
 
+def spec_diff_documents(sf_dir: str) -> pa.Table:
+    """Schema drift in SPEC space (stages/infer.spec_diff_profiles):
+    today's documents table profiled against a simulated snapshot (even
+    doc_ids, `source` column dropped) — field-level diff rows plus a
+    'presence' row for the removed column. The structural sibling of the
+    KS/PSI distribution-drift checks; at scale side B is the persisted
+    profile of yesterday's run, not a second scan."""
+    import json
+
+    from ..stages.infer import batch_infer_partial, merge_infer_partials, spec_diff_profiles
+
+    def prof(ds) -> dict:
+        def part(batch: pa.Table) -> pa.Table:
+            recs = batch_infer_partial(batch)
+            return pa.table({"payload": pa.array([json.dumps(recs)], pa.string())})
+
+        partials: list[dict] = []
+        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for p in b.column("payload").to_pylist():
+                partials.extend(json.loads(p))
+        return merge_infer_partials(partials)
+
+    def evens(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        return batch.filter(keep)
+
+    a = prof(_read(sf_dir, "documents"))
+    snap_cols = ["doc_id", "text", "lang", "n_chars"]  # source dropped
+    b = prof(_read(sf_dir, "documents", snap_cols).map_batches(evens, batch_format="pyarrow"))
+    return spec_diff_profiles(a, b)
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     """Grouped top-k (top-3 docs per lang by n_chars, doc_id tie-break):
     per-batch per-group local top-k then one driver re-rank over the

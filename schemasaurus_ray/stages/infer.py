@@ -216,40 +216,101 @@ def profile_to_spec(prof: dict[str, dict[str, Any]]) -> dict[str, Any]:
     return {"columns": columns}
 
 
+# field → (kind, extractor); the single source of truth for the flat
+# profile row, shared by profile_to_table and spec_diff_profiles
+def _field_values(p: dict[str, Any]) -> dict[str, Any]:
+    def enum_vals():
+        if p["distinct"] is None or p["type"] not in ("integer", "string", "boolean"):
+            return None
+        return ",".join(str(v) for v in p["distinct"])
+
+    def numeric_mm(which):
+        if p["type"] in ("integer", "number", "date-time") and p[which] is not None:
+            return float(p[which])
+        return None
+
+    len_ok = p["type"] in ("string", "array")
+    return {
+        "inferred_type": p["type"],
+        "required": 1 if (p["nulls"] == 0 and p["count"] > 0) else 0,
+        "min_v": numeric_mm("min"),
+        "max_v": numeric_mm("max"),
+        "min_len": p["min_len"] if len_ok else None,
+        "max_len": p["max_len"] if len_ok else None,
+        "n_distinct": p["n_distinct"],
+        "enum_vals": enum_vals(),
+        "fmt": p["format"],
+    }
+
+
+NUM_FIELDS = ("required", "min_v", "max_v", "min_len", "max_len", "n_distinct")
+STR_FIELDS = ("inferred_type", "enum_vals", "fmt")
+
+
 def profile_to_table(prof: dict[str, dict[str, Any]]) -> pa.Table:
     """Flat profile (one row per column, sorted by name) — the oracle-facing
     product. enum_vals is the ','-joined str()-sorted distinct list
     (strings/ints/bools only), matching DuckDB
     string_agg(CAST(v AS VARCHAR), ',' ORDER BY CAST(v AS VARCHAR))."""
     cols = sorted(prof)
-    def enum_vals(p):
-        if p["distinct"] is None or p["type"] not in ("integer", "string", "boolean"):
-            return None
-        return ",".join(str(v) for v in p["distinct"])
-    def numeric_mm(p, which):
-        if p["type"] in ("integer", "number", "date-time") and p[which] is not None:
-            return float(p[which])
-        return None
+    rows = {c: _field_values(prof[c]) for c in cols}
     return pa.table(
         {
             "col_name": pa.array(cols, pa.string()),
-            "inferred_type": pa.array([prof[c]["type"] for c in cols], pa.string()),
-            "required": pa.array(
-                [1 if (prof[c]["nulls"] == 0 and prof[c]["count"] > 0) else 0 for c in cols],
-                pa.int64(),
-            ),
-            "min_v": pa.array([numeric_mm(prof[c], "min") for c in cols], pa.float64()),
-            "max_v": pa.array([numeric_mm(prof[c], "max") for c in cols], pa.float64()),
-            "min_len": pa.array(
-                [prof[c]["min_len"] if prof[c]["type"] in ("string", "array") else None for c in cols],
-                pa.int64(),
-            ),
-            "max_len": pa.array(
-                [prof[c]["max_len"] if prof[c]["type"] in ("string", "array") else None for c in cols],
-                pa.int64(),
-            ),
-            "n_distinct": pa.array([prof[c]["n_distinct"] for c in cols], pa.int64()),
-            "enum_vals": pa.array([enum_vals(prof[c]) for c in cols], pa.string()),
-            "fmt": pa.array([prof[c]["format"] for c in cols], pa.string()),
+            "inferred_type": pa.array([rows[c]["inferred_type"] for c in cols], pa.string()),
+            "required": pa.array([rows[c]["required"] for c in cols], pa.int64()),
+            "min_v": pa.array([rows[c]["min_v"] for c in cols], pa.float64()),
+            "max_v": pa.array([rows[c]["max_v"] for c in cols], pa.float64()),
+            "min_len": pa.array([rows[c]["min_len"] for c in cols], pa.int64()),
+            "max_len": pa.array([rows[c]["max_len"] for c in cols], pa.int64()),
+            "n_distinct": pa.array([rows[c]["n_distinct"] for c in cols], pa.int64()),
+            "enum_vals": pa.array([rows[c]["enum_vals"] for c in cols], pa.string()),
+            "fmt": pa.array([rows[c]["fmt"] for c in cols], pa.string()),
+        }
+    )
+
+
+def spec_diff_profiles(
+    prof_a: dict[str, dict[str, Any]], prof_b: dict[str, dict[str, Any]]
+) -> pa.Table:
+    """Schema drift in SPEC space: field-level diff of two profiles
+    (today's table vs a persisted snapshot profile) — the structural
+    sibling of the distribution-drift (KS/PSI) checks. One row per
+    (column, field) whose value changed (IS DISTINCT FROM semantics);
+    numeric fields land in val_*_num, string fields in val_*_str, so no
+    float→string rendering ever has to match an oracle's. A column present
+    on only one side yields a single field='presence' row and its field
+    diffs are suppressed (the presence row subsumes them)."""
+    rows: list[tuple] = []
+    for col in sorted(set(prof_a) | set(prof_b)):
+        a = prof_a.get(col)
+        b = prof_b.get(col)
+        if a is None or b is None:
+            rows.append(
+                (col, "presence", None, None,
+                 "present" if a is not None else None,
+                 "present" if b is not None else None)
+            )
+            continue
+        fa, fb = _field_values(a), _field_values(b)
+        for f in NUM_FIELDS:
+            va, vb = fa[f], fb[f]
+            if (va is None) != (vb is None) or (va is not None and float(va) != float(vb)):
+                rows.append((col, f,
+                             None if va is None else float(va),
+                             None if vb is None else float(vb), None, None))
+        for f in STR_FIELDS:
+            va, vb = fa[f], fb[f]
+            if va != vb:
+                rows.append((col, f, None, None, va, vb))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table(
+        {
+            "col_name": pa.array([r[0] for r in rows], pa.string()),
+            "field": pa.array([r[1] for r in rows], pa.string()),
+            "val_a_num": pa.array([r[2] for r in rows], pa.float64()),
+            "val_b_num": pa.array([r[3] for r in rows], pa.float64()),
+            "val_a_str": pa.array([r[4] for r in rows], pa.string()),
+            "val_b_str": pa.array([r[5] for r in rows], pa.string()),
         }
     )

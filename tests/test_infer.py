@@ -154,3 +154,50 @@ def test_round_trip_on_documents_fixture(ray_session):
     assert prof["lang"]["enum_vals"] is not None
     assert prof["source"]["fmt"] == "hostname"
     assert prof["doc_id"]["required"] == 1
+
+
+def test_spec_diff_profiles_field_kinds():
+    from schemasaurus_ray.stages.infer import merge_infer_partials, spec_diff_profiles
+
+    def prof(table):
+        return merge_infer_partials(batch_infer_partial(table))
+
+    a = prof(
+        pa.table(
+            {
+                "i": pa.array([1, 2, 3], pa.int64()),
+                "s": pa.array(["a", "b", "a"]),
+                "gone": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "ip": pa.array(["10.0.0.1", "10.0.0.2", "10.0.0.3"]),
+            }
+        )
+    )
+    b = prof(
+        pa.table(
+            {
+                "i": pa.array([1.5, 2.0, None], pa.float64()),  # type + required + max flip
+                "s": pa.array(["a", "b", "c"]),                 # enum + n_distinct + len same
+                "ip": pa.array(["10.0.0.1", "not an ip", "x"]),  # fmt lost (space kills all)
+                "new": pa.array([True, False, True], pa.bool_()),  # added column
+            }
+        )
+    )
+    out = spec_diff_profiles(a, b)
+    rows = {(r["col_name"], r["field"]): r for r in out.to_pylist()}
+    assert rows[("gone", "presence")]["val_a_str"] == "present"
+    assert rows[("gone", "presence")]["val_b_str"] is None
+    assert rows[("new", "presence")]["val_b_str"] == "present"
+    assert rows[("i", "inferred_type")]["val_a_str"] == "integer"
+    assert rows[("i", "inferred_type")]["val_b_str"] == "number"
+    assert rows[("i", "required")]["val_a_num"] == 1.0
+    assert rows[("i", "required")]["val_b_num"] == 0.0
+    assert rows[("i", "max_v")]["val_b_num"] == 2.0
+    assert rows[("s", "enum_vals")]["val_a_str"] == "a,b"
+    assert rows[("s", "enum_vals")]["val_b_str"] == "a,b,c"
+    assert rows[("s", "n_distinct")]["val_b_num"] == 3.0
+    assert rows[("ip", "fmt")]["val_a_str"] == "ipv4"
+    assert rows[("ip", "fmt")]["val_b_str"] is None
+    # no spurious rows: presence-diffing columns contribute exactly one row
+    assert not any(c == "gone" and f != "presence" for c, f in rows)
+    # self-diff is empty
+    assert len(spec_diff_profiles(a, a)) == 0
