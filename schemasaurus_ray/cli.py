@@ -50,6 +50,55 @@ def _load_spec(name_or_path: str) -> dict:
         return json.load(f)
 
 
+def _cmd_infer(args) -> int:
+    """infer: one streaming pass → suggested spec (stages/infer.py), the
+    inverse of validate — close the loop with
+    ``validate --spec <out.json>``."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow as pa
+
+    from .sources.io import read_parquet_tasks
+    from .stages.infer import (
+        batch_infer_partial,
+        merge_infer_partials,
+        profile_to_spec,
+        profile_to_table,
+    )
+
+    paths = (
+        sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if os.path.isdir(args.input)
+        else [args.input]
+    )
+    cols = args.columns.split(",") if args.columns else None
+    ds = read_parquet_tasks(paths, columns=cols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        recs = batch_infer_partial(batch, columns=cols)
+        return pa.table({"payload": pa.array([_json.dumps(recs)], pa.string())})
+
+    partials: list[dict] = []
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for rec in b.column("payload").to_pylist():
+            partials.extend(_json.loads(rec))
+    prof = merge_infer_partials(partials)
+    spec = profile_to_spec(prof)
+    if args.out:
+        with open(args.out, "w") as f:
+            _json.dump(spec, f, indent=2, sort_keys=True)
+    print(
+        _json.dumps(
+            {"spec": spec, "profile": profile_to_table(prof).to_pylist()}, sort_keys=True
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="schemasaurus_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -66,8 +115,17 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--num-cpus", type=int, default=None)
         p.add_argument("--batch-size", type=int, default=None)
 
+    p = sub.add_parser("infer", help="profile a table into a suggested validation spec")
+    p.add_argument("--input", required=True, help="parquet file or directory of shards")
+    p.add_argument("--out", default=None, help="write the suggested spec JSON here")
+    p.add_argument("--columns", default=None, help="comma-separated column subset")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
     _ensure_ray(args.num_cpus)
+
+    if args.cmd == "infer":
+        return _cmd_infer(args)
 
     from .pipelines.validate import ValidationPipeline
 
