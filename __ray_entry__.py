@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": q.top_docs_by_length,
         "top_docs_per_lang": q.top_docs_per_lang,
         "sample_documents": q.sample_documents,
+        "stratified_sample_documents": q.stratified_sample_documents,
+        # schema-evolution aligned read (sources/io.read_parquet_aligned)
+        "evolved_union_documents": q.evolved_union_documents,
         # audio flagship (fixture-synthesized; rows-only)
         "validate_audio_clips": q.validate_audio_clips,
         "audio_features": q.audio_features,
@@ -294,6 +297,25 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "spec_diff_documents": _spec_diff_oracle_sql(),
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                   CASE lang WHEN 'en' THEN '1a' WHEN 'de' THEN '80'
+                             WHEN 'fr' THEN 'ff' WHEN 'es' THEN '40' ELSE '00' END
+             ORDER BY doc_id
+        """,
+        "evolved_union_documents": """
+            WITH u AS (
+                SELECT doc_id, text, lang, n_chars, NULL AS source
+                  FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, text, lang, n_chars, source FROM documents
+            )
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(*) FILTER (WHERE source IS NULL) AS n_source_null,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+              FROM u
+        """,
         "referential_bloom_orders": """
             SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS col, 'reference' AS code
               FROM orders

@@ -1425,6 +1425,80 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     return out.sort_by([("lang", "ascending"), ("rnk", "ascending")])
 
 
+STRATA_THRESHOLDS = {"en": 0x1A, "de": 0x80, "fr": 0xFF, "es": 0x40}  # ≈10/50/100/25%
+
+
+def stratified_sample_documents(sf_dir: str) -> pa.Table:
+    """Per-group deterministic sampling (class balancing for training
+    mixes): each language keeps rows where md5(doc_id)[:2] < its own
+    threshold — reproducible across block layout / cluster size like
+    sample_documents, with per-stratum rates. Unlisted/null langs drop."""
+    from ..util import md5_digests
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = np.asarray(lang.indices.fill_null(-1), dtype=np.int64)
+        lut = np.zeros(len(lang.dictionary) + 1, dtype=np.uint8)
+        for i, v in enumerate(lang.dictionary.to_pylist()):
+            lut[i] = STRATA_THRESHOLDS.get(v, 0)
+        thresh = lut[codes]  # -1 (null) indexes the trailing 0 slot
+        ids_str = batch.column("doc_id").cast(pa.string())
+        keep = md5_digests(ids_str)[:, 0] < thresh
+        return batch.filter(pa.array(keep))
+
+    return _collect(ds.map_batches(pick, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def evolved_union_documents(sf_dir: str) -> pa.Table:
+    """Schema-evolution read (sources/io.read_parquet_aligned): an old
+    snapshot written WITHOUT the `source` column streams into one dataset
+    with today's shards, null-filled per batch (UNION-BY-NAME semantics at
+    the source). Counts prove the alignment; the snapshot is materialized
+    once under /tmp keyed by sf_dir."""
+    import hashlib
+    import pyarrow.parquet as pq_
+
+    from ..sources.io import read_parquet_aligned
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    snap_dir = os.path.join(
+        "/tmp", f"schemasaurus_evolved_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    snap = os.path.join(snap_dir, "snapshot_v1.parquet")
+    if not os.path.exists(snap):
+        os.makedirs(snap_dir, exist_ok=True)
+        t = pq_.read_table(src, columns=["doc_id", "text", "lang", "n_chars"])
+        evens = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+        tmp = snap + ".tmp"
+        pq_.write_table(evens, tmp)
+        os.replace(tmp, snap)
+
+    ds = read_parquet_aligned([snap, src])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        src_col = batch.column("source")
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "n_source_null": pa.array([src_col.null_count], pa.int64()),
+                "sum_n_chars": pa.array(
+                    [pc.sum(batch.column("n_chars")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = _collect(ds.map_batches(counts, batch_format="pyarrow"))
+    return pa.table(
+        {
+            "n_rows": pa.array([pc.sum(parts.column("n_rows")).as_py()], pa.int64()),
+            "n_source_null": pa.array([pc.sum(parts.column("n_source_null")).as_py()], pa.int64()),
+            "sum_n_chars": pa.array([pc.sum(parts.column("sum_n_chars")).as_py()], pa.int64()),
+        }
+    )
+
+
 def sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic hash-based ~10% sample: keep rows where
     md5(doc_id)[:2] < '1a' (26/256 ≈ 10.2%). Unlike RNG-per-block

@@ -31,10 +31,19 @@ def read_parquet_tasks(
     columns: list[str] | None = None,
     include_paths: bool = False,
     target_block_bytes: int = 128 * 1024 * 1024,
+    prune_missing: bool = False,
 ) -> "ray.data.Dataset":
     import ray.data as rd
 
     cols = list(columns) if columns else None
+    # prune_missing: schema-evolved lakes — a shard written before a column
+    # existed simply doesn't yield it (read_parquet_aligned null-fills);
+    # column pruning still applies per file
+    sel = (
+        (lambda p: [c for c in cols if c in set(pq.read_schema(p).names)])
+        if (prune_missing and cols)
+        else (lambda p: cols)
+    )
 
     def read_file(batch: pa.Table):
         # generator UDF: a file larger than the target block size is yielded
@@ -57,7 +66,7 @@ def read_parquet_tasks(
             # memory_map: local files (tmpfs/page cache) assemble Arrow
             # buffers from mapped pages instead of read()-copies — with
             # uncompressed binary columns this is the near-zero-copy path
-            t = pq.read_table(p, columns=cols, memory_map=True).replace_schema_metadata(None)
+            t = pq.read_table(p, columns=sel(p), memory_map=True).replace_schema_metadata(None)
             if include_paths:
                 t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
                 t = t.append_column(
@@ -94,3 +103,51 @@ def read_table(path_or_paths, columns=None, include_paths=False) -> "ray.data.Da
     if len(paths) == 1 and not str(paths[0]).endswith(".parquet"):
         return rd.read_parquet(paths[0], columns=columns)
     return read_parquet_tasks(paths, columns=columns, include_paths=include_paths)
+
+
+def align_to_schema(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project a batch onto ``schema`` (UNION-BY-NAME semantics): missing
+    columns become typed nulls, extra columns are dropped, present columns
+    are cast to the target type. Zero-copy when a column already matches."""
+    n = batch.num_rows
+    cols = []
+    for field in schema:
+        if field.name in batch.column_names:
+            col = batch.column(field.name)
+            cols.append(col if col.type == field.type else col.cast(field.type))
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.table(dict(zip(schema.names, cols)), schema=schema)
+
+
+def read_parquet_aligned(
+    paths: list[str],
+    schema: pa.Schema | None = None,
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Schema-evolved read: shards written under DIFFERENT schema versions
+    (columns added/dropped over time) stream into ONE dataset aligned to
+    ``schema`` (default: unify all shard footers by name, newest-wins
+    types) — missing columns null-filled per batch, never materialized
+    wider than a block. The source-level half of spec drift handling
+    (stages/infer.spec_diff_profiles is the detection half)."""
+    if schema is None:
+        fields: dict[str, pa.DataType] = {}
+        for p in sorted(paths):
+            for f in pq.read_schema(p):
+                fields[f.name] = f.type
+        schema = pa.schema(
+            [(n, t) for n, t in fields.items() if columns is None or n in columns]
+        )
+    elif columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+
+    read_cols = {f.name for f in schema}
+
+    def _align(batch: pa.Table) -> pa.Table:
+        return align_to_schema(batch, schema)
+
+    # per-file column pruning with missing-column tolerance (a shard
+    # predating a column simply doesn't yield it; _align null-fills)
+    ds = read_parquet_tasks(paths, columns=sorted(read_cols), prune_missing=True)
+    return ds.map_batches(_align, batch_format="pyarrow", zero_copy_batch=True)

@@ -56,3 +56,47 @@ def test_block_split_for_big_files(files):
 def test_read_table_lance_gated(tmp_path):
     with pytest.raises(ImportError):
         read_table(str(tmp_path / "x.lance"))
+
+
+def test_align_to_schema_unit():
+    import pyarrow as pa
+
+    from schemasaurus_ray.sources.io import align_to_schema
+
+    target = pa.schema([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    batch = pa.table(
+        {
+            "b": pa.array(["x", "y"]),
+            "a": pa.array([1, 2], pa.int32()),  # needs cast + reorder
+            "extra": pa.array([9, 9], pa.int64()),  # dropped
+        }
+    )
+    out = align_to_schema(batch, target)
+    assert out.schema == target
+    assert out.column("a").to_pylist() == [1, 2]
+    assert out.column("c").null_count == 2
+
+
+def test_read_parquet_aligned_schema_evolution(tmp_path_factory, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.sources.io import read_parquet_aligned
+
+    d = tmp_path_factory.mktemp("evolved")
+    # v1 shard predates column 'c'; v2 shard has it
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64()),
+                             "b": pa.array(["x", "y"])}), str(d / "v1.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3], pa.int64()),
+                             "b": pa.array(["z"]),
+                             "c": pa.array([7.5], pa.float64())}), str(d / "v2.parquet"))
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    ds = read_parquet_aligned(paths)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert sorted(t.column_names) == ["a", "b", "c"]
+    rows = sorted(zip(t.column("a").to_pylist(), t.column("c").to_pylist()), key=str)
+    assert rows == [(1, None), (2, None), (3, 7.5)]
+    # column pruning with missing-column tolerance
+    ds = read_parquet_aligned(paths, columns=["a", "c"])
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert sorted(t.column_names) == ["a", "c"] and t.num_rows == 3
