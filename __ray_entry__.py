@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_orderkeys": q.distinct_orderkeys,
         # uniqueness / referential shuffles (§2E)
         "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
+        "unique_events_composite": q.unique_events_composite,
         "referential_events_customer": q.referential_events_customer,
         "referential_bloom_orders": q.referential_bloom_orders,
         # grouped histogram (drift PSI input, §2E)
@@ -297,6 +298,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "spec_diff_documents": _spec_diff_oracle_sql(),
+        "unique_events_composite": """
+            SELECT user_id, event_type, COUNT(*) AS cnt
+              FROM events GROUP BY user_id, event_type
+            HAVING COUNT(*) >= 5
+             ORDER BY user_id, event_type
+        """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM documents
              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <

@@ -184,6 +184,21 @@ def unique_lineitem_orderkey(sf_dir: str) -> pa.Table:
     return tbl.select(["l_orderkey", "cnt"]).sort_by("l_orderkey")
 
 
+def unique_events_composite(sf_dir: str) -> pa.Table:
+    """COMPOSITE-key uniqueness through the same raw-Ray shuffle as the
+    single-column check: (user_id, event_type) pairs occurring ≥5 times —
+    per-shard (key…, cnt) combiner pre-agg, bucket split on the combined
+    key hash, threshold applied in the reduce."""
+    from ..stages.shuffle import count_keys_shuffled
+
+    tbl = count_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")], ["user_id", "event_type"], min_count=5
+    )
+    return tbl.select(["user_id", "event_type", "cnt"]).sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending")]
+    )
+
+
 def referential_events_customer(sf_dir: str) -> pa.Table:
     """Orphan events: user_id not among customers with c_custkey > 10 —
     the ref side is intentionally narrowed so the anti-join is non-empty."""
