@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uniqueness / referential shuffles (§2E)
         "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
         "unique_events_composite": q.unique_events_composite,
+        "distinct_users_by_type": q.distinct_users_by_type,
         "referential_events_customer": q.referential_events_customer,
         "referential_bloom_orders": q.referential_bloom_orders,
         # grouped histogram (drift PSI input, §2E)
@@ -298,6 +299,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "spec_diff_documents": _spec_diff_oracle_sql(),
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+              FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "unique_events_composite": """
             SELECT user_id, event_type, COUNT(*) AS cnt
               FROM events GROUP BY user_id, event_type

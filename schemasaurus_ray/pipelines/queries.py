@@ -199,6 +199,20 @@ def unique_events_composite(sf_dir: str) -> pa.Table:
     )
 
 
+def distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """Distributed exact COUNT(DISTINCT user_id) GROUP BY event_type
+    (stages/shuffle.distinct_count_by_group): per-shard distinct pairs
+    (combiner) bucket-split on the PAIR hash so global duplicates
+    co-locate; per-bucket re-distinct + per-group count; the driver sums
+    tiny partials — the global distinct-pair set never materializes."""
+    from ..stages.shuffle import distinct_count_by_group
+
+    tbl = distinct_count_by_group(
+        [os.path.join(sf_dir, "events.parquet")], "event_type", "user_id"
+    )
+    return tbl.rename_columns(["event_type", "n_users"]).sort_by("event_type")
+
+
 def referential_events_customer(sf_dir: str) -> pa.Table:
     """Orphan events: user_id not among customers with c_custkey > 10 —
     the ref side is intentionally narrowed so the anti-join is non-empty."""

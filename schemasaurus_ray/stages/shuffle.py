@@ -721,3 +721,64 @@ def agg_keys_shuffled(
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)
+
+
+def distinct_count_by_group(
+    paths: list[str],
+    group_col: str,
+    distinct_col: str,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Distributed exact COUNT(DISTINCT distinct_col) GROUP BY group_col.
+
+    Map: each shard reduces to its DISTINCT (group, value) pairs (the
+    combiner — duplicates within a shard never leave it) and bucket-splits
+    on the combined PAIR hash, so every global duplicate of a pair lands
+    in the same bucket. Reduce: re-distinct the pairs, then count per
+    group — a group's values span buckets disjointly, so the driver just
+    sums the tiny (group, partial_count) rows. Never materializes the
+    global distinct-pair set anywhere."""
+    import ray
+
+    num_buckets = num_buckets or _default_buckets(len(paths))
+    cols = [group_col, distinct_col]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=cols)
+        # SQL semantics: COUNT(DISTINCT x) skips null x, but a NULL group
+        # is still its own group — drop only null values, keep null groups
+        tbl = tbl.filter(pc.is_valid(tbl.column(distinct_col)))
+        pairs = tbl.group_by(cols).aggregate([]).select(cols)
+        out = _split_buckets(pairs, cols, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return merged.group_by(cols).aggregate([]).select(cols)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        pairs = merged.group_by(cols).aggregate([])
+        counts = pairs.group_by([group_col]).aggregate([([], "count_all")])
+        return counts.rename_columns([group_col, "cnt"])
+
+    refs = [map_shard.remote(p) for p in sorted(paths)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({group_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    merged = pa.concat_tables(tables)
+    out = merged.group_by([group_col]).aggregate([("cnt", "sum")])
+    return out.rename_columns([group_col, "cnt"])

@@ -251,3 +251,32 @@ def test_agg_keys_shuffled_mergeable_and_having(tmp_path_factory, ray_session):
         read_cols=["k", "v"],
     )
     assert out.num_rows == 0
+
+
+def test_distinct_count_by_group(tmp_path_factory, ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import distinct_count_by_group
+
+    d = tmp_path_factory.mktemp("dcshards")
+    rng = np.random.default_rng(5)
+    groups = rng.choice(["a", "b", "c"], size=500).astype(object)
+    vals = rng.integers(0, 60, size=500).astype(np.int64)
+    # sprinkle nulls: null value rows are skipped, null group is its own group
+    g_list = [None if i % 97 == 0 else g for i, g in enumerate(groups)]
+    v_list = [None if i % 53 == 0 else int(v) for i, v in enumerate(vals)]
+    for i in range(3):  # duplicates of the same pair span shards
+        pq.write_table(
+            pa.table({"g": pa.array(g_list[i::3], pa.string()),
+                      "v": pa.array(v_list[i::3], pa.int64())}),
+            str(d / f"s{i}.parquet"),
+        )
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    out = distinct_count_by_group(paths, "g", "v")
+    got = {r["g"]: r["cnt"] for r in out.to_pylist()}
+    want: dict = {}
+    for g, v in zip(g_list, v_list):
+        if v is not None:
+            want.setdefault(g, set()).add(v)
+    assert got == {g: len(s) for g, s in want.items()}
