@@ -102,7 +102,10 @@ def render(template: str, arg: Any) -> str:
     raw; analogue of src/interpolate.js used by renderers)."""
     if arg is None or not _PLACEHOLDER.search(template):
         return template
-    return _PLACEHOLDER.sub(str(arg), template, count=1)
+    # function replacement: a plain-string repl is parsed for \-escapes by
+    # re (an arg containing a literal "\u..." raises re.error); the lambda
+    # splices the text verbatim, matching the reference's string splice
+    return _PLACEHOLDER.sub(lambda _m: str(arg), template, count=1)
 
 
 def resolve_formats(user_formats: dict[str, dict[str, str]] | None) -> dict[str, dict[str, Any]]:

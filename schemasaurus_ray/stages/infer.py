@@ -210,7 +210,10 @@ def profile_to_spec(prof: dict[str, dict[str, Any]]) -> dict[str, Any]:
         if kind == "array" and p["min_len"] is not None:
             c["minItems"] = p["min_len"]
             c["maxItems"] = p["max_len"]
-        if kind in ("integer", "string", "boolean") and p["distinct"] is not None:
+        if kind in ("integer", "string", "boolean") and p["distinct"]:
+            # note: empty distinct (all-null column) must NOT become enum []
+            # — draft-4 enums are non-empty, and [] would reject any future
+            # non-null value
             c["enum"] = p["distinct"]
         columns[col] = c
     return {"columns": columns}

@@ -501,6 +501,10 @@ def test_message_interpolation():
     assert render("shall have length no more than %d", 2) == "shall have length no more than 2"
     assert render("shall match pattern %s", "^a$") == "shall match pattern ^a$"
     assert render("is required", None) == "is required"
+    # args containing regex-escape-looking text splice VERBATIM (a plain
+    # re.sub repl string would raise 'bad escape \\u' — hypothesis-found)
+    assert render("shall be one of %s", r"A\d") == r"shall be one of A\d"
+    assert render("shall be %s", "a\\b") == "shall be a\\b"
 
 
 def test_additional_properties_schema_form():

@@ -201,3 +201,37 @@ def test_spec_diff_profiles_field_kinds():
     assert not any(c == "gone" and f != "presence" for c, f in rows)
     # self-diff is empty
     assert len(spec_diff_profiles(a, a)) == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ints=st.lists(st.one_of(st.none(), st.integers(-10**9, 10**9)), min_size=1, max_size=60),
+    floats=st.lists(
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)),
+        min_size=1,
+        max_size=60,
+    ),
+    strs=st.lists(st.one_of(st.none(), st.text(max_size=30)), min_size=1, max_size=60),
+    batch_rows=st.integers(1, 20),
+)
+def test_infer_round_trip_property(ints, floats, strs, batch_rows):
+    """PROPERTY: for any table, the spec inferred from it validates it with
+    zero violations (the inference bounds are, by construction, satisfied
+    by the data that produced them)."""
+    n = max(len(ints), len(floats), len(strs))
+    pad = lambda xs: xs + [None] * (n - len(xs))
+    t = pa.table(
+        {
+            "i": pa.array(pad(ints), pa.int64()),
+            "f": pa.array(pad(floats), pa.float64()),
+            "s": pa.array(pad(strs), pa.string()),
+        }
+    )
+    spec = profile_to_spec(_profile(t, batch_rows=batch_rows))
+    out = RowRuleStage(spec)(t)
+    viols = out.filter(pa.compute.equal(out.column("kind"), "violation"))
+    assert len(viols) == 0, viols.to_pylist()[:5]
