@@ -170,3 +170,71 @@ def test_orphan_rows_bloom_matches_broadcast(ray_session):
     empty_ref = rd.from_arrow(pa.table({"r": pa.array([], pa.int64())}))
     got = rows(orphan_rows(left, "x", empty_ref, "r", method="bloom"))
     assert len(got) == 8
+
+
+def test_grouped_topk_property_vs_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schemasaurus_ray.stages.stats import grouped_topk_table
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 80),
+        k=st.integers(1, 5),
+        ngroups=st.integers(1, 6),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n, k, ngroups, seed):
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, ngroups, size=n)
+        v = rng.integers(-5, 5, size=n)  # heavy ties
+        t = pa.table(
+            {
+                "g": pa.array([f"g{x}" for x in g]),
+                "v": pa.array(v, pa.int64()),
+                "id": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+        out = grouped_topk_table(t, "g", "v", "id", k)
+        got = sorted(zip(*[out.column(c).to_pylist() for c in ("g", "v", "id", "rnk")]))
+        want = []
+        for grp in sorted(set(f"g{x}" for x in g)):
+            rows = sorted(
+                [(int(vv), int(i)) for gg, vv, i in zip(g, v, range(n)) if f"g{gg}" == grp],
+                key=lambda r: (-r[0], r[1]),
+            )[:k]
+            want.extend((grp, vv, i, r + 1) for r, (vv, i) in enumerate(rows))
+        assert got == sorted(want)
+
+    check()
+
+
+def test_bloom_no_false_negatives_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schemasaurus_ray.state.bloom import BloomFilter
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 3000),
+        fp=st.sampled_from([0.001, 0.01, 0.1]),
+        seed=st.integers(0, 10**6),
+        splits=st.integers(1, 5),
+    )
+    def check(n, fp, seed, splits):
+        rng = np.random.default_rng(seed)
+        keys = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        bf = BloomFilter.sized_for(n, fp)
+        merged = BloomFilter(bf.m, bf.k)
+        for part in np.array_split(keys, splits):  # mergeable partials
+            p = BloomFilter(bf.m, bf.k)
+            p.add_hashes(part)
+            merged.merge(p)
+        assert merged.contains_hashes(keys).all()
+
+    check()
