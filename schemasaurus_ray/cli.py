@@ -91,11 +91,20 @@ def _cmd_infer(args) -> int:
     if args.out:
         with open(args.out, "w") as f:
             _json.dump(spec, f, indent=2, sort_keys=True)
-    print(
-        _json.dumps(
-            {"spec": spec, "profile": profile_to_table(prof).to_pylist()}, sort_keys=True
-        )
-    )
+    if args.profile_out:
+        from .stages.infer import profile_to_json
+
+        with open(args.profile_out, "w") as f:
+            f.write(profile_to_json(prof))
+    result = {"spec": spec, "profile": profile_to_table(prof).to_pylist()}
+    if args.diff_snapshot:
+        from .stages.infer import profile_from_json, spec_diff_profiles
+
+        with open(args.diff_snapshot) as f:
+            old = profile_from_json(f.read())
+        # diff orientation: a = snapshot (then), b = current table (now)
+        result["drift"] = spec_diff_profiles(old, prof).to_pylist()
+    print(_json.dumps(result, sort_keys=True))
     return 0
 
 
@@ -119,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="parquet file or directory of shards")
     p.add_argument("--out", default=None, help="write the suggested spec JSON here")
     p.add_argument("--columns", default=None, help="comma-separated column subset")
+    p.add_argument("--profile-out", default=None,
+                   help="persist the merged profile JSON (spec-space snapshot)")
+    p.add_argument("--diff-snapshot", default=None,
+                   help="earlier --profile-out file: print the spec-space drift rows")
     p.add_argument("--num-cpus", type=int, default=None)
 
     args = parser.parse_args(argv)

@@ -250,6 +250,22 @@ NUM_FIELDS = ("required", "min_v", "max_v", "min_len", "max_len", "n_distinct")
 STR_FIELDS = ("inferred_type", "enum_vals", "fmt")
 
 
+def profile_to_json(prof: dict[str, dict[str, Any]]) -> str:
+    """Persistable snapshot of a merged profile (the spec-space analogue of
+    the drift snapshot): JSON round-trips every field spec_diff_profiles
+    reads — distinct lists are already materialized by merge, date-time
+    distincts are isoformat strings, min/max are plain numbers."""
+    import json
+
+    return json.dumps(prof, sort_keys=True)
+
+
+def profile_from_json(s: str) -> dict[str, dict[str, Any]]:
+    import json
+
+    return json.loads(s)
+
+
 def profile_to_table(prof: dict[str, dict[str, Any]]) -> pa.Table:
     """Flat profile (one row per column, sorted by name) — the oracle-facing
     product. enum_vals is the ','-joined str()-sorted distinct list

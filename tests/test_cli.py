@@ -76,3 +76,25 @@ def test_cli_infer_then_validate(fix, tmp_path_factory, capsys):
     # in an inferred column-only spec
     assert rc in (0, 3)
     assert captured["metrics"]["rows_total"] == 1000
+
+
+def test_cli_infer_profile_snapshot_diff(fix, tmp_path_factory, capsys):
+    """Spec-space drift is operational: --profile-out persists the merged
+    profile; a later run --diff-snapshot's against it. Same table -> empty
+    drift; a column subset -> presence rows."""
+    d = tmp_path_factory.mktemp("clisnapdiff")
+    prof_path = str(d / "profile.json")
+    rc = main(["infer", "--input", fix["clips"], "--profile-out", prof_path,
+               "--columns", "clip_id,sr_hz,codec"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["infer", "--input", fix["clips"], "--diff-snapshot", prof_path,
+               "--columns", "clip_id,sr_hz,codec"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["drift"] == []  # same table, same columns
+    rc = main(["infer", "--input", fix["clips"], "--diff-snapshot", prof_path,
+               "--columns", "clip_id,sr_hz"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    drift = {(r["col_name"], r["field"]): r for r in out["drift"]}
+    assert drift[("codec", "presence")]["val_a_str"] == "present"
+    assert drift[("codec", "presence")]["val_b_str"] is None
