@@ -733,6 +733,51 @@ def validate_audio_clips(sf_dir: str) -> pa.Table:
     return agg.rename_columns(["column", "code", "cnt"]).sort_by([("column", "ascending"), ("code", "ascending")])
 
 
+def audio_dedup_clips(sf_dir: str) -> pa.Table:
+    """EXACT payload dedup over the audio clip table: 64-bit content hash
+    of the WAV bytes → min(clip_id) per identical payload — the audio
+    analogue of dedup_exact_documents, through the same exact_dedup
+    machinery (hash_column handles binary via the ahash path; the blob
+    itself never enters the shuffle). Duplicates are PLANTED in-stream
+    (every clip whose id ends in '7' gains a 'zdup_' copy — the planted-id
+    pattern the embedding near-dup oracle uses), so the golden is exact:
+    removed ids == the planted ones. Returns the removed duplicate ids."""
+    import glob as glob_
+
+    from ..functions.dedup import exact_dedup
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes"],
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ends7 = pc.ends_with(batch.column("clip_id").combine_chunks(), pattern="7")
+        dups = batch.filter(ends7)
+        dup_ids = pc.binary_join_element_wise(
+            pa.array(["zdup_"] * dups.num_rows, pa.string()),
+            dups.column("clip_id").combine_chunks().cast(pa.string()),
+            "",
+        )
+        dups = dups.set_column(dups.column_names.index("clip_id"), "clip_id", dup_ids)
+        return pa.concat_tables([batch, dups]).combine_chunks()
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    survivors = set(
+        _collect(exact_dedup(planted, text_col="bytes", id_col="clip_id"))
+        .column("clip_id")
+        .to_pylist()
+    )
+    # min(clip_id) per payload keeps the original ('zdup_' sorts after it),
+    # so removed = planted ids not among the survivors
+    removed = sorted(
+        f"zdup_{k}" for k in survivors if k.endswith("7") and f"zdup_{k}" not in survivors
+    )
+    return pa.table({"removed_id": pa.array(removed, pa.string())})
+
+
 def audio_features(sf_dir: str) -> pa.Table:
     """Actor-pool audio decode + feature extraction over the fixture."""
     import ray.data as rd

@@ -303,3 +303,25 @@ def test_speech_rate_clips_golden(ray_session):
     )
     assert got_rows == want
     assert len(want) > 0  # fixture injections guarantee violations
+
+
+def test_audio_dedup_clips_exact_golden(ray_session):
+    """Planted payload duplicates: removed == exactly the 'zdup_' copies of
+    every clip whose id ends in '7' — none missed, none extra (binary
+    content-hash dedup over WAV bytes)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import _audio_fixture, audio_dedup_clips
+
+    out = audio_dedup_clips("/root/testdata/sf0.001")
+    removed = out.column("removed_id").to_pylist()
+    fix = _audio_fixture()
+    ids = []
+    for p in sorted(glob.glob(os.path.join(fix, "clips", "*.parquet"))):
+        ids.extend(pq.read_table(p, columns=["clip_id"]).column("clip_id").to_pylist())
+    expected = sorted(f"zdup_{i}" for i in set(ids) if i.endswith("7"))
+    assert removed == expected and len(removed) > 0
