@@ -778,6 +778,58 @@ def audio_dedup_clips(sf_dir: str) -> pa.Table:
     return pa.table({"removed_id": pa.array(removed, pa.string())})
 
 
+def audio_curate_clips(sf_dir: str) -> pa.Table:
+    """End-to-end AUDIO curation — the audio-axis sibling of
+    curate_documents: exact payload dedup (groupby-min over 64-bit content
+    hashes, the only shuffle) → survivor-id set broadcast once → ONE
+    streaming map_batches pass applying the spec window (sr_hz enum,
+    dur_ms bounds from AUDIO_CLIP_SPEC — predicates derive from the spec,
+    not re-typed constants) + signal-quality floor (decodable, not silent,
+    clipping ≤ 5%) computed batch-local from the PCM. Returns the kept
+    (clip_id, sr_hz, dur_ms); blobs never leave the tasks."""
+    import glob as glob_
+
+    import ray
+
+    from ..audio import pcm_segment_stats
+    from ..functions.dedup import exact_dedup
+    from ..sources.io import read_parquet_tasks
+    from ..specs import AUDIO_CLIP_SPEC
+    from ..util import hash_column
+
+    fix = _audio_fixture()
+    paths = sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet")))
+    meta_cols = ["clip_id", "sr_hz", "dur_ms"]
+
+    survivors = _collect(
+        exact_dedup(read_parquet_tasks(paths, columns=["clip_id", "bytes"]),
+                    text_col="bytes", id_col="clip_id")
+    )
+    keep_hashes = ray.put(np.sort(hash_column(survivors.column("clip_id"))))
+
+    sr_rule = AUDIO_CLIP_SPEC["columns"]["sr_hz"]
+    dur_rule = AUDIO_CLIP_SPEC["columns"]["dur_ms"]
+    sr_enum = np.array(sr_rule["enum"], dtype=np.int64)
+    dur_lo, dur_hi = dur_rule["minimum"], dur_rule["maximum"]
+
+    def curate(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keep_hashes)  # zero-copy shared read
+        h = hash_column(batch.column("clip_id"))
+        pos = np.searchsorted(keys, h).clip(max=max(len(keys) - 1, 0))
+        surviving = keys[pos] == h if len(keys) else np.zeros(len(h), bool)
+        sr = np.asarray(batch.column("sr_hz").combine_chunks(), dtype=np.int64)
+        dur = np.asarray(batch.column("dur_ms").combine_chunks(), dtype=np.int64)
+        window = np.isin(sr, sr_enum) & (dur > dur_lo) & (dur <= dur_hi)
+        st = pcm_segment_stats(batch.column("bytes"))
+        quality = st["valid"] & (st["rms"] >= 1e-3) & (st["clip_ratio"] <= 0.05)
+        keep = surviving & window & quality
+        return batch.select(meta_cols).filter(pa.array(keep))
+
+    ds = read_parquet_tasks(paths, columns=meta_cols + ["bytes"])
+    out = _collect(ds.map_batches(curate, batch_format="pyarrow", batch_size=256))
+    return out.sort_by("clip_id")
+
+
 def audio_features(sf_dir: str) -> pa.Table:
     """Actor-pool audio decode + feature extraction over the fixture."""
     import ray.data as rd

@@ -325,3 +325,50 @@ def test_audio_dedup_clips_exact_golden(ray_session):
         ids.extend(pq.read_table(p, columns=["clip_id"]).column("clip_id").to_pylist())
     expected = sorted(f"zdup_{i}" for i in set(ids) if i.endswith("7"))
     assert removed == expected and len(removed) > 0
+
+
+def test_audio_curate_clips_matches_independent_predicates(ray_session):
+    """Curation golden via an INDEPENDENT implementation: stdlib wave
+    decode for validity/rms/clipping, plain python for the spec window and
+    payload-dup survivorship — must equal the engine's kept set exactly."""
+    import glob
+    import io
+    import os
+    import tempfile
+    import wave
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import _audio_fixture, audio_curate_clips
+
+    kept = audio_curate_clips("/root/testdata/sf0.001").column("clip_id").to_pylist()
+    fix = _audio_fixture()
+    rows = []
+    for p in sorted(glob.glob(os.path.join(fix, "clips", "*.parquet"))):
+        rows.extend(pq.read_table(p).to_pylist())
+    seen_payloads: dict = {}
+    expected = []
+    for r in sorted(rows, key=lambda r: r["clip_id"]):
+        first = seen_payloads.setdefault(r["bytes"], r["clip_id"])
+        if first != r["clip_id"]:
+            continue  # payload dup loses to min id
+        if r["sr_hz"] not in (8000, 16000, 22050, 44100):
+            continue
+        if not (0 < r["dur_ms"] <= 60000):
+            continue
+        try:
+            with wave.open(io.BytesIO(r["bytes"])) as w:
+                frames = w.readframes(w.getnframes())
+            s = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+            if len(s) == 0:
+                continue
+            rms = float(np.sqrt(np.mean(s * s)))
+            clip_ratio = float(np.mean(np.abs(s * 32768.0) >= 32760))
+        except Exception:
+            continue
+        if rms < 1e-3 or clip_ratio > 0.05:
+            continue
+        expected.append(r["clip_id"])
+    assert kept == expected
+    assert 0 < len(kept) < len(rows)  # predicates actually removed rows
