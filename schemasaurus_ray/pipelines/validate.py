@@ -271,6 +271,7 @@ class ValidationReport:
             parts_ok
             and self.metrics.get("duplicate_keys", 0) == 0
             and self.metrics.get("orphans", 0) == 0
+            and self.metrics.get("quantile_violations", 0) == 0
         )
 
 
@@ -374,6 +375,11 @@ class ValidationPipeline:
         stats_cols = self.spec.stats or [
             c for c in self.spec.columns if self.spec.columns[c].get("type") != "binary"
         ]
+        for qc in self.spec.quantile_checks:
+            # quantile constraints ride the stats pass's t-digests — their
+            # columns must be profiled even if the user narrowed `stats`
+            if qc.column not in stats_cols:
+                stats_cols.append(qc.column)
 
         # ---- select the fused key rule (uniqueness + referential sharing a
         # key column). Its shuffle runs ENTIRELY FROM PARTIALS: the row pass
@@ -632,6 +638,44 @@ class ValidationPipeline:
         merged_stats = merge_stats_partials(stats_partials)
         stats_tbl = stats_to_table(merged_stats)
 
+        # ---- table-level quantile constraints (spec.QuantileCheck) ----
+        # evaluated on the merged t-digests: mergeable partials already
+        # persisted per shard, so resumed runs re-check without re-reading
+        quantile_viol_rows: list[pa.Table] = []
+        quantile_results: list[dict[str, Any]] = []
+        for qc in self.spec.quantile_checks:
+            td = merged_stats.get(qc.column, {}).get("_tdigest")
+            if td is None:
+                continue  # no numeric data profiled for this column
+            val = float(td.quantile(np.array([qc.q]))[0])
+            for bound, code, breached in (
+                (qc.maximum, "quantile.maximum", qc.maximum is not None and val > qc.maximum),
+                (qc.minimum, "quantile.minimum", qc.minimum is not None and val < qc.minimum),
+            ):
+                if bound is None:
+                    continue
+                quantile_results.append(
+                    {"column": qc.column, "q": qc.q, "value": val, "bound": bound,
+                     "code": code, "breached": bool(breached)}
+                )
+                if breached:
+                    quantile_viol_rows.append(
+                        pa.table(
+                            {
+                                "row_ref": pa.array([f"{qc.column}@q{qc.q}"], pa.string()),
+                                "column": pa.array([qc.column], pa.string()),
+                                "code": pa.array([code], pa.string()),
+                                "message": pa.array(
+                                    [f"p{qc.q} = {val:.6g} shall be "
+                                     f"{'<=' if code.endswith('maximum') else '>='} {bound}"],
+                                    pa.string(),
+                                ),
+                                "pid": pa.array([-1], pa.int32()),
+                            }
+                        )
+                    )
+        quantile_violations = len(quantile_viol_rows)
+
         # ---- global shuffle rules over key-only projections (all shards) ----
         t_shuffles = time.time()
 
@@ -731,6 +775,7 @@ class ValidationPipeline:
                         f"shall reference an existing {ref_rule.ref_table}.{ref_rule.ref_column}",
                     )
                 )
+        global_viols.extend(quantile_viol_rows)
         # sink key-rule violations: pid-attributed rows land in their
         # partition's directory (part-global.parquet, rewritten every run —
         # global checks always re-run); unattributed rows (−1) go to
@@ -808,6 +853,7 @@ class ValidationPipeline:
             "row_violations": row_violations,
             "duplicate_keys": dup_count,
             "orphans": orphan_count,
+            "quantile_violations": quantile_violations,
             "drifted_partitions": len(drifted_pids),
             "wall_time_sec": time.time() - t0,
             "phase_sec": {
@@ -823,6 +869,7 @@ class ValidationPipeline:
             "partitions": {str(pid): {**rec} for pid, rec in part_records.items()},
             "metrics": metrics,
             "drift": drift_results,
+            "quantiles": quantile_results,
         }
         _atomic_write(self._manifest_path(), json.dumps(manifest, indent=1))
 

@@ -124,6 +124,21 @@ class DriftRule:
 
 
 @dataclass
+class QuantileCheck:
+    """Table-level percentile constraint (e.g. 'p99 of dur_ms ≤ 50000') —
+    evaluated on the merged t-digest from the stats pass (mergeable and
+    already persisted per shard, so it is resume-safe for free). The
+    quantile is the t-digest approximation; use the exact bounded-domain
+    path (stages/stats.exact_quantiles_from_counts) when exactness beats
+    streaming."""
+
+    column: str
+    q: float
+    minimum: float | None = None
+    maximum: float | None = None
+
+
+@dataclass
 class TableSpec:
     """Compiled table-level spec."""
 
@@ -132,6 +147,7 @@ class TableSpec:
     references: list[ReferenceRule] = field(default_factory=list)
     stats: list[str] = field(default_factory=list)
     drift: DriftRule | None = None
+    quantile_checks: list[QuantileCheck] = field(default_factory=list)
     key_column: str | None = None  # row_ref source; default: first unique col
     extra_columns: str = "ignore"  # "ignore" | "error" (additionalProperties:false)
     options: dict[str, Any] = field(default_factory=dict)  # formats/custom/gettext/messages
@@ -172,12 +188,22 @@ def parse_table_spec(raw: dict[str, Any], options: dict[str, Any] | None = None)
             ks_threshold=d.get("ks_threshold", 0.15),
             psi_threshold=d.get("psi_threshold", 0.25),
         )
+    qchecks = [
+        QuantileCheck(
+            column=qc["column"],
+            q=float(qc["q"]),
+            minimum=qc.get("minimum"),
+            maximum=qc.get("maximum"),
+        )
+        for qc in t.get("quantile_checks", [])
+    ]
     return TableSpec(
         columns=cols,
         unique=unique,
         references=refs,
         stats=list(t.get("stats", [])),
         drift=drift,
+        quantile_checks=qchecks,
         key_column=t.get("key"),
         extra_columns="error" if t.get("additionalColumns") is False else "ignore",
         options=options or raw.get("options", {}),

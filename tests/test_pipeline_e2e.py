@@ -484,3 +484,42 @@ def test_many_shards_key_checks_exact(tmp_path_factory, ray_session):
     rep2 = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out).run(str(d), resume=True)
     assert rep2.metrics["shards_validated_this_run"] == 0
     assert rep2.metrics["duplicate_keys"] == len(dup_ids)
+
+
+def test_quantile_constraints_in_pipeline(tmp_path_factory, ray_session):
+    """Table-level percentile constraints ride the stats t-digests: a
+    satisfiable p99 bound passes, an impossible p50 bound fails the run
+    with a global quantile.maximum violation row — and the verdict
+    survives resume (t-digest partials reload from disk)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.validate import ValidationPipeline
+    from schemasaurus_ray.sources.fixtures import write_fixture
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    fix = write_fixture(
+        str(tmp_path_factory.mktemp("qcfix")), n=1000, shards=2, with_audio=False, inject=False
+    )
+    spec = json.loads(json.dumps(AUDIO_CLIP_SPEC_NO_BYTES))  # deep copy
+    spec["table"]["quantile_checks"] = [
+        {"column": "dur_ms", "q": 0.99, "maximum": 100000},   # holds
+        {"column": "dur_ms", "q": 0.5, "maximum": 1},         # impossible
+        {"column": "sr_hz", "q": 0.5, "minimum": 1},          # holds
+    ]
+    out_dir = str(tmp_path_factory.mktemp("qcout"))
+    report = ValidationPipeline(spec, out_dir).run(fix["clips"])
+    assert report.metrics["quantile_violations"] == 1
+    assert report.valid is False
+    gv = pq.read_table(os.path.join(out_dir, "violations", "global", "part-0.parquet"))
+    codes = set(gv.column("code").to_pylist())
+    assert "quantile.maximum" in codes
+    manifest = json.load(open(report.manifest_path))
+    assert sum(q["breached"] for q in manifest["quantiles"]) == 1
+    # resume: no shards re-validated, verdict identical from reloaded partials
+    report2 = ValidationPipeline(spec, out_dir).run(fix["clips"])
+    assert report2.metrics["shards_validated_this_run"] == 0
+    assert report2.metrics["quantile_violations"] == 1
+    assert report2.valid is False
