@@ -39,6 +39,9 @@ AUDIO_CLIP_SPEC: dict = {
             "ks_threshold": 0.15,
             "psi_threshold": 0.25,
         },
+        # table-level percentile SLO (spec.QuantileCheck, merged t-digest):
+        # the tail of clip durations must stay under the spec maximum
+        "quantile_checks": [{"column": "dur_ms", "q": 0.99, "maximum": 60000}],
     },
     "options": {"custom": {"pcm": pcm_consistency}},
 }
