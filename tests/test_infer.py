@@ -235,3 +235,27 @@ def test_infer_round_trip_property(ints, floats, strs, batch_rows):
     out = RowRuleStage(spec)(t)
     viols = out.filter(pa.compute.equal(out.column("kind"), "violation"))
     assert len(viols) == 0, viols.to_pylist()[:5]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals_a=st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=40),
+    vals_b=st.lists(st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=40),
+    seed=st.integers(0, 10**6),
+)
+def test_spec_diff_swap_property(vals_a, vals_b, seed):
+    """PROPERTY: swapping the diff's sides swaps the val_a/val_b columns
+    row-for-row and changes nothing else; self-diff is always empty."""
+    from schemasaurus_ray.stages.infer import spec_diff_profiles
+
+    a = _profile(pa.table({"x": pa.array(vals_a, pa.int64())}))
+    b = _profile(pa.table({"x": pa.array(vals_b, pa.int64())}))
+    ab = spec_diff_profiles(a, b).to_pylist()
+    ba = spec_diff_profiles(b, a).to_pylist()
+    flip = [
+        {**r, "val_a_num": r["val_b_num"], "val_b_num": r["val_a_num"],
+         "val_a_str": r["val_b_str"], "val_b_str": r["val_a_str"]}
+        for r in ba
+    ]
+    assert sorted(map(str, ab)) == sorted(map(str, flip))
+    assert spec_diff_profiles(a, a).num_rows == 0

@@ -100,3 +100,46 @@ def test_read_parquet_aligned_schema_evolution(tmp_path_factory, ray_session):
     ds = read_parquet_aligned(paths, columns=["a", "c"])
     t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
     assert sorted(t.column_names) == ["a", "c"] and t.num_rows == 3
+
+
+def test_align_to_schema_property():
+    """PROPERTY: alignment is idempotent, schema-exact, and value-preserving
+    for columns present in both (over random column subsets and orders)."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schemasaurus_ray.sources.io import align_to_schema
+
+    FIELDS = [("a", pa.int64()), ("b", pa.string()), ("c", pa.float64()), ("d", pa.bool_())]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        present=st.sets(st.sampled_from(["a", "b", "c", "d"])),
+        target=st.permutations(FIELDS),
+        n=st.integers(0, 20),
+        seed=st.integers(0, 10**6),
+    )
+    def check(present, target, n, seed):
+        rng = np.random.default_rng(seed)
+        gen = {
+            "a": lambda: pa.array(rng.integers(0, 100, n), pa.int64()),
+            "b": lambda: pa.array([f"s{i}" for i in rng.integers(0, 9, n)], pa.string()),
+            "c": lambda: pa.array(rng.random(n), pa.float64()),
+            "d": lambda: pa.array(rng.random(n) < 0.5, pa.bool_()),
+        }
+        cols = {name: gen[name]() for name in sorted(present)} or {"x": pa.array([0] * n, pa.int8())}
+        batch = pa.table(cols)
+        schema = pa.schema(target)
+        out = align_to_schema(batch, schema)
+        assert out.schema == schema and out.num_rows == n
+        for name, _t in [(f[0], f[1]) for f in target]:
+            if name in batch.column_names:
+                assert out.column(name).to_pylist() == batch.column(name).to_pylist()
+            else:
+                assert out.column(name).null_count == n
+        # idempotent
+        assert align_to_schema(out, schema).equals(out)
+
+    check()
