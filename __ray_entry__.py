@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped aggregate constraint + join rollup
         "agg_constraint_orders": q.agg_constraint_orders,
         "revenue_by_segment": q.revenue_by_segment,
+        "revenue_by_segment_flag": q.revenue_by_segment_flag,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_incremental_documents": q.dedup_incremental_documents,
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_diff_documents": q.spec_diff_documents,
         # exact bounded-domain quantiles (sibling of the t-digest sketch)
         "quantiles_lineitem": q.quantiles_lineitem,
+        "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
         "top_docs_per_lang": q.top_docs_per_lang,
@@ -297,9 +299,22 @@ def _quantiles_oracle_sql() -> str:
     return " UNION ALL ".join(arms)
 
 
+def _grouped_quantiles_oracle_sql() -> str:
+    from schemasaurus_ray.pipelines.queries import QUANTILE_BPS
+
+    arms = [
+        f"SELECT l_returnflag, {bp} AS q_bp, "
+        f"CAST(quantile_disc(l_quantity, {bp / 10000}) AS DOUBLE) AS val "
+        f"FROM lineitem GROUP BY l_returnflag"
+        for bp in QUANTILE_BPS
+    ]
+    return " UNION ALL ".join(arms) + " ORDER BY l_returnflag, q_bp"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
+        "grouped_quantiles_lineitem": _grouped_quantiles_oracle_sql(),
         "spec_diff_documents": _spec_diff_oracle_sql(),
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
@@ -350,6 +365,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
               FROM orders JOIN customer ON o_custkey = c_custkey
              GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "revenue_by_segment_flag": """
+            SELECT c_mktsegment, l_returnflag,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment, l_returnflag
+             ORDER BY c_mktsegment, l_returnflag
         """,
         "top_docs_per_lang": """
             SELECT lang, doc_id, n_chars, rnk FROM (

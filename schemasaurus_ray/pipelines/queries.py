@@ -318,6 +318,72 @@ def revenue_by_segment(sf_dir: str) -> pa.Table:
     return out.filter(pc.greater(out.column("n_orders"), 0)).sort_by("c_mktsegment")
 
 
+def revenue_by_segment_flag(sf_dir: str) -> pa.Table:
+    """TWO-HOP join rollup: lineitem ⋈ orders on orderkey through the
+    raw-Ray bucketed equi-join with the aggregation pushed INTO the reduce
+    (each bucket returns only (custkey, returnflag, cents) partials), then
+    the customer dimension applied batch-free on the tiny partial table
+    via one sorted-key lookup. Revenue in integer cents end-to-end — the
+    canonical fact⋈fact⋈dim plan with one bucket shuffle total."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.join import equi_join_shuffled
+
+    def reduce_fn(joined: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(joined.column("l_extendedprice").combine_chunks(), dtype=np.float64)
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_custkey": joined.column("o_custkey"),
+                "l_returnflag": joined.column("l_returnflag"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        out = t.group_by(["o_custkey", "l_returnflag"]).aggregate([("cents", "sum")])
+        return out.rename_columns(["o_custkey", "l_returnflag", "cents"])
+
+    partial = equi_join_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_returnflag"],
+        [os.path.join(sf_dir, "orders.parquet")],
+        "o_orderkey",
+        ["o_orderkey", "o_custkey"],
+        join_type="inner",
+        reduce_fn=reduce_fn,
+    )
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.asarray(cust.column("c_custkey").combine_chunks(), dtype=np.int64)
+    seg_dict = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+    codes = np.asarray(seg_dict.indices, dtype=np.int64)
+    segments = seg_dict.dictionary.to_pylist()
+    order = np.argsort(keys)
+    skeys, scodes = keys[order], codes[order]
+
+    ck = np.asarray(partial.column("o_custkey").combine_chunks(), dtype=np.int64)
+    pos = np.searchsorted(skeys, ck).clip(max=max(len(skeys) - 1, 0))
+    hit = skeys[pos] == ck if len(skeys) else np.zeros(len(ck), bool)
+    seg = pa.DictionaryArray.from_arrays(
+        pa.array(scodes[pos].astype(np.int32), pa.int32(), mask=~hit),
+        pa.array(segments, pa.string()),
+    ).cast(pa.string())
+    t = pa.table(
+        {
+            "c_mktsegment": seg,
+            "l_returnflag": partial.column("l_returnflag").combine_chunks(),
+            "cents": partial.column("cents").combine_chunks(),
+        }
+    ).filter(pc.is_valid(seg))
+    out = t.group_by(["c_mktsegment", "l_returnflag"]).aggregate([("cents", "sum")])
+    out = out.rename_columns(["c_mktsegment", "l_returnflag", "revenue_cents"])
+    return out.sort_by([("c_mktsegment", "ascending"), ("l_returnflag", "ascending")])
+
+
 # ---- grouped histogram (PSI input) -----------------------------------------
 def histogram_events_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
@@ -1455,6 +1521,43 @@ def quantiles_lineitem(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "col_name": pa.array(names, pa.string()),
+            "q_bp": pa.array(bps, pa.int64()),
+            "val": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def grouped_quantiles_lineitem(sf_dir: str) -> pa.Table:
+    """EXACT quantiles PER GROUP over a bounded domain: quantile_disc of
+    l_quantity per l_returnflag. The (group, value) count table comes out
+    of the same raw-Ray key shuffle as the uniqueness checks (min_count=1
+    → full distinct counts, O(groups × domain) rows), then the per-group
+    discrete quantile is integer rank arithmetic on the driver."""
+    from ..stages.shuffle import count_keys_shuffled
+    from ..stages.stats import exact_quantiles_from_counts
+
+    counts = count_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        ["l_returnflag", "l_quantity"],
+        min_count=1,
+    )
+    per_group: dict[str, dict[float, int]] = {}
+    for flag, qty, cnt in zip(
+        counts.column("l_returnflag").to_pylist(),
+        counts.column("l_quantity").to_pylist(),
+        counts.column("cnt").to_pylist(),
+    ):
+        per_group.setdefault(flag, {})[float(qty)] = int(cnt)
+    flags, bps, vals = [], [], []
+    for flag in sorted(per_group):
+        qs = exact_quantiles_from_counts(per_group[flag], QUANTILE_BPS)
+        for bp, v in zip(QUANTILE_BPS, qs):
+            flags.append(flag)
+            bps.append(bp)
+            vals.append(v)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
             "q_bp": pa.array(bps, pa.int64()),
             "val": pa.array(vals, pa.float64()),
         }
