@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,
         "curate_documents": q.curate_documents,
+        "decontaminate_documents": q.decontaminate_documents,
         "fingerprint_documents": q.fingerprint_documents,
         "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
@@ -319,6 +320,17 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "decontaminate_documents": """
+            WITH bench AS (
+                SELECT text FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 11 = 3
+            )
+            SELECT d.doc_id FROM documents d
+             WHERE d.doc_id % 7 <> 0
+               AND EXISTS (SELECT 1 FROM bench b WHERE b.text = d.text)
+             ORDER BY d.doc_id
         """,
         "unique_events_composite": """
             SELECT user_id, event_type, COUNT(*) AS cnt

@@ -1564,6 +1564,48 @@ def grouped_quantiles_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def decontaminate_documents(sf_dir: str) -> pa.Table:
+    """Benchmark DECONTAMINATION — the training-data op of removing corpus
+    documents whose text appears in an evaluation set. Benchmark = docs
+    with doc_id%7==0 PLUS planted copies of doc_id%11==3 texts under new
+    ids (the corpus has no natural exact dupes, so leakage is planted the
+    same oracle-expressible way embedding_neardup plants its positives).
+    Shape: ONE pass collects the benchmark's 64-bit text hashes (8 B per
+    benchmark item on the driver — the eval set is the small side by
+    definition), broadcast once; a second streaming pass marks corpus
+    rows whose hash is in the set and which are not benchmark members."""
+    import ray
+
+    from ..util import hash_column
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        sel = ((ids % 7) == 0) | ((ids % 11) == 3)
+        texts = batch.column("text").combine_chunks().filter(pa.array(sel))
+        h = np.unique(hash_column(texts)) if len(texts) else np.zeros(0, np.uint64)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    hs = [np.zeros(0, np.uint64)]
+    for b in ds.map_batches(bench_hashes, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        hs.append(np.asarray(b.column("h").combine_chunks()).view(np.uint64))
+    bench_ref = ray.put(np.unique(np.concatenate(hs)))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        h = hash_column(batch.column("text"))
+        pos = np.searchsorted(bench, h).clip(max=max(len(bench) - 1, 0))
+        leaked = (bench[pos] == h) if len(bench) else np.zeros(len(h), bool)
+        contaminated = leaked & ((ids % 7) != 0)
+        return pa.table({"doc_id": pa.array(ids[contaminated], pa.int64())})
+
+    return _collect(ds.map_batches(mark, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def _infer_spec_table(sf_dir: str, table: str) -> pa.Table:
     """Spec inference (stages/infer.py): ONE streaming pass of per-batch
     per-column partials (min/max, length bounds, capped distinct set,
