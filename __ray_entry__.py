@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": q.quality_documents,
         "curate_documents": q.curate_documents,
         "decontaminate_documents": q.decontaminate_documents,
+        "repetition_documents": q.repetition_documents,
         "fingerprint_documents": q.fingerprint_documents,
         "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
@@ -320,6 +321,19 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "repetition_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß'']+'),
+                                   t -> t <> '') AS words
+                  FROM documents
+            )
+            SELECT doc_id,
+                   CAST(COALESCE(len(words), 0) AS BIGINT) AS n_words,
+                   CAST(FLOOR(10000.0 * COALESCE(len(list_distinct(words)), 0) /
+                        GREATEST(COALESCE(len(words), 0), 1)) AS BIGINT) AS distinct_bp
+              FROM toks ORDER BY doc_id
         """,
         "decontaminate_documents": """
             WITH bench AS (

@@ -228,3 +228,41 @@ class LangIdStage:
                 "lang_score": pa.array(out_scores, pa.float64()),
             }
         )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc word-repetition signal (Gopher-style quality rule): distinct
+    words / total words in basis points. Fully vectorized: one Arrow
+    lowercase+tokenize (the SAME word class the langid stage uses, so the
+    oracle tokenizer parity is already proven), one flat hash pass, then a
+    lexsort + first-occurrence mask + bincount for per-doc distinct counts
+    — no per-row Python. 64-bit word hashes stand in for the words
+    (collision odds ~1e-9 at corpus scale)."""
+    import pyarrow.compute as pc
+
+    from ..util import hash_column, single_chunk
+
+    col = single_chunk(batch.column(text_col))
+    n = len(col)
+    token_lists = pc.split_pattern_regex(pc.utf8_lower(col), r"[^a-zà-ÿäöüß']+")
+    flat = pc.list_flatten(token_lists)
+    keep = np.asarray(pc.not_equal(flat, "").fill_null(False))
+    lens = np.asarray(pc.list_value_length(token_lists).fill_null(0), dtype=np.int64)
+    parents = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+    total = np.bincount(parents, minlength=n).astype(np.int64)
+    if parents.size:
+        h = hash_column(flat.filter(pa.array(keep)))
+        order = np.lexsort((h, parents))
+        ps, hs = parents[order], h[order]
+        first = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+        distinct = np.bincount(ps[first], minlength=n).astype(np.int64)
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
+    bp = (10000 * distinct) // np.maximum(total, 1)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(total, pa.int64()),
+            "distinct_bp": pa.array(bp, pa.int64()),
+        }
+    )

@@ -1564,6 +1564,16 @@ def grouped_quantiles_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def repetition_documents(sf_dir: str) -> pa.Table:
+    """Word-repetition quality signal per doc (functions/text.py
+    repetition_stats): distinct/total words in floored basis points,
+    batch-local — no shuffle at all."""
+    from ..functions.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(repetition_stats, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def decontaminate_documents(sf_dir: str) -> pa.Table:
     """Benchmark DECONTAMINATION — the training-data op of removing corpus
     documents whose text appears in an evaluation set. Benchmark = docs
