@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": q.curate_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_documents": q.repetition_documents,
+        "redact_documents": q.redact_documents,
+        "split_assign_documents": q.split_assign_documents,
         "fingerprint_documents": q.fingerprint_documents,
         "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
@@ -321,6 +323,31 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "redact_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || ' ' || 'contact: user@' || COALESCE(source, 'x')
+                           || ' via https://' || COALESCE(source, 'x') || '/path' AS t
+                  FROM documents
+            ),
+            emailed AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t
+                  FROM planted
+            )
+            SELECT doc_id,
+                   regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS text_redacted,
+                   n_email + CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_redactions
+              FROM emailed ORDER BY doc_id
+        """,
+        "split_assign_documents": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f2' THEN 'val'
+                        ELSE 'test' END AS split
+              FROM documents ORDER BY doc_id
         """,
         "repetition_documents": """
             WITH toks AS (

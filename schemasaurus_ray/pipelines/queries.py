@@ -1574,6 +1574,73 @@ def repetition_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(repetition_stats, batch_format="pyarrow")).sort_by("doc_id")
 
 
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_REDACT_URL = r"https?://[^\s]+"
+
+
+def redact_documents(sf_dir: str) -> pa.Table:
+    """PII/URL scrubbing — the text-TRANSFORM curation op (vs the filters):
+    emails then URLs replaced with fixed tags via RE2 kernels inside one
+    map_batches; n_redactions counted per doc so the oracle can hash both
+    the rewritten text and the count. Stream-safe: pure batch-local."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        # plant redactable tokens deterministically from the row's own
+        # source column (the corpus has no natural emails/URLs), exactly as
+        # the SQL oracle does — then scrub them back out
+        text = pc.binary_join_element_wise(
+            batch.column("text").combine_chunks().fill_null(""),
+            pc.binary_join_element_wise(
+                pa.array(["contact: user@"] * batch.num_rows, pa.string()),
+                batch.column("source").combine_chunks().fill_null("x"),
+                pa.array([" via https://"] * batch.num_rows, pa.string()),
+                batch.column("source").combine_chunks().fill_null("x"),
+                pa.array(["/path"] * batch.num_rows, pa.string()),
+                "",
+            ),
+            " ",
+        )
+        n_email = pc.count_substring_regex(text, _REDACT_EMAIL)
+        red = pc.replace_substring_regex(text, _REDACT_EMAIL, "<EMAIL>")
+        n_url = pc.count_substring_regex(red, _REDACT_URL)
+        red = pc.replace_substring_regex(red, _REDACT_URL, "<URL>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_redacted": red,
+                "n_redactions": pc.add(n_email, n_url).cast(pa.int64()),
+            }
+        )
+
+    return _collect(ds.map_batches(scrub, batch_format="pyarrow")).sort_by("doc_id")
+
+
+SPLIT_BOUNDS = (0xE6, 0xF2)  # ≈90% train, ≈5% val, rest test (first md5 byte)
+
+
+def split_assign_documents(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment by content-independent id
+    hash (md5 first byte vs fixed bounds) — reproducible across block
+    layout, parallelism and cluster size, and disjoint by construction."""
+    from ..util import md5_digests
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    lo, hi = SPLIT_BOUNDS
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b0 = md5_digests(batch.column("doc_id").cast(pa.string()))[:, 0]
+        split = np.where(b0 < lo, "train", np.where(b0 < hi, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return _collect(ds.map_batches(assign, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def decontaminate_documents(sf_dir: str) -> pa.Table:
     """Benchmark DECONTAMINATION — the training-data op of removing corpus
     documents whose text appears in an evaluation set. Benchmark = docs
