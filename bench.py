@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "quantiles_lineitem",
     "agg_constraint_orders",
     "infer_spec_events",
+    "decontaminate_documents",
+    "repetition_documents",
 ]
 
 
