@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q.distinct_users_by_type,
         "referential_events_customer": q.referential_events_customer,
         "referential_bloom_orders": q.referential_bloom_orders,
+        "referential_chain_supplier": q.referential_chain_supplier,
         # grouped histogram (drift PSI input, §2E)
         "histogram_events_type": q.histogram_events_type,
         # grouped aggregate constraint + join rollup
@@ -397,6 +398,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE source IS NULL) AS n_source_null,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
               FROM u
+        """,
+        "referential_chain_supplier": """
+            WITH n AS (SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 15),
+            r AS (SELECT r_regionkey FROM region WHERE r_regionkey < 2),
+            ok2 AS (SELECT n_nationkey FROM n WHERE n_regionkey IN (SELECT r_regionkey FROM r))
+            SELECT CAST(s_suppkey AS VARCHAR) AS row_ref, 's_nationkey' AS col,
+                   CASE WHEN s_nationkey NOT IN (SELECT n_nationkey FROM n) THEN 'reference'
+                        ELSE 'reference.chain' END AS code
+              FROM supplier
+             WHERE s_nationkey NOT IN (SELECT n_nationkey FROM ok2)
+             ORDER BY row_ref
         """,
         "referential_bloom_orders": """
             SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS col, 'reference' AS code

@@ -199,6 +199,57 @@ def unique_events_composite(sf_dir: str) -> pa.Table:
     )
 
 
+def referential_chain_supplier(sf_dir: str) -> pa.Table:
+    """CHAINED (multi-hop) referential integrity in ONE pass over the fact
+    side: supplier.s_nationkey must exist in nation (narrowed to
+    n_nationkey < 15 so orphans exist), and the nation's n_regionkey must
+    exist in region (narrowed to r_regionkey < 2). Both dimension hops are
+    composed driver-side into a single VALID-KEY set (nations that exist
+    AND whose region exists) plus a first-hop set, broadcast once — the
+    supplier scan classifies each row as 'reference' (nation missing) or
+    'reference.chain' (nation ok, region missing) without any shuffle."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    nation = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    nation = nation.filter(pc.less(nation.column("n_nationkey"), 15))
+    region = pq_.read_table(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey"])
+    region = region.filter(pc.less(region.column("r_regionkey"), 2))
+    rkeys = set(region.column("r_regionkey").to_pylist())
+    nk = np.asarray(nation.column("n_nationkey").combine_chunks(), dtype=np.int64)
+    rk = np.asarray(nation.column("n_regionkey").combine_chunks(), dtype=np.int64)
+    hop1 = np.sort(nk)  # nation exists
+    hop2 = np.sort(nk[np.isin(rk, np.array(sorted(rkeys), dtype=np.int64))])  # region too
+    dims = ray.put((hop1, hop2))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        h1, h2 = ray.get(dims)
+        keys = np.asarray(batch.column("s_nationkey").combine_chunks(), dtype=np.int64)
+        ids = batch.column("s_suppkey").combine_chunks().cast(pa.string())
+
+        def member(sorted_arr: np.ndarray) -> np.ndarray:
+            if not len(sorted_arr):
+                return np.zeros(len(keys), bool)
+            pos = np.searchsorted(sorted_arr, keys).clip(max=len(sorted_arr) - 1)
+            return sorted_arr[pos] == keys
+
+        in1, in2 = member(h1), member(h2)
+        code = np.where(~in1, "reference", np.where(~in2, "reference.chain", ""))
+        bad = code != ""
+        return pa.table(
+            {
+                "row_ref": ids.filter(pa.array(bad)),
+                "col": pa.array(["s_nationkey"] * int(bad.sum()), pa.string()),
+                "code": pa.array(code[bad].tolist(), pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    return _collect(ds.map_batches(classify, batch_format="pyarrow")).sort_by("row_ref")
+
+
 def distinct_users_by_type(sf_dir: str) -> pa.Table:
     """Distributed exact COUNT(DISTINCT user_id) GROUP BY event_type
     (stages/shuffle.distinct_count_by_group): per-shard distinct pairs
