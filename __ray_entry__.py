@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_chain_supplier": q.referential_chain_supplier,
         # grouped histogram (drift PSI input, §2E)
         "histogram_events_type": q.histogram_events_type,
+        "props_sum_by_type": q.props_sum_by_type,
         # grouped aggregate constraint + join rollup
         "agg_constraint_orders": q.agg_constraint_orders,
         "revenue_by_segment": q.revenue_by_segment,
@@ -398,6 +399,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE source IS NULL) AS n_source_null,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
               FROM u
+        """,
+        "props_sum_by_type": """
+            SELECT event_type,
+                   CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+                        AS BIGINT) AS k_sum,
+                   COUNT(*) AS n
+              FROM events WHERE event_type IS NOT NULL
+             GROUP BY event_type ORDER BY event_type
         """,
         "referential_chain_supplier": """
             WITH n AS (SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 15),

@@ -435,6 +435,54 @@ def revenue_by_segment_flag(sf_dir: str) -> pa.Table:
     return out.sort_by([("c_mktsegment", "ascending"), ("l_returnflag", "ascending")])
 
 
+def props_sum_by_type(sf_dir: str) -> pa.Table:
+    """JSON-mode dynamic column in an AGGREGATION context (the validator
+    consumes $.k in validate_events; here it rolls up): vectorized
+    extraction via polars json_path_match over the whole batch, per-batch
+    integer partial sums by event_type (dictionary codes + bincount),
+    tiny final groupby. Exact: k is integral, sums stay int64."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ks = (
+            pl.from_arrow(batch.column("props").combine_chunks())
+            .str.json_path_match("$.k")
+            .cast(pl.Int64, strict=False)
+            .fill_null(0)
+            .to_numpy()
+        )
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices.fill_null(-1), dtype=np.int64)
+        types = et.dictionary.to_pylist()
+        valid = codes >= 0
+        sums = np.bincount(codes[valid], weights=ks[valid].astype(np.float64), minlength=len(types))
+        cnts = np.bincount(codes[valid], minlength=len(types))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "k_sum": pa.array(sums.astype(np.int64), pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(part, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("k_sum", alias_name="k_sum"), Sum("n", alias_name="n")
+    )
+    out = _collect(agg)
+    out = pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "k_sum": out.column("k_sum").cast(pa.int64()),
+            "n": out.column("n").cast(pa.int64()),
+        }
+    )
+    return out.filter(pc.greater(out.column("n"), 0)).sort_by("event_type")
+
+
 # ---- grouped histogram (PSI input) -----------------------------------------
 def histogram_events_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
