@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped histogram (drift PSI input, §2E)
         "histogram_events_type": q.histogram_events_type,
         "props_sum_by_type": q.props_sum_by_type,
+        "top_parts_by_quantity": q.top_parts_by_quantity,
         # grouped aggregate constraint + join rollup
         "agg_constraint_orders": q.agg_constraint_orders,
         "revenue_by_segment": q.revenue_by_segment,
@@ -399,6 +400,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE source IS NULL) AS n_source_null,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
               FROM u
+        """,
+        "top_parts_by_quantity": """
+            SELECT p.p_partkey, p.p_name,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             GROUP BY p.p_partkey, p.p_name
+             ORDER BY qty DESC, p.p_partkey
+             LIMIT 10
         """,
         "props_sum_by_type": """
             SELECT event_type,

@@ -483,6 +483,55 @@ def props_sum_by_type(sf_dir: str) -> pa.Table:
     return out.filter(pc.greater(out.column("n"), 0)).sort_by("event_type")
 
 
+def top_parts_by_quantity(sf_dir: str, k: int = 10) -> pa.Table:
+    """Composite plan: keyed aggregate shuffle (sum of int-cast quantities
+    per l_partkey) with a PER-BUCKET top-k pushed into the reduce (the
+    global top-k is a subset of bucket winners since each key lives in
+    exactly one bucket), driver re-top-k over buckets × k rows, then the
+    part-name dim applied to just k keys. Deterministic tie-break on
+    partkey."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def cast_qty(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns(["l_quantity"]).append_column(
+            "l_quantity", tbl.column("l_quantity").cast(pa.int64())
+        )
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t.column("sum_l_quantity").combine_chunks(), dtype=np.int64)
+        keys = np.asarray(t.column("l_partkey").combine_chunks(), dtype=np.int64)
+        return t.take(pa.array(np.lexsort((keys, -qty))[:k], pa.int64()))
+
+    agg = agg_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        ["l_partkey"],
+        [("l_quantity", "sum")],
+        transform_fn=cast_qty,
+        having_fn=bucket_topk,
+    )
+    qty = np.asarray(agg.column("sum_l_quantity").combine_chunks(), dtype=np.int64)
+    keys = np.asarray(agg.column("l_partkey").combine_chunks(), dtype=np.int64)
+    top = np.lexsort((keys, -qty))[:k]
+    keys, qty = keys[top], qty[top]
+
+    import pyarrow.parquet as pq_
+
+    part = pq_.read_table(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+    pk = np.asarray(part.column("p_partkey").combine_chunks(), dtype=np.int64)
+    order = np.argsort(pk)
+    pos = np.searchsorted(pk[order], keys)
+    names = part.column("p_name").combine_chunks().take(
+        pa.array(order[pos.clip(max=max(len(pk) - 1, 0))], pa.int64())
+    )
+    return pa.table(
+        {
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_name": names,
+            "qty": pa.array(qty, pa.int64()),
+        }
+    ).sort_by([("qty", "descending"), ("p_partkey", "ascending")])
+
+
 # ---- grouped histogram (PSI input) -----------------------------------------
 def histogram_events_type(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
