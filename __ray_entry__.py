@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
         "validate_lineitem": q.validate_lineitem,
+        "check_constraints_lineitem": q.check_constraints_lineitem,
         "validate_documents": q.validate_documents,
         "validate_embeddings": q.validate_embeddings,
         "validate_events": q.validate_events,
@@ -513,6 +514,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_orderkey AS VARCHAR), 'l_linenumber', 'minimum' FROM lineitem WHERE l_linenumber < 1
             UNION ALL
             SELECT CAST(l_orderkey AS VARCHAR), 'l_linenumber', 'maximum' FROM lineitem WHERE l_linenumber > 7
+        """,
+        "check_constraints_lineitem": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS row_ref, 'discount_tax_cap' AS col, 'check' AS code
+              FROM lineitem WHERE NOT (l_discount + l_tax <= 0.12)
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR), 'price_floor', 'check'
+              FROM lineitem WHERE NOT (l_extendedprice >= l_quantity * 950)
         """,
         "validate_documents": """
             SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'doc_id' AS col, 'minimum' AS code

@@ -107,6 +107,39 @@ def validate_documents(sf_dir: str) -> pa.Table:
     return _violations(_read(sf_dir, "documents", cols), DOCUMENTS_SPEC)
 
 
+# Cross-column CHECK constraints (spec.CheckRule → plan.compile_expr):
+# arithmetic + comparison predicates over sibling columns, SQL three-valued
+# CHECK semantics (violation only when definitively FALSE). The reference's
+# closest surface is `dependencies` (v4validator.js:147-166); this is the
+# engine-native generalization the audio flagship uses for transcript-rate.
+CHECKS_SPEC: dict = {
+    "columns": {
+        "l_orderkey": {"type": "integer", "required": True},
+        "l_quantity": {"type": "number"},
+        "l_extendedprice": {"type": "number"},
+        "l_discount": {"type": "number"},
+        "l_tax": {"type": "number"},
+    },
+    "table": {
+        "key": "l_orderkey",
+        "checks": [
+            # combined surcharge cap: discount + tax must stay <= 0.12
+            {"name": "discount_tax_cap", "expr": ["<=", ["+", ["col", "l_discount"], ["col", "l_tax"]], 0.12]},
+            # price floor: extendedprice >= quantity * 950 (unit price sanity)
+            {"name": "price_floor", "expr": [">=", ["col", "l_extendedprice"], ["*", ["col", "l_quantity"], 950]]},
+        ],
+    },
+}
+
+
+def check_constraints_lineitem(sf_dir: str) -> pa.Table:
+    """Cross-column CHECK violations on lineitem. Both predicates are pure
+    IEEE-double binary-op chains, so Arrow and DuckDB agree bit-for-bit;
+    NULL operands pass (both engines)."""
+    cols = [c for c in CHECKS_SPEC["columns"]]
+    return _violations(_read(sf_dir, "lineitem", cols), CHECKS_SPEC)
+
+
 FORMATS_SPEC: dict = {
     "columns": {
         "doc_id": {"type": "integer", "required": True},

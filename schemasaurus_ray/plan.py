@@ -41,6 +41,87 @@ _TYPE_OK: dict[str, Callable[[pa.DataType], bool]] = {
 }
 
 
+# Cross-column CHECK expression language (spec.CheckRule): JSON
+# S-expressions compiled once at plan time into pyarrow.compute closures.
+_EXPR_BINOPS: dict[str, Callable] = {
+    "+": pc.add,
+    "-": pc.subtract,
+    "*": pc.multiply,
+    "/": pc.divide,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "==": pc.equal,
+    "!=": pc.not_equal,
+}
+
+
+def compile_expr(expr: Any) -> tuple[Callable[[pa.Table], Any], set[str]]:
+    """Compile a JSON S-expression into ``fn(table) -> pa.Array`` plus the
+    set of referenced column names.
+
+    Grammar: ``["col", name]`` column ref · scalar literals (int/float/
+    str/bool) · binary ``+ - * / < <= > >= == !=`` · n-ary ``and``/``or``
+    (Kleene three-valued, matching SQL) · unary ``not`` · unary ``len``
+    (utf8 length). All kernels are vectorized ``pyarrow.compute`` calls;
+    NULL propagates (SQL semantics) and is resolved by the caller."""
+    cols: set[str] = set()
+
+    def build(e: Any) -> Callable[[pa.Table], Any]:
+        if isinstance(e, (list, tuple)):
+            if not e:
+                raise SpecError("empty check expression")
+            op = e[0]
+            if op == "col":
+                if len(e) != 2 or not isinstance(e[1], str):
+                    raise SpecError(f"bad column ref {e!r}")
+                name = e[1]
+                cols.add(name)
+                return lambda t: t.column(name).combine_chunks()
+            if op == "len":
+                sub = build(e[1])
+                return lambda t: pc.utf8_length(sub(t))
+            if op == "not":
+                sub = build(e[1])
+                return lambda t: pc.invert(sub(t))
+            if op in ("and", "or"):
+                if len(e) < 3:
+                    raise SpecError(f"{op} needs >= 2 operands")
+                subs = [build(x) for x in e[1:]]
+                kern = pc.and_kleene if op == "and" else pc.or_kleene
+
+                def nary(t: pa.Table, subs=subs, kern=kern):
+                    acc = subs[0](t)
+                    for s in subs[1:]:
+                        acc = kern(acc, s(t))
+                    return acc
+
+                return nary
+            if op in _EXPR_BINOPS:
+                if len(e) != 3:
+                    raise SpecError(f"operator {op!r} takes exactly 2 operands")
+                lhs, rhs = build(e[1]), build(e[2])
+                kern = _EXPR_BINOPS[op]
+                return lambda t: kern(lhs(t), rhs(t))
+            raise SpecError(f"unknown check-expression op {op!r}")
+        if isinstance(e, (bool, int, float, str)):
+            return lambda t: e
+        raise SpecError(f"bad check-expression node {e!r}")
+
+    return build(expr), cols
+
+
+@dataclass
+class CompiledCheck:
+    """A compiled cross-column CHECK: rule fires where the expression is
+    definitively FALSE (NULL passes — SQL three-valued CHECK semantics)."""
+
+    name: str
+    columns: set[str]
+    rule: KernelRule
+
+
 @dataclass
 class SchemaIssue:
     """Block-level violation: the whole column fails at plan time."""
@@ -129,6 +210,7 @@ class RowRulePlan:
     combinators: list[CombinatorRule] = field(default_factory=list)
     dependencies: list[DependencyRule] = field(default_factory=list)
     json_columns: dict[str, RowValidator] = field(default_factory=dict)
+    check_rules: list[CompiledCheck] = field(default_factory=list)
     # columns that require a per-row integer-valuedness check when the arrow
     # column is floating (resolved in bind())
     _integer_specs: dict[str, dict] = field(default_factory=dict)
@@ -175,6 +257,19 @@ class RowRulePlan:
                     issues.append(SchemaIssue(name, "schema.unexpected", _message({}, "schema.unexpected", None, gettext)))
 
         live = [r for r in self.rules if r.column not in dead_columns] + extra_rules
+        for chk in self.check_rules:
+            absent = sorted(c for c in chk.columns if c not in present)
+            if absent:
+                issues.append(
+                    SchemaIssue(
+                        chk.name,
+                        "check.unbound",
+                        f"check references missing column(s) {', '.join(absent)}",
+                        arg=json.dumps(absent),
+                    )
+                )
+            elif not any(c in dead_columns for c in chk.columns):
+                live.append(chk.rule)
         combos = [c for c in self.combinators if c.column not in dead_columns]
         deps = [d for d in self.dependencies if d.trigger not in dead_columns]
         # json-mode columns absent from the batch are dropped here (the main
@@ -325,6 +420,25 @@ def compile_plan(spec: TableSpec | dict[str, Any], registry: RuleRegistry | None
                     if sub.get("required"):
                         dep.sub_rules.append(k_required(other, sub, opts))
                 plan.dependencies.append(dep)
+
+    for chk in spec.checks:
+        fn, chk_cols = compile_expr(chk.expr)
+        msg = opts["gettext"](chk.message or f"shall satisfy check '{chk.name}'")
+
+        def bad_fn(t: pa.Table, fn=fn) -> BoolMask:
+            res = fn(t)
+            if isinstance(res, pa.ChunkedArray):
+                res = res.combine_chunks()
+            # SQL CHECK: violation only when definitively FALSE (NULL passes)
+            return ~np.asarray(pc.fill_null(res, True))
+
+        plan.check_rules.append(
+            CompiledCheck(
+                name=chk.name,
+                columns=chk_cols,
+                rule=KernelRule(chk.name, "check", json.dumps(chk.expr), msg, bad_fn),
+            )
+        )
     return plan
 
 

@@ -124,6 +124,22 @@ class DriftRule:
 
 
 @dataclass
+class CheckRule:
+    """Cross-column row-level CHECK constraint: a vectorized boolean
+    expression over sibling columns (SQL ``CHECK`` semantics — a row
+    violates only when the expression is definitively FALSE; NULL operands
+    make the check pass, matching three-valued logic). The reference's
+    ``dependencies`` keyword (v4validator.js:147-166) is the closest
+    surface — this is its engine-native generalization to arbitrary
+    arithmetic/comparison predicates, compiled at plan time into
+    ``pyarrow.compute`` closures (plan.compile_expr)."""
+
+    name: str
+    expr: Any  # JSON S-expression, e.g. ["<=", ["+", ["col","a"], ["col","b"]], 1]
+    message: str | None = None
+
+
+@dataclass
 class QuantileCheck:
     """Table-level percentile constraint (e.g. 'p99 of dur_ms ≤ 50000') —
     evaluated on the merged t-digest from the stats pass (mergeable and
@@ -148,6 +164,7 @@ class TableSpec:
     stats: list[str] = field(default_factory=list)
     drift: DriftRule | None = None
     quantile_checks: list[QuantileCheck] = field(default_factory=list)
+    checks: list[CheckRule] = field(default_factory=list)
     key_column: str | None = None  # row_ref source; default: first unique col
     extra_columns: str = "ignore"  # "ignore" | "error" (additionalProperties:false)
     options: dict[str, Any] = field(default_factory=dict)  # formats/custom/gettext/messages
@@ -197,6 +214,10 @@ def parse_table_spec(raw: dict[str, Any], options: dict[str, Any] | None = None)
         )
         for qc in t.get("quantile_checks", [])
     ]
+    checks = [
+        CheckRule(name=c["name"], expr=c["expr"], message=c.get("message"))
+        for c in t.get("checks", [])
+    ]
     return TableSpec(
         columns=cols,
         unique=unique,
@@ -204,6 +225,7 @@ def parse_table_spec(raw: dict[str, Any], options: dict[str, Any] | None = None)
         stats=list(t.get("stats", [])),
         drift=drift,
         quantile_checks=qchecks,
+        checks=checks,
         key_column=t.get("key"),
         extra_columns="error" if t.get("additionalColumns") is False else "ignore",
         options=options or raw.get("options", {}),

@@ -42,6 +42,21 @@ AUDIO_CLIP_SPEC: dict = {
         # table-level percentile SLO (spec.QuantileCheck, merged t-digest):
         # the tail of clip durations must stay under the spec maximum
         "quantile_checks": [{"column": "dur_ms", "q": 0.99, "maximum": 60000}],
+        # cross-column CHECK (spec.CheckRule → plan.compile_expr): transcript
+        # speaking-rate sanity — chars/sec ≤ 80 wherever duration is positive
+        # (dur_ms ≤ 0 rows already fire minimum.exclusive; the `or` arm keeps
+        # this check three-valued-quiet there, SQL CHECK semantics)
+        "checks": [
+            {
+                "name": "transcript_rate",
+                "expr": [
+                    "or",
+                    ["<=", ["*", ["len", ["col", "transcript"]], 1000], ["*", ["col", "dur_ms"], 80]],
+                    ["<=", ["col", "dur_ms"], 0],
+                ],
+                "message": "transcript implies > 80 chars/sec speaking rate",
+            }
+        ],
     },
     "options": {"custom": {"pcm": pcm_consistency}},
 }
