@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,
+        "best_doc_per_stratum": q.best_doc_per_stratum,
         "curate_documents": q.curate_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_documents": q.repetition_documents,
@@ -693,6 +694,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(10000.0 * length(regexp_extract_all(text, '[0-9]')) /
                         GREATEST(length(text), 1)) AS BIGINT) AS digit_bp
               FROM documents ORDER BY doc_id
+        """,
+        "best_doc_per_stratum": """
+            SELECT lang, source, doc_id, alpha_bp FROM (
+                SELECT lang, source, doc_id,
+                       CAST(FLOOR(10000.0 * length(regexp_extract_all(text, '[A-Za-z]')) /
+                            GREATEST(length(text), 1)) AS BIGINT) AS alpha_bp,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY FLOOR(10000.0 * length(regexp_extract_all(text, '[A-Za-z]')) /
+                                    GREATEST(length(text), 1)) DESC, doc_id ASC) AS rn
+                  FROM documents)
+             WHERE rn = 1 ORDER BY lang, source
         """,
         "fingerprint_documents": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
         "top_docs_by_length": """

@@ -746,6 +746,53 @@ def quality_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(bp, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def best_doc_per_stratum(sf_dir: str) -> pa.Table:
+    """Per-(lang, source) canonical exemplar: the highest-alpha-ratio doc,
+    ties broken by min doc_id — distributed ARGMAX as a plain keyed max of
+    a packed rank (util.pack_argmax_rank: score·2^40 + (2^40-1-id)) through
+    the raw-Ray combiner shuffle. Only (lang, source, rank int64) rows leave
+    the map tasks; document text never shuffles. SQL equivalent:
+    row_number() OVER (PARTITION BY lang, source ORDER BY bp DESC, id) = 1."""
+    from ..stages.shuffle import agg_keys_shuffled
+    from ..util import pack_argmax_rank, unpack_argmax_rank
+
+    def rank_rows(tbl: pa.Table) -> pa.Table:
+        col = tbl.column("text")
+        n_chars = pc.cast(pc.utf8_length(col), pa.float64())
+        safe = pc.max_element_wise(n_chars, 1.0)
+        n_alpha = pc.cast(pc.count_substring_regex(col, "[A-Za-z]"), pa.float64())
+        bp = pc.cast(pc.floor(pc.divide(pc.multiply(n_alpha, 10000.0), safe)), pa.int64())
+        rank = pack_argmax_rank(
+            np.asarray(bp.combine_chunks() if isinstance(bp, pa.ChunkedArray) else bp),
+            np.asarray(tbl.column("doc_id").combine_chunks()),
+        )
+        return pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "source": tbl.column("source"),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        ["lang", "source"],
+        [("rank", "max")],
+        transform_fn=rank_rows,
+        read_cols=["doc_id", "text", "lang", "source"],
+    )
+    bp, doc_id = unpack_argmax_rank(np.asarray(out.column("max_rank").combine_chunks()))
+    res = pa.table(
+        {
+            "lang": out.column("lang"),
+            "source": out.column("source"),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "alpha_bp": pa.array(bp, pa.int64()),
+        }
+    )
+    return res.sort_by([("lang", "ascending"), ("source", "ascending")])
+
+
 def curate_documents(sf_dir: str) -> pa.Table:
     """End-to-end corpus CURATION — the canonical LLM-training-data shape
     (dedup → quality floor → language filter → keep list) composed as one

@@ -357,3 +357,31 @@ def md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     hexes = chars.view("S32").ravel().astype("U32")
     mask = np.asarray(pc.is_null(col))
     return pa.array(np.where(mask, None, hexes).tolist(), pa.string())
+
+
+# ------------------------------------------------------------ argmax packing
+# Distributed argmax/argmin as a plain keyed MAX: pack (score, id) into one
+# int64 rank so max(rank) selects the highest score with ties broken by the
+# SMALLEST id (SQL `row_number() OVER (ORDER BY score DESC, id ASC) = 1`).
+# Any mergeable-max shuffle (stages/shuffle.agg_keys_shuffled, Dataset
+# groupby Max) then carries a single 8-byte value per key instead of the row.
+_RANK_ID_BITS = 40
+_RANK_ID_CAP = (1 << _RANK_ID_BITS) - 1  # ids must fit 40 bits (~1.1e12 rows)
+
+
+def pack_argmax_rank(score: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """int64 rank = score·2^40 + (2^40-1-id). Requires 0 ≤ id < 2^40 and
+    0 ≤ score < 2^23 (score·2^40 must stay under 2^63)."""
+    score = np.asarray(score, dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) and (ids.min() < 0 or ids.max() > _RANK_ID_CAP):
+        raise ValueError("ids out of 40-bit range for argmax packing")
+    if len(score) and (score.min() < 0 or score.max() >= (1 << 23)):
+        raise ValueError("scores out of 23-bit range for argmax packing")
+    return (score << _RANK_ID_BITS) | (_RANK_ID_CAP - ids)
+
+
+def unpack_argmax_rank(rank: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`pack_argmax_rank` → (score, id)."""
+    rank = np.asarray(rank, dtype=np.int64)
+    return rank >> _RANK_ID_BITS, _RANK_ID_CAP - (rank & _RANK_ID_CAP)

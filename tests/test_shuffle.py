@@ -280,3 +280,28 @@ def test_distinct_count_by_group(tmp_path_factory, ray_session):
         if v is not None:
             want.setdefault(g, set()).add(v)
     assert got == {g: len(s) for g, s in want.items()}
+
+
+def test_argmax_rank_pack_roundtrip_and_ordering():
+    """util.pack_argmax_rank: max(rank) == (max score, then MIN id) — pinned
+    against a brute-force lexicographic sort, plus exact round-trip."""
+    import numpy as np
+
+    from schemasaurus_ray.util import pack_argmax_rank, unpack_argmax_rank
+
+    rng = np.random.default_rng(7)
+    score = rng.integers(0, 10001, size=500)
+    ids = rng.permutation(500).astype(np.int64)
+    rank = pack_argmax_rank(score, ids)
+    s2, i2 = unpack_argmax_rank(rank)
+    assert (s2 == score).all() and (i2 == ids).all()
+    # winner by packed max == winner by (score DESC, id ASC)
+    order = np.lexsort((ids, -score))
+    assert ids[rank.argmax()] == ids[order[0]]
+    # bounds enforced
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_argmax_rank(np.array([1]), np.array([-1]))
+    with pytest.raises(ValueError):
+        pack_argmax_rank(np.array([1 << 23]), np.array([0]))
