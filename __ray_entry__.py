@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,
         "best_doc_per_stratum": q.best_doc_per_stratum,
+        "normalize_text_documents": q.normalize_text_documents,
+        "pack_documents": q.pack_documents,
         "curate_documents": q.curate_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_documents": q.repetition_documents,
@@ -693,6 +695,22 @@ def oracle_sql() -> dict[str, str]:
                         GREATEST(length(text), 1)) AS BIGINT) AS alpha_bp,
                    CAST(FLOOR(10000.0 * length(regexp_extract_all(text, '[0-9]')) /
                         GREATEST(length(text), 1)) AS BIGINT) AS digit_bp
+              FROM documents ORDER BY doc_id
+        """,
+        "pack_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CEIL(LOG2(GREATEST(
+                           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1))) AS BIGINT) AS bucket
+                  FROM documents)
+            SELECT doc_id, bucket,
+                   (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                       // GREATEST(CAST(FLOOR(64.0 / POW(2, bucket)) AS BIGINT), 1) AS bin
+              FROM t ORDER BY doc_id
+        """,
+        "normalize_text_documents": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm_text
               FROM documents ORDER BY doc_id
         """,
         "best_doc_per_stratum": """

@@ -746,6 +746,37 @@ def quality_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(bp, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def pack_documents(sf_dir: str) -> pa.Table:
+    """Length-bucketed sequence packing (functions/packing.py): documents
+    assigned to 64-token training bins — power-of-two length buckets with
+    fixed per-bin capacity, bin = rank // capacity over the bucket's ids.
+    Deterministic and layout-independent, so it is fully SQL-expressible
+    (row_number window over the same CEIL(LOG2(...)) bucket)."""
+    from ..functions.packing import pack_documents_ds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_documents_ds(ds, budget=64).sort_by("doc_id")
+
+
+def normalize_text_documents(sf_dir: str) -> pa.Table:
+    """Canonical text-cleaning pass (the unicode-lowercase + whitespace-
+    collapse + trim normalization every dedup/tokenize stage wants run
+    first): three vectorized Arrow kernels per batch, streaming, no
+    shuffle. RE2 `\\s` is ASCII-only in BOTH Arrow and DuckDB, so the
+    collapse step matches regexp_replace(text, '\\s+', ' ', 'g') exactly;
+    the final trim strips the single leading/trailing space the collapse
+    can leave."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(batch.column("text"))
+        col = pc.replace_substring_regex(col, r"\s+", " ")
+        col = pc.utf8_trim(col, " ")
+        return pa.table({"doc_id": batch.column("doc_id"), "norm_text": col})
+
+    return _collect(ds.map_batches(norm, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def best_doc_per_stratum(sf_dir: str) -> pa.Table:
     """Per-(lang, source) canonical exemplar: the highest-alpha-ratio doc,
     ties broken by min doc_id — distributed ARGMAX as a plain keyed max of
