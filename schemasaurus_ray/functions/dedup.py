@@ -1183,13 +1183,27 @@ def simhash_near_dups(
     by exact hamming distance on broadcast signatures. Same distributed
     shape as MinHash: key-only band rows through lsh_bucket_pairs, tiny
     signature lookup ray.put once. Returns (id_a, id_b, hamming)."""
-    import ray
-    import ray.data as rd
-
     # materialize: the signature table (id + sig + 4 band ints ≈ 40 B/doc)
     # is consumed twice (band rows, then candidate fetch) — without this the
     # whole corpus would be re-read and re-hashed for the second pass
     sigs_ds = simhash_signatures(ds, text_col=text_col, id_col=id_col).materialize()
+    return banded_near_dups(sigs_ds, id_col=id_col, max_hamming=max_hamming)
+
+
+def banded_near_dups(
+    sigs_ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    sig_col: str = "simhash",
+) -> pa.Table:
+    """Generic banded-hamming near-dup over a MATERIALIZED signature
+    dataset with columns (id_col int64, sig_col int64-viewed-uint64,
+    band0..band3 int64): band-bucket LSH candidates (pigeonhole-exact at
+    hamming ≤ 3) verified by exact SWAR hamming on a semi-join signature
+    fetch. Shared by SimHash text dedup and the perceptual audio
+    fingerprint path (functions/audio_fp.py)."""
+    import ray
+    import ray.data as rd
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1231,7 +1245,7 @@ def simhash_near_dups(
 
     sig_tbl = pa.concat_tables(
         list(
-            sigs_ds.select_columns([id_col, "simhash"])
+            sigs_ds.select_columns([id_col, sig_col])
             .map_batches(fetch, batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow", batch_size=None)
         )
@@ -1240,7 +1254,7 @@ def simhash_near_dups(
         int(i): np.uint64(s)
         for i, s in zip(
             np.asarray(sig_tbl.column(id_col), dtype=np.int64),
-            np.asarray(sig_tbl.column("simhash"), dtype=np.int64).view(np.uint64),
+            np.asarray(sig_tbl.column(sig_col), dtype=np.int64).view(np.uint64),
         )
     }
     sig_ref = ray.put(lookup)

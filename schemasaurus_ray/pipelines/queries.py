@@ -1103,6 +1103,73 @@ def audio_dedup_clips(sf_dir: str) -> pa.Table:
     return pa.table({"removed_id": pa.array(removed, pa.string())})
 
 
+def audio_neardup_clips(sf_dir: str) -> pa.Table:
+    """PERCEPTUAL near-duplicate clips (functions/audio_fp.py): gain- and
+    requantization-invariant envelope fingerprints → banded-hamming LSH →
+    exact-hamming verify, the audio-axis sibling of
+    simhash_neardup_documents. Duplicates are PLANTED in-stream so the
+    golden is exact: clips with numeric key ≡ 3 (mod 10) gain a
+    gain-halved copy (key + 1e9), keys ≡ 9 (mod 10) a 0.15 %-noise copy
+    (key + 2e9, ≈56 dB SNR). Expected pairs == the planted (base, copy)
+    set: copies land within hamming ≤ 3 (pigeonhole-exact recall) and
+    distinct clips sit ≥ 14 bits apart, so organic band collisions die in
+    the verify. Returns (id_a, id_b, hamming)."""
+    import glob as glob_
+
+    from ..audio import wav_decode, wav_encode
+    from ..functions.audio_fp import audio_near_dups
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes"],
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        # the fixture injects spec-violating rows (bad ids, null ids) —
+        # near-dup runs over the well-formed clips only
+        ids = batch.column("clip_id").combine_chunks()
+        ok = pc.fill_null(pc.match_substring_regex(ids, r"^clip-[0-9]{10}$"), False)
+        batch = batch.filter(ok)
+        key = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("clip_id").combine_chunks(), -10, None),
+            pa.int64(),
+        )
+        base = pa.table({"clip_key": key, "bytes": batch.column("bytes")})
+        k = np.asarray(key)
+        blobs = batch.column("bytes").combine_chunks()
+        out = [base]
+        # fixture augmentation only — O(planted) Python, not a corpus path
+        for mod, offset, mk in ((3, 10**9, "gain"), (9, 2 * 10**9, "noise")):
+            idx = np.nonzero((k % 10) == mod)[0]
+            copies = []
+            for i in idx:
+                x, sr = wav_decode(blobs[int(i)].as_py())
+                if mk == "gain":
+                    y = (x.astype(np.int32) // 2).astype(np.int16)
+                else:
+                    rng = np.random.Generator(np.random.PCG64(7000 + int(k[i])))
+                    y = np.clip(
+                        x.astype(np.float64) + 0.0015 * 32767 * rng.standard_normal(len(x)),
+                        -32768,
+                        32767,
+                    ).astype(np.int16)
+                copies.append(wav_encode(y, sr))
+            out.append(
+                pa.table(
+                    {
+                        "clip_key": pa.array(k[idx] + offset, pa.int64()),
+                        "bytes": pa.array(copies, pa.binary()),
+                    }
+                )
+            )
+        return pa.concat_tables(out).combine_chunks()
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return audio_near_dups(planted, key_col="clip_key", max_hamming=3)
+
+
 def audio_curate_clips(sf_dir: str) -> pa.Table:
     """End-to-end AUDIO curation — the audio-axis sibling of
     curate_documents: exact payload dedup (groupby-min over 64-bit content
