@@ -429,3 +429,116 @@ def pcm_consistency(bytes_col, batch, *_args) -> np.ndarray:
     )
     ok[null_mask] = True  # nulls handled by `required`, not conform
     return ok
+
+
+def pcm_trim_gain(bytes_col, trim_db: float = -40.0, target_rms: float = 0.1, chunk: int = 1_000_000):
+    """Vectorized silence-trim + loudness analysis for a whole binary
+    column: per clip, the first/last sample whose |amplitude| clears a
+    gain-invariant threshold (``peak·10^(trim_db/20)``), and the gain that
+    brings the TRIMMED region's RMS to ``target_rms`` (normalized ±1).
+
+    No per-row Python: one |x| pass per bounded chunk; per-clip peaks via
+    ``np.maximum.reduceat``; trim bounds via two ``searchsorted`` calls on
+    the flat above-threshold index list; trimmed RMS from an x² cumsum
+    gathered at the trim boundaries.
+
+    Returns dict of per-clip arrays: ``trim_start``/``trim_len`` (samples,
+    relative to the clip's own data section), ``gain`` (float64, 0 where
+    silent), ``rms`` (trimmed-region RMS, ±1 scale), ``sr``, ``valid``
+    (decodable), ``silent`` (valid but nothing above threshold)."""
+    from .util import single_chunk
+
+    arr = single_chunk(bytes_col)
+    n = len(arr)
+    out = {
+        "trim_start": np.zeros(n, dtype=np.int64),
+        "trim_len": np.zeros(n, dtype=np.int64),
+        "gain": np.zeros(n, dtype=np.float64),
+        "rms": np.zeros(n, dtype=np.float64),
+        "sr": np.zeros(n, dtype=np.int64),
+        "valid": np.zeros(n, dtype=bool),
+        "silent": np.zeros(n, dtype=bool),
+    }
+    if n == 0:
+        return out
+    layout = _pcm_layout(arr)
+    if layout is None:
+        return out
+    data, starts, lengths, sr, eff_len, vmask = layout
+    out["valid"] = vmask
+    out["sr"][vmask] = sr[vmask]
+    if not vmask.any():
+        return out
+    v = np.nonzero(vmask)[0]
+    seg_b = starts[v] + HEADER_SIZE
+    seg_len_b = eff_len[v]
+    aligned = bool((seg_b % 2 == 0).all())
+    if aligned:
+        x_all = data[: len(data) & ~1].view(np.int16)
+        seg_s = seg_b // 2
+        seg_e = (seg_b + seg_len_b) // 2
+    else:
+        x_all = None
+        ends = np.cumsum(seg_len_b)
+        seg_e = ends // 2
+        seg_s = (ends - seg_len_b) // 2
+
+    thr_scale = 10.0 ** (trim_db / 20.0)
+    k = 0
+    m = len(v)
+    while k < m:
+        j = k + 1
+        while j < m and seg_e[j] - seg_s[k] <= chunk:
+            j += 1
+        lo = seg_s[k]
+        if aligned:
+            x = x_all[lo : seg_e[j - 1]]
+        else:
+            ln_b = seg_len_b[k:j]
+            total = int(ln_b.sum())
+            e_rel = np.cumsum(ln_b)
+            intra = np.arange(total) - np.repeat(e_rel - ln_b, ln_b)
+            x = data[np.repeat(seg_b[k:j], ln_b) + intra].view(np.int16)
+        ss = seg_s[k:j] - lo
+        ee = seg_e[k:j] - lo
+        ln = ee - ss
+        a = np.abs(x, dtype=np.int32)
+        # the flat chunk contains inter-clip gaps (next clips' headers):
+        # peak via paired reduceat [s0,e0,...] even slots (audio._seg_stats_into)
+        inds = np.empty(2 * len(ss), dtype=np.int64)
+        inds[0::2] = ss
+        inds[1::2] = np.minimum(ee, len(x) - 1)
+        peaks = np.maximum.reduceat(a, inds)[0::2]
+        tail = ee == len(x)
+        if tail.any():
+            peaks[tail] = np.maximum(peaks[tail], a[-1])
+        thr = np.maximum(peaks.astype(np.float64) * thr_scale, 1.0)
+        # per-sample threshold with +inf over the gaps so they never match
+        mc = len(ss)
+        lens = np.empty(2 * mc + 1, dtype=np.int64)
+        lens[0] = ss[0]
+        lens[1::2] = ln
+        lens[2::2] = np.concatenate([ss[1:] - ee[:-1], [len(x) - ee[-1]]])
+        vals = np.full(2 * mc + 1, np.inf)
+        vals[1::2] = thr
+        above = a >= np.repeat(vals, lens)
+        idxs = np.flatnonzero(above)
+        first = np.searchsorted(idxs, ss, side="left")
+        last = np.searchsorted(idxs, ee, side="left") - 1
+        has = (first <= last) & (first < len(idxs))
+        t_start = np.where(has, idxs[np.minimum(first, len(idxs) - 1)] - ss, 0)
+        t_end = np.where(has, idxs[np.maximum(last, 0)] + 1 - ss, 0)
+        t_len = t_end - t_start
+        # trimmed-region RMS from an x^2 cumsum (int64: 32768^2 * 1M < 2^63)
+        c2 = np.concatenate([[0], np.cumsum((a.astype(np.int64)) ** 2)])
+        sq = c2[ss + t_end] - c2[ss + t_start]
+        rms = np.sqrt(sq / np.maximum(t_len, 1)) / 32767.0
+        sl = v[k:j]
+        out["trim_start"][sl] = t_start
+        out["trim_len"][sl] = t_len
+        out["rms"][sl] = rms
+        out["silent"][sl] = ~has
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out["gain"][sl] = np.where(has & (rms > 0), target_rms / rms, 0.0)
+        k = j
+    return out

@@ -172,6 +172,70 @@ class AudioResampleStage:
         return pa.table(cols)
 
 
+class AudioNormalizeStage:
+    """Audio NORMALIZER — the reference normalizer's 'new value, not
+    mutation' contract (§2C, normalizer.js returns a rebuilt doc) lifted to
+    the payload column: trim leading/trailing silence (gain-invariant
+    ``peak·10^(trim_db/20)`` threshold) and scale the remainder to a target
+    RMS, emitting NEW wav bytes plus the updated duration. Analysis is one
+    vectorized pass (audio.pcm_trim_gain — no per-row Python); only the
+    blob re-assembly loops per clip (numpy slice + 44-byte header pack,
+    the same per-blob-output shape as AudioResampleStage).
+
+    Output columns: id, bytes (rebuilt), dur_ms (recomputed), gain_bp
+    (applied gain in basis points), action ∈ {normalized, silent,
+    invalid} — silent/invalid clips pass their payload through untouched
+    so downstream validation can flag them."""
+
+    def __init__(
+        self,
+        target_rms: float = 0.1,
+        trim_db: float = -40.0,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+    ):
+        self.target_rms = target_rms
+        self.trim_db = trim_db
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_trim_gain, wav_encode
+
+        info = pcm_trim_gain(
+            batch.column(self.bytes_col), trim_db=self.trim_db, target_rms=self.target_rms
+        )
+        blobs = batch.column(self.bytes_col)
+        out_bytes: list[bytes | None] = []
+        dur_ms = np.zeros(batch.num_rows, dtype=np.int64)
+        action = np.empty(batch.num_rows, dtype=object)
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if not info["valid"][i] or info["silent"][i]:
+                out_bytes.append(blob)
+                action[i] = "invalid" if not info["valid"][i] else "silent"
+                continue
+            pcm, sr = wav_decode(blob)
+            s = int(info["trim_start"][i])
+            t = pcm[s : s + int(info["trim_len"][i])]
+            y = np.clip(np.rint(t.astype(np.float64) * info["gain"][i]), -32768, 32767).astype(
+                np.int16
+            )
+            out_bytes.append(wav_encode(y, sr))
+            dur_ms[i] = round(len(y) * 1000 / sr)
+            action[i] = "normalized"
+        gain_bp = np.rint(info["gain"] * 10000).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                self.bytes_col: pa.array(out_bytes, pa.binary()),
+                "dur_ms": pa.array(dur_ms, pa.int64()),
+                "gain_bp": pa.array(gain_bp, pa.int64()),
+                "action": pa.array(action.tolist(), pa.string()),
+            }
+        )
+
+
 class StubImageDecodeStage:
     """STUB image/video decoder (no image libs in this container —
     NotImplementedError for real decode; ``fake=True`` swaps in a

@@ -1714,6 +1714,30 @@ def audio_spectral_clips(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("clip_id")
 
 
+def audio_normalize_clips(sf_dir: str) -> pa.Table:
+    """Audio NORMALIZER over the clip fixture (sf_dir ignored — audio is
+    fixture-synthesized): silence-trim + loudness-normalize to RMS 0.1 as
+    an actor-pool transform emitting NEW wav bytes
+    (functions/multimodal.AudioNormalizeStage). Returns the per-clip
+    normalization record (clip_id, action, dur_ms, gain_bp) — the payload
+    invariants (output RMS == target, trim bounds, silent/invalid
+    passthrough, near-idempotence) are pinned in tests/test_audio_fp.py."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioNormalizeStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes"],
+    )
+    out = ds.map_batches(
+        AudioNormalizeStage, batch_format="pyarrow", concurrency=2, batch_size=256
+    ).select_columns(["clip_id", "action", "dur_ms", "gain_bp"])
+    return _collect(out).sort_by("clip_id")
+
+
 def speech_rate_clips(sf_dir: str) -> pa.Table:
     """Audio↔transcript consistency: tokens-per-second of each clip's
     transcript vs its duration — the cross-modal validation a speech

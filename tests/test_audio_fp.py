@@ -138,3 +138,60 @@ def test_audio_near_dups_planted_golden(ray_session):
         )
     )
     assert got == expected
+
+
+# ---------------------------------------------------------- audio normalizer
+def test_trim_gain_kernel():
+    from schemasaurus_ray.audio import pcm_trim_gain
+
+    x = synth_samples(1, 8000, 400)
+    pad = np.zeros(800, np.int16)
+    blobs = pa.array(
+        [
+            wav_encode(np.concatenate([pad, x, pad]), 8000),
+            wav_encode(np.zeros(1000, np.int16), 8000),  # silent
+            b"junk",  # invalid
+            wav_encode(x, 8000),  # nothing to trim
+        ],
+        pa.binary(),
+    )
+    r = pcm_trim_gain(blobs)
+    assert r["valid"].tolist() == [True, True, False, True]
+    assert r["silent"].tolist() == [False, True, False, False]
+    assert r["trim_start"][0] == 800 and r["trim_len"][0] == len(x)
+    assert r["trim_start"][3] == 0 and r["trim_len"][3] == len(x)
+    # gain brings trimmed RMS to the 0.1 target exactly (pre-quantization)
+    np.testing.assert_allclose(r["gain"][0] * r["rms"][0], 0.1, rtol=1e-12)
+    assert r["gain"][1] == 0.0
+
+
+def test_normalize_stage_invariants():
+    from schemasaurus_ray.functions.multimodal import AudioNormalizeStage
+
+    x = synth_samples(2, 16000, 500)
+    pad = np.zeros(1600, np.int16)
+    padded = wav_encode(np.concatenate([pad, x, pad]), 16000)
+    silent = wav_encode(np.zeros(500, np.int16), 16000)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "bytes": pa.array([padded, silent, b"junk", wav_encode(x, 16000)], pa.binary()),
+        }
+    )
+    stage = AudioNormalizeStage(target_rms=0.1)
+    out = stage(batch)
+    act = out.column("action").to_pylist()
+    assert act == ["normalized", "silent", "invalid", "normalized"]
+    # silent/invalid payloads pass through untouched
+    assert out.column("bytes")[1].as_py() == silent
+    assert out.column("bytes")[2].as_py() == b"junk"
+    # normalized payload: silence trimmed, RMS == target (within int16 quantization)
+    y, sr = wav_decode(out.column("bytes")[0].as_py())
+    assert len(y) == len(x)
+    rms = float(np.sqrt(np.mean((y.astype(np.float64) / 32767.0) ** 2)))
+    assert abs(rms - 0.1) < 1e-3
+    assert out.column("dur_ms")[0].as_py() == round(len(x) * 1000 / sr)
+    # near-idempotence: a second pass applies gain ~= 1
+    out2 = stage(out.select(["clip_id", "bytes"]))
+    g2 = out2.column("gain_bp").to_pylist()[0]
+    assert abs(g2 - 10000) <= 100  # within 1 % of unit gain
