@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact bounded-domain quantiles (sibling of the t-digest sketch)
         "quantiles_lineitem": q.quantiles_lineitem,
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
+        "percentile_outliers_lineitem": q.percentile_outliers_lineitem,
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
         "top_docs_per_lang": q.top_docs_per_lang,
@@ -328,6 +329,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "grouped_quantiles_lineitem": _grouped_quantiles_oracle_sql(),
+        "percentile_outliers_lineitem": """
+            WITH bounds AS (
+                SELECT l_returnflag,
+                       quantile_disc(l_extendedprice, 0.01) AS p1,
+                       quantile_disc(l_extendedprice, 0.99) AS p99
+                  FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_returnflag, l.l_extendedprice,
+                   CASE WHEN l.l_extendedprice < b.p1 THEN 'low' ELSE 'high' END AS side
+              FROM lineitem l JOIN bounds b USING (l_returnflag)
+             WHERE l.l_extendedprice < b.p1 OR l.l_extendedprice > b.p99
+             ORDER BY l.l_returnflag, l.l_extendedprice, l.l_orderkey
+        """,
         "spec_diff_documents": _spec_diff_oracle_sql(),
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "infer_spec_events",
     "decontaminate_documents",
     "repetition_documents",
+    "check_constraints_lineitem",
+    "pack_documents",
+    "best_doc_per_stratum",
+    "percentile_outliers_lineitem",
 ]
 
 

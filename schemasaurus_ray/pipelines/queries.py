@@ -1694,6 +1694,56 @@ def sessionize_events(sf_dir: str) -> pa.Table:
     return out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
 
 
+def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
+    """Robust per-group outlier detection (winsorization bounds): rows
+    whose l_extendedprice falls strictly outside the group's exact
+    [p1, p99] — the standard data-quality trim for heavy tails. Two-phase:
+    the per-group bounds come from the SAME raw-Ray (group, value) count
+    shuffle as grouped_quantiles (exact quantile_disc rank arithmetic,
+    stages/stats.exact_quantiles_from_counts), then one streaming filter
+    pass with the tiny bounds table applied batch-local. Quantiles are
+    SELECTED values, so float comparisons match DuckDB bit-for-bit."""
+    from ..stages.shuffle import count_keys_shuffled
+    from ..stages.stats import exact_quantiles_from_counts
+
+    counts = count_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        ["l_returnflag", "l_extendedprice"],
+        min_count=1,
+    )
+    per_group: dict[str, dict[float, int]] = {}
+    for flag, v, cnt in zip(
+        counts.column("l_returnflag").to_pylist(),
+        counts.column("l_extendedprice").to_pylist(),
+        counts.column("cnt").to_pylist(),
+    ):
+        per_group.setdefault(flag, {})[float(v)] = int(cnt)
+    bounds = {
+        flag: tuple(exact_quantiles_from_counts(c, [100, 9900])) for flag, c in per_group.items()
+    }
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def flag_outliers(batch: pa.Table, *, bounds=bounds) -> pa.Table:
+        flags = batch.column("l_returnflag").combine_chunks()
+        price = np.asarray(batch.column("l_extendedprice").combine_chunks())
+        lo = np.full(batch.num_rows, -np.inf)
+        hi = np.full(batch.num_rows, np.inf)
+        for f, (p1, p99) in bounds.items():
+            sel = np.asarray(pc.equal(flags, f).fill_null(False))
+            lo[sel], hi[sel] = p1, p99
+        low = price < lo
+        keep = low | (price > hi)
+        out = batch.filter(pa.array(keep))
+        side = np.where(low[keep], "low", "high")
+        return out.append_column("side", pa.array(side.tolist(), pa.string()))
+
+    res = _collect(ds.map_batches(flag_outliers, batch_format="pyarrow"))
+    return res.sort_by(
+        [("l_returnflag", "ascending"), ("l_extendedprice", "ascending"), ("l_orderkey", "ascending")]
+    )
+
+
 def audio_spectral_clips(sf_dir: str) -> pa.Table:
     """Spectral features over the clip fixture (sf_dir ignored — audio is
     fixture-synthesized): per-clip dominant frequency / centroid / 85%

@@ -83,6 +83,7 @@ ORACLE_NAMES = [
     "asof_events_purchase",
     "activity_window_events",
     "sessionize_events",
+    "percentile_outliers_lineitem",
 ]
 
 
