@@ -1704,22 +1704,18 @@ def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
     pass with the tiny bounds table applied batch-local. Quantiles are
     SELECTED values, so float comparisons match DuckDB bit-for-bit."""
     from ..stages.shuffle import count_keys_shuffled
-    from ..stages.stats import exact_quantiles_from_counts
+    from ..stages.stats import grouped_quantiles_from_count_table
 
     counts = count_keys_shuffled(
         [os.path.join(sf_dir, "lineitem.parquet")],
         ["l_returnflag", "l_extendedprice"],
         min_count=1,
     )
-    per_group: dict[str, dict[float, int]] = {}
-    for flag, v, cnt in zip(
-        counts.column("l_returnflag").to_pylist(),
-        counts.column("l_extendedprice").to_pylist(),
-        counts.column("cnt").to_pylist(),
-    ):
-        per_group.setdefault(flag, {})[float(v)] = int(cnt)
     bounds = {
-        flag: tuple(exact_quantiles_from_counts(c, [100, 9900])) for flag, c in per_group.items()
+        flag: (float(p1), float(p99))
+        for flag, (p1, p99) in grouped_quantiles_from_count_table(
+            counts, "l_returnflag", "l_extendedprice", [100, 9900]
+        ).items()
     }
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])

@@ -170,6 +170,41 @@ def exact_quantiles_from_counts(counts: dict[Any, int], q_bps: list[int]) -> lis
     return [by_bp[q] for q in q_bps]
 
 
+def grouped_quantiles_from_count_table(
+    counts: pa.Table, group_col: str, value_col: str, q_bps: list[int]
+) -> dict[Any, list[Any]]:
+    """Per-group exact quantile_disc from a (group, value, cnt) count table,
+    fully vectorized: lexsort by (group, value), per-group cumulative counts,
+    rank lookup via searchsorted. Same rank arithmetic as
+    exact_quantiles_from_counts (1-indexed rank ceil(q·n), basis points) but
+    O(rows log rows) numpy instead of a Python dict loop over every distinct
+    value — the count table for a continuous column can be nearly as large
+    as the input's distinct domain."""
+    import numpy as np
+
+    n_rows = counts.num_rows
+    if n_rows == 0:
+        return {}
+    groups = counts.column(group_col).to_numpy(zero_copy_only=False)
+    vals = counts.column(value_col).to_numpy(zero_copy_only=False)
+    cnt = counts.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    ugroup, gcode = np.unique(groups, return_inverse=True)
+    order = np.lexsort((vals, gcode))
+    gc, v, c = gcode[order], vals[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, gc[1:] != gc[:-1]])
+    ends = np.r_[starts[1:], len(gc)]
+    out: dict[Any, list[Any]] = {}
+    for s, e in zip(starts, ends):
+        cs = np.cumsum(c[s:e])
+        n = int(cs[-1])
+        qs = []
+        for q_bp in q_bps:
+            rank = max(1, -(-q_bp * n // 10000))
+            qs.append(v[s + int(np.searchsorted(cs, rank, side="left"))])
+        out[ugroup[gc[s]]] = qs
+    return out
+
+
 def grouped_topk_table(
     table: pa.Table, group_col: str, order_col: str, tiebreak_col: str, k: int
 ) -> pa.Table:

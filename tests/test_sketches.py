@@ -127,3 +127,46 @@ def test_exact_quantiles_empty_and_cap():
     t = pa.table({"x": pa.array(list(range(100)), pa.int64())})
     with pytest.raises(ValueError, match="max_distinct"):
         batch_value_counts(t, ["x"], max_distinct=10)
+
+
+def test_grouped_quantiles_vectorized_matches_scalar():
+    """grouped_quantiles_from_count_table (vectorized lexsort+cumsum path)
+    must agree with exact_quantiles_from_counts per group on random
+    grouped multisets, including single-row groups and q=1/10000."""
+    import numpy as np
+    import pyarrow as pa
+
+    from schemasaurus_ray.stages.stats import (
+        exact_quantiles_from_counts,
+        grouped_quantiles_from_count_table,
+    )
+
+    rng = np.random.default_rng(11)
+    bps = [1, 100, 5000, 9900, 10000]
+    for trial in range(20):
+        n = int(rng.integers(1, 500))
+        groups = rng.choice(["A", "B", "C", "z"], size=n)
+        vals = np.round(rng.normal(0, 100, size=n), 2)
+        cnts = rng.integers(1, 5, size=n)
+        # collapse duplicates like a real count table
+        per: dict[str, dict[float, int]] = {}
+        for g, v, c in zip(groups, vals, cnts):
+            d = per.setdefault(g, {})
+            d[float(v)] = d.get(float(v), 0) + int(c)
+        rows = [(g, v, c) for g, d in per.items() for v, c in d.items()]
+        t = pa.table(
+            {
+                "g": pa.array([r[0] for r in rows], pa.string()),
+                "x": pa.array([r[1] for r in rows], pa.float64()),
+                "cnt": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        got = grouped_quantiles_from_count_table(t, "g", "x", bps)
+        assert set(got) == set(per), trial
+        for g, d in per.items():
+            want = exact_quantiles_from_counts(d, bps)
+            assert [float(x) for x in got[g]] == [float(w) for w in want], (trial, g)
+    assert grouped_quantiles_from_count_table(
+        pa.table({"g": pa.array([], pa.string()), "x": pa.array([], pa.float64()),
+                  "cnt": pa.array([], pa.int64())}), "g", "x", bps
+    ) == {}
