@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_curate_clips": q.audio_curate_clips,
         "audio_quality_clips": q.audio_quality_clips,
         "audio_spectral_clips": q.audio_spectral_clips,
+        "segment_audio_clips": q.segment_audio_clips,
         "speech_rate_clips": q.speech_rate_clips,
     }
 

@@ -542,3 +542,167 @@ def pcm_trim_gain(bytes_col, trim_db: float = -40.0, target_rms: float = 0.1, ch
             out["gain"][sl] = np.where(has & (rms > 0), target_rms / rms, 0.0)
         k = j
     return out
+
+
+def pcm_vad_segments(
+    bytes_col,
+    frame_ms: int = 20,
+    thresh_db: float = -35.0,
+    min_silence_ms: int = 150,
+    min_segment_ms: int = 200,
+    chunk: int = 1_000_000,
+) -> dict[str, np.ndarray]:
+    """Energy-VAD utterance segmentation for a whole binary column — the
+    flat_map analysis behind AudioSegmentStage (one clip row → N segment
+    rows). Per clip: frame the PCM into ``frame_ms`` windows, mark a frame
+    active when its mean |amplitude| clears the gain-invariant threshold
+    ``peak_env·10^(thresh_db/20)``, merge active runs separated by less
+    than ``min_silence_ms`` of silence, drop merged segments shorter than
+    ``min_segment_ms``.
+
+    No per-row Python anywhere: frame envelopes come from one |x| cumsum
+    per bounded chunk gathered at vectorized frame boundaries; run starts/
+    ends are boolean transitions on the flat frame array (clip boundaries
+    force a break via the within-clip frame index); the silence-gap merge
+    is a pure pairwise chain (gap lengths don't change as runs merge), so
+    it is a cumsum of non-merge flags — no sequential loop.
+
+    Returns per-SEGMENT flat arrays sorted by (row, start): ``row`` (batch
+    index), ``start``/``end`` (sample offsets within the clip's own data
+    section), ``sr``; plus per-ROW arrays ``valid`` and ``n_segments``.
+    """
+    from .util import single_chunk
+
+    arr = single_chunk(bytes_col)
+    n = len(arr)
+    per_row_valid = np.zeros(n, dtype=bool)
+    per_row_nseg = np.zeros(n, dtype=np.int64)
+
+    def result(rows, starts_, ends_, srs):
+        return {
+            "row": rows,
+            "start": starts_,
+            "end": ends_,
+            "sr": srs,
+            "valid": per_row_valid,
+            "n_segments": per_row_nseg,
+        }
+
+    e64 = np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return result(e64, e64, e64, e64)
+    layout = _pcm_layout(arr)
+    if layout is None:
+        return result(e64, e64, e64, e64)
+    data, starts, lengths, sr_all, eff_len, vmask = layout
+    per_row_valid[:] = vmask
+    if not vmask.any():
+        return result(e64, e64, e64, e64)
+    v = np.nonzero(vmask)[0]
+    seg_b = starts[v] + HEADER_SIZE
+    seg_len_b = eff_len[v]
+    sr_v = sr_all[v]
+    aligned = bool((seg_b % 2 == 0).all())
+    if aligned:
+        x_all = data[: len(data) & ~1].view(np.int16)
+        seg_s = seg_b // 2
+        seg_e = (seg_b + seg_len_b) // 2
+    else:
+        x_all = None
+        ends_b = np.cumsum(seg_len_b)
+        seg_e = ends_b // 2
+        seg_s = (ends_b - seg_len_b) // 2
+
+    thr_scale = 10.0 ** (thresh_db / 20.0)
+    out_row: list[np.ndarray] = []
+    out_start: list[np.ndarray] = []
+    out_end: list[np.ndarray] = []
+    out_sr: list[np.ndarray] = []
+
+    k = 0
+    m = len(v)
+    while k < m:
+        j = k + 1
+        while j < m and seg_e[j] - seg_s[k] <= chunk:
+            j += 1
+        lo = seg_s[k]
+        if aligned:
+            x = x_all[lo : seg_e[j - 1]]
+        else:
+            ln_b = seg_len_b[k:j]
+            total_b = int(ln_b.sum())
+            e_rel = np.cumsum(ln_b)
+            intra = np.arange(total_b) - np.repeat(e_rel - ln_b, ln_b)
+            x = data[np.repeat(seg_b[k:j], ln_b) + intra].view(np.int16)
+        ss = seg_s[k:j] - lo
+        ee = seg_e[k:j] - lo
+        ln = ee - ss
+        sr_c = sr_v[k:j]
+        a = np.abs(x, dtype=np.int32)
+        c = np.empty(len(a) + 1, dtype=np.int64)
+        c[0] = 0
+        np.cumsum(a, dtype=np.int64, out=c[1:])
+
+        fs = np.maximum(sr_c.astype(np.int64) * frame_ms // 1000, 1)
+        nf = -(-ln // fs)
+        total_f = int(nf.sum())
+        cum0 = np.cumsum(nf) - nf
+        fclip = np.repeat(np.arange(j - k), nf)
+        fidx = np.arange(total_f) - np.repeat(cum0, nf)
+        fs_rep = np.repeat(fs, nf)
+        fstart = np.repeat(ss, nf) + fidx * fs_rep
+        fend = np.minimum(fstart + fs_rep, np.repeat(ee, nf))
+        env = (c[fend] - c[fstart]) / (fend - fstart)
+        peak = np.maximum.reduceat(env, cum0)
+        thr = np.maximum(peak * thr_scale, 1.0)
+        active = env >= np.repeat(thr, nf)
+
+        prev_active = np.empty_like(active)
+        prev_active[0] = False
+        prev_active[1:] = active[:-1]
+        next_active = np.empty_like(active)
+        next_active[-1] = False
+        next_active[:-1] = active[1:]
+        is_first = fidx == 0
+        is_last = fidx == np.repeat(nf, nf) - 1
+        run_start = active & (is_first | ~prev_active)
+        run_end = active & (is_last | ~next_active)
+        rs = np.flatnonzero(run_start)
+        re_ = np.flatnonzero(run_end)
+        if len(rs) == 0:
+            k = j
+            continue
+        clip_of_run = fclip[rs]
+        sr_run = sr_c[clip_of_run]
+        # merge run i,i+1 when same clip and the silence gap between them
+        # is shorter than min_silence_ms (sample-exact comparison)
+        gap_samples = fstart[rs[1:]] - fend[re_[:-1]]
+        merge = (clip_of_run[1:] == clip_of_run[:-1]) & (
+            gap_samples * 1000 < min_silence_ms * sr_run[:-1]
+        )
+        seg_id = np.empty(len(rs), dtype=np.int64)
+        seg_id[0] = 0
+        np.cumsum(~merge, out=seg_id[1:])
+        firsts = np.flatnonzero(np.r_[True, seg_id[1:] != seg_id[:-1]])
+        lasts = np.r_[firsts[1:] - 1, len(seg_id) - 1]
+        clip_seg = clip_of_run[firsts]
+        s_samp = fstart[rs[firsts]] - ss[clip_seg]
+        e_samp = fend[re_[lasts]] - ss[clip_seg]
+        keep = (e_samp - s_samp) * 1000 >= min_segment_ms * sr_c[clip_seg]
+        clip_seg, s_samp, e_samp = clip_seg[keep], s_samp[keep], e_samp[keep]
+        rows_g = v[k + clip_seg]
+        out_row.append(rows_g)
+        out_start.append(s_samp)
+        out_end.append(e_samp)
+        out_sr.append(sr_c[clip_seg].astype(np.int64))
+        np.add.at(per_row_nseg, rows_g, 1)
+        k = j
+
+    if not out_row:
+        return result(e64, e64, e64, e64)
+    return result(
+        np.concatenate(out_row),
+        np.concatenate(out_start),
+        np.concatenate(out_end),
+        np.concatenate(out_sr),
+    )

@@ -236,6 +236,83 @@ class AudioNormalizeStage:
         )
 
 
+class AudioSegmentStage:
+    """VAD utterance segmentation — ONE input clip row → N output segment
+    rows (the audio analogue of a text flat_map splitter): energy-VAD over
+    ``frame_ms`` windows with a gain-invariant peak-relative threshold,
+    silence-gap merge and a minimum-duration floor (analysis fully
+    vectorized in audio.pcm_vad_segments — no per-row Python; only the
+    optional per-segment blob re-assembly loops, the same output shape as
+    AudioNormalizeStage). Invalid / all-silent clips yield zero rows —
+    route them through the validator, not the splitter.
+
+    Output columns: clip_id, seg_no (per-clip ordinal), start_ms/end_ms
+    (segment bounds in the source clip), dur_ms, sr_hz and, with
+    ``emit_bytes``, a rebuilt standalone WAV payload per segment."""
+
+    def __init__(
+        self,
+        frame_ms: int = 20,
+        thresh_db: float = -35.0,
+        min_silence_ms: int = 150,
+        min_segment_ms: int = 200,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+        emit_bytes: bool = True,
+    ):
+        self.frame_ms = frame_ms
+        self.thresh_db = thresh_db
+        self.min_silence_ms = min_silence_ms
+        self.min_segment_ms = min_segment_ms
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_vad_segments, wav_decode, wav_encode
+
+        info = pcm_vad_segments(
+            batch.column(self.bytes_col),
+            frame_ms=self.frame_ms,
+            thresh_db=self.thresh_db,
+            min_silence_ms=self.min_silence_ms,
+            min_segment_ms=self.min_segment_ms,
+        )
+        rows, start, end, sr = info["row"], info["start"], info["end"], info["sr"]
+        n_seg = len(rows)
+        # per-clip ordinal: segments arrive sorted by (row, start)
+        new_clip = np.r_[True, rows[1:] != rows[:-1]] if n_seg else np.zeros(0, bool)
+        firsts = np.flatnonzero(new_clip)
+        seg_no = (
+            np.arange(n_seg) - np.repeat(firsts, np.diff(np.r_[firsts, n_seg]))
+            if n_seg
+            else np.zeros(0, np.int64)
+        )
+        start_ms = start * 1000 // sr
+        end_ms = end * 1000 // sr
+        cols = {
+            self.id_col: batch.column(self.id_col).take(pa.array(rows, pa.int64())),
+            "seg_no": pa.array(seg_no.astype(np.int32), pa.int32()),
+            "start_ms": pa.array(start_ms, pa.int64()),
+            "end_ms": pa.array(end_ms, pa.int64()),
+            "dur_ms": pa.array(end_ms - start_ms, pa.int64()),
+            "sr_hz": pa.array(sr.astype(np.int32), pa.int32()),
+        }
+        if self.emit_bytes:
+            blobs = batch.column(self.bytes_col)
+            out_bytes: list[bytes] = []
+            pcm = None
+            last_row = -1
+            for i in range(n_seg):
+                r = int(rows[i])
+                if r != last_row:
+                    pcm, _ = wav_decode(blobs[r].as_py())
+                    last_row = r
+                out_bytes.append(wav_encode(pcm[start[i] : end[i]], int(sr[i])))
+            cols[self.bytes_col] = pa.array(out_bytes, pa.binary())
+        return pa.table(cols)
+
+
 class StubImageDecodeStage:
     """STUB image/video decoder (no image libs in this container —
     NotImplementedError for real decode; ``fake=True`` swaps in a

@@ -1784,6 +1784,31 @@ def audio_normalize_clips(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("clip_id")
 
 
+def segment_audio_clips(sf_dir: str) -> pa.Table:
+    """VAD utterance segmentation — the audio flat_map splitter (one clip
+    row → N segment rows) over the deterministic burst fixture
+    (sources/fixtures.make_burst_clips; sf_dir ignored — audio is not a
+    driver table). Expected boundaries are exact by construction and
+    golden-tested per clip in tests/test_audio_fp.py; the driver records
+    the rows-only check. Returns (clip_id, seg_no, start_ms, end_ms,
+    dur_ms, sr_hz) sorted by (clip_id, seg_no)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioSegmentStage
+    from ..sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(512)
+    ds = rd.from_arrow(clips).repartition(8)
+    out = ds.map_batches(
+        AudioSegmentStage,
+        fn_constructor_kwargs={"emit_bytes": False},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=128,
+    )
+    return _collect(out).sort_by([("clip_id", "ascending"), ("seg_no", "ascending")])
+
+
 def speech_rate_clips(sf_dir: str) -> pa.Table:
     """Audio↔transcript consistency: tokens-per-second of each clip's
     transcript vs its duration — the cross-modal validation a speech

@@ -220,3 +220,49 @@ def write_fixture_parallel(
     with open(done_marker, "w") as f:
         f.write(str(total))
     return {"clips": clips_dir, "transcripts": tr_dir}
+
+
+def make_burst_clips(n: int = 512, seed: int = 42) -> pa.Table:
+    """Deterministic utterance-burst clips for the VAD segmentation surface
+    (FIXTURES.md F5). Clip i: sr = [8000, 16000, 44100][i%3]; 120 ms lead
+    silence; k = 1 + i%3 tone bursts of (240 + 20·(i%5)) ms at
+    f = 300 + (i%23)·40 Hz, separated by 400 ms silences; 80 ms tail
+    silence. All durations are multiples of the 20 ms VAD frame and
+    silences are exact zeros, so expected segment boundaries are EXACT:
+    segment t of clip i spans [120 + t·(burst+400), …+burst] ms.
+
+    Planted negatives: i%17==0 → all-silence clip (zero segments);
+    i%19==0 → truncated non-WAV blob (invalid, zero segments)."""
+    rng = np.random.default_rng(seed)  # only for byte noise in invalid blobs
+    ids = clip_ids(n)
+    srs = np.array([8000, 16000, 44100], dtype=np.int32)[np.arange(n) % 3]
+    blob_list = []
+    for i in range(n):
+        sr = int(srs[i])
+        if i % 17 == 0:
+            blob_list.append(wav_encode(np.zeros(sr, dtype=np.int16), sr))
+            continue
+        if i % 19 == 0:
+            blob_list.append(bytes(rng.integers(0, 256, size=20, dtype=np.uint8)))
+            continue
+        k = 1 + i % 3
+        burst_ms = 240 + 20 * (i % 5)
+        f = 300.0 + (i % 23) * 40.0
+        parts = [np.zeros(sr * 120 // 1000, dtype=np.int16)]
+        nb = sr * burst_ms // 1000
+        t = np.arange(nb, dtype=np.float64) / sr
+        tone = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype(np.int16)
+        gap = np.zeros(sr * 400 // 1000, dtype=np.int16)
+        for b in range(k):
+            if b:
+                parts.append(gap)
+            parts.append(tone)
+        parts.append(np.zeros(sr * 80 // 1000, dtype=np.int16))
+        blob_list.append(wav_encode(np.concatenate(parts), sr))
+    return pa.table(
+        {
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blob_list, pa.binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+        }
+    )

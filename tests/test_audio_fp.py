@@ -195,3 +195,130 @@ def test_normalize_stage_invariants():
     out2 = stage(out.select(["clip_id", "bytes"]))
     g2 = out2.column("gain_bp").to_pylist()[0]
     assert abs(g2 - 10000) <= 100  # within 1 % of unit gain
+
+
+# ---------------------------------------------------------------- VAD segments
+
+
+def _expected_segments(i: int) -> list[tuple[int, int]]:
+    """Expected (start_ms, end_ms) per make_burst_clips construction."""
+    if i % 17 == 0 or i % 19 == 0:
+        return []
+    k = 1 + i % 3
+    burst = 240 + 20 * (i % 5)
+    return [(120 + t * (burst + 400), 120 + t * (burst + 400) + burst) for t in range(k)]
+
+
+def test_vad_segments_golden_burst_fixture():
+    from schemasaurus_ray.audio import pcm_vad_segments
+    from schemasaurus_ray.sources.fixtures import make_burst_clips
+
+    n = 256
+    clips = make_burst_clips(n)
+    info = pcm_vad_segments(clips.column("bytes"))
+    sr = clips.column("sr_hz").to_numpy()
+    got: dict[int, list[tuple[int, int]]] = {i: [] for i in range(n)}
+    for r, s, e in zip(info["row"], info["start"], info["end"]):
+        got[int(r)].append((int(s * 1000 // sr[r]), int(e * 1000 // sr[r])))
+    for i in range(n):
+        assert got[i] == _expected_segments(i), i
+        assert info["n_segments"][i] == len(_expected_segments(i)), i
+        # i%17 (silence) takes precedence over i%19 (invalid) in the fixture
+        assert info["valid"][i] == (i % 19 != 0 or i % 17 == 0), i
+
+
+def test_vad_merge_and_minlen_semantics():
+    from schemasaurus_ray.audio import pcm_vad_segments
+
+    sr = 16000
+
+    def clip(layout):
+        parts = []
+        for kind, ms in layout:
+            nsmp = sr * ms // 1000
+            if kind == "t":
+                t = np.arange(nsmp) / sr
+                parts.append((0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16))
+            else:
+                parts.append(np.zeros(nsmp, np.int16))
+        return wav_encode(np.concatenate(parts), sr)
+
+    col = pa.array(
+        [
+            clip([("s", 100), ("t", 300), ("s", 300), ("t", 400), ("s", 200)]),  # 2 segs
+            clip([("t", 300), ("s", 100), ("t", 300)]),  # 100ms gap < 150 -> merged
+            clip([("t", 100), ("s", 300), ("t", 50)]),  # both under 200ms -> dropped
+            clip([("s", 500)]),  # silent
+            b"notawav",  # invalid
+        ],
+        pa.binary(),
+    )
+    info = pcm_vad_segments(col)
+    assert info["n_segments"].tolist() == [2, 1, 0, 0, 0]
+    assert info["valid"].tolist() == [True, True, True, True, False]
+    ms = [
+        (int(s * 1000 // srr), int(e * 1000 // srr))
+        for s, e, srr in zip(info["start"], info["end"], info["sr"])
+    ]
+    assert ms == [(100, 400), (700, 1100), (0, 700)]
+
+
+def test_vad_chunked_and_unaligned_paths_agree():
+    from schemasaurus_ray.audio import pcm_vad_segments
+    from schemasaurus_ray.sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(48)
+    base = pcm_vad_segments(clips.column("bytes"))
+    # tiny chunk forces many chunk rounds (largest clip ~2s @44.1k > 2048)
+    small = pcm_vad_segments(clips.column("bytes"), chunk=2048)
+    for key in ("row", "start", "end", "sr", "n_segments"):
+        np.testing.assert_array_equal(base[key], small[key], err_msg=key)
+    # odd-length first blob shifts every later data section to odd byte
+    # offsets in the value buffer -> the gather (unaligned) path
+    blobs = clips.column("bytes").to_pylist()
+    col = pa.array([b"x" * 21, *blobs], pa.binary())
+    un = pcm_vad_segments(col)
+    assert not un["valid"][0]
+    np.testing.assert_array_equal(un["row"] - 1, base["row"])
+    np.testing.assert_array_equal(un["start"], base["start"])
+    np.testing.assert_array_equal(un["end"], base["end"])
+    np.testing.assert_array_equal(un["n_segments"][1:], base["n_segments"])
+
+
+def test_segment_stage_bytes_roundtrip():
+    from schemasaurus_ray.functions.multimodal import AudioSegmentStage
+    from schemasaurus_ray.sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(40)
+    out = AudioSegmentStage()(clips)
+    assert out.column_names == [
+        "clip_id", "seg_no", "start_ms", "end_ms", "dur_ms", "sr_hz", "bytes",
+    ]
+    ids = clips.column("clip_id").to_pylist()
+    by_id = {ids[i]: i for i in range(clips.num_rows)}
+    seen: dict[str, int] = {}
+    for r in range(out.num_rows):
+        cid = out.column("clip_id")[r].as_py()
+        i = by_id[cid]
+        seg_no = out.column("seg_no")[r].as_py()
+        assert seg_no == seen.get(cid, 0)
+        seen[cid] = seg_no + 1
+        s_ms = out.column("start_ms")[r].as_py()
+        e_ms = out.column("end_ms")[r].as_py()
+        assert (s_ms, e_ms) == _expected_segments(i)[seg_no]
+        pcm, sr = wav_decode(clips.column("bytes")[i].as_py())
+        seg_pcm, seg_sr = wav_decode(out.column("bytes")[r].as_py())
+        assert seg_sr == sr
+        np.testing.assert_array_equal(
+            seg_pcm, pcm[s_ms * sr // 1000 : e_ms * sr // 1000]
+        )
+    assert sum(seen.values()) > 0
+
+
+def test_segment_audio_clips_query(ray_session):
+    from schemasaurus_ray.pipelines.queries import segment_audio_clips
+
+    out = segment_audio_clips("/root/testdata/sf0.001")
+    expected_total = sum(len(_expected_segments(i)) for i in range(512))
+    assert out.num_rows == expected_total
+    assert out.column_names == ["clip_id", "seg_no", "start_ms", "end_ms", "dur_ms", "sr_hz"]
