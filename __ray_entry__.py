@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_quantity": q.top_parts_by_quantity,
         # grouped aggregate constraint + join rollup
         "agg_constraint_orders": q.agg_constraint_orders,
+        "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
+        "mode_event_type_by_user": q.mode_event_type_by_user,
         "revenue_by_segment": q.revenue_by_segment,
         "revenue_by_segment_flag": q.revenue_by_segment_flag,
         # dedup family
@@ -113,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_quality_clips": q.audio_quality_clips,
         "audio_spectral_clips": q.audio_spectral_clips,
         "segment_audio_clips": q.segment_audio_clips,
+        "pack_audio_segments": q.pack_audio_segments,
         "speech_rate_clips": q.speech_rate_clips,
     }
 
@@ -330,6 +333,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "grouped_quantiles_lineitem": _grouped_quantiles_oracle_sql(),
+        "mode_event_type_by_user": """
+            SELECT user_id, event_type AS top_event_type, CAST(cnt AS BIGINT) AS cnt FROM (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+                       ) AS rn
+                  FROM events WHERE event_type IS NOT NULL
+                 GROUP BY user_id, event_type
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "reconcile_orders_lineitem": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+                                AS BIGINT)) AS line_cents
+                  FROM lineitem GROUP BY l_orderkey
+            ),
+            o AS (
+                SELECT o_orderstatus,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS stored_cents,
+                       li.line_cents
+                  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+            )
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_no_lines,
+                   CAST(SUM(CASE WHEN line_cents IS NOT NULL AND line_cents != stored_cents
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+                   CAST(SUM(ABS(stored_cents - COALESCE(line_cents, 0))) AS BIGINT)
+                       AS abs_delta_cents
+              FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
         "percentile_outliers_lineitem": """
             WITH bounds AS (
                 SELECT l_returnflag,

@@ -468,6 +468,98 @@ def revenue_by_segment_flag(sf_dir: str) -> pa.Table:
     return out.sort_by([("c_mktsegment", "ascending"), ("l_returnflag", "ascending")])
 
 
+def mode_event_type_by_user(sf_dir: str) -> pa.Table:
+    """Per-entity MODE — each user's dominant event_type (ties broken by
+    the smallest value, pinned against the oracle's row_number window;
+    DuckDB's own mode() leaves ties undefined). One group-hash shuffle of
+    per-shard (user, type, cnt) combiner partials (stages/shuffle.
+    mode_by_group); the winner per user is a vectorized sort +
+    first-row-per-group slice inside each reduce."""
+    from ..stages.shuffle import mode_by_group
+
+    out = mode_by_group(
+        [os.path.join(sf_dir, "events.parquet")], "user_id", "event_type"
+    )
+    return out.rename_columns(["user_id", "top_event_type", "cnt"]).sort_by("user_id")
+
+
+def reconcile_orders_lineitem(sf_dir: str) -> pa.Table:
+    """CROSS-TABLE AGGREGATE CONSISTENCY — the reconciliation check a
+    warehouse runs between a header table and its detail table: does
+    o_totalprice equal SUM(l_extendedprice·(1−l_discount)·(1+l_tax)) over
+    the order's lines? One raw-Ray bucketed equi-join (orders LEFT OUTER
+    lineitem, hash-partitioned by orderkey so every order's lines land in
+    exactly one reduce) with the per-order delta AND the per-status rollup
+    both computed inside the reduce — only (status, counts, cents) partials
+    return to the driver. Integer cents via the proven FLOOR(x·100+0.5)
+    recipe; the three-factor product uses the same left-to-right IEEE
+    double ops as the oracle SQL, so cents are bit-exact. Orders with no
+    lines are their own violation class (n_no_lines)."""
+    from ..stages.join import equi_join_shuffled
+
+    def reduce_fn(joined: pa.Table) -> pa.Table:
+        ext_a = joined.column("l_extendedprice").combine_chunks()
+        has_line = np.asarray(pc.is_valid(ext_a))
+        ext = np.asarray(ext_a.fill_null(0.0), dtype=np.float64)
+        disc = np.asarray(joined.column("l_discount").combine_chunks().fill_null(0.0))
+        tax = np.asarray(joined.column("l_tax").combine_chunks().fill_null(0.0))
+        cents = np.floor(ext * (1 - disc) * (1 + tax) * 100 + 0.5).astype(np.int64)
+        cents[~has_line] = 0
+        stored = np.floor(
+            np.asarray(joined.column("o_totalprice").combine_chunks(), dtype=np.float64) * 100
+            + 0.5
+        ).astype(np.int64)
+        per_line = pa.table(
+            {
+                "o_orderkey": joined.column("o_orderkey"),
+                "o_orderstatus": joined.column("o_orderstatus"),
+                "cents": pa.array(cents, pa.int64()),
+                "has_line": pa.array(has_line),
+                "stored_cents": pa.array(stored, pa.int64()),
+            }
+        )
+        per_order = per_line.group_by(["o_orderkey", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("has_line", "max"), ("stored_cents", "max")]
+        )
+        line_cents = np.asarray(per_order.column("cents_sum").combine_chunks())
+        has = np.asarray(per_order.column("has_line_max").combine_chunks())
+        st = np.asarray(per_order.column("stored_cents_max").combine_chunks())
+        stats = pa.table(
+            {
+                "o_orderstatus": per_order.column("o_orderstatus"),
+                "n_orders": pa.array(np.ones(len(st), np.int64), pa.int64()),
+                "n_no_lines": pa.array((~has).astype(np.int64), pa.int64()),
+                "n_mismatch": pa.array((has & (line_cents != st)).astype(np.int64), pa.int64()),
+                "abs_delta_cents": pa.array(np.abs(st - line_cents), pa.int64()),
+            }
+        )
+        out = stats.group_by("o_orderstatus").aggregate(
+            [("n_orders", "sum"), ("n_no_lines", "sum"), ("n_mismatch", "sum"),
+             ("abs_delta_cents", "sum")]
+        )
+        return out.rename_columns(
+            ["o_orderstatus", "n_orders", "n_no_lines", "n_mismatch", "abs_delta_cents"]
+        )
+
+    partial = equi_join_shuffled(
+        [os.path.join(sf_dir, "orders.parquet")],
+        "o_orderkey",
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        join_type="left outer",
+        reduce_fn=reduce_fn,
+    )
+    out = partial.group_by("o_orderstatus").aggregate(
+        [("n_orders", "sum"), ("n_no_lines", "sum"), ("n_mismatch", "sum"),
+         ("abs_delta_cents", "sum")]
+    )
+    return out.rename_columns(
+        ["o_orderstatus", "n_orders", "n_no_lines", "n_mismatch", "abs_delta_cents"]
+    ).sort_by("o_orderstatus")
+
+
 def props_sum_by_type(sf_dir: str) -> pa.Table:
     """JSON-mode dynamic column in an AGGREGATION context (the validator
     consumes $.k in validate_events; here it rolls up): vectorized
@@ -1807,6 +1899,56 @@ def segment_audio_clips(sf_dir: str) -> pa.Table:
         batch_size=128,
     )
     return _collect(out).sort_by([("clip_id", "ascending"), ("seg_no", "ascending")])
+
+
+def pack_audio_segments(sf_dir: str) -> pa.Table:
+    """Training-example assembly for speech: VAD utterance segments packed
+    into fixed 4000 ms duration-budget bins — the composition of the
+    segmentation flat_map (segment_audio_clips) with the length-bucketed
+    packing operator (functions/packing.py, budget in ms instead of
+    tokens). Segment identity is the packed int64 ``clip_ordinal·64 +
+    seg_no`` so the assignment is deterministic and layout-independent;
+    segment audio never shuffles — only (id, bucket) = 16 B/segment
+    leaves the map tasks. Returns (clip_id, seg_no, dur_bucket, bin)
+    sorted; bin invariants (duration sum ≤ budget, ≥50% utilization on
+    full bins) are pinned in tests/test_packing.py."""
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioSegmentStage
+    from ..functions.packing import length_buckets, pack_by_length_buckets
+    from ..sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(512)
+    segs = rd.from_arrow(clips).repartition(8).map_batches(
+        AudioSegmentStage,
+        fn_constructor_kwargs={"emit_bytes": False},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=128,
+    )
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(batch.column("clip_id"), 5, 15), pa.int64())
+        seg_id = pc.add(pc.multiply(idx, 64), pc.cast(batch.column("seg_no"), pa.int64()))
+        bucket = length_buckets(np.asarray(batch.column("dur_ms").combine_chunks()))
+        return pa.table({"seg_id": seg_id, "bucket": pa.array(bucket, pa.int64())})
+
+    packed = pack_by_length_buckets(
+        segs.select_columns(["clip_id", "seg_no", "dur_ms"]).map_batches(
+            to_keys, batch_format="pyarrow"
+        ),
+        budget=4000,
+        id_col="seg_id",
+    )
+    seg_id = np.asarray(packed.column("seg_id").combine_chunks())
+    return pa.table(
+        {
+            "clip_id": pa.array([f"clip-{i:010d}" for i in seg_id // 64], pa.string()),
+            "seg_no": pa.array((seg_id % 64).astype(np.int32), pa.int32()),
+            "dur_bucket": packed.column("bucket"),
+            "bin": packed.column("bin"),
+        }
+    ).sort_by([("clip_id", "ascending"), ("seg_no", "ascending")])
 
 
 def speech_rate_clips(sf_dir: str) -> pa.Table:

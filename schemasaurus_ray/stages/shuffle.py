@@ -782,3 +782,83 @@ def distinct_count_by_group(
     merged = pa.concat_tables(tables)
     out = merged.group_by([group_col]).aggregate([("cnt", "sum")])
     return out.rename_columns([group_col, "cnt"])
+
+
+def mode_by_group(
+    paths: list[str],
+    group_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Distributed exact MODE: the most frequent ``value_col`` per
+    ``group_col`` (ties → lexicographically smallest value, the
+    deterministic convention the oracle's ``row_number() OVER (ORDER BY
+    cnt DESC, value)`` pins — DuckDB's own mode() leaves ties undefined).
+
+    Map: each shard pre-counts its (group, value) pairs (combiner — at most
+    groups×domain partial rows leave a shard) and bucket-splits on the
+    GROUP hash so a group's whole value domain lands in one reduce.
+    Reduce: sum the partial counts per pair, then one vectorized sort
+    (group asc, cnt desc, value asc) + first-row-per-group slice. Driver
+    concatenates disjoint (group, value, cnt) winners — no merge logic.
+    Scale note: per-reduce work is O(groups_in_bucket × domain); a value
+    domain too large for one task belongs to the top-k path
+    (stats.grouped_topk_table), not mode."""
+    import ray
+
+    num_buckets = num_buckets or _default_buckets(len(paths))
+    cols = [group_col, value_col]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=cols)
+        tbl = tbl.filter(pc.is_valid(tbl.column(value_col)))
+        pairs = tbl.group_by(cols).aggregate([([], "count_all")]).rename_columns([*cols, "cnt"])
+        out = _split_buckets(pairs, [group_col], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        out = merged.group_by(cols).aggregate([("cnt", "sum")])
+        return out.rename_columns([*cols, "cnt"])
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        summed = merged.group_by(cols).aggregate([("cnt", "sum")])
+        summed = summed.rename_columns([*cols, "cnt"])
+        s = summed.sort_by(
+            [(group_col, "ascending"), ("cnt", "descending"), (value_col, "ascending")]
+        )
+        g = s.column(group_col).combine_chunks()
+        import numpy as np
+
+        first = np.flatnonzero(
+            np.r_[True, ~np.asarray(pc.equal(g.slice(1), g.slice(0, len(g) - 1)).fill_null(False))]
+        )
+        return s.take(pa.array(first, pa.int64()))
+
+    bucket_parts: list[list] = [[] for _ in range(num_buckets)]
+    for path in paths:
+        refs = map_shard.remote(path)
+        if num_buckets == 1:
+            refs = [refs]
+        for b, r in enumerate(refs):
+            bucket_parts[b].append(r)
+    reduced = [
+        reduce_bucket.remote(*_tree_combine(parts, combine_bucket))
+        for parts in bucket_parts
+        if parts
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {group_col: pa.array([], pa.string()), value_col: pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables)

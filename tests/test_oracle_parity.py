@@ -84,6 +84,8 @@ ORACLE_NAMES = [
     "activity_window_events",
     "sessionize_events",
     "percentile_outliers_lineitem",
+    "reconcile_orders_lineitem",
+    "mode_event_type_by_user",
 ]
 
 
@@ -113,6 +115,8 @@ ROWS_ONLY = [
     "audio_quality_clips",
     "audio_spectral_clips",
     "speech_rate_clips",
+    "segment_audio_clips",
+    "pack_audio_segments",
 ]
 
 

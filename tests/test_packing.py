@@ -94,3 +94,38 @@ def test_pack_empty(ray_session):
     out = pack_by_length_buckets(rd.from_arrow(empty), budget=64)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "bucket", "bin"]
+
+
+def test_pack_audio_segments_composition(ray_session):
+    """The audio composition: every VAD segment appears exactly once, each
+    bin's true duration sum stays within the 4000 ms budget, and full bins
+    clear 50% utilization."""
+    import numpy as np
+
+    from schemasaurus_ray.pipelines.queries import (
+        pack_audio_segments,
+        segment_audio_clips,
+    )
+
+    segs = segment_audio_clips("ignored")
+    packed = pack_audio_segments("ignored")
+    assert packed.num_rows == segs.num_rows
+    key = lambda t: list(zip(t.column("clip_id").to_pylist(), t.column("seg_no").to_pylist()))
+    assert key(packed) == key(segs)  # both sorted by (clip_id, seg_no)
+    dur = {k: d for k, d in zip(key(segs), segs.column("dur_ms").to_pylist())}
+    sums: dict[tuple[int, int], int] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for k, b, bn in zip(
+        key(packed), packed.column("dur_bucket").to_pylist(), packed.column("bin").to_pylist()
+    ):
+        assert (1 << (b - 1)) < dur[k] <= (1 << b)
+        sums[(b, bn)] = sums.get((b, bn), 0) + dur[k]
+        counts[(b, bn)] = counts.get((b, bn), 0) + 1
+    for (b, bn), s in sums.items():
+        assert s <= 4000, (b, bn, s)
+        cap = max(4000 >> b, 1)
+        assert counts[(b, bn)] <= cap
+        if counts[(b, bn)] == cap:  # full bin -> >= 50% utilization
+            assert s * 2 > 4000 * (cap * (1 << b) >= 4000), (b, bn, s)
+    # at least one genuinely full multi-segment bin exists in the fixture
+    assert any(c > 1 for c in counts.values())

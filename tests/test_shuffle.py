@@ -305,3 +305,34 @@ def test_argmax_rank_pack_roundtrip_and_ordering():
         pack_argmax_rank(np.array([1]), np.array([-1]))
     with pytest.raises(ValueError):
         pack_argmax_rank(np.array([1 << 23]), np.array([0]))
+
+
+def test_mode_by_group_ties_and_partials(ray_session, tmp_path):
+    """mode_by_group: exact counts merged across shards; ties go to the
+    lexicographically smallest value; null values skipped."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import mode_by_group
+
+    # user 1: b×3 (split across shards) vs a×2 -> b
+    # user 2: tie a×2 / c×2 -> a (smallest)
+    # user 3: only nulls -> absent; user 4: single row -> that value
+    s1 = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["b", "b", "a", "c", "a", None], pa.string()),
+        }
+    )
+    s2 = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["b", "a", "c", "a", None, "z"], pa.string()),
+        }
+    )
+    p1, p2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    pq.write_table(s1, p1)
+    pq.write_table(s2, p2)
+    out = mode_by_group([p1, p2], "user_id", "event_type", num_buckets=4).sort_by("user_id")
+    assert out.column("user_id").to_pylist() == [1, 2, 4]
+    assert out.column("event_type").to_pylist() == ["b", "a", "z"]
+    assert out.column("cnt").to_pylist() == [3, 2, 1]
