@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_constraint_orders": q.agg_constraint_orders,
         "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
         "mode_event_type_by_user": q.mode_event_type_by_user,
+        "daily_volume_events": q.daily_volume_events,
+        "benford_lineitem": q.benford_lineitem,
         "revenue_by_segment": q.revenue_by_segment,
         "revenue_by_segment_flag": q.revenue_by_segment_flag,
         # dedup family
@@ -333,6 +335,32 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "grouped_quantiles_lineitem": _grouped_quantiles_oracle_sql(),
+        "daily_volume_events": """
+            WITH d AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+                  FROM events GROUP BY 1
+            ),
+            m AS (SELECT quantile_disc(cnt, 0.5) AS med FROM d)
+            SELECT day, CAST(cnt AS BIGINT) AS cnt,
+                   CASE WHEN 2 * cnt < med THEN 'low'
+                        WHEN cnt > 2 * med THEN 'high'
+                        ELSE 'ok' END AS volume
+              FROM d, m ORDER BY day
+        """,
+        "benford_lineitem": """
+            WITH digits AS (
+                SELECT CAST(regexp_extract(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR),
+                                           '^[1-9]') AS BIGINT) AS digit
+                  FROM lineitem WHERE l_extendedprice >= 1.0
+            ),
+            base AS (SELECT UNNEST(range(1, 10)) AS digit),
+            obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit)
+            SELECT base.digit,
+                   CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+                   CAST(FLOOR(10000 * LOG10(1 + 1.0 / base.digit)) AS BIGINT) AS expected_bp
+              FROM base LEFT JOIN obs ON base.digit = obs.digit
+             ORDER BY base.digit
+        """,
         "mode_event_type_by_user": """
             SELECT user_id, event_type AS top_event_type, CAST(cnt AS BIGINT) AS cnt FROM (
                 SELECT user_id, event_type, COUNT(*) AS cnt,

@@ -468,6 +468,73 @@ def revenue_by_segment_flag(sf_dir: str) -> pa.Table:
     return out.sort_by([("c_mktsegment", "ascending"), ("l_returnflag", "ascending")])
 
 
+def daily_volume_events(sf_dir: str) -> pa.Table:
+    """FRESHNESS / COMPLETENESS check — per-day event volume with an
+    anomalous-volume verdict (a day under half / over double the median
+    daily count): the partition-completeness monitor every ingestion
+    pipeline runs. Streaming map partials (date-cast + per-batch counts
+    over a bounded day domain) summed in one tiny final groupby — no
+    shuffle; the median is exact integer rank arithmetic on the ≤days-long
+    count table (same quantile_disc convention as the quantile surfaces)."""
+    from ..stages.stats import exact_quantiles_from_counts
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(batch.column("ts"), "%Y-%m-%d")
+        out = pa.table({"day": days}).group_by("day").aggregate([([], "count_all")])
+        return out.rename_columns(["day", "cnt"])
+
+    partial = _collect(ds.map_batches(day_counts, batch_format="pyarrow"))
+    total = partial.group_by("day").aggregate([("cnt", "sum")]).rename_columns(["day", "cnt"])
+    cnt = np.asarray(total.column("cnt").combine_chunks())
+    counts_map: dict[int, int] = {}
+    for c in cnt:
+        counts_map[int(c)] = counts_map.get(int(c), 0) + 1
+    (med,) = exact_quantiles_from_counts(counts_map, [5000])
+    volume = np.where(2 * cnt < med, "low", np.where(cnt > 2 * med, "high", "ok"))
+    return pa.table(
+        {
+            "day": total.column("day"),
+            "cnt": total.column("cnt"),
+            "volume": pa.array(volume.tolist(), pa.string()),
+        }
+    ).sort_by("day")
+
+
+def benford_lineitem(sf_dir: str) -> pa.Table:
+    """Benford's-law profile of l_extendedprice — the classic fraud /
+    generator-artifact screen: observed first-significant-digit counts vs
+    the Benford expectation. First digit via pure integer division (six
+    vectorized halving-by-10 rounds — no float log10, whose last-ulp
+    differences vs the oracle could flip a digit); per-batch bincount
+    partials sum on the driver (9 rows). expected_bp = FLOOR(10000·
+    log10(1+1/d)), whose values sit far from integer boundaries, so the
+    float log is representation-safe."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def digit_counts(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("l_extendedprice").combine_chunks(), dtype=np.float64)
+        d = np.floor(x[x >= 1.0]).astype(np.int64)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64), pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partial = _collect(ds.map_batches(digit_counts, batch_format="pyarrow"))
+    total = partial.group_by("digit").aggregate([("n", "sum")]).rename_columns(["digit", "n"])
+    total = total.sort_by("digit")
+    digits = np.arange(1, 10, dtype=np.float64)
+    expected_bp = np.floor(10000 * np.log10(1 + 1 / digits)).astype(np.int64)
+    return total.append_column("expected_bp", pa.array(expected_bp, pa.int64()))
+
+
 def mode_event_type_by_user(sf_dir: str) -> pa.Table:
     """Per-entity MODE — each user's dominant event_type (ties broken by
     the smallest value, pinned against the oracle's row_number window;

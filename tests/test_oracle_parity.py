@@ -86,6 +86,8 @@ ORACLE_NAMES = [
     "percentile_outliers_lineitem",
     "reconcile_orders_lineitem",
     "mode_event_type_by_user",
+    "daily_volume_events",
+    "benford_lineitem",
 ]
 
 
