@@ -322,3 +322,74 @@ def test_segment_audio_clips_query(ray_session):
     expected_total = sum(len(_expected_segments(i)) for i in range(512))
     assert out.num_rows == expected_total
     assert out.column_names == ["clip_id", "seg_no", "start_ms", "end_ms", "dur_ms", "sr_hz"]
+
+
+def test_vad_segments_match_per_row_reference():
+    """pcm_vad_segments (vectorized flat-chunk path) vs an independent
+    per-clip pure-Python reference on random layouts, including clips
+    shorter than one frame, bursts touching clip edges, and sub-threshold
+    noise floors."""
+    from schemasaurus_ray.audio import pcm_vad_segments
+
+    frame_ms, thresh_db, min_sil, min_seg = 20, -35.0, 150, 200
+    rng = np.random.default_rng(3)
+
+    def ref_segments(blob):
+        try:
+            x, sr = wav_decode(blob)
+        except ValueError:
+            return None
+        if len(x) == 0:
+            return None
+        fs = max(sr * frame_ms // 1000, 1)
+        nf = -(-len(x) // fs)
+        env = np.array(
+            [np.abs(x[f * fs : min((f + 1) * fs, len(x))].astype(np.int64)).mean() for f in range(nf)]
+        )
+        thr = max(env.max() * 10 ** (thresh_db / 20.0), 1.0)
+        active = env >= thr
+        runs = []
+        f = 0
+        while f < nf:
+            if active[f]:
+                g = f
+                while g + 1 < nf and active[g + 1]:
+                    g += 1
+                runs.append([f * fs, min((g + 1) * fs, len(x))])
+                f = g + 1
+            else:
+                f += 1
+        merged = []
+        for r in runs:
+            if merged and (r[0] - merged[-1][1]) * 1000 < min_sil * sr:
+                merged[-1][1] = r[1]
+            else:
+                merged.append(r)
+        return [(s, e) for s, e in merged if (e - s) * 1000 >= min_seg * sr]
+
+    blobs = []
+    for i in range(120):
+        sr = int(rng.choice([8000, 16000, 22050, 44100]))
+        n_samp = int(rng.integers(1, sr * 2))
+        x = np.zeros(n_samp, dtype=np.int16)
+        # random bursts with random amplitude; random noise floor
+        for _ in range(int(rng.integers(0, 4))):
+            a = int(rng.integers(0, n_samp))
+            b = min(n_samp, a + int(rng.integers(1, sr)))
+            amp = float(rng.uniform(0.05, 0.9))
+            t = np.arange(b - a) / sr
+            x[a:b] = (amp * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+        if rng.random() < 0.5:
+            x = (x + rng.normal(0, rng.uniform(0, 200), size=n_samp)).clip(-32768, 32767).astype(np.int16)
+        blobs.append(wav_encode(x, sr))
+    col = pa.array(blobs, pa.binary())
+    info = pcm_vad_segments(
+        col, frame_ms=frame_ms, thresh_db=thresh_db,
+        min_silence_ms=min_sil, min_segment_ms=min_seg,
+    )
+    got: dict[int, list[tuple[int, int]]] = {i: [] for i in range(len(blobs))}
+    for r, s, e in zip(info["row"], info["start"], info["end"]):
+        got[int(r)].append((int(s), int(e)))
+    for i, blob in enumerate(blobs):
+        expect = ref_segments(blob) or []
+        assert got[i] == expect, (i, got[i], expect)
