@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "pack_documents",
     "best_doc_per_stratum",
     "percentile_outliers_lineitem",
+    "reconcile_orders_lineitem",
+    "mode_event_type_by_user",
 ]
 
 

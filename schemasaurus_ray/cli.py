@@ -108,6 +108,71 @@ def _cmd_infer(args) -> int:
     return 0
 
 
+def _cmd_segment(args) -> int:
+    """segment: VAD utterance splitting over clip shards → partitioned
+    parquet, one output file per input shard (idempotent names + atomic
+    rename, so a re-run skips finished shards — the same resumable-sink
+    contract as the validation pipeline's violation stream)."""
+    import glob
+    import json as _json
+    import os
+
+    import ray
+
+    paths = (
+        sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if os.path.isdir(args.input)
+        else [args.input]
+    )
+    os.makedirs(args.out, exist_ok=True)
+    opts = dict(
+        frame_ms=args.frame_ms,
+        thresh_db=args.thresh_db,
+        min_silence_ms=args.min_silence_ms,
+        min_segment_ms=args.min_segment_ms,
+        emit_bytes=not args.no_bytes,
+    )
+    out_dir = args.out
+
+    @ray.remote
+    def seg_shard(path: str) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from schemasaurus_ray.functions.multimodal import AudioSegmentStage
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_name = os.path.join(out_dir, f"segments-{stem}.parquet")
+        if os.path.exists(out_name):
+            return {
+                "shard": stem,
+                "skipped": True,
+                "segments": pq.read_metadata(out_name).num_rows,
+            }
+        stage = AudioSegmentStage(**opts)
+        parts = []
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=256, columns=["clip_id", "bytes"]):
+            parts.append(stage(pa.Table.from_batches([rb])))
+        out = pa.concat_tables(parts) if parts else stage(
+            pa.table({"clip_id": pa.array([], pa.string()), "bytes": pa.array([], pa.binary())})
+        )
+        tmp = f"{out_name}.tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, out_name)
+        return {"shard": stem, "skipped": False, "segments": out.num_rows}
+
+    results = ray.get([seg_shard.remote(p) for p in paths])
+    summary = {
+        "shards": len(results),
+        "shards_skipped": sum(r["skipped"] for r in results),
+        "segments": sum(r["segments"] for r in results),
+        "out": out_dir,
+    }
+    print(_json.dumps(summary, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="schemasaurus_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -134,11 +199,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="earlier --profile-out file: print the spec-space drift rows")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("segment", help="VAD utterance split of clip shards into segment parquet")
+    p.add_argument("--input", required=True, help="parquet file or directory of clip shards")
+    p.add_argument("--out", required=True, help="output directory (one file per input shard)")
+    p.add_argument("--frame-ms", type=int, default=20)
+    p.add_argument("--thresh-db", type=float, default=-35.0)
+    p.add_argument("--min-silence-ms", type=int, default=150)
+    p.add_argument("--min-segment-ms", type=int, default=200)
+    p.add_argument("--no-bytes", action="store_true", help="emit segment metadata only")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
     if args.cmd == "infer":
         return _cmd_infer(args)
+    if args.cmd == "segment":
+        return _cmd_segment(args)
 
     from .pipelines.validate import ValidationPipeline
 

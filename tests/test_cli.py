@@ -98,3 +98,51 @@ def test_cli_infer_profile_snapshot_diff(fix, tmp_path_factory, capsys):
     drift = {(r["col_name"], r["field"]): r for r in out["drift"]}
     assert drift[("codec", "presence")]["val_a_str"] == "present"
     assert drift[("codec", "presence")]["val_b_str"] is None
+
+
+def test_cli_segment_and_resume(tmp_path_factory, ray_session, capsys):
+    """segment: one output file per input shard, exact golden segment
+    total from the burst fixture, second run skips every shard, and
+    segment payloads decode to the exact source slice."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.audio import wav_decode
+    from schemasaurus_ray.sources.fixtures import make_burst_clips
+
+    src = str(tmp_path_factory.mktemp("segsrc"))
+    out_dir = str(tmp_path_factory.mktemp("segout"))
+    clips = make_burst_clips(96)
+    for s in range(3):
+        pq.write_table(clips.slice(s * 32, 32), os.path.join(src, f"shard-{s}.parquet"))
+
+    def n_expected(i):
+        return 0 if (i % 17 == 0 or i % 19 == 0) else 1 + i % 3
+
+    rc = main(["segment", "--input", src, "--out", out_dir])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert got["shards"] == 3 and got["shards_skipped"] == 0
+    assert got["segments"] == sum(n_expected(i) for i in range(96))
+
+    rc2 = main(["segment", "--input", src, "--out", out_dir])
+    got2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0
+    assert got2["shards_skipped"] == 3
+    assert got2["segments"] == got["segments"]
+
+    files = sorted(glob.glob(os.path.join(out_dir, "segments-*.parquet")))
+    assert len(files) == 3
+    seg = pq.read_table(files[0])
+    ids = clips.column("clip_id").to_pylist()
+    by_id = {ids[i]: i for i in range(96)}
+    r = 0  # first segment row: payload decodes to the exact source slice
+    cid = seg.column("clip_id")[r].as_py()
+    s_ms, e_ms = seg.column("start_ms")[r].as_py(), seg.column("end_ms")[r].as_py()
+    pcm, sr = wav_decode(clips.column("bytes")[by_id[cid]].as_py())
+    spcm, ssr = wav_decode(seg.column("bytes")[r].as_py())
+    assert ssr == sr
+    np.testing.assert_array_equal(spcm, pcm[s_ms * sr // 1000 : e_ms * sr // 1000])
