@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_purchase": q.asof_events_purchase,
         "activity_window_events": q.activity_window_events,
         "sessionize_events": q.sessionize_events,
+        "interarrival_events": q.interarrival_events,
         # spec inference (profile → suggested validation spec)
         "infer_spec_documents": q.infer_spec_documents,
         "infer_spec_events": q.infer_spec_events,
@@ -846,6 +847,22 @@ def oracle_sql() -> dict[str, str]:
                 ON p.user_id = e.user_id
                AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
              GROUP BY e.event_id ORDER BY e.event_id
+        """,
+        "interarrival_events": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                  FROM events
+            )
+            SELECT user_id,
+                   COUNT(gap) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+              FROM d WHERE gap IS NOT NULL
+             GROUP BY user_id ORDER BY user_id
         """,
         "sessionize_events": """
             WITH g AS (

@@ -1853,6 +1853,22 @@ def sessionize_events(sf_dir: str) -> pa.Table:
     return out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
 
 
+def interarrival_events(sf_dir: str) -> pa.Table:
+    """Per-user inter-arrival (heartbeat/cadence) statistics — exactly
+    SQL's ts − lag(ts) OVER (PARTITION BY user ORDER BY ts, event_id),
+    aggregated to (n_gaps, min/max/sum gap in µs). One hash-partitioned
+    shuffle co-locates each user's history; gaps are a vectorized
+    adjacent-difference after one lexsort per reduce
+    (stages/temporal.interarrival_shuffled). All-integer → exact."""
+    from ..stages.temporal import interarrival_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = interarrival_shuffled(events, "user_id", "ts", "event_id")
+    return out.rename_columns(
+        ["user_id", "n_gaps", "min_gap_us", "max_gap_us", "sum_gap_us"]
+    ).sort_by("user_id")
+
+
 def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
     """Robust per-group outlier detection (winsorization bounds): rows
     whose l_extendedprice falls strictly outside the group's exact

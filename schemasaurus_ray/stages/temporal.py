@@ -444,3 +444,76 @@ def sessionize_shuffled(
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)
+
+
+def interarrival_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Per-key INTER-ARRIVAL statistics — the ordered-window primitive
+    behind freshness/heartbeat validation (is this entity emitting at its
+    expected cadence?): for each key, the gaps between consecutive events
+    in (ts, tiebreak) order, aggregated to (key, n_gaps, min/max/sum gap)
+    in the timestamp's integer unit. Exactly SQL's
+    ``ts - lag(ts) OVER (PARTITION BY key ORDER BY ts, tiebreak)``.
+
+    Same one-shuffle shape as sessionize_shuffled: hash-partition rows by
+    key so each key's full history is co-located, then ONE lexsort per
+    reduce + a vectorized adjacent-difference (gaps where the sorted
+    neighbor shares the key) and a tiny per-key groupby. Keys with a
+    single event have no gaps and are absent from the output (SQL WHERE
+    gap IS NOT NULL parity). All-integer arithmetic — exact."""
+    import ray
+
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(len(srcs) if srcs is not None else 8)
+    cols = [key_col, ts_col, tiebreak_col]
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            typed = [t for t in tables if t.num_columns]
+            kt = typed[0].schema.field(key_col).type if typed else pa.int64()
+            return pa.table(
+                {
+                    key_col: pa.array([], kt),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "min_gap": pa.array([], pa.int64()),
+                    "max_gap": pa.array([], pa.int64()),
+                    "sum_gap": pa.array([], pa.int64()),
+                }
+            )
+        tbl = pa.concat_tables(parts)
+        k = _np_col(tbl, key_col)
+        t = _np_col(tbl, ts_col)
+        tb = _np_col(tbl, tiebreak_col)
+        order = np.lexsort((tb, t, k))
+        ks, ts_ = k[order], t[order]
+        same = ks[1:] == ks[:-1]
+        gaps = (ts_[1:] - ts_[:-1])[same]
+        idx = pa.array(order[1:][same].astype(np.int64), pa.int64())
+        g = pa.table(
+            {
+                key_col: tbl.column(key_col).take(idx),
+                "gap": pa.array(gaps, pa.int64()),
+            }
+        )
+        out = g.group_by(key_col).aggregate(
+            [([], "count_all"), ("gap", "min"), ("gap", "max"), ("gap", "sum")]
+        )
+        return out.rename_columns([key_col, "n_gaps", "min_gap", "max_gap", "sum_gap"])
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)

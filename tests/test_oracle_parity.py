@@ -88,6 +88,7 @@ ORACLE_NAMES = [
     "mode_event_type_by_user",
     "daily_volume_events",
     "benford_lineitem",
+    "interarrival_events",
 ]
 
 

@@ -238,3 +238,38 @@ def test_sessionize_shuffled(events_ds):
     assert out.equals(want)
     # total events conserved across sessions
     assert sum(out.column("n_events").to_pylist()) == tbl.num_rows
+
+
+def test_interarrival_shuffled_edges(ray_session, tmp_path):
+    """interarrival_shuffled: single-event keys absent, ties ordered by
+    tiebreak (gap 0 allowed), partials merged across shards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import interarrival_shuffled
+
+    s1 = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([100, 250, 10, 7], pa.int64()),
+            "tb": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    s2 = pa.table(
+        {
+            "k": pa.array([1, 2, 2], pa.int64()),
+            "ts": pa.array([400, 10, 40], pa.int64()),
+            "tb": pa.array([5, 0, 6], pa.int64()),
+        }
+    )
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(s1, p1)
+    pq.write_table(s2, p2)
+    out = interarrival_shuffled([p1, p2], "k", "ts", "tb", num_buckets=4).sort_by("k")
+    # k=1: 100,250,400 -> gaps 150,150 ; k=2: ts 10(tb0),10(tb3),40 -> gaps 0,30
+    # k=3: single event -> absent
+    assert out.column("k").to_pylist() == [1, 2]
+    assert out.column("n_gaps").to_pylist() == [2, 2]
+    assert out.column("min_gap").to_pylist() == [150, 0]
+    assert out.column("max_gap").to_pylist() == [150, 30]
+    assert out.column("sum_gap").to_pylist() == [300, 30]
