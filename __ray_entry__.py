@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_lineitem": q.benford_lineitem,
         "revenue_by_segment": q.revenue_by_segment,
         "revenue_by_segment_flag": q.revenue_by_segment_flag,
+        "revenue_rollup": q.revenue_rollup,
+        "pivot_events_user": q.pivot_events_user,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_incremental_documents": q.dedup_incremental_documents,
@@ -336,6 +338,27 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quantiles_lineitem": _quantiles_oracle_sql(),
         "grouped_quantiles_lineitem": _grouped_quantiles_oracle_sql(),
+        "revenue_rollup": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+                   COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+             GROUP BY ROLLUP(c_mktsegment, l_returnflag)
+             ORDER BY 1, 2
+        """,
+        "pivot_events_user": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   COUNT(*) AS n_total
+              FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "daily_volume_events": """
             WITH d AS (
                 SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt

@@ -627,6 +627,69 @@ def reconcile_orders_lineitem(sf_dir: str) -> pa.Table:
     ).sort_by("o_orderstatus")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events_user(sf_dir: str) -> pa.Table:
+    """PIVOT / one-hot count featurization — per user, one count column
+    per event_type plus the total (the per-entity feature vector a
+    training pipeline derives from an event stream). Per-batch Arrow
+    group_by partials shrink each batch to its (user, type) counts; the
+    final pivot is one vectorized scatter into a (users × types) int64
+    matrix on the merged partial table. The type list is the table's
+    fixed enum (validate_events pins it), so columns are static."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return out.rename_columns(["user_id", "event_type", "cnt"])
+
+    merged = _collect(ds.map_batches(part, batch_format="pyarrow"))
+    total = merged.group_by(["user_id", "event_type"]).aggregate([("cnt", "sum")])
+    users_arr = total.column("user_id").combine_chunks()
+    uids, ucodes = np.unique(np.asarray(users_arr, dtype=np.int64), return_inverse=True)
+    tcodes = np.asarray(
+        pc.index_in(
+            total.column("event_type").combine_chunks(),
+            value_set=pa.array(EVENT_TYPES, pa.string()),
+        ).fill_null(len(EVENT_TYPES))
+    )
+    cnt = np.asarray(total.column("cnt_sum").combine_chunks(), dtype=np.int64)
+    mat = np.zeros((len(uids), len(EVENT_TYPES) + 1), dtype=np.int64)
+    np.add.at(mat, (ucodes, tcodes.astype(np.int64)), cnt)
+    cols: dict[str, pa.Array] = {"user_id": pa.array(uids, pa.int64())}
+    for j, t in enumerate(EVENT_TYPES):
+        cols[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
+    cols["n_total"] = pa.array(mat.sum(axis=1), pa.int64())
+    return pa.table(cols)  # np.unique output is already sorted by user_id
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP — subtotal levels (segment, flag) → (segment, ALL)
+    → (ALL, ALL) derived from the FINEST aggregate only (the fine level is
+    the one bucket-shuffled pass of revenue_by_segment_flag; every coarser
+    level is a driver-side re-aggregation of that tiny partial table —
+    rollups never rescan the fact table). 'ALL' stands in for the ROLLUP
+    NULL so the value compare is null-free."""
+    fine = revenue_by_segment_flag(sf_dir)
+    seg = fine.group_by("c_mktsegment").aggregate([("revenue_cents", "sum")])
+    seg = seg.rename_columns(["c_mktsegment", "revenue_cents"]).append_column(
+        "l_returnflag", pa.array(["ALL"] * seg.num_rows, pa.string())
+    )
+    grand = pa.table(
+        {
+            "c_mktsegment": pa.array(["ALL"], pa.string()),
+            "l_returnflag": pa.array(["ALL"], pa.string()),
+            "revenue_cents": pa.array(
+                [pc.sum(fine.column("revenue_cents")).as_py()], pa.int64()
+            ),
+        }
+    )
+    order = ["c_mktsegment", "l_returnflag", "revenue_cents"]
+    out = pa.concat_tables([fine.select(order), seg.select(order), grand.select(order)])
+    return out.sort_by([("c_mktsegment", "ascending"), ("l_returnflag", "ascending")])
+
+
 def props_sum_by_type(sf_dir: str) -> pa.Table:
     """JSON-mode dynamic column in an AGGREGATION context (the validator
     consumes $.k in validate_events; here it rolls up): vectorized

@@ -89,6 +89,8 @@ ORACLE_NAMES = [
     "daily_volume_events",
     "benford_lineitem",
     "interarrival_events",
+    "pivot_events_user",
+    "revenue_rollup",
 ]
 
 
