@@ -336,3 +336,45 @@ def test_mode_by_group_ties_and_partials(ray_session, tmp_path):
     assert out.column("user_id").to_pylist() == [1, 2, 4]
     assert out.column("event_type").to_pylist() == ["b", "a", "z"]
     assert out.column("cnt").to_pylist() == [3, 2, 1]
+
+
+def test_mode_by_group_random_vs_duckdb(ray_session, tmp_path):
+    """mode_by_group on random shards vs the row_number-window oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import mode_by_group
+
+    rng = np.random.default_rng(5)
+    paths = []
+    all_parts = []
+    for s in range(4):
+        n = int(rng.integers(50, 300))
+        t = pa.table(
+            {
+                "g": pa.array(rng.integers(0, 40, size=n), pa.int64()),
+                "v": pa.array(rng.choice(list("abcdefgh"), size=n), pa.string()),
+            }
+        )
+        p = str(tmp_path / f"m{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        all_parts.append(t)
+    got = mode_by_group(paths, "g", "v", num_buckets=4).sort_by("g")
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(all_parts))
+    want = con.sql(
+        """
+        SELECT g, v, cnt FROM (
+            SELECT g, v, COUNT(*) AS cnt,
+                   row_number() OVER (PARTITION BY g ORDER BY COUNT(*) DESC, v) rn
+              FROM t GROUP BY g, v
+        ) WHERE rn = 1 ORDER BY g
+        """
+    ).arrow()
+    assert got.column("g").to_pylist() == want.column("g").to_pylist()
+    assert got.column("v").to_pylist() == want.column("v").to_pylist()
+    assert [int(x) for x in got.column("cnt").to_pylist()] == [
+        int(x) for x in want.column("cnt").to_pylist()
+    ]

@@ -273,3 +273,49 @@ def test_interarrival_shuffled_edges(ray_session, tmp_path):
     assert out.column("min_gap").to_pylist() == [150, 0]
     assert out.column("max_gap").to_pylist() == [150, 30]
     assert out.column("sum_gap").to_pylist() == [300, 30]
+
+
+def test_interarrival_random_vs_duckdb(ray_session, tmp_path):
+    """interarrival_shuffled on random shards (with ts ties) vs the LAG
+    window oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import interarrival_shuffled
+
+    rng = np.random.default_rng(9)
+    paths, parts = [], []
+    eid = 0
+    for s in range(3):
+        n = int(rng.integers(40, 200))
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 25, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 50, size=n), pa.int64()),  # many ties
+                "eid": pa.array(np.arange(eid, eid + n), pa.int64()),
+            }
+        )
+        eid += n
+        p = str(tmp_path / f"i{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        parts.append(t)
+    got = interarrival_shuffled(paths, "k", "ts", "eid", num_buckets=4).sort_by("k")
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(parts))
+    want = con.sql(
+        """
+        WITH d AS (
+            SELECT k, ts - lag(ts) OVER (PARTITION BY k ORDER BY ts, eid) AS gap FROM t
+        )
+        SELECT k, COUNT(gap) n_gaps, CAST(MIN(gap) AS BIGINT) min_gap,
+               CAST(MAX(gap) AS BIGINT) max_gap, CAST(SUM(gap) AS BIGINT) sum_gap
+          FROM d WHERE gap IS NOT NULL GROUP BY k ORDER BY k
+        """
+    ).arrow()
+    for c in ("k", "n_gaps", "min_gap", "max_gap", "sum_gap"):
+        assert [int(x) for x in got.column(c).to_pylist()] == [
+            int(x) for x in want.column(c).to_pylist()
+        ], c
