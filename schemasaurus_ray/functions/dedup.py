@@ -534,6 +534,19 @@ def _pairs_from_prefix_rows(
         if g < 2:
             continue
         gi, gp, gs = i[st:en], p[st:en], s[st:en]
+        if g > 4096:
+            # pathological hot prefix token (df sample missed a boilerplate
+            # shingle, or a giant dup cluster): triu_indices here is O(g²)
+            # memory BEFORE any filter could run — star around the min id
+            # instead (O(g)); transitive expansion + verify recovers
+            # intra-cluster pairs, same documented bound as the post-filter
+            # star cap below
+            gmin = gi.min()
+            rest = np.unique(gi)
+            rest = rest[rest != gmin]
+            a_out.append(np.full(len(rest), gmin, dtype=np.int64))
+            b_out.append(rest)
+            continue
         ia, ib = np.triu_indices(g, k=1)
         sa, sb = gs[ia], gs[ib]
         # size filter: t*max <= min  (multiply-first)

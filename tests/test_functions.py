@@ -776,3 +776,28 @@ def test_ngram_jaccard_property_random_corpora(ray_session):
         got = set(zip(ver.column("id_a").to_pylist(), ver.column("id_b").to_pylist()))
         assert got == truth, f"case {case}: {got ^ truth}"
         assert (2, 5) in got or (5, 2) in got  # planted dup found
+
+
+def test_prefix_pairs_hot_group_guard():
+    """A prefix-token group beyond the 4096 hot limit must star around the
+    min id WITHOUT the O(g^2) triu allocation (scale guard); small groups
+    keep exact filtered pair emission."""
+    import numpy as np
+
+    from schemasaurus_ray.functions.dedup import _pairs_from_prefix_rows
+
+    g = 5000
+    keys = np.concatenate([np.zeros(g, np.int64), np.full(3, 7, np.int64)])
+    ids = np.concatenate([np.arange(100, 100 + g, dtype=np.int64),
+                          np.array([1, 2, 3], np.int64)])
+    pos = np.zeros(g + 3, np.int64)
+    size = np.full(g + 3, 10, np.int64)
+    out = _pairs_from_prefix_rows(keys, ids, pos, size, tb=8000, cap=64)
+    a = np.asarray(out.column("id_a"))
+    b = np.asarray(out.column("id_b"))
+    hot = a == 100
+    assert hot.sum() == g - 1  # star: (min, x) for every other member
+    assert set(b[hot].tolist()) == set(range(101, 100 + g))
+    # the small group still emits its exact pairs
+    small = set(zip(a[~hot].tolist(), b[~hot].tolist()))
+    assert small == {(1, 2), (1, 3), (2, 3)}
