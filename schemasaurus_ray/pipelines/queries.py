@@ -2047,6 +2047,68 @@ def segment_audio_clips(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("clip_id", "ascending"), ("seg_no", "ascending")])
 
 
+def image_features_stub(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing surface: opaque binary column → feature vector
+    through the actor-pool decode stage (StubImageDecodeStage fake=True —
+    no image libs in this container; the REAL parts are the Ray-side
+    schema, batch sizing and actor signature, which this query pins).
+    Input blobs are the deterministic burst-clip payloads treated as
+    opaque binaries."""
+    import ray.data as rd
+
+    from ..functions.multimodal import StubImageDecodeStage
+    from ..sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(256).rename_columns(["id", "bytes", "sr_hz"])
+    ds = rd.from_arrow(clips.select(["id", "bytes"])).repartition(4)
+    out = ds.map_batches(
+        StubImageDecodeStage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=64,
+    )
+    tbl = _collect(out).sort_by("id")
+    feats = tbl.column("features").combine_chunks()
+    return pa.table(
+        {
+            "id": tbl.column("id"),
+            "f_mean_milli": pc.cast(pc.floor(pc.multiply(pc.list_element(feats, 0), 1000.0)), pa.int64()),
+            "f_len": pc.cast(pc.list_element(feats, 2), pa.int64()),
+        }
+    )
+
+
+def video_frames_stub(sf_dir: str) -> pa.Table:
+    """Multimodal fan-out surface: one blob row → N sampled-frame rows
+    (StubVideoFrameSampleStage fake=True) — the flat_map layout a real
+    ffmpeg decoder would produce, with frame bytes zero-copy slices of the
+    input blob. Returns per-frame (id, frame_idx, frame_ms, frame_len)."""
+    import ray.data as rd
+
+    from ..functions.multimodal import StubVideoFrameSampleStage
+    from ..sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(128).rename_columns(["id", "bytes", "sr_hz"])
+    ds = rd.from_arrow(clips.select(["id", "bytes"])).repartition(4)
+    out = ds.map_batches(
+        StubVideoFrameSampleStage,
+        fn_constructor_kwargs={"fake": True, "every_nth": 20, "frame_size": 4096},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=32,
+    )
+    tbl = _collect(out)
+    return pa.table(
+        {
+            "id": tbl.column("id"),
+            "frame_idx": tbl.column("frame_idx"),
+            "frame_ms": tbl.column("frame_ms"),
+            "frame_len": pc.cast(pc.binary_length(tbl.column("frame_bytes")), pa.int64()),
+        }
+    ).sort_by([("id", "ascending"), ("frame_idx", "ascending")])
+
+
 def pack_audio_segments(sf_dir: str) -> pa.Table:
     """Training-example assembly for speech: VAD utterance segments packed
     into fixed 4000 ms duration-budget bins — the composition of the

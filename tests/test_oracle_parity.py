@@ -122,6 +122,8 @@ ROWS_ONLY = [
     "speech_rate_clips",
     "segment_audio_clips",
     "pack_audio_segments",
+    "image_features_stub",
+    "video_frames_stub",
 ]
 
 
