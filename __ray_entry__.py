@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_embeddings": q.validate_embeddings,
         "validate_events": q.validate_events,
         "validate_documents_formats": q.validate_documents_formats,
+        "validate_documents_jsonl": q.validate_documents_jsonl,
         # normalizer (§2C)
         "normalize_lineitem": q.normalize_lineitem,
         "normalize_events_defaults": q.normalize_events_defaults,
@@ -634,6 +635,16 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem WHERE NOT (l_extendedprice >= l_quantity * 950)
         """,
         "validate_documents": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'doc_id' AS col, 'minimum' AS code
+              FROM documents WHERE doc_id < 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'text', 'minLength' FROM documents WHERE length(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'lang', 'enum' FROM documents WHERE lang NOT IN ('en','de','fr','es')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'maximum' FROM documents WHERE n_chars > 400
+        """,
+"validate_documents_jsonl": """
             SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'doc_id' AS col, 'minimum' AS code
               FROM documents WHERE doc_id < 0
             UNION ALL

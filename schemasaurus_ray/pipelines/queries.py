@@ -107,6 +107,60 @@ def validate_documents(sf_dir: str) -> pa.Table:
     return _violations(_read(sf_dir, "documents", cols), DOCUMENTS_SPEC)
 
 
+def validate_documents_jsonl(sf_dir: str) -> pa.Table:
+    """SOURCE-FORMAT PARITY: the same documents rule pack through the JSONL
+    source (sources/io.read_jsonl_tasks) — the reference's native input is
+    one JSON document per record, so the engine must produce IDENTICAL
+    violations whether the corpus arrives as parquet or raw JSONL. The
+    parquet table is converted once per sf_dir to sharded JSONL under /tmp
+    (fixture prep, not an engine path); the oracle is the same SQL as
+    validate_documents."""
+    import hashlib
+    import json as _json
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from ..sources.io import read_jsonl_tasks
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"schemasaurus_docs_jsonl_{tag}")
+    cols = list(DOCUMENTS_SPEC["columns"].keys())
+    if not os.path.isdir(out_dir):
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tbl = pq_.read_table(src, columns=cols)
+        shards = 4
+        per = -(-tbl.num_rows // shards)
+        for s in range(shards):
+            part = tbl.slice(s * per, per)
+            rows = [dict(zip(cols, vals)) for vals in zip(*(part.column(c).to_pylist() for c in cols))]
+            with open(os.path.join(tmp_dir, f"docs-{s:04d}.jsonl"), "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:  # concurrent creator won
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    import glob as glob_
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    ds = read_jsonl_tasks(
+        sorted(glob_.glob(os.path.join(out_dir, "*.jsonl"))), schema=schema, columns=cols
+    )
+    return _violations(ds, DOCUMENTS_SPEC)
+
+
 # Cross-column CHECK constraints (spec.CheckRule → plan.compile_expr):
 # arithmetic + comparison predicates over sibling columns, SQL three-valued
 # CHECK semantics (violation only when definitively FALSE). The reference's

@@ -143,3 +143,32 @@ def test_align_to_schema_property():
         assert align_to_schema(out, schema).equals(out)
 
     check()
+
+
+def test_read_jsonl_tasks_schema_and_lineage(ray_session, tmp_path):
+    """read_jsonl_tasks: explicit schema pins types (all-null columns stay
+    typed), per-row (path, row_start) lineage matches the parquet reader's
+    contract, and column projection applies."""
+    import json
+
+    import pyarrow as pa
+
+    from schemasaurus_ray.sources.io import read_jsonl_tasks
+
+    rows1 = [{"a": 1, "b": "x", "c": None}, {"a": 2, "b": None, "c": None}]
+    rows2 = [{"a": 3, "b": "z", "c": None}]
+    p1, p2 = str(tmp_path / "s1.jsonl"), str(tmp_path / "s2.jsonl")
+    for p, rows in ((p1, rows1), (p2, rows2)):
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string()), ("c", pa.float64())])
+    ds = read_jsonl_tasks([p1, p2], schema=schema, include_paths=True)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = t.sort_by([("path", "ascending"), ("row_start", "ascending")])
+    assert t.column("a").to_pylist() == [1, 2, 3]
+    assert t.schema.field("c").type == pa.float64()  # all-null stays typed
+    assert t.column("row_start").to_pylist() == [0, 1, 0]
+    proj = read_jsonl_tasks([p1], schema=schema, columns=["a"])
+    pt = pa.concat_tables(list(proj.iter_batches(batch_format="pyarrow")))
+    assert pt.column_names == ["a"]

@@ -91,6 +91,7 @@ ORACLE_NAMES = [
     "interarrival_events",
     "pivot_events_user",
     "revenue_rollup",
+    "validate_documents_jsonl",
 ]
 
 
