@@ -320,13 +320,33 @@ class ValidationPipeline:
             files = sorted(
                 os.path.join(input_path, f)
                 for f in os.listdir(input_path)
-                if f.endswith(".parquet") or f.endswith(".lance")
+                if f.endswith((".parquet", ".lance", ".jsonl"))
             )
         else:
             files = [input_path]
         if not files:
-            raise FileNotFoundError(f"no parquet shards under {input_path}")
+            raise FileNotFoundError(f"no parquet/jsonl shards under {input_path}")
         return files
+
+    def _jsonl_schema(self) -> "Any":
+        """Explicit Arrow schema for JSONL shards, derived from the spec's
+        declared column types so JSON inference can't narrow an all-null or
+        ambiguous column (json-mode / untyped columns are left to pyarrow's
+        inference — explicit_schema only pins the listed fields)."""
+        import pyarrow as pa
+
+        type_map = {
+            "integer": pa.int64(),
+            "number": pa.float64(),
+            "string": pa.string(),
+            "boolean": pa.bool_(),
+        }
+        fields = []
+        for name, schema in self.spec.columns.items():
+            t = schema.get("type")
+            if isinstance(t, str) and t in type_map and schema.get("mode") != "json":
+                fields.append(pa.field(name, type_map[t]))
+        return pa.schema(fields) if fields else None
 
     def _manifest_path(self) -> str:
         return os.path.join(self.out_dir, "manifest.json")
@@ -511,7 +531,18 @@ class ValidationPipeline:
                     fused_unique.columns[0], fused_nb, key_partials_dir
                 )
 
-            ds = read_parquet_tasks(todo, include_paths=True)
+            jsonl_todo = [p for p in todo if p.endswith(".jsonl")]
+            parquet_todo = [p for p in todo if not p.endswith(".jsonl")]
+            readers = []
+            if parquet_todo:
+                readers.append(read_parquet_tasks(parquet_todo, include_paths=True))
+            if jsonl_todo:
+                from ..sources.io import read_jsonl_tasks
+
+                readers.append(
+                    read_jsonl_tasks(jsonl_todo, schema=self._jsonl_schema(), include_paths=True)
+                )
+            ds = readers[0] if len(readers) == 1 else readers[0].union(*readers[1:])
             kwargs: dict[str, Any] = {}
             if self.batch_size:
                 kwargs["batch_size"] = self.batch_size

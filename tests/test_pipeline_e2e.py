@@ -523,3 +523,60 @@ def test_quantile_constraints_in_pipeline(tmp_path_factory, ray_session):
     assert report2.metrics["shards_validated_this_run"] == 0
     assert report2.metrics["quantile_violations"] == 1
     assert report2.valid is False
+
+
+def test_jsonl_shards_match_parquet_pipeline(ray_session, tmp_path_factory):
+    """SOURCE PARITY end-to-end: the SAME clip metadata validated from
+    parquet shards and from JSONL shards yields identical metrics and
+    violation multisets; the JSONL run resumes like the parquet one."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.validate import ValidationPipeline
+    from schemasaurus_ray.sources.fixtures import write_fixture
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    base = str(tmp_path_factory.mktemp("jsonl_e2e"))
+    dirs = write_fixture(os.path.join(base, "fix"), n=1500, shards=3,
+                         with_audio=False, inject=True)
+    jl_dir = os.path.join(base, "clips_jsonl")
+    os.makedirs(jl_dir)
+    cols = None
+    for p in sorted(glob.glob(os.path.join(dirs["clips"], "*.parquet"))):
+        t = pq.read_table(p).drop_columns(["bytes"])
+        cols = t.column_names
+        stem = os.path.splitext(os.path.basename(p))[0]
+        with open(os.path.join(jl_dir, f"{stem}.jsonl"), "w") as f:
+            for vals in zip(*(t.column(c).to_pylist() for c in cols)):
+                f.write(_json.dumps(dict(zip(cols, vals))) + "\n")
+
+    def run(src, out):
+        pipe = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out)
+        import ray.data as rd
+
+        return pipe.run(src, ref_datasets={"transcripts": rd.read_parquet(dirs["transcripts"])})
+
+    rep_pq = run(dirs["clips"], os.path.join(base, "out_pq"))
+    rep_jl = run(jl_dir, os.path.join(base, "out_jl"))
+    for k in ("rows_total", "duplicate_keys", "orphans", "row_violations"):
+        if k in rep_pq.metrics:
+            assert rep_jl.metrics[k] == rep_pq.metrics[k], k
+
+    def violation_multiset(out):
+        files = glob.glob(os.path.join(out, "violations", "p*", "part-*.parquet"))
+        rows = []
+        for f in files:
+            t = pq.read_table(f)
+            keep = [c for c in ("row_ref", "col", "code") if c in t.column_names]
+            rows.extend(map(tuple, zip(*(t.column(c).to_pylist() for c in keep))))
+        return sorted(rows)
+
+    assert violation_multiset(os.path.join(base, "out_jl")) == violation_multiset(
+        os.path.join(base, "out_pq")
+    )
+    # resume: second jsonl run validates nothing new
+    rep2 = run(jl_dir, os.path.join(base, "out_jl"))
+    assert rep2.metrics["shards_validated_this_run"] == 0
