@@ -173,6 +173,70 @@ def _cmd_segment(args) -> int:
     return 0
 
 
+def _cmd_normalize(args) -> int:
+    """normalize: the reference's second entry point (newNormalizer) as a
+    production path — spec-driven defaults / type coercion / extra-column
+    removal over shards → partitioned parquet, one output per input shard
+    (idempotent names + atomic rename; re-run skips finished shards)."""
+    import glob
+    import json as _json
+    import os
+
+    import ray
+
+    spec = _load_spec(args.spec)
+    paths = (
+        sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        + sorted(glob.glob(os.path.join(args.input, "*.jsonl")))
+        if os.path.isdir(args.input)
+        else [args.input]
+    )
+    os.makedirs(args.out, exist_ok=True)
+    out_dir, keep_extra = args.out, args.keep_extra
+
+    @ray.remote
+    def norm_shard(path: str) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from schemasaurus_ray.stages.normalize import NormalizeStage
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_name = os.path.join(out_dir, f"normalized-{stem}.parquet")
+        if os.path.exists(out_name):
+            return {"shard": stem, "skipped": True, "rows": pq.read_metadata(out_name).num_rows}
+        stage = NormalizeStage(spec, keep_extra=keep_extra)
+        if path.endswith(".jsonl"):
+            import pyarrow.json as pj
+
+            tbl = pj.read_json(path)
+            parts = [stage(tbl)]
+        else:
+            parts = [
+                stage(pa.Table.from_batches([rb]))
+                for rb in pq.ParquetFile(path).iter_batches(batch_size=8192)
+            ]
+        out = pa.concat_tables(parts)
+        tmp = f"{out_name}.tmp.{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, out_name)
+        return {"shard": stem, "skipped": False, "rows": out.num_rows}
+
+    results = ray.get([norm_shard.remote(p) for p in paths])
+    print(
+        _json.dumps(
+            {
+                "shards": len(results),
+                "shards_skipped": sum(r["skipped"] for r in results),
+                "rows": sum(r["rows"] for r in results),
+                "out": out_dir,
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="schemasaurus_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -209,6 +273,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-bytes", action="store_true", help="emit segment metadata only")
     p.add_argument("--num-cpus", type=int, default=None)
 
+    p = sub.add_parser("normalize", help="spec-driven normalization of shards to parquet")
+    p.add_argument("--input", required=True, help="parquet/jsonl file or directory of shards")
+    p.add_argument("--out", required=True, help="output directory (one file per input shard)")
+    p.add_argument("--spec", required=True, help="'audio', 'audio-meta', or a JSON spec file")
+    p.add_argument("--keep-extra", action="store_true",
+                   help="keep columns not in the spec (default: removed, reference semantics)")
+    p.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -216,6 +288,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_infer(args)
     if args.cmd == "segment":
         return _cmd_segment(args)
+    if args.cmd == "normalize":
+        return _cmd_normalize(args)
 
     from .pipelines.validate import ValidationPipeline
 

@@ -146,3 +146,52 @@ def test_cli_segment_and_resume(tmp_path_factory, ray_session, capsys):
     spcm, ssr = wav_decode(seg.column("bytes")[r].as_py())
     assert ssr == sr
     np.testing.assert_array_equal(spcm, pcm[s_ms * sr // 1000 : e_ms * sr // 1000])
+
+
+def test_cli_normalize_and_resume(tmp_path_factory, ray_session, capsys):
+    """normalize: spec-driven coercion/defaults/extra-column removal over
+    mixed parquet+jsonl shards, resumable per-shard output."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path_factory.mktemp("normsrc"))
+    out_dir = str(tmp_path_factory.mktemp("normout"))
+    spec_file = os.path.join(src, "spec.json")
+    spec = {
+        "columns": {
+            "id": {"type": "integer", "required": True},
+            "score": {"type": "number", "default": 0.5},
+            "name": {"type": "string"},
+        },
+        "table": {"key": "id"},
+    }
+    with open(spec_file, "w") as f:
+        _json.dump(spec, f)
+    t = pa.table(
+        {
+            "id": pa.array(["1", "2", "3"], pa.string()),  # coerced to int
+            "score": pa.array([None, 2.0, None], pa.float64()),  # default fill
+            "name": pa.array(["a", "b", "c"], pa.string()),
+            "extra": pa.array([9, 9, 9], pa.int64()),  # removed
+        }
+    )
+    pq.write_table(t.slice(0, 2), os.path.join(src, "s0.parquet"))
+    with open(os.path.join(src, "s1.jsonl"), "w") as f:
+        f.write('{"id": "4", "score": null, "name": "d", "extra": 1}\n')
+
+    rc = main(["normalize", "--input", src, "--out", out_dir, "--spec", spec_file])
+    got = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and got["shards"] == 2 and got["rows"] == 3
+    files = sorted(glob.glob(os.path.join(out_dir, "normalized-*.parquet")))
+    merged = pa.concat_tables([pq.read_table(f) for f in files]).sort_by("id")
+    assert merged.column_names == ["id", "score", "name"]
+    assert merged.column("id").to_pylist() == [1, 2, 4]
+    assert merged.column("score").to_pylist() == [0.5, 2.0, 0.5]
+
+    rc2 = main(["normalize", "--input", src, "--out", out_dir, "--spec", spec_file])
+    got2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and got2["shards_skipped"] == 2 and got2["rows"] == 3
