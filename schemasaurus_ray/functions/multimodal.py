@@ -313,6 +313,70 @@ class AudioSegmentStage:
         return pa.table(cols)
 
 
+class AudioAugmentStage:
+    """Deterministic audio augmentation — one clip row → one row per
+    (speed, gain_db) variant, the standard training-set multiplier for
+    speech models (speed perturbation à la Kaldi's 0.9/1.0/1.1 plus gain
+    jitter). Speed uses the same naive linear-interp resample as
+    AudioResampleStage (sample count scaled by 1/speed at unchanged
+    sr_hz); gain scales amplitude with int16 clipping. No randomness —
+    variants are an explicit list, so outputs are reproducible and
+    dedup-safe. Per-clip loop is the established blob re-assembly shape
+    (AudioResampleStage); invalid blobs yield zero rows."""
+
+    def __init__(
+        self,
+        variants: list[tuple[float, float]] | None = None,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+    ):
+        self.variants = variants if variants is not None else [(0.9, 0.0), (1.1, 0.0), (1.0, -3.0)]
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import wav_decode, wav_encode
+
+        ids, variant, out_bytes, srs, durs = [], [], [], [], []
+        blobs = batch.column(self.bytes_col)
+        id_vals = batch.column(self.id_col).to_pylist()
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                continue
+            try:
+                pcm, sr = wav_decode(blob)
+            except ValueError:
+                continue
+            if len(pcm) == 0:
+                continue
+            for speed, gain_db in self.variants:
+                if speed != 1.0:
+                    n_out = max(1, int(round(len(pcm) / speed)))
+                    xp = np.linspace(0.0, 1.0, len(pcm))
+                    xq = np.linspace(0.0, 1.0, n_out)
+                    y = np.interp(xq, xp, pcm.astype(np.float64))
+                else:
+                    y = pcm.astype(np.float64)
+                if gain_db:
+                    y = y * 10.0 ** (gain_db / 20.0)
+                y16 = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+                ids.append(id_vals[i])
+                variant.append(f"s{speed:g}_g{gain_db:g}")
+                out_bytes.append(wav_encode(y16, sr))
+                srs.append(sr)
+                durs.append(round(len(y16) * 1000 / sr))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.string()),
+                "variant": pa.array(variant, pa.string()),
+                self.bytes_col: pa.array(out_bytes, pa.binary()),
+                "sr_hz": pa.array(srs, pa.int32()),
+                "dur_ms": pa.array(durs, pa.int64()),
+            }
+        )
+
+
 class StubImageDecodeStage:
     """STUB image/video decoder (no image libs in this container —
     NotImplementedError for real decode; ``fake=True`` swaps in a

@@ -2101,6 +2101,33 @@ def segment_audio_clips(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([("clip_id", "ascending"), ("seg_no", "ascending")])
 
 
+def audio_augment_clips(sf_dir: str) -> pa.Table:
+    """Training-set augmentation fan-out: each fixture clip → speed
+    0.9/1.1 and gain −3 dB variants through the actor-pool
+    AudioAugmentStage (one clip row → N variant rows, reproducible — no
+    randomness, so re-runs dedup cleanly). Returns per-variant metadata
+    (payload invariants — duration scaling, RMS gain ratio, identity
+    variant equality — pinned in tests/test_audio_fp.py)."""
+    import glob as glob_
+
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioAugmentStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes"],
+    )
+    out = ds.map_batches(
+        AudioAugmentStage, batch_format="pyarrow", concurrency=2, batch_size=128
+    ).select_columns(["clip_id", "variant", "sr_hz", "dur_ms"])
+    return _collect(out).sort_by(
+        [("clip_id", "ascending"), ("variant", "ascending")]
+    )
+
+
 def image_features_stub(sf_dir: str) -> pa.Table:
     """Multimodal plumbing surface: opaque binary column → feature vector
     through the actor-pool decode stage (StubImageDecodeStage fake=True —

@@ -393,3 +393,33 @@ def test_vad_segments_match_per_row_reference():
     for i, blob in enumerate(blobs):
         expect = ref_segments(blob) or []
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_augment_stage_invariants():
+    from schemasaurus_ray.functions.multimodal import AudioAugmentStage
+
+    x = synth_samples(3, 16000, 500)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([wav_encode(x, 16000), b"junk"], pa.binary()),
+        }
+    )
+    stage = AudioAugmentStage(variants=[(1.0, 0.0), (0.9, 0.0), (1.0, -6.0)])
+    out = stage(batch)
+    # invalid blob yields zero rows; valid clip yields one row per variant
+    assert out.column("clip_id").to_pylist() == ["a", "a", "a"]
+    by_v = {out.column("variant")[i].as_py(): i for i in range(out.num_rows)}
+    # identity variant: bit-identical payload
+    ident = out.column("bytes")[by_v["s1_g0"]].as_py()
+    assert ident == wav_encode(x, 16000)
+    # speed 0.9: duration scales by 1/0.9
+    y, sr = wav_decode(out.column("bytes")[by_v["s0.9_g0"]].as_py())
+    assert sr == 16000
+    assert abs(len(y) - round(len(x) / 0.9)) <= 1
+    assert out.column("dur_ms")[by_v["s0.9_g0"]].as_py() == round(len(y) * 1000 / sr)
+    # gain -6 dB: RMS halves (within int16 quantization)
+    g, _ = wav_decode(out.column("bytes")[by_v["s1_g-6"]].as_py())
+    r0 = np.sqrt(np.mean(x.astype(np.float64) ** 2))
+    r1 = np.sqrt(np.mean(g.astype(np.float64) ** 2))
+    assert abs(r1 / r0 - 10 ** (-6 / 20)) < 0.01

@@ -125,6 +125,7 @@ ROWS_ONLY = [
     "pack_audio_segments",
     "image_features_stub",
     "video_frames_stub",
+    "audio_augment_clips",
 ]
 
 
