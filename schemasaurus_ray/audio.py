@@ -706,3 +706,4 @@ def pcm_vad_segments(
         np.concatenate(out_end),
         np.concatenate(out_sr),
     )
+

@@ -321,8 +321,13 @@ class AudioAugmentStage:
     AudioResampleStage (sample count scaled by 1/speed at unchanged
     sr_hz); gain scales amplitude with int16 clipping. No randomness —
     variants are an explicit list, so outputs are reproducible and
-    dedup-safe. Per-clip loop is the established blob re-assembly shape
-    (AudioResampleStage); invalid blobs yield zero rows."""
+    dedup-safe. Per-clip np.interp is the MEASURED-faster shape here, not
+    a shortcut: a flat-buffer whole-batch rewrite (gathers + ~10
+    output-sized float64 temporaries) benchmarked 4.5× slower than 256
+    np.interp calls — np.interp's C loop keeps the working set at one
+    clip, where the batch kernel's temporaries hit this host's first-touch
+    page-fault wall (CLAUDE.md round-3 note). Invalid blobs yield zero
+    rows."""
 
     def __init__(
         self,
