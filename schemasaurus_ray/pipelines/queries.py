@@ -1295,9 +1295,14 @@ def _audio_fixture(n: int = 2000) -> str:
 
         from ..sources.fixtures import write_fixture
 
-        out = os.path.join(tempfile.gettempdir(), f"schemasaurus_audio_{n}")
+        # 16 shards: read_parquet_tasks parallelism is path-grain, and
+        # operator fusion bundles path rows up to the downstream batch_size
+        # — with 4 shards every fixture audio query collapsed to ≤4 (often
+        # 1) tasks regardless of CPUs (measured via ds.stats: one 5.35 s
+        # task). 16 one-row path bundles keep 16-way task parallelism.
+        out = os.path.join(tempfile.gettempdir(), f"schemasaurus_audio_{n}_s16")
         if not os.path.exists(os.path.join(out, "clips")):
-            write_fixture(out, n=n, shards=4, with_audio=True, inject=True)
+            write_fixture(out, n=n, shards=16, with_audio=True, inject=True)
         _AUDIO_CACHE[key] = out
     return _AUDIO_CACHE[key]
 
@@ -1494,7 +1499,7 @@ def audio_curate_clips(sf_dir: str) -> pa.Table:
         return batch.select(meta_cols).filter(pa.array(keep))
 
     ds = read_parquet_tasks(paths, columns=meta_cols + ["bytes"])
-    out = _collect(ds.map_batches(curate, batch_format="pyarrow", batch_size=256))
+    out = _collect(ds.map_batches(curate, batch_format="pyarrow"))
     return out.sort_by("clip_id")
 
 
@@ -1513,7 +1518,7 @@ def audio_features(sf_dir: str) -> pa.Table:
 
     ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
     out = ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", concurrency=2, batch_size=256
+        AudioFeatureStage(), batch_format="pyarrow"
     )
     tbl = _collect(out)
     # undecodable clips (truncated bytes in the fixture) yield NaN features →
@@ -1551,7 +1556,7 @@ def audio_quality_clips(sf_dir: str) -> pa.Table:
 
     ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
     out = ds.map_batches(
-        AudioQualityStage, batch_format="pyarrow", concurrency=2, batch_size=256
+        AudioQualityStage(), batch_format="pyarrow"
     )
     tbl = _collect(out)
     dec = np.asarray(tbl.column("decodable").combine_chunks(), dtype=bool)
@@ -2047,7 +2052,7 @@ def audio_spectral_clips(sf_dir: str) -> pa.Table:
     fix = _audio_fixture()
     ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
     out = ds.map_batches(
-        AudioSpectralStage, batch_format="pyarrow", concurrency=2, batch_size=256
+        AudioSpectralStage(), batch_format="pyarrow"
     )
     return _collect(out).sort_by("clip_id")
 
@@ -2071,7 +2076,7 @@ def audio_normalize_clips(sf_dir: str) -> pa.Table:
         columns=["clip_id", "bytes"],
     )
     out = ds.map_batches(
-        AudioNormalizeStage, batch_format="pyarrow", concurrency=2, batch_size=256
+        AudioNormalizeStage(), batch_format="pyarrow"
     ).select_columns(["clip_id", "action", "dur_ms", "gain_bp"])
     return _collect(out).sort_by("clip_id")
 
@@ -2120,8 +2125,13 @@ def audio_augment_clips(sf_dir: str) -> pa.Table:
         sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
         columns=["clip_id", "bytes"],
     )
+    # stateless stage (a variant list is not actor-worthy state): instance
+    # as a plain callable → task pool, no actor spawn latency (CLAUDE.md).
+    # NO batch_size on stages fed by the path-grain reader: fusion bundles
+    # path ROWS up to batch_size, collapsing the whole fixture into one
+    # task (measured; the reader already emits ≤128 MiB blocks per shard)
     out = ds.map_batches(
-        AudioAugmentStage, batch_format="pyarrow", concurrency=2, batch_size=128
+        AudioAugmentStage(), batch_format="pyarrow"
     ).select_columns(["clip_id", "variant", "sr_hz", "dur_ms"])
     return _collect(out).sort_by(
         [("clip_id", "ascending"), ("variant", "ascending")]
