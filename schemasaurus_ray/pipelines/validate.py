@@ -534,18 +534,29 @@ class ValidationPipeline:
             jsonl_todo = [p for p in todo if p.endswith(".jsonl")]
             parquet_todo = [p for p in todo if not p.endswith(".jsonl")]
             readers = []
+            # batch_size is honored by RE-BATCHING INSIDE THE READER, never
+            # via map_batches(batch_size=...): fusion would bundle the
+            # reader's path rows up to that size and collapse an N-shard
+            # run into one task (measured 16 shards -> 1 task at 500)
             if parquet_todo:
-                readers.append(read_parquet_tasks(parquet_todo, include_paths=True))
+                readers.append(
+                    read_parquet_tasks(
+                        parquet_todo, include_paths=True, max_rows_per_block=self.batch_size
+                    )
+                )
             if jsonl_todo:
                 from ..sources.io import read_jsonl_tasks
 
                 readers.append(
-                    read_jsonl_tasks(jsonl_todo, schema=self._jsonl_schema(), include_paths=True)
+                    read_jsonl_tasks(
+                        jsonl_todo,
+                        schema=self._jsonl_schema(),
+                        include_paths=True,
+                        max_rows_per_block=self.batch_size,
+                    )
                 )
             ds = readers[0] if len(readers) == 1 else readers[0].union(*readers[1:])
             kwargs: dict[str, Any] = {}
-            if self.batch_size:
-                kwargs["batch_size"] = self.batch_size
             if self.concurrency:
                 kwargs["concurrency"] = self.concurrency
             import functools

@@ -32,6 +32,7 @@ def read_parquet_tasks(
     include_paths: bool = False,
     target_block_bytes: int = 128 * 1024 * 1024,
     prune_missing: bool = False,
+    max_rows_per_block: int | None = None,
 ) -> "ray.data.Dataset":
     import ray.data as rd
 
@@ -72,11 +73,18 @@ def read_parquet_tasks(
                 t = t.append_column(
                     "row_start", pa.array(np.arange(t.num_rows, dtype=np.int64), pa.int64())
                 )
-            if t.nbytes <= target_block_bytes or t.num_rows <= 1:
+            # re-batch INSIDE the reader, not via a downstream batch_size:
+            # operator fusion bundles this stage's path ROWS up to the
+            # downstream batch_size, which collapses an N-shard input into
+            # one task (measured: 16 shards -> 1 task at batch_size=500)
+            cap = t.num_rows
+            if max_rows_per_block:
+                cap = min(cap, max_rows_per_block)
+            if (t.nbytes <= target_block_bytes and cap == t.num_rows) or t.num_rows <= 1:
                 yield t
                 continue
             n_chunks = min(t.num_rows, -(-t.nbytes // target_block_bytes))
-            per = -(-t.num_rows // n_chunks)
+            per = max(1, min(-(-t.num_rows // n_chunks), cap))
             for start in range(0, t.num_rows, per):
                 yield t.slice(start, per)
 
@@ -92,6 +100,7 @@ def read_jsonl_tasks(
     columns: list[str] | None = None,
     include_paths: bool = False,
     target_block_bytes: int = 128 * 1024 * 1024,
+    max_rows_per_block: int | None = None,
 ) -> "ray.data.Dataset":
     """File-per-task JSONL (newline-delimited JSON) reader — the reference's
     native input mode (one JSON document per record) as an engine source.
@@ -122,11 +131,14 @@ def read_jsonl_tasks(
                 t = t.append_column(
                     "row_start", pa.array(np.arange(t.num_rows, dtype=np.int64), pa.int64())
                 )
-            if t.nbytes <= target_block_bytes or t.num_rows <= 1:
+            cap = t.num_rows
+            if max_rows_per_block:
+                cap = min(cap, max_rows_per_block)
+            if (t.nbytes <= target_block_bytes and cap == t.num_rows) or t.num_rows <= 1:
                 yield t
                 continue
             n_chunks = min(t.num_rows, -(-t.nbytes // target_block_bytes))
-            per = -(-t.num_rows // n_chunks)
+            per = max(1, min(-(-t.num_rows // n_chunks), cap))
             for start in range(0, t.num_rows, per):
                 yield t.slice(start, per)
 
