@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_doc_per_stratum": q.best_doc_per_stratum,
         "normalize_text_documents": q.normalize_text_documents,
         "pack_documents": q.pack_documents,
+        "export_packed_documents": q.export_packed_documents,
         "curate_documents": q.curate_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_documents": q.repetition_documents,
@@ -816,6 +817,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(10000.0 * length(regexp_extract_all(text, '[0-9]')) /
                         GREATEST(length(text), 1)) AS BIGINT) AS digit_bp
               FROM documents ORDER BY doc_id
+        """,
+        "export_packed_documents": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n,
+                       CAST(CEIL(LOG2(GREATEST(
+                           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1))) AS BIGINT) AS bucket
+                  FROM documents),
+            p AS (
+                SELECT doc_id, text, n, bucket,
+                       (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                           // GREATEST(CAST(FLOOR(64.0 / POW(2, bucket)) AS BIGINT), 1) AS bin
+                  FROM t)
+            SELECT bucket, bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+              FROM p GROUP BY bucket, bin ORDER BY bucket, bin
         """,
         "pack_documents": r"""
             WITH t AS (

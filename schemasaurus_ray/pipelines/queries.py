@@ -20,7 +20,7 @@ from ..functions.dedup import (
     simhash_signatures,
 )
 from ..functions.similarity import brute_force_topk, ivf_topk
-from ..functions.text import LangIdStage, fingerprint, quality_scores, token_count
+from ..functions.text import TOKEN_RE, LangIdStage, fingerprint, quality_scores, token_count
 from ..specs import LINEITEM_STRICT_SPEC
 from ..stages.referential import orphan_rows
 from ..stages.rulepack import RowRuleStage
@@ -1032,6 +1032,88 @@ def pack_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return pack_documents_ds(ds, budget=64).sort_by("doc_id")
+
+
+def export_packed_documents(sf_dir: str) -> pa.Table:
+    """TRAINING-EXAMPLE EXPORT — the step after bin assignment: each bin's
+    member documents concatenated (doc_id order, single-space joined) into
+    one packed sequence with its token count. The tiny (doc, bucket, bin)
+    assignment from the packing shuffle is broadcast once (ray.put +
+    searchsorted per batch); texts then shuffle ONCE keyed by (bucket,
+    bin) so each reduce assembles whole bins — document text never touches
+    the driver. Scale note: the assignment table is corpus-row-sized; when
+    it outgrows one object, replace the broadcast with the bucketed
+    equi-join (stages/join.py) on doc_id — the reduce side is unchanged."""
+    import ray
+
+    from ..functions.packing import pack_documents_ds
+    from ..stages.shuffle import _tree_combine
+    from ..stages.temporal import _bucket_map_refs, _concat_remote
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    packed = pack_documents_ds(ds, budget=64)
+    ids = np.asarray(packed.column("doc_id").combine_chunks(), dtype=np.int64)
+    order = np.argsort(ids)
+    asg_ref = ray.put(
+        (
+            ids[order],
+            np.asarray(packed.column("bucket").combine_chunks(), dtype=np.int64)[order],
+            np.asarray(packed.column("bin").combine_chunks(), dtype=np.int64)[order],
+        )
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sids, sb, sbin = ray.get(asg_ref)
+        d = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(sids, d).clip(max=max(len(sids) - 1, 0))
+        hit = sids[pos] == d if len(sids) else np.zeros(len(d), bool)
+        n_tok = pc.cast(pc.count_substring_regex(batch.column("text"), TOKEN_RE), pa.int64())
+        t = pa.table(
+            {
+                # composite shuffle key: bins per bucket < 2^40 at any scale
+                "bk": pa.array(sb[pos] * (1 << 40) + sbin[pos], pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+                "n": n_tok,
+            }
+        )
+        return t.filter(pa.array(hit))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    @ray.remote
+    def reduce_bins(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        if t.num_rows == 0:
+            return pa.table({})
+        s = t.sort_by([("bk", "ascending"), ("doc_id", "ascending")])
+        bk = np.asarray(s.column("bk").combine_chunks(), dtype=np.int64)
+        texts = s.column("text").to_pylist()
+        n = np.asarray(s.column("n").combine_chunks(), dtype=np.int64)
+        firsts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[firsts[1:], len(bk)]
+        return pa.table(
+            {
+                "bucket": pa.array(bk[firsts] >> 40, pa.int64()),
+                "bin": pa.array(bk[firsts] & ((1 << 40) - 1), pa.int64()),
+                "n_docs": pa.array(ends - firsts, pa.int64()),
+                "n_tokens": pa.array(np.add.reduceat(n, firsts), pa.int64()),
+                "packed_text": pa.array(
+                    [" ".join(texts[a:b]) for a, b in zip(firsts, ends)], pa.string()
+                ),
+            }
+        )
+
+    num_buckets = 8
+    refs = _bucket_map_refs(tagged, ["bk", "doc_id", "text", "n"], "bk", num_buckets)
+    combine = _concat_remote()
+    reduced = [
+        reduce_bins.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    out = pa.concat_tables(tables)
+    return out.sort_by([("bucket", "ascending"), ("bin", "ascending")])
 
 
 def normalize_text_documents(sf_dir: str) -> pa.Table:
