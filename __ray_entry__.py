@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectral_clips": q.audio_spectral_clips,
         "segment_audio_clips": q.segment_audio_clips,
         "pack_audio_segments": q.pack_audio_segments,
+        "export_packed_audio": q.export_packed_audio,
         # multimodal stub plumbing (decode gated on libs; fake=True path)
         "image_features_stub": q.image_features_stub,
         "video_frames_stub": q.video_frames_stub,

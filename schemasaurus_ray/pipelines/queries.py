@@ -2332,6 +2332,116 @@ def pack_audio_segments(sf_dir: str) -> pa.Table:
     ).sort_by([("clip_id", "ascending"), ("seg_no", "ascending")])
 
 
+def export_packed_audio(sf_dir: str) -> pa.Table:
+    """AUDIO TRAINING-EXAMPLE EXPORT — the full curation composition:
+    VAD-segment the burst clips → resample every utterance to 16 kHz
+    (AudioResampleStage) → duration-bucket bin assignment (the same
+    packing operator as the text path) → ONE shuffle of segment payloads
+    keyed by (bucket, bin) whose reduces concatenate each bin's PCM in
+    segment order into a single training WAV. Returns per-bin metadata
+    (payload stays in the reduce; the pcm-concat golden is pinned in
+    tests/test_packing.py). Linear resample preserves duration, so the
+    pack uses the segments' own dur_ms."""
+    import ray
+    import ray.data as rd
+
+    from ..audio import wav_decode, wav_encode
+    from ..functions.multimodal import AudioResampleStage, AudioSegmentStage
+    from ..functions.packing import length_buckets, pack_by_length_buckets
+    from ..stages.shuffle import _tree_combine
+    from ..stages.temporal import _bucket_map_refs, _concat_remote
+
+    from ..sources.fixtures import make_burst_clips
+
+    clips = make_burst_clips(256)
+    segs = (
+        rd.from_arrow(clips).repartition(8)
+        .map_batches(AudioSegmentStage, batch_format="pyarrow", concurrency=2, batch_size=64)
+        .map_batches(
+            AudioResampleStage(target_sr=16000, bytes_col="bytes"), batch_format="pyarrow"
+        )
+    )
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(batch.column("clip_id"), 5, 15), pa.int64())
+        seg_id = pc.add(pc.multiply(idx, 64), pc.cast(batch.column("seg_no"), pa.int64()))
+        bucket = length_buckets(np.asarray(batch.column("dur_ms").combine_chunks()))
+        return pa.table({"seg_id": seg_id, "bucket": pa.array(bucket, pa.int64())})
+
+    segs_mat = segs.materialize()  # two consumers (keys + payload shuffle); segment table is tiny next to the corpus
+    packed = pack_by_length_buckets(
+        segs_mat.map_batches(to_keys, batch_format="pyarrow"), budget=4000, id_col="seg_id"
+    )
+    sid = np.asarray(packed.column("seg_id").combine_chunks(), dtype=np.int64)
+    order = np.argsort(sid)
+    asg_ref = ray.put(
+        (
+            sid[order],
+            np.asarray(packed.column("bucket").combine_chunks(), dtype=np.int64)[order],
+            np.asarray(packed.column("bin").combine_chunks(), dtype=np.int64)[order],
+        )
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sids, sb, sbin = ray.get(asg_ref)
+        idx = pc.cast(pc.utf8_slice_codeunits(batch.column("clip_id"), 5, 15), pa.int64())
+        d = np.asarray(
+            pc.add(pc.multiply(idx, 64), pc.cast(batch.column("seg_no"), pa.int64())).combine_chunks()
+            if batch.num_rows
+            else pa.chunked_array([pa.array([], pa.int64())]),
+            dtype=np.int64,
+        )
+        pos = np.searchsorted(sids, d).clip(max=max(len(sids) - 1, 0))
+        hit = sids[pos] == d if len(sids) else np.zeros(len(d), bool)
+        t = pa.table(
+            {
+                "bk": pa.array(sb[pos] * (1 << 40) + sbin[pos], pa.int64()),
+                "seg_id": pa.array(d, pa.int64()),
+                "bytes": batch.column("bytes"),
+                "dur_ms": pc.cast(batch.column("dur_ms"), pa.int64()),
+            }
+        )
+        return t.filter(pa.array(hit))
+
+    tagged = segs_mat.map_batches(tag, batch_format="pyarrow")
+
+    @ray.remote
+    def reduce_bins(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        if t.num_rows == 0:
+            return pa.table({})
+        s = t.sort_by([("bk", "ascending"), ("seg_id", "ascending")])
+        bk = np.asarray(s.column("bk").combine_chunks(), dtype=np.int64)
+        dur = np.asarray(s.column("dur_ms").combine_chunks(), dtype=np.int64)
+        blobs = s.column("bytes").to_pylist()
+        firsts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[firsts[1:], len(bk)]
+        n_samples = []
+        for a, b in zip(firsts, ends):
+            pcm = np.concatenate([wav_decode(blobs[k])[0] for k in range(a, b)])
+            n_samples.append(len(wav_encode(pcm, 16000)) // 2 - 22)  # payload samples
+        return pa.table(
+            {
+                "bucket": pa.array(bk[firsts] >> 40, pa.int64()),
+                "bin": pa.array(bk[firsts] & ((1 << 40) - 1), pa.int64()),
+                "n_segments": pa.array(ends - firsts, pa.int64()),
+                "dur_ms_total": pa.array(np.add.reduceat(dur, firsts), pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+            }
+        )
+
+    num_buckets = 8
+    refs = _bucket_map_refs(tagged, ["bk", "seg_id", "bytes", "dur_ms"], "bk", num_buckets)
+    combine = _concat_remote()
+    reduced = [
+        reduce_bins.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    out = pa.concat_tables(tables)
+    return out.sort_by([("bucket", "ascending"), ("bin", "ascending")])
+
+
 def speech_rate_clips(sf_dir: str) -> pa.Table:
     """Audio↔transcript consistency: tokens-per-second of each clip's
     transcript vs its duration — the cross-modal validation a speech

@@ -127,6 +127,7 @@ ROWS_ONLY = [
     "image_features_stub",
     "video_frames_stub",
     "audio_augment_clips",
+    "export_packed_audio",
 ]
 
 

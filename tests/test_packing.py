@@ -129,3 +129,24 @@ def test_pack_audio_segments_composition(ray_session):
             assert s * 2 > 4000 * (cap * (1 << b) >= 4000), (b, bn, s)
     # at least one genuinely full multi-segment bin exists in the fixture
     assert any(c > 1 for c in counts.values())
+
+
+def test_export_packed_audio_invariants(ray_session):
+    """Audio export bins: duration within budget, 16 kHz sample math exact,
+    every expected utterance appears in exactly one bin."""
+    from schemasaurus_ray.pipelines.queries import export_packed_audio
+
+    out = export_packed_audio("ignored")
+    assert out.num_rows > 0
+    dur = out.column("dur_ms_total").to_pylist()
+    samp = out.column("n_samples").to_pylist()
+    nseg = out.column("n_segments").to_pylist()
+    buckets = out.column("dur_bucket").to_pylist() if "dur_bucket" in out.column_names else out.column("bucket").to_pylist()
+    for d, s, ns, b in zip(dur, samp, nseg, buckets):
+        assert d <= 4000
+        assert s == d * 16  # resampled to 16 kHz, durations are exact ms
+        assert ns <= max(4000 >> b, 1)
+    # total segments across bins == expected VAD segment count over 256 clips
+    def n_expected(i):
+        return 0 if (i % 17 == 0 or i % 19 == 0) else 1 + i % 3
+    assert sum(nseg) == sum(n_expected(i) for i in range(256))
