@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": q.validate_events,
         "validate_documents_formats": q.validate_documents_formats,
         "validate_documents_jsonl": q.validate_documents_jsonl,
+        "validate_documents_csv": q.validate_documents_csv,
         # normalizer (§2C)
         "normalize_lineitem": q.normalize_lineitem,
         "normalize_events_defaults": q.normalize_events_defaults,
@@ -648,6 +649,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'maximum' FROM documents WHERE n_chars > 400
         """,
 "validate_documents_jsonl": """
+            SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'doc_id' AS col, 'minimum' AS code
+              FROM documents WHERE doc_id < 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'text', 'minLength' FROM documents WHERE length(text) < 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'lang', 'enum' FROM documents WHERE lang NOT IN ('en','de','fr','es')
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'maximum' FROM documents WHERE n_chars > 400
+        """,
+"validate_documents_csv": """
             SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'doc_id' AS col, 'minimum' AS code
               FROM documents WHERE doc_id < 0
             UNION ALL

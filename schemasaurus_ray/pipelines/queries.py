@@ -161,6 +161,55 @@ def validate_documents_jsonl(sf_dir: str) -> pa.Table:
     return _violations(ds, DOCUMENTS_SPEC)
 
 
+def validate_documents_csv(sf_dir: str) -> pa.Table:
+    """SOURCE-FORMAT PARITY #2: the same documents rule pack through the CSV
+    source (sources/io.read_csv_tasks) — identical violation multiset as the
+    parquet and JSONL paths. The parquet table is converted once per sf_dir
+    to sharded CSV under /tmp (fixture prep, not an engine path; arrow
+    csv.write_csv keeps null-vs-empty-string fidelity via quoting). The
+    oracle is the same SQL as validate_documents."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.csv as pcsv_
+    import pyarrow.parquet as pq_
+
+    from ..sources.io import read_csv_tasks
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"schemasaurus_docs_csv_{tag}")
+    cols = list(DOCUMENTS_SPEC["columns"].keys())
+    if not os.path.isdir(out_dir):
+        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tbl = pq_.read_table(src, columns=cols)
+        shards = 4
+        per = -(-tbl.num_rows // shards)
+        for s in range(shards):
+            pcsv_.write_csv(tbl.slice(s * per, per), os.path.join(tmp_dir, f"docs-{s:04d}.csv"))
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:  # concurrent creator won
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    import glob as glob_
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    ds = read_csv_tasks(
+        sorted(glob_.glob(os.path.join(out_dir, "*.csv"))), schema=schema, columns=cols
+    )
+    return _violations(ds, DOCUMENTS_SPEC)
+
+
 # Cross-column CHECK constraints (spec.CheckRule → plan.compile_expr):
 # arithmetic + comparison predicates over sibling columns, SQL three-valued
 # CHECK semantics (violation only when definitively FALSE). The reference's

@@ -320,15 +320,15 @@ class ValidationPipeline:
             files = sorted(
                 os.path.join(input_path, f)
                 for f in os.listdir(input_path)
-                if f.endswith((".parquet", ".lance", ".jsonl"))
+                if f.endswith((".parquet", ".lance", ".jsonl", ".csv"))
             )
         else:
             files = [input_path]
         if not files:
-            raise FileNotFoundError(f"no parquet/jsonl shards under {input_path}")
+            raise FileNotFoundError(f"no parquet/jsonl/csv shards under {input_path}")
         return files
 
-    def _jsonl_schema(self) -> "Any":
+    def _spec_schema(self) -> "Any":
         """Explicit Arrow schema for JSONL shards, derived from the spec's
         declared column types so JSON inference can't narrow an all-null or
         ambiguous column (json-mode / untyped columns are left to pyarrow's
@@ -532,7 +532,8 @@ class ValidationPipeline:
                 )
 
             jsonl_todo = [p for p in todo if p.endswith(".jsonl")]
-            parquet_todo = [p for p in todo if not p.endswith(".jsonl")]
+            csv_todo = [p for p in todo if p.endswith(".csv")]
+            parquet_todo = [p for p in todo if not p.endswith((".jsonl", ".csv"))]
             readers = []
             # batch_size is honored by RE-BATCHING INSIDE THE READER, never
             # via map_batches(batch_size=...): fusion would bundle the
@@ -550,7 +551,18 @@ class ValidationPipeline:
                 readers.append(
                     read_jsonl_tasks(
                         jsonl_todo,
-                        schema=self._jsonl_schema(),
+                        schema=self._spec_schema(),
+                        include_paths=True,
+                        max_rows_per_block=self.batch_size,
+                    )
+                )
+            if csv_todo:
+                from ..sources.io import read_csv_tasks
+
+                readers.append(
+                    read_csv_tasks(
+                        csv_todo,
+                        schema=self._spec_schema(),
                         include_paths=True,
                         max_rows_per_block=self.batch_size,
                     )

@@ -172,3 +172,44 @@ def test_read_jsonl_tasks_schema_and_lineage(ray_session, tmp_path):
     proj = read_jsonl_tasks([p1], schema=schema, columns=["a"])
     pt = pa.concat_tables(list(proj.iter_batches(batch_format="pyarrow")))
     assert pt.column_names == ["a"]
+
+
+def test_read_csv_tasks_schema_nulls_and_lineage(ray_session, tmp_path):
+    """read_csv_tasks: explicit schema pins types, null-vs-empty-string
+    fidelity survives a write_csv round trip (unquoted empty = null, quoted
+    "" = empty string), (path, row_start) lineage + projection match the
+    parquet/JSONL readers' contract."""
+    import pyarrow as pa
+    import pyarrow.csv as pcsv
+
+    from schemasaurus_ray.sources.io import read_csv_tasks
+
+    t1 = pa.table(
+        {
+            "a": pa.array([1, 2], pa.int64()),
+            "b": pa.array(["x", None], pa.string()),
+            "c": pa.array([None, ""], pa.string()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "a": pa.array([3], pa.int64()),
+            "b": pa.array(['y,"q"\nz', None][:1], pa.string()),
+            "c": pa.array([None], pa.float64()).cast(pa.string()),
+        }
+    )
+    p1, p2 = str(tmp_path / "s1.csv"), str(tmp_path / "s2.csv")
+    pcsv.write_csv(t1, p1)
+    pcsv.write_csv(t2, p2)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string()), ("c", pa.string())])
+    ds = read_csv_tasks([p1, p2], schema=schema, include_paths=True)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = t.sort_by([("path", "ascending"), ("row_start", "ascending")])
+    assert t.column("a").to_pylist() == [1, 2, 3]
+    assert t.column("b").to_pylist() == ["x", None, 'y,"q"\nz']
+    # null vs empty string preserved exactly
+    assert t.column("c").to_pylist() == [None, "", None]
+    assert t.column("row_start").to_pylist() == [0, 1, 0]
+    proj = read_csv_tasks([p1], schema=schema, columns=["a"])
+    pt = pa.concat_tables(list(proj.iter_batches(batch_format="pyarrow")))
+    assert pt.column_names == ["a"]

@@ -92,6 +92,7 @@ ORACLE_NAMES = [
     "pivot_events_user",
     "revenue_rollup",
     "validate_documents_jsonl",
+    "validate_documents_csv",
     "export_packed_documents",
 ]
 

@@ -580,3 +580,56 @@ def test_jsonl_shards_match_parquet_pipeline(ray_session, tmp_path_factory):
     # resume: second jsonl run validates nothing new
     rep2 = run(jl_dir, os.path.join(base, "out_jl"))
     assert rep2.metrics["shards_validated_this_run"] == 0
+
+
+def test_csv_shards_match_parquet_pipeline(ray_session, tmp_path_factory):
+    """SOURCE PARITY end-to-end #2: the SAME clip metadata validated from
+    parquet shards and from CSV shards yields identical metrics and
+    violation multisets (null-vs-empty fidelity via arrow csv quoting);
+    the CSV run resumes like the parquet one."""
+    import glob
+    import os
+
+    import pyarrow.csv as pcsv
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.validate import ValidationPipeline
+    from schemasaurus_ray.sources.fixtures import write_fixture
+    from schemasaurus_ray.specs import AUDIO_CLIP_SPEC_NO_BYTES
+
+    base = str(tmp_path_factory.mktemp("csv_e2e"))
+    dirs = write_fixture(os.path.join(base, "fix"), n=1500, shards=3,
+                         with_audio=False, inject=True)
+    csv_dir = os.path.join(base, "clips_csv")
+    os.makedirs(csv_dir)
+    for p in sorted(glob.glob(os.path.join(dirs["clips"], "*.parquet"))):
+        t = pq.read_table(p).drop_columns(["bytes"])
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pcsv.write_csv(t, os.path.join(csv_dir, f"{stem}.csv"))
+
+    def run(src, out):
+        pipe = ValidationPipeline(AUDIO_CLIP_SPEC_NO_BYTES, out)
+        import ray.data as rd
+
+        return pipe.run(src, ref_datasets={"transcripts": rd.read_parquet(dirs["transcripts"])})
+
+    rep_pq = run(dirs["clips"], os.path.join(base, "out_pq"))
+    rep_csv = run(csv_dir, os.path.join(base, "out_csv"))
+    for k in ("rows_total", "duplicate_keys", "orphans", "row_violations"):
+        if k in rep_pq.metrics:
+            assert rep_csv.metrics[k] == rep_pq.metrics[k], k
+
+    def violation_multiset(out):
+        files = glob.glob(os.path.join(out, "violations", "p*", "part-*.parquet"))
+        rows = []
+        for f in files:
+            t = pq.read_table(f)
+            keep = [c for c in ("row_ref", "col", "code") if c in t.column_names]
+            rows.extend(map(tuple, zip(*(t.column(c).to_pylist() for c in keep))))
+        return sorted(rows)
+
+    assert violation_multiset(os.path.join(base, "out_csv")) == violation_multiset(
+        os.path.join(base, "out_pq")
+    )
+    rep2 = run(csv_dir, os.path.join(base, "out_csv"))
+    assert rep2.metrics["shards_validated_this_run"] == 0
