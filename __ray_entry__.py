@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped aggregate constraint + join rollup
         "agg_constraint_orders": q.agg_constraint_orders,
         "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
+        "snapshot_diff_orders": q.snapshot_diff_orders,
         "mode_event_type_by_user": q.mode_event_type_by_user,
         "daily_volume_events": q.daily_volume_events,
         "benford_lineitem": q.benford_lineitem,
@@ -402,6 +403,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type IS NOT NULL
                  GROUP BY user_id, event_type
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "snapshot_diff_orders": """
+            WITH next AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 17 <> 3
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 19 = 2
+            )
+            SELECT o_orderkey, change FROM (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          WHEN o.o_custkey <> n.o_custkey OR o.o_orderstatus <> n.o_orderstatus
+                               OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                     END AS change
+                FROM orders o FULL JOIN next n ON o.o_orderkey = n.o_orderkey
+            ) WHERE change IS NOT NULL ORDER BY o_orderkey
         """,
         "reconcile_orders_lineitem": """
             WITH li AS (

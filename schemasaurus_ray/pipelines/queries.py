@@ -2967,3 +2967,55 @@ def sample_documents(sf_dir: str) -> pa.Table:
         return batch.filter(pa.array(keep))
 
     return _collect(ds.map_batches(pick, batch_format="pyarrow")).sort_by("doc_id")
+
+
+# ---- snapshot diff (CDC) -----------------------------------------------------
+def _orders_next_snapshot(tbl: pa.Table) -> pa.Table:
+    """Deterministic 'next snapshot' of the orders table, derived in-flight
+    per shard (no materialization): drop keys ≡3 (mod 17), bump
+    o_totalprice by 1.0 for keys ≡1 (mod 13), append copies of keys ≡2
+    (mod 19) re-keyed +10_000_000 (outside the key range at tested SFs).
+    The oracle SQL derives the identical snapshot in a CTE."""
+    k = np.asarray(tbl.column("o_orderkey").combine_chunks(), dtype=np.int64)
+    price = np.array(tbl.column("o_totalprice").combine_chunks(), dtype=np.float64)
+    price[k % 13 == 1] += 1.0
+    base = pa.table(
+        {
+            "o_orderkey": pa.array(k, pa.int64()),
+            "o_custkey": tbl.column("o_custkey").combine_chunks(),
+            "o_orderstatus": tbl.column("o_orderstatus").combine_chunks(),
+            "o_totalprice": pa.array(price, pa.float64()),
+        }
+    ).filter(pa.array(k % 17 != 3))
+    add_mask = pa.array(k % 19 == 2)
+    added = pa.table(
+        {
+            "o_orderkey": pa.array(k + 10_000_000, pa.int64()),
+            "o_custkey": tbl.column("o_custkey").combine_chunks(),
+            "o_orderstatus": tbl.column("o_orderstatus").combine_chunks(),
+            "o_totalprice": tbl.column("o_totalprice").combine_chunks(),
+        }
+    ).filter(add_mask)
+    return pa.concat_tables([base, added])
+
+
+def snapshot_diff_orders(sf_dir: str) -> pa.Table:
+    """INCREMENTAL VALIDATION (CDC): row-level diff between the orders
+    snapshot and a deterministically-derived next snapshot — which keys
+    were added / removed / changed. Both sides map independently over
+    parquet shards folding each row into a 64-bit content signature;
+    only (key, cnt, xor, sum) partials shuffle (stages/cdc.snapshot_diff),
+    so output and shuffle are O(churn), never O(table). The reference
+    revalidates whole tables; this is the engine-native incremental form
+    a daily 100-TB lake actually runs."""
+    from ..stages.cdc import snapshot_diff
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_diff(
+        [path],
+        [path],
+        key_cols=["o_orderkey"],
+        value_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+        new_transform=_orders_next_snapshot,
+    )
+    return out.sort_by("o_orderkey")

@@ -85,6 +85,7 @@ ORACLE_NAMES = [
     "sessionize_events",
     "percentile_outliers_lineitem",
     "reconcile_orders_lineitem",
+    "snapshot_diff_orders",
     "mode_event_type_by_user",
     "daily_volume_events",
     "benford_lineitem",
