@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": q.curate_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "repetition_documents": q.repetition_documents,
+        "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
         "redact_documents": q.redact_documents,
         "split_assign_documents": q.split_assign_documents,
         "fingerprint_documents": q.fingerprint_documents,
@@ -488,6 +489,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f2' THEN 'val'
                         ELSE 'test' END AS split
               FROM documents ORDER BY doc_id
+        """,
+        "lm_bigram_oov_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS w,
+                     unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+                FROM documents
+            ),
+            big AS (
+              SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+                FROM toks QUALIFY bg IS NOT NULL
+            ),
+            lm AS (
+              SELECT bg FROM (SELECT bg, count(*) AS c FROM big GROUP BY bg
+                              HAVING count(*) >= 2 ORDER BY c DESC, bg LIMIT 500)
+            )
+            SELECT b.doc_id,
+                   count(*) AS n_bigrams,
+                   CAST((10000 * SUM(CASE WHEN l.bg IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS oov_bp
+              FROM big b LEFT JOIN lm l ON b.bg = l.bg
+             GROUP BY b.doc_id ORDER BY b.doc_id
         """,
         "repetition_documents": """
             WITH toks AS (

@@ -266,3 +266,66 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
             "distinct_bp": pa.array(bp, pa.int64()),
         }
     )
+
+
+def batch_bigrams(col: "pa.ChunkedArray | pa.Array") -> tuple[pa.Array, np.ndarray]:
+    """(bigram strings 'w1 w2', document index per bigram) for a text
+    column — fully vectorized: ONE Arrow whitespace split, empty tokens
+    dropped (so the token sequence is exactly regexp '\\S+'), adjacent
+    pairs joined where both tokens share a document. No per-row Python."""
+    import pyarrow.compute as pc
+
+    from ..util import single_chunk
+
+    col = single_chunk(col)
+    n = len(col)
+    lists = pc.ascii_split_whitespace(pc.fill_null(col, ""))
+    flat = pc.list_flatten(lists)
+    lens = np.asarray(pc.list_value_length(lists).fill_null(0), dtype=np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+    t = len(flat)
+    if t < 2:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    same_doc = doc_of[:-1] == doc_of[1:]
+    w1 = flat.slice(0, t - 1).filter(pa.array(same_doc))
+    w2 = flat.slice(1, t - 1).filter(pa.array(same_doc))
+    bg = pc.binary_join_element_wise(w1, w2, " ")
+    return bg, doc_of[:-1][same_doc]
+
+
+def bigram_lm_topk(paths: list[str], k: int = 500, min_df: int = 2) -> pa.Array:
+    """Train a top-k bigram 'language model' over the corpus — the
+    distributed count + deterministic head selection (count desc, bigram
+    asc) that the OOV scorer broadcasts. Counting rides the generic
+    bucketed aggregate shuffle (stages/shuffle.agg_keys_shuffled): each
+    shard pre-counts its bigrams (the combiner — only distinct-bigram
+    partials shuffle), reduce buckets apply the min_df floor, and the
+    driver re-sorts only the ≥min_df survivors for the head. min_df is
+    the driver-heap bound at 100 TB (raise it with corpus size; the head
+    is insensitive to the floor by construction once min_df ≤ the k-th
+    count)."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        bg, _ = batch_bigrams(tbl.column("text"))
+        ones = pa.table({"bg": bg})
+        return (
+            ones.group_by(["bg"]).aggregate([([], "count_all")]).rename_columns(["bg", "n"])
+        )
+
+    counts = agg_keys_shuffled(
+        paths,
+        key_cols=["bg"],
+        aggs=[("n", "sum")],
+        transform_fn=explode,
+        having_fn=lambda t: t.filter(pc.greater_equal(t.column("sum_n"), min_df)),
+        read_cols=["text"],
+    )
+    if counts.num_rows == 0:
+        return pa.array([], pa.string())
+    head = counts.sort_by([("sum_n", "descending"), ("bg", "ascending")]).slice(0, k)
+    return head.column("bg").combine_chunks()

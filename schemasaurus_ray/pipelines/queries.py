@@ -3019,3 +3019,44 @@ def snapshot_diff_orders(sf_dir: str) -> pa.Table:
         new_transform=_orders_next_snapshot,
     )
     return out.sort_by("o_orderkey")
+
+
+def lm_bigram_oov_documents(sf_dir: str) -> pa.Table:
+    """CORPUS-LM QUALITY SIGNAL: train a top-500 bigram model over the
+    corpus itself (distributed count via the bucketed aggregate shuffle,
+    min_df=2 floor, deterministic count-desc/bigram-asc head), broadcast
+    it once (ray.put), then score every document's out-of-vocabulary
+    bigram rate in basis points — the Gopher/KenLM-style 'does this text
+    look like the corpus' filter, exact-integer so the DuckDB oracle
+    matches bit-for-bit. Docs with <2 tokens have no bigrams and are
+    excluded (the oracle's join produces no rows for them)."""
+    import ray
+
+    from ..functions.text import batch_bigrams, bigram_lm_topk
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    lm = bigram_lm_topk([path], k=500, min_df=2)
+    lm_ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm_arr = ray.get(lm_ref)
+        bg, doc_idx = batch_bigrams(batch.column("text"))
+        n = batch.num_rows
+        total = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(bg):
+            known = np.asarray(pc.is_in(bg, value_set=lm_arr))
+            oov = np.bincount(doc_idx[~known], minlength=n).astype(np.int64)
+        else:
+            oov = np.zeros(n, dtype=np.int64)
+        has = total > 0
+        bp = (10000 * oov[has]) // total[has]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().filter(pa.array(has)),
+                "n_bigrams": pa.array(total[has], pa.int64()),
+                "oov_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(score, batch_format="pyarrow")).sort_by("doc_id")

@@ -801,3 +801,33 @@ def test_prefix_pairs_hot_group_guard():
     # the small group still emits its exact pairs
     small = set(zip(a[~hot].tolist(), b[~hot].tolist()))
     assert small == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_batch_bigrams_boundaries_and_empties():
+    import pyarrow as pa
+
+    from schemasaurus_ray.functions.text import batch_bigrams
+
+    col = pa.chunked_array([pa.array(["a b c", "", None, "x", " q  r ", "one"], pa.string())])
+    bg, doc = batch_bigrams(col)
+    # no cross-document pairs, no empty tokens, 1-token docs yield nothing
+    assert bg.to_pylist() == ["a b", "b c", "q r"]
+    assert doc.tolist() == [0, 0, 4]
+
+
+def test_bigram_lm_topk_deterministic_head(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.functions.text import bigram_lm_topk
+
+    # 'a b' x3, 'b a' x3 (tie -> asc), 'c d' x2, 'z z' x1 (below min_df)
+    texts = ["a b", "a b", "a b", "b a", "b a", "b a", "c d", "c d", "z z"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    p1, p2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    pq.write_table(t.slice(0, 5), p1)
+    pq.write_table(t.slice(5), p2)
+    lm = bigram_lm_topk([p1, p2], k=2, min_df=2)
+    assert lm.to_pylist() == ["a b", "b a"]
+    lm3 = bigram_lm_topk([p1, p2], k=10, min_df=2)
+    assert lm3.to_pylist() == ["a b", "b a", "c d"]

@@ -86,6 +86,7 @@ ORACLE_NAMES = [
     "percentile_outliers_lineitem",
     "reconcile_orders_lineitem",
     "snapshot_diff_orders",
+    "lm_bigram_oov_documents",
     "mode_event_type_by_user",
     "daily_volume_events",
     "benford_lineitem",
