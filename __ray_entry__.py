@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_window_events": q.activity_window_events,
         "sessionize_events": q.sessionize_events,
         "interarrival_events": q.interarrival_events,
+        "funnel_events": q.funnel_events,
+        "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
         "infer_spec_documents": q.infer_spec_documents,
         "infer_spec_events": q.infer_spec_events,
@@ -956,6 +958,29 @@ def oracle_sql() -> dict[str, str]:
                 ON p.user_id = e.user_id
                AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
              GROUP BY e.event_id ORDER BY e.event_id
+        """,
+        "funnel_events": """
+            WITH ev AS (SELECT * FROM events WHERE event_id % 8 = 0),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type='view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                     JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                    WHERE e.event_type='click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+                     JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                    WHERE e.event_type='purchase' GROUP BY 1)
+            SELECT stage, n_users FROM (
+              SELECT 'view' AS stage, count(*) AS n_users FROM s1
+              UNION ALL SELECT 'view>click', count(*) FROM s2
+              UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
+            ) ORDER BY stage
+        """,
+        "cohort_retention_events": """
+            WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+            SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+                   date_diff('day', f.d0, a.d) AS day_offset,
+                   count(*) AS n_users
+              FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "interarrival_events": """
             WITH d AS (

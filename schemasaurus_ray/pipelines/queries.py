@@ -3060,3 +3060,54 @@ def lm_bigram_oov_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _collect(ds.map_batches(score, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def funnel_events(sf_dir: str) -> pa.Table:
+    """ORDERED CONVERSION FUNNEL over the event stream: users who did a
+    'view', then a 'click' strictly after it, then a 'purchase' strictly
+    after that (earliest-completion semantics). Events are deterministically
+    thinned to event_id%8==0 so stages actually discriminate at test
+    density (the oracle applies the same filter). One per-user hash
+    shuffle; non-funnel rows are dropped at the map; reduces return only
+    (stage, count) pairs (stages/temporal.funnel_shuffled)."""
+    from ..stages.temporal import funnel_shuffled
+
+    stages = ["view", "click", "purchase"]
+
+    def thin(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("event_id").combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(ids % 8 == 0)).drop_columns(["event_id"])
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        thin, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = funnel_shuffled(ds, "user_id", "ts", "event_type", stages)
+    labels = [">".join(stages[: i + 1]) for i in range(len(stages))]
+    idx = out.column("stage_idx").to_pylist()
+    return pa.table(
+        {
+            "stage": pa.array([labels[i] for i in idx], pa.string()),
+            "n_users": out.column("n_keys"),
+        }
+    ).sort_by("stage")
+
+
+def cohort_retention_events(sf_dir: str) -> pa.Table:
+    """COHORT RETENTION TRIANGLE: users grouped by first-activity day,
+    counted on each active day offset — (cohort, day_offset, n_users),
+    exact. One per-user hash shuffle carrying only (user_id, ts); each
+    reduce dedups (user, day) in one lexsort and pre-aggregates, so the
+    driver merges B tiny triangles (stages/temporal.cohort_retention_shuffled)."""
+    from ..stages.temporal import cohort_retention_shuffled
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = cohort_retention_shuffled(ds, "user_id", "ts")
+    days = np.asarray(out.column("cohort_day").combine_chunks(), dtype=np.int64)
+    cohort = days.astype("datetime64[D]").astype(str)
+    return pa.table(
+        {
+            "cohort": pa.array(cohort, pa.string()),
+            "day_offset": out.column("day_offset"),
+            "n_users": out.column("n_keys"),
+        }
+    )

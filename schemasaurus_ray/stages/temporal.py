@@ -201,16 +201,19 @@ def _np_col(tbl: pa.Table, name: str) -> np.ndarray:
 
 
 def _bucket_map_refs(
-    src: Any, cols: list[str], key_col: str, num_buckets: int
+    src: Any, cols: list[str], key_col: str, num_buckets: int, pre_fn=None
 ) -> list:
     """Map side: one task per parquet path (column-pruned read) or per
     Dataset block; each returns ``num_buckets`` row tables split by
-    hash(key)."""
+    hash(key). ``pre_fn(tbl) -> tbl`` runs before the split (row filters /
+    derived columns — prune the shuffle at the map, not the reduce)."""
     import ray
 
     @ray.remote(num_returns=num_buckets)
     def map_path(path: str):
         tbl = pq.read_table(path, columns=cols)
+        if pre_fn is not None:
+            tbl = pre_fn(tbl)
         out = _split_buckets(tbl, [key_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -221,6 +224,8 @@ def _bucket_map_refs(
             e = pa.table({})
             return [e] * num_buckets if num_buckets > 1 else e
         tbl = tbl.select(cols)
+        if pre_fn is not None:
+            tbl = pre_fn(tbl)
         out = _split_buckets(tbl, [key_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -517,3 +522,162 @@ def interarrival_shuffled(
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)
+
+
+def funnel_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """ORDERED FUNNEL: how many keys reached stage i — where reaching
+    stage i means an event of type stages[i] STRICTLY AFTER the time the
+    key reached stage i-1 (earliest-completion semantics, the standard
+    conversion-funnel definition; equal timestamps do NOT advance).
+
+    One hash-partition shuffle by key; rows of non-funnel types are
+    dropped AT THE MAP (pre_fn), so only funnel events move. Each reduce
+    runs len(stages) vectorized masked-min passes over its key-sorted
+    bucket (np.minimum.reduceat per key segment, candidates = events of
+    the stage's type strictly after the key's previous-stage time) and
+    returns only a (stage_idx, n_keys) pair table; the driver sums B×S
+    tiny rows. Keys that stall at stage i stay at +inf for every later
+    stage, so later counts are monotonically ≤ earlier ones."""
+    import ray
+
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(len(srcs) if srcs is not None else 8)
+    cols = [key_col, ts_col, type_col]
+    stage_list = list(stages)
+
+    def keep_funnel(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(
+            pc.is_in(tbl.column(type_col), value_set=pa.array(stage_list, pa.string()))
+        )
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        empty = pa.table(
+            {"stage_idx": pa.array([], pa.int64()), "n_keys": pa.array([], pa.int64())}
+        )
+        if not parts:
+            return empty
+        tbl = pa.concat_tables(parts)
+        k = _np_col(tbl, key_col)
+        t = _np_col(tbl, ts_col)
+        et = tbl.column(type_col).combine_chunks()
+        code = np.full(len(k), -1, dtype=np.int64)
+        for i, s in enumerate(stage_list):
+            code[np.asarray(pc.equal(et, s).fill_null(False))] = i
+        order = np.lexsort((t, k))
+        ks, ts_, cs = k[order], t[order], code[order]
+        seg = np.flatnonzero(_segment_starts(ks))
+        n_keys = len(seg)
+        seg_of_row = np.cumsum(_segment_starts(ks)) - 1
+        INF = np.iinfo(np.int64).max
+        t_prev = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
+        counts = np.zeros(len(stage_list), dtype=np.int64)
+        for i in range(len(stage_list)):
+            cand = np.where((cs == i) & (ts_ > t_prev[seg_of_row]), ts_, INF)
+            t_stage = np.minimum.reduceat(cand, seg) if n_keys else cand[:0]
+            counts[i] = int((t_stage < INF).sum())
+            t_prev = t_stage
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(len(stage_list), dtype=np.int64), pa.int64()),
+                "n_keys": pa.array(counts, pa.int64()),
+            }
+        )
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets, pre_fn=keep_funnel)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"stage_idx": pa.array([], pa.int64()), "n_keys": pa.array([], pa.int64())}
+        )
+    merged = pa.concat_tables(tables)
+    out = merged.group_by(["stage_idx"]).aggregate([("n_keys", "sum")])
+    return out.rename_columns(["stage_idx", "n_keys"]).sort_by("stage_idx")
+
+
+def cohort_retention_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """COHORT RETENTION: keys grouped by their first-activity day, counted
+    on each later active day as (cohort_day, day_offset, n_keys) — the
+    standard retention triangle, exact. One hash-partition shuffle by key
+    (only (key, ts) moves); each reduce key-sorts its bucket once, takes
+    per-key first day as the cohort, dedups (key, day) pairs by adjacency
+    in the same sort, and pre-aggregates to (cohort_day, offset, n) — the
+    driver merges B tiny pre-agg tables. Day = floor(ts / 86_400s) on the
+    raw integer timestamps (naive UTC, matching SQL CAST(ts AS DATE))."""
+    import ray
+
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(len(srcs) if srcs is not None else 8)
+    cols = [key_col, ts_col]
+    US_PER_DAY = 86_400_000_000
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+        if not parts:
+            return empty
+        tbl = pa.concat_tables(parts)
+        k = _np_col(tbl, key_col)
+        day = np.floor_divide(_np_col(tbl, ts_col), US_PER_DAY)
+        order = np.lexsort((day, k))
+        ks, ds = k[order], day[order]
+        new_key = _segment_starts(ks)
+        # dedup (key, day): first row of each (key, day) run in the sort
+        first_pair = new_key | np.r_[False, (ds[1:] != ds[:-1])]
+        kk, dd = ks[first_pair], ds[first_pair]
+        seg_of = np.cumsum(_segment_starts(kk)) - 1
+        cohort = dd[_segment_starts(kk)][seg_of]  # per-pair cohort day
+        g = pa.table(
+            {
+                "cohort_day": pa.array(cohort, pa.int64()),
+                "day_offset": pa.array(dd - cohort, pa.int64()),
+            }
+        )
+        out = g.group_by(["cohort_day", "day_offset"]).aggregate([([], "count_all")])
+        return out.rename_columns(["cohort_day", "day_offset", "n_keys"])
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "n_keys": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(tables)
+    out = merged.group_by(["cohort_day", "day_offset"]).aggregate([("n_keys", "sum")])
+    return out.rename_columns(["cohort_day", "day_offset", "n_keys"]).sort_by(
+        [("cohort_day", "ascending"), ("day_offset", "ascending")]
+    )

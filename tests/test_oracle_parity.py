@@ -87,6 +87,8 @@ ORACLE_NAMES = [
     "reconcile_orders_lineitem",
     "snapshot_diff_orders",
     "lm_bigram_oov_documents",
+    "funnel_events",
+    "cohort_retention_events",
     "mode_event_type_by_user",
     "daily_volume_events",
     "benford_lineitem",

@@ -319,3 +319,77 @@ def test_interarrival_random_vs_duckdb(ray_session, tmp_path):
         assert [int(x) for x in got.column(c).to_pylist()] == [
             int(x) for x in want.column(c).to_pylist()
         ], c
+
+
+def test_funnel_shuffled_stalls_and_equal_ts(ray_session, tmp_path):
+    """Funnel: stalls stop progression; an equal-ts next-stage event does
+    NOT advance (strictly-after semantics); duplicates don't double-count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import funnel_shuffled
+
+    rows = [
+        # user 1: full funnel
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        # user 2: b before a -> stalls after a
+        (2, 10, "b"), (2, 20, "a"),
+        # user 3: b at SAME ts as a -> no advance past a
+        (3, 10, "a"), (3, 10, "b"),
+        # user 4: a only, repeated
+        (4, 5, "a"), (4, 6, "a"),
+        # user 5: no funnel events at all (noise type)
+        (5, 1, "x"),
+        # user 6: a, c (skips b) -> stalls at a
+        (6, 1, "a"), (6, 2, "c"),
+        # user 7: a,b,c but c before b -> reaches a>b only
+        (7, 1, "a"), (7, 3, "c"), (7, 5, "b"),
+    ]
+    t = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "et": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, 8), p1)
+    pq.write_table(t.slice(8), p2)
+    out = funnel_shuffled([p1, p2], "u", "ts", "et", ["a", "b", "c"], num_buckets=4)
+    assert out.column("stage_idx").to_pylist() == [0, 1, 2]
+    # stage a: users 1,2,3,4,6,7 = 6; stage a>b: users 1,7 = 2; a>b>c: user 1
+    assert out.column("n_keys").to_pylist() == [6, 2, 1]
+
+
+def test_cohort_retention_shuffled_dedup_and_offsets(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import cohort_retention_shuffled
+
+    US = 86_400_000_000
+    rows = [
+        # user 1: days 0 (twice), 2
+        (1, 0), (1, US // 2), (1, 2 * US),
+        # user 2: days 1, 1, 3
+        (2, US + 5), (2, US + 9), (2, 3 * US),
+        # user 3: day 2 only
+        (3, 2 * US + 1),
+    ]
+    t = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(t, p)
+    out = cohort_retention_shuffled([p], "u", "ts", num_buckets=3)
+    got = list(
+        zip(
+            out.column("cohort_day").to_pylist(),
+            out.column("day_offset").to_pylist(),
+            out.column("n_keys").to_pylist(),
+        )
+    )
+    assert got == [(0, 0, 1), (0, 2, 1), (1, 0, 1), (1, 2, 1), (2, 0, 1)]
