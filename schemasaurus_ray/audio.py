@@ -707,3 +707,111 @@ def pcm_vad_segments(
         np.concatenate(out_sr),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# log-mel filterbank features (ASR training featurization)
+# ---------------------------------------------------------------------------
+
+_MEL_FB_CACHE: dict = {}
+
+
+def mel_filterbank(sr: int, frame: int, n_mels: int) -> np.ndarray:
+    """(n_mels, frame//2+1) triangular HTK-mel filterbank for one sample
+    rate — cached per (sr, frame, n_mels) (a worker sees only a handful of
+    distinct sample rates)."""
+    key = (int(sr), frame, n_mels)
+    fb = _MEL_FB_CACHE.get(key)
+    if fb is None:
+        n_bins = frame // 2 + 1
+        fhz = np.arange(n_bins, dtype=np.float64) * (sr / frame)
+        mel_max = 2595.0 * np.log10(1.0 + (sr / 2) / 700.0)
+        mels = np.linspace(0.0, mel_max, n_mels + 2)
+        fpts = 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+        low, ctr, hi = fpts[:-2], fpts[1:-1], fpts[2:]
+        up = (fhz[None, :] - low[:, None]) / np.maximum(ctr - low, 1e-9)[:, None]
+        down = (hi[:, None] - fhz[None, :]) / np.maximum(hi - ctr, 1e-9)[:, None]
+        fb = np.maximum(0.0, np.minimum(up, down)).astype(np.float32)
+        _MEL_FB_CACHE[key] = fb
+    return fb
+
+
+def pcm_logmel(
+    bytes_col, frame: int = 512, n_mels: int = 24, max_frames: int = 16
+) -> dict:
+    """Log-mel filterbank features for a WHOLE batch of WAV blobs — the
+    standard ASR training featurization, batch-vectorized like
+    :func:`pcm_spectral_stats` (same evenly-spaced Hann frame gather, ONE
+    batched rFFT per bounded chunk, zero per-row Python). The mel
+    projection is sample-rate-dependent, so power rows are grouped by the
+    chunk's DISTINCT sample rates (a few values, never per-row) and each
+    group does one (rows × bins) @ (bins × mels) matmul.
+
+    Returns ``feat`` — float32 (total_frames, n_mels) log10 mel energies,
+    frames of one clip contiguous — plus per-clip ``nf`` frame counts and
+    the ``valid`` mask. Footprint stays bounded by the same 4096-frame
+    chunking (CLAUDE.md cold-footprint rule)."""
+    from .util import single_chunk
+
+    arr = single_chunk(bytes_col)
+    n = len(arr)
+    out = {
+        "feat": np.zeros((0, n_mels), dtype=np.float32),
+        "nf": np.zeros(n, dtype=np.int64),
+        "valid": np.zeros(n, dtype=bool),
+    }
+    if n == 0:
+        return out
+    layout = _pcm_layout(arr)
+    if layout is None:
+        return out
+    data, starts, lengths, sr, eff_len, valid = layout
+    out["valid"] = valid
+    if not valid.any():
+        return out
+    v = np.nonzero(valid)[0]
+    seg_b = starts[v] + HEADER_SIZE
+    n_samp = eff_len[v] // 2
+    srv = sr[v]
+    nf = np.clip(n_samp // frame, 1, max_frames).astype(np.int64)
+    out["nf"][v] = nf
+
+    window = np.hanning(frame).astype(np.float32)
+    feat = np.zeros((int(nf.sum()), n_mels), dtype=np.float32)
+
+    chunk_frames = 4096
+    m = len(v)
+    nf_cum = np.concatenate([[0], np.cumsum(nf)])
+    k = 0
+    while k < m:
+        j = k + 1
+        while j < m and nf_cum[j + 1] - nf_cum[k] <= chunk_frames:
+            j += 1
+        sl = slice(k, j)
+        nf_c = nf[sl]
+        total = int(nf_c.sum())
+        off = np.cumsum(nf_c) - nf_c
+        jj = np.arange(total, dtype=np.int64) - np.repeat(off, nf_c)
+        ns_rep = np.repeat(n_samp[sl], nf_c)
+        nf_rep = np.repeat(nf_c, nf_c)
+        span = np.maximum(ns_rep - frame, 0)
+        fstart = (jj * span) // np.maximum(nf_rep - 1, 1)
+        sidx = fstart[:, None] + np.arange(frame, dtype=np.int64)[None, :]
+        in_bounds = sidx < ns_rep[:, None]
+        sidx = np.minimum(sidx, np.maximum(ns_rep[:, None] - 1, 0))
+        b = np.repeat(seg_b[sl], nf_c)[:, None] + 2 * sidx
+        x = (
+            data[b].astype(np.int16) | (data[b + 1].astype(np.int16) << 8)
+        ).astype(np.float32)
+        x *= in_bounds
+        x *= window
+        p = np.abs(np.fft.rfft(x, axis=1)).astype(np.float32) ** 2
+        sr_rep = np.repeat(srv[sl], nf_c)
+        base = int(nf_cum[k])
+        for one_sr in np.unique(sr_rep):
+            rows = np.nonzero(sr_rep == one_sr)[0]
+            fb = mel_filterbank(int(one_sr), frame, n_mels)
+            feat[base + rows] = np.log10(np.maximum(p[rows] @ fb.T, 1e-10))
+        k = j
+    out["feat"] = feat
+    return out

@@ -472,3 +472,79 @@ class StubVideoFrameSampleStage:
                 "frame_bytes": pa.array(fbytes, pa.binary()),
             }
         )
+
+
+class AudioLogMelStage:
+    """Per-clip LOG-MEL FILTERBANK features — the standard ASR training
+    featurization (frames × mel-energy matrix per clip) via the batched
+    ``audio.pcm_logmel`` kernel: one Hann frame gather + one rFFT per
+    bounded chunk, mel projection grouped by the chunk's distinct sample
+    rates, zero per-row Python. Emits (id, n_frames, n_mels,
+    logmel list<float32> row-major) with nulls for undecodable blobs —
+    the layout a downstream trainer's collate step consumes directly."""
+
+    def __init__(
+        self,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+        frame: int = 512,
+        n_mels: int = 24,
+        max_frames: int = 16,
+    ):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.frame = frame
+        self.n_mels = n_mels
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_logmel
+
+        r = pcm_logmel(
+            batch.column(self.bytes_col),
+            frame=self.frame,
+            n_mels=self.n_mels,
+            max_frames=self.max_frames,
+        )
+        nf, valid, feat = r["nf"], r["valid"], r["feat"]
+        flat = feat.reshape(-1)
+        offsets = np.concatenate([[0], np.cumsum(nf * self.n_mels)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.float32())
+        )
+        if not valid.all():
+            # null out invalid rows (ListArray.from_arrays can't take a mask)
+            idx = pa.array(
+                np.where(valid, np.arange(len(valid), dtype=np.int64), -1),
+                pa.int64(),
+                mask=~valid,
+            )
+            lists = lists.take(idx)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_frames": pa.array(nf, pa.int64()),
+                "n_mels": pa.array(np.full(len(nf), self.n_mels, np.int64), pa.int64()),
+                "logmel": lists,
+            }
+        )
+
+
+def logmel_moment_partials(batch: pa.Table, n_mels: int) -> pa.Table:
+    """Per-batch CMVN partials: (mel_bin, n, sum, sumsq) over every frame's
+    log-mel vector — mergeable moments, so the corpus-wide mean/variance
+    per mel bin (cepstral mean/variance normalization, the stats an ASR
+    trainer standardizes inputs with) reduces to summing ~n_mels tiny rows
+    per batch."""
+    lists = batch.column("logmel").combine_chunks()
+    flat = np.asarray(lists.flatten(), dtype=np.float64)
+    n_frames = len(flat) // n_mels if n_mels else 0
+    mat = flat.reshape(n_frames, n_mels) if n_frames else np.zeros((0, n_mels))
+    return pa.table(
+        {
+            "mel_bin": pa.array(np.arange(n_mels, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(n_mels, n_frames, np.int64), pa.int64()),
+            "s1": pa.array(mat.sum(axis=0), pa.float64()),
+            "s2": pa.array((mat * mat).sum(axis=0), pa.float64()),
+        }
+    )

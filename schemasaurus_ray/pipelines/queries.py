@@ -3111,3 +3111,58 @@ def cohort_retention_events(sf_dir: str) -> pa.Table:
             "n_users": out.column("n_keys"),
         }
     )
+
+
+def audio_logmel_clips(sf_dir: str) -> pa.Table:
+    """LOG-MEL FEATURE EXPORT over the clip fixture (sf_dir ignored —
+    audio is fixture-synthesized): per-clip (n_frames × 24) log-mel
+    matrices as flat list<float32>, the featurization an ASR trainer
+    consumes. Batched-rFFT + per-sample-rate mel matmuls
+    (functions/multimodal.AudioLogMelStage); the pytest golden pins the
+    dominant mel band against each sine clip's known f_i (FFTs aren't
+    SQL-expressible — rows-only driver check)."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioLogMelStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
+    out = ds.map_batches(AudioLogMelStage(), batch_format="pyarrow")
+    return _collect(out).sort_by("clip_id")
+
+
+def audio_cmvn_clips(sf_dir: str) -> pa.Table:
+    """CORPUS CMVN STATS (cepstral mean/variance normalization): the
+    per-mel-bin frame count, mean and standard deviation over every
+    log-mel frame in the corpus — what a trainer standardizes inputs
+    with. Two chained map_batches (logmel features → mergeable moment
+    partials); the driver folds B × n_mels tiny rows. Values are rounded
+    to 3 decimals for a stable rows-only surface (float sums across
+    shards are order-dependent in the last ulps)."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioLogMelStage, logmel_moment_partials
+    from ..sources.io import read_parquet_tasks
+
+    n_mels = 24
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
+    parts = ds.map_batches(AudioLogMelStage(n_mels=n_mels), batch_format="pyarrow").map_batches(
+        lambda b: logmel_moment_partials(b, n_mels), batch_format="pyarrow"
+    )
+    tbl = _collect(parts)
+    agg = tbl.group_by("mel_bin").aggregate([("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+    n = np.asarray(agg.column("n_sum").combine_chunks(), dtype=np.float64)
+    s1 = np.asarray(agg.column("s1_sum").combine_chunks())
+    s2 = np.asarray(agg.column("s2_sum").combine_chunks())
+    mean = s1 / np.maximum(n, 1)
+    var = np.maximum(s2 / np.maximum(n, 1) - mean * mean, 0.0)
+    return pa.table(
+        {
+            "mel_bin": agg.column("mel_bin"),
+            "n_frames": pa.array(n.astype(np.int64), pa.int64()),
+            "mean_q3": pa.array(np.round(mean, 3), pa.float64()),
+            "std_q3": pa.array(np.round(np.sqrt(var), 3), pa.float64()),
+        }
+    ).sort_by("mel_bin")

@@ -372,3 +372,97 @@ def test_audio_curate_clips_matches_independent_predicates(ray_session):
         expected.append(r["clip_id"])
     assert kept == expected
     assert 0 < len(kept) < len(rows)  # predicates actually removed rows
+
+
+def test_pcm_logmel_golden_and_parity():
+    """The batched log-mel kernel: dominant mel band covers each fixture
+    sine's frequency; matches a slow per-clip reference exactly; invalid
+    blobs get nf=0 and a null feature row at the stage level."""
+    import numpy as np
+
+    from schemasaurus_ray.audio import (
+        mel_filterbank,
+        pcm_logmel,
+        synth_samples,
+        wav_decode,
+        wav_encode,
+    )
+
+    blobs, freqs, srs = [], [], []
+    for i in range(30):
+        sr = [8000, 16000, 22050][i % 3]
+        f = 200.0 + (i % 37) * 20.0
+        blobs.append(wav_encode(synth_samples(i, sr, 600), sr))
+        freqs.append(f)
+        srs.append(sr)
+    blobs += [None, b"not a wav"]
+    col = pa.chunked_array([pa.array(blobs, pa.binary())])
+    frame, n_mels, max_frames = 512, 24, 8
+    r = pcm_logmel(col, frame=frame, n_mels=n_mels, max_frames=max_frames)
+    assert r["valid"][:30].all() and not r["valid"][30:].any()
+    assert (r["nf"][30:] == 0).all()
+    assert r["feat"].shape == (int(r["nf"].sum()), n_mels)
+
+    # dominant mel band contains the sine frequency (by filterbank support)
+    offs = np.concatenate([[0], np.cumsum(r["nf"])])
+    for i in range(30):
+        fb = mel_filterbank(srs[i], frame, n_mels)
+        fbin = int(round(freqs[i] / (srs[i] / frame)))
+        covering = set(np.nonzero(fb[:, fbin] > 0)[0].tolist())
+        clip_feat = r["feat"][offs[i] : offs[i + 1]]
+        assert int(np.argmax(clip_feat.mean(axis=0))) in covering
+
+    # exact parity vs a per-clip reference
+    win = np.hanning(frame).astype(np.float32)
+    for i in (0, 11, 29):
+        x, sr = wav_decode(blobs[i])
+        ns = len(x)
+        nf = min(max(ns // frame, 1), max_frames)
+        span = max(ns - frame, 0)
+        fb = mel_filterbank(sr, frame, n_mels)
+        ref = []
+        for j in range(nf):
+            st = (j * span) // max(nf - 1, 1)
+            seg = x[st : st + frame].astype(np.float32)
+            if len(seg) < frame:
+                seg = np.pad(seg, (0, frame - len(seg)))
+            p = np.abs(np.fft.rfft(seg * win)).astype(np.float32) ** 2
+            ref.append(np.log10(np.maximum(p @ fb.T, 1e-10)))
+        ref = np.stack(ref)
+        got = r["feat"][offs[i] : offs[i + 1]]
+        assert np.allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_audio_logmel_stage_and_cmvn_partials():
+    import numpy as np
+
+    from schemasaurus_ray.audio import synth_samples, wav_encode
+    from schemasaurus_ray.functions.multimodal import (
+        AudioLogMelStage,
+        logmel_moment_partials,
+    )
+
+    blobs = [wav_encode(synth_samples(i, 16000, 300), 16000) for i in range(5)]
+    blobs.append(None)
+    batch = pa.table(
+        {
+            "clip_id": pa.array([f"c{i}" for i in range(6)], pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+        }
+    )
+    stage = AudioLogMelStage(n_mels=24, max_frames=4)
+    out = stage(batch)
+    assert out.column_names == ["clip_id", "n_frames", "n_mels", "logmel"]
+    assert out.column("logmel").null_count == 1
+    nf = out.column("n_frames").to_pylist()
+    assert nf[5] == 0 and all(v > 0 for v in nf[:5])
+    lens = [len(x) if x is not None else 0 for x in out.column("logmel").to_pylist()]
+    assert lens[:5] == [v * 24 for v in nf[:5]]
+    parts = logmel_moment_partials(out, 24)
+    assert parts.column("mel_bin").to_pylist() == list(range(24))
+    assert parts.column("n").to_pylist() == [sum(nf)] * 24
+    # moments match a direct computation over the same flat features
+    flat = np.asarray(out.column("logmel").combine_chunks().flatten(), dtype=np.float64)
+    mat = flat.reshape(-1, 24)
+    assert np.allclose(np.asarray(parts.column("s1")), mat.sum(axis=0))
+    assert np.allclose(np.asarray(parts.column("s2")), (mat * mat).sum(axis=0))

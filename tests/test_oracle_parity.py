@@ -126,6 +126,8 @@ ROWS_ONLY = [
     "ann_ivf_embeddings",
     "audio_quality_clips",
     "audio_spectral_clips",
+    "audio_logmel_clips",
+    "audio_cmvn_clips",
     "speech_rate_clips",
     "segment_audio_clips",
     "pack_audio_segments",
