@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_constraint_orders": q.agg_constraint_orders,
         "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
         "snapshot_diff_orders": q.snapshot_diff_orders,
+        "k_anonymity_customer": q.k_anonymity_customer,
         "mode_event_type_by_user": q.mode_event_type_by_user,
         "daily_volume_events": q.daily_volume_events,
         "benford_lineitem": q.benford_lineitem,
@@ -408,6 +409,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_type IS NOT NULL
                  GROUP BY user_id, event_type
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "k_anonymity_customer": """
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+                   count(*) AS n
+              FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+             ORDER BY 1, 2, 3
         """,
         "snapshot_diff_orders": """
             WITH next AS (

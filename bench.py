@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "percentile_outliers_lineitem",
     "reconcile_orders_lineitem",
     "mode_event_type_by_user",
+    "snapshot_diff_orders",
+    "lm_bigram_oov_documents",
+    "funnel_events",
+    "k_anonymity_customer",
 ]
 
 

@@ -3166,3 +3166,40 @@ def audio_cmvn_clips(sf_dir: str) -> pa.Table:
             "std_q3": pa.array(np.round(np.sqrt(var), 3), pa.float64()),
         }
     ).sort_by("mel_bin")
+
+
+def k_anonymity_customer(sf_dir: str, k: int = 5) -> pa.Table:
+    """PRIVACY VALIDATION (k-anonymity): quasi-identifier combinations —
+    (market segment, nation, account-balance band) — that identify fewer
+    than k customers, i.e. the re-identifiable cells a release gate must
+    flag. Rides the generic bucketed aggregate shuffle: each shard
+    pre-counts its combos (combiner), the k-floor HAVING runs inside the
+    reduce, so the driver receives only violating cells — O(violations),
+    not O(groups)."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        bal = np.asarray(tbl.column("c_acctbal").combine_chunks(), dtype=np.float64)
+        band = np.floor(bal / 2000.0).astype(np.int64)
+        return tbl.append_column("bal_band", pa.array(band, pa.int64()))
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "customer.parquet")],
+        key_cols=["c_mktsegment", "c_nationkey", "bal_band"],
+        aggs=[("c_mktsegment", "count")],
+        transform_fn=derive,
+        having_fn=lambda t: t.filter(pc.less(t.column("cnt"), k)),
+        read_cols=["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
+    if out.num_rows == 0:
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([], pa.string()),
+                "c_nationkey": pa.array([], pa.int64()),
+                "bal_band": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    return out.rename_columns(["c_mktsegment", "c_nationkey", "bal_band", "n"]).sort_by(
+        [("c_mktsegment", "ascending"), ("c_nationkey", "ascending"), ("bal_band", "ascending")]
+    )

@@ -126,3 +126,46 @@ def test_row_content_hash_column_order_and_nulls():
     assert not np.array_equal(h1, h2)  # order is part of the signature
     # stability: same table twice
     assert np.array_equal(h1, row_content_hash(t, ["x", "y"]))
+
+
+def test_snapshot_diff_random_vs_duckdb(ray_session, tmp_path):
+    """snapshot_diff on random keyed tables (unique keys per side, string +
+    float values, disjoint-ish key ranges) vs the FULL JOIN oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(31)
+
+    def mk(keys):
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "v": pa.array(rng.integers(0, 4, size=len(keys)), pa.int64()),
+                "s": pa.array([f"s{int(x)}" for x in rng.integers(0, 3, size=len(keys))], pa.string()),
+            }
+        )
+
+    old_keys = rng.choice(2000, size=800, replace=False).astype(np.int64)
+    new_keys = rng.choice(2000, size=800, replace=False).astype(np.int64)
+    old, new = mk(old_keys), mk(new_keys)
+    po, pn = str(tmp_path / "o.parquet"), str(tmp_path / "n.parquet")
+    pq.write_table(old, po)
+    pq.write_table(new, pn)
+    got = snapshot_diff([po], [pn], ["k"], ["v", "s"], num_buckets=4).sort_by("k")
+    con = duckdb.connect()
+    con.register("o", old)
+    con.register("n", new)
+    want = con.sql(
+        """
+        SELECT k, change FROM (
+          SELECT COALESCE(o.k, n.k) AS k,
+                 CASE WHEN o.k IS NULL THEN 'added'
+                      WHEN n.k IS NULL THEN 'removed'
+                      WHEN o.v <> n.v OR o.s <> n.s THEN 'changed' END AS change
+            FROM o FULL JOIN n ON o.k = n.k
+        ) WHERE change IS NOT NULL ORDER BY k
+        """
+    ).arrow()
+    assert got.column("k").to_pylist() == want.column("k").to_pylist()
+    assert got.column("change").to_pylist() == want.column("change").to_pylist()

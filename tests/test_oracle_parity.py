@@ -86,6 +86,7 @@ ORACLE_NAMES = [
     "percentile_outliers_lineitem",
     "reconcile_orders_lineitem",
     "snapshot_diff_orders",
+    "k_anonymity_customer",
     "lm_bigram_oov_documents",
     "funnel_events",
     "cohort_retention_events",

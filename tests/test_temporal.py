@@ -393,3 +393,85 @@ def test_cohort_retention_shuffled_dedup_and_offsets(ray_session, tmp_path):
         )
     )
     assert got == [(0, 0, 1), (0, 2, 1), (1, 0, 1), (1, 2, 1), (2, 0, 1)]
+
+
+def test_funnel_random_vs_duckdb(ray_session, tmp_path):
+    """funnel_shuffled on random shards (dense ts ties, noise types) vs the
+    chained min-after-join oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import funnel_shuffled
+
+    rng = np.random.default_rng(17)
+    paths, parts = [], []
+    types = np.array(["a", "b", "c", "x", "y"])
+    for s in range(3):
+        n = int(rng.integers(100, 400))
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 40, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 30, size=n), pa.int64()),  # heavy ties
+                "et": pa.array(types[rng.integers(0, 5, size=n)], pa.string()),
+            }
+        )
+        p = str(tmp_path / f"f{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        parts.append(t)
+    got = funnel_shuffled(paths, "k", "ts", "et", ["a", "b", "c"], num_buckets=4)
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(parts))
+    want = con.sql(
+        """
+        WITH s1 AS (SELECT k, min(ts) t1 FROM t WHERE et='a' GROUP BY 1),
+        s2 AS (SELECT e.k, min(e.ts) t2 FROM t e JOIN s1 ON e.k=s1.k AND e.ts > s1.t1
+                WHERE e.et='b' GROUP BY 1),
+        s3 AS (SELECT e.k, min(e.ts) t3 FROM t e JOIN s2 ON e.k=s2.k AND e.ts > s2.t2
+                WHERE e.et='c' GROUP BY 1)
+        SELECT (SELECT count(*) FROM s1), (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+        """
+    ).fetchone()
+    assert got.column("n_keys").to_pylist() == list(want)
+
+
+def test_cohort_retention_random_vs_duckdb(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import cohort_retention_shuffled
+
+    US = 86_400_000_000
+    rng = np.random.default_rng(23)
+    paths, parts = [], []
+    for s in range(3):
+        n = int(rng.integers(100, 300))
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 30, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 10 * US, size=n), pa.int64()),
+            }
+        )
+        p = str(tmp_path / f"c{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        parts.append(t)
+    got = cohort_retention_shuffled(paths, "k", "ts", num_buckets=4)
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(parts))
+    want = con.sql(
+        f"""
+        WITH f AS (SELECT k, min(ts) // {US} AS d0 FROM t GROUP BY 1),
+        a AS (SELECT DISTINCT k, ts // {US} AS d FROM t)
+        SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_offset, count(*) AS n_keys
+          FROM a JOIN f USING (k) GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).arrow()
+    for c in ("cohort_day", "day_offset", "n_keys"):
+        assert [int(x) for x in got.column(c).to_pylist()] == [
+            int(x) for x in want.column(c).to_pylist()
+        ], c
