@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_window_events": q.activity_window_events,
         "sessionize_events": q.sessionize_events,
         "interarrival_events": q.interarrival_events,
+        "rolling_minmax_events": q.rolling_minmax_events,
         "funnel_events": q.funnel_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
@@ -1007,6 +1008,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS sum_gap_us
               FROM d WHERE gap IS NOT NULL
              GROUP BY user_id ORDER BY user_id
+        """,
+        "rolling_minmax_events": """
+            SELECT event_id,
+                   MIN(value) OVER w AS roll_min,
+                   MAX(value) OVER w AS roll_max,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+              FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             ORDER BY event_id
         """,
         "sessionize_events": """
             WITH g AS (

@@ -2122,6 +2122,22 @@ def interarrival_events(sf_dir: str) -> pa.Table:
     ).sort_by("user_id")
 
 
+def rolling_minmax_events(sf_dir: str) -> pa.Table:
+    """Trailing-3-event min/max of `value` per user — exactly SQL's
+    MIN/MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW), the spike / freshness window
+    monitor. One hash-partitioned shuffle co-locates each user's history;
+    per reduce: ONE lexsort + two masked shifted fmin/fmax passes
+    (stages/temporal.rolling_minmax — no per-row Python). min/max SELECT
+    existing doubles (no accumulation), so floats match DuckDB
+    bit-for-bit."""
+    from ..stages.temporal import rolling_minmax_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rolling_minmax_shuffled(events, "user_id", "ts", "event_id", "value", window=3)
+    return out.sort_by("event_id")
+
+
 def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
     """Robust per-group outlier detection (winsorization bounds): rows
     whose l_extendedprice falls strictly outside the group's exact

@@ -681,3 +681,131 @@ def cohort_retention_shuffled(
     return out.rename_columns(["cohort_day", "day_offset", "n_keys"]).sort_by(
         [("cohort_day", "ascending"), ("day_offset", "ascending")]
     )
+
+def rolling_minmax(
+    keys: np.ndarray,
+    ts: np.ndarray,
+    tiebreak: np.ndarray,
+    values: np.ndarray,
+    window: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row TRAILING-WINDOW min/max — exactly SQL's
+    ``MIN/MAX(v) OVER (PARTITION BY key ORDER BY ts, tiebreak
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — plus the number
+    of rows actually inside each window. Returned in INPUT row order as
+    ``(roll_min, roll_max, n_in_window)``.
+
+    Fully vectorized: one lexsort, then ``window - 1`` shifted
+    ``np.fmin``/``np.fmax`` passes masked by key equality (a row ``s``
+    positions back is in-window iff it carries the same key — the sort
+    groups keys contiguously). Null values must be pre-encoded as NaN;
+    ``fmin``/``fmax`` skip NaN operands, matching SQL's null-ignoring
+    window MIN/MAX, and an all-null window stays NaN (caller maps back to
+    null). ``window`` is a small constant, so this is O(window · n) with
+    no per-row Python.
+    """
+    n = keys.shape[0]
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return values.copy(), values.copy(), z
+    perm = np.lexsort((tiebreak, ts, keys))
+    kk = keys[perm]
+    vv = values[perm].astype(np.float64, copy=True)
+    rmin = vv.copy()
+    rmax = vv.copy()
+    new_key = _segment_starts(kk)
+    seg_id = np.cumsum(new_key) - 1
+    rank = np.arange(n, dtype=np.int64)
+    rank -= rank[new_key][seg_id]  # 0-based rank within key
+    n_in = np.minimum(rank + 1, window)
+    shifted = np.empty(n, dtype=np.float64)
+    for s in range(1, window):
+        in_window = np.zeros(n, dtype=bool)
+        in_window[s:] = kk[s:] == kk[:-s]
+        shifted[s:] = vv[:-s]
+        np.fmin(rmin, shifted, out=rmin, where=in_window)
+        np.fmax(rmax, shifted, out=rmax, where=in_window)
+    out_min = np.empty(n, dtype=np.float64)
+    out_max = np.empty(n, dtype=np.float64)
+    out_n = np.empty(n, dtype=np.int64)
+    out_min[perm] = rmin
+    out_max[perm] = rmax
+    out_n[perm] = n_in
+    return out_min, out_max, out_n
+
+
+def rolling_minmax_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window: int,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Distributed trailing-window MIN/MAX per key (the spike / freshness
+    monitor primitive: "is this reading a new trailing-3 peak?"). One
+    hash-partition shuffle by key co-locates each key's history; each
+    reduce runs the :func:`rolling_minmax` kernel once and emits
+    ``(tiebreak, roll_min, roll_max, n_in_window)`` rows. Only the four
+    projected columns ever move. Same skew caveat as the other keyed
+    windows (see module docstring)."""
+    import ray
+
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(len(srcs) if srcs is not None else 8)
+    cols = [key_col, ts_col, tiebreak_col, value_col]
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        empty = pa.table(
+            {
+                tiebreak_col: pa.array([], pa.int64()),
+                "roll_min": pa.array([], pa.float64()),
+                "roll_max": pa.array([], pa.float64()),
+                "n_in_window": pa.array([], pa.int64()),
+            }
+        )
+        if not parts:
+            return empty
+        tbl = pa.concat_tables(parts)
+        vals = tbl.column(value_col).combine_chunks()
+        v = np.asarray(vals.cast(pa.float64()), dtype=np.float64)
+        if vals.null_count:
+            v = v.copy()
+            v[np.asarray(pc.is_null(vals))] = np.nan
+        rmin, rmax, n_in = rolling_minmax(
+            _np_col(tbl, key_col),
+            _np_col(tbl, ts_col),
+            _np_col(tbl, tiebreak_col),
+            v,
+            window,
+        )
+        return pa.table(
+            {
+                tiebreak_col: tbl.column(tiebreak_col),
+                # NaN (all-null window) maps back to null for SQL parity
+                "roll_min": pa.array(rmin, pa.float64(), mask=np.isnan(rmin)),
+                "roll_max": pa.array(rmax, pa.float64(), mask=np.isnan(rmax)),
+                "n_in_window": pa.array(n_in, pa.int64()),
+            }
+        )
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                tiebreak_col: pa.array([], pa.int64()),
+                "roll_min": pa.array([], pa.float64()),
+                "roll_max": pa.array([], pa.float64()),
+                "n_in_window": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables)

@@ -48,58 +48,16 @@ def to_pandas(result):
     return result.to_pandas()  # ray Dataset
 
 
-ORACLE_NAMES = [
-    "validate_lineitem",
-    "validate_documents",
-    "validate_embeddings",
-    "validate_events",
-    "validate_documents_formats",
-    "normalize_lineitem",
-    "normalize_events_defaults",
-    "stats_lineitem",
-    "distinct_orderkeys",
-    "unique_lineitem_orderkey",
-    "referential_events_customer",
-    "histogram_events_type",
-    "dedup_exact_documents",
-    "minhash_neardup_documents",
-    "ngram_jaccard_neardup_documents",
-    "dedup_neardup_survivors_documents",
-    "langid_documents",
-    "sample_documents",
-    "token_count_documents",
-    "quality_documents",
-    "curate_documents",
-    "fingerprint_documents",
-    "ann_topk_embeddings",
-    "embedding_neardup",
-    "windowed_events",
-    "drift_psi_events",
-    "top_docs_by_length",
-    "dedup_incremental_documents",
-    "vocab_topk_documents",
-    "enrich_events_customer",
-    "join_orders_customer",
-    "asof_events_purchase",
-    "activity_window_events",
-    "sessionize_events",
-    "percentile_outliers_lineitem",
-    "reconcile_orders_lineitem",
-    "snapshot_diff_orders",
-    "k_anonymity_customer",
-    "lm_bigram_oov_documents",
-    "funnel_events",
-    "cohort_retention_events",
-    "mode_event_type_by_user",
-    "daily_volume_events",
-    "benford_lineitem",
-    "interarrival_events",
-    "pivot_events_user",
-    "revenue_rollup",
-    "validate_documents_jsonl",
-    "validate_documents_csv",
-    "export_packed_documents",
-]
+# Auto-derived from oracle_sql() so every new oracle-backed query is
+# covered here without touching this file (importing __ray_entry__ does not
+# start Ray; the ray_session fixture owns the session).
+def _oracle_names():
+    import __ray_entry__ as m
+
+    return sorted(m.oracle_sql())
+
+
+ORACLE_NAMES = _oracle_names()
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

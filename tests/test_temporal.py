@@ -475,3 +475,67 @@ def test_cohort_retention_random_vs_duckdb(ray_session, tmp_path):
         assert [int(x) for x in got.column(c).to_pylist()] == [
             int(x) for x in want.column(c).to_pylist()
         ], c
+
+
+def test_rolling_minmax_kernel_basic():
+    """Window=3 trailing min/max with segment boundaries, ties and an
+    all-NaN (null) window."""
+    from schemasaurus_ray.stages.temporal import rolling_minmax
+
+    k = np.array([1, 1, 1, 1, 2, 2], dtype=np.int64)
+    t = np.array([10, 20, 30, 40, 10, 20], dtype=np.int64)
+    tb = np.arange(6, dtype=np.int64)
+    v = np.array([5.0, 1.0, 9.0, 2.0, np.nan, 7.0])
+    rmin, rmax, n_in = rolling_minmax(k, t, tb, v, window=3)
+    assert rmin[:4].tolist() == [5.0, 1.0, 1.0, 1.0] and rmin[5] == 7.0
+    assert np.isnan(rmin[4]) and np.isnan(rmax[4])  # all-null window
+    assert rmax[:4].tolist() == [5.0, 5.0, 9.0, 9.0]
+    assert n_in.tolist() == [1, 2, 3, 3, 1, 2]
+
+
+def test_rolling_minmax_random_vs_duckdb(ray_session, tmp_path):
+    """rolling_minmax_shuffled on random shards (ts ties, nulls) vs the
+    ROWS BETWEEN window oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import rolling_minmax_shuffled
+
+    rng = np.random.default_rng(31)
+    paths, parts = [], []
+    eid = 0
+    for s in range(3):
+        n = int(rng.integers(40, 200))
+        vals = np.round(rng.normal(size=n), 3)
+        mask = rng.random(n) < 0.15  # nulls exercise the NaN path
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 25, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 50, size=n), pa.int64()),
+                "eid": pa.array(np.arange(eid, eid + n), pa.int64()),
+                "v": pa.array(vals, pa.float64(), mask=mask),
+            }
+        )
+        eid += n
+        p = str(tmp_path / f"r{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        parts.append(t)
+    got = rolling_minmax_shuffled(paths, "k", "ts", "eid", "v", window=4, num_buckets=4)
+    got = got.sort_by("eid")
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(parts))
+    want = con.sql(
+        """
+        SELECT eid, MIN(v) OVER w AS roll_min, MAX(v) OVER w AS roll_max,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+          FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY ts, eid
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY eid
+        """
+    ).arrow()
+    assert got.column("eid").to_pylist() == want.column("eid").to_pylist()
+    assert got.column("n_in_window").to_pylist() == want.column("n_in_window").to_pylist()
+    for c in ("roll_min", "roll_max"):
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
