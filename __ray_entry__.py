@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "interarrival_events": q.interarrival_events,
         "rolling_minmax_events": q.rolling_minmax_events,
+        "ntile_documents": q.ntile_documents,
         "funnel_events": q.funnel_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
@@ -1008,6 +1009,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS sum_gap_us
               FROM d WHERE gap IS NOT NULL
              GROUP BY user_id ORDER BY user_id
+        """,
+        "ntile_documents": """
+            SELECT doc_id, lang,
+                   CAST(NTILE(10) OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+              FROM documents ORDER BY doc_id
         """,
         "rolling_minmax_events": """
             SELECT event_id,

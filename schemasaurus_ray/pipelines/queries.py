@@ -2138,6 +2138,22 @@ def rolling_minmax_events(sf_dir: str) -> pa.Table:
     return out.sort_by("event_id")
 
 
+def ntile_documents(sf_dir: str) -> pa.Table:
+    """Length-DECILE assignment per language — exact SQL
+    NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id), the
+    stratification primitive for curriculum order / packing bins. Never
+    sorts a whole language in one task: global rank = rank_start(lang,
+    n_chars) from the tiny (lang, n_chars) count-table shuffle + tie rank
+    from a (lang, n_chars)-keyed row shuffle (stages/rank.py — closed-form
+    NTILE bucket arithmetic, no per-group sort)."""
+    from ..stages.rank import ntile_assign_shuffled
+
+    out = ntile_assign_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")], "lang", "n_chars", "doc_id", k=10
+    )
+    return out.rename_columns(["doc_id", "lang", "decile"]).sort_by("doc_id")
+
+
 def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
     """Robust per-group outlier detection (winsorization bounds): rows
     whose l_extendedprice falls strictly outside the group's exact
