@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_events": q.interarrival_events,
         "rolling_minmax_events": q.rolling_minmax_events,
         "ntile_documents": q.ntile_documents,
+        "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "funnel_events": q.funnel_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
@@ -1009,6 +1010,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS sum_gap_us
               FROM d WHERE gap IS NOT NULL
              GROUP BY user_id ORDER BY user_id
+        """,
+        "mad_outliers_lineitem": """
+            WITH med AS (
+                SELECT l_returnflag AS f,
+                       quantile_disc(l_extendedprice, 0.5) AS m
+                  FROM lineitem GROUP BY 1
+            ), mad AS (
+                SELECT f, m,
+                       (SELECT quantile_disc(abs(l.l_extendedprice - med.m), 0.5)
+                          FROM lineitem l WHERE l.l_returnflag = med.f) AS md
+                  FROM med
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice
+              FROM lineitem l JOIN mad ON l.l_returnflag = mad.f
+             WHERE abs(l.l_extendedprice - mad.m) > 2 * mad.md
+             ORDER BY l.l_orderkey, l.l_linenumber
         """,
         "ntile_documents": """
             SELECT doc_id, lang,

@@ -2200,6 +2200,56 @@ def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def mad_outliers_lineitem(sf_dir: str) -> pa.Table:
+    """Robust per-group anomaly detection: rows whose l_extendedprice
+    deviates from the group median by more than 2× the MAD (median
+    absolute deviation) — the outlier rule that, unlike mean/stddev, is
+    not itself dragged by the outliers. Both medians come from ONE tiny
+    (group, value) count-table shuffle (stats.grouped_median_mad_from_
+    count_table — the deviation multiset is a value transform of the same
+    count rows, no second scan), then one streaming filter pass with the
+    broadcast (median, 2·MAD) thresholds. |v−m| and 2·mad are single
+    exactly-rounded IEEE ops → bit-exact vs DuckDB."""
+    from ..stages.shuffle import count_keys_shuffled
+    from ..stages.stats import grouped_median_mad_from_count_table
+
+    counts = count_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        ["l_returnflag", "l_extendedprice"],
+        min_count=1,
+    )
+    med_mad = grouped_median_mad_from_count_table(
+        counts, "l_returnflag", "l_extendedprice"
+    )
+    thr = {g: (m, 2.0 * mad) for g, (m, mad) in med_mad.items()}
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"])
+
+    def flag_mad(batch: pa.Table, *, thr=thr) -> pa.Table:
+        flags = batch.column("l_returnflag").combine_chunks()
+        price = np.asarray(batch.column("l_extendedprice").combine_chunks())
+        med = np.zeros(batch.num_rows)
+        cut = np.full(batch.num_rows, np.inf)
+        for f, (m, c) in thr.items():
+            sel = np.asarray(pc.equal(flags, f).fill_null(False))
+            med[sel], cut[sel] = m, c
+        return batch.filter(pa.array(np.abs(price - med) > cut))
+
+    res = _collect(ds.map_batches(flag_mad, batch_format="pyarrow"))
+    if "l_orderkey" not in res.column_names:  # zero outliers: typed empty
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_linenumber": pa.array([], pa.int32()),
+                "l_returnflag": pa.array([], pa.string()),
+                "l_extendedprice": pa.array([], pa.float64()),
+            }
+        )
+    return res.sort_by(
+        [("l_orderkey", "ascending"), ("l_linenumber", "ascending")]
+    )
+
+
 def audio_spectral_clips(sf_dir: str) -> pa.Table:
     """Spectral features over the clip fixture (sf_dir ignored — audio is
     fixture-synthesized): per-clip dominant frequency / centroid / 85%

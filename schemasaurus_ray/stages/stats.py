@@ -205,6 +205,41 @@ def grouped_quantiles_from_count_table(
     return out
 
 
+def grouped_median_mad_from_count_table(
+    counts: pa.Table, group_col: str, value_col: str
+) -> dict[Any, tuple[float, float]]:
+    """Per-group (median, MAD) — MAD = quantile_disc(|v − median|, 0.5) —
+    entirely from the (group, value, cnt) count table, NO second scan of
+    the input: the absolute deviations of a weighted multiset are just a
+    value transform of the same count rows, so the second weighted median
+    reuses :func:`grouped_quantiles_from_count_table`'s kernel on a
+    re-valued copy of the tiny table. Both medians use the pinned DuckDB
+    quantile_disc rank convention; |v − m| is one exactly-rounded IEEE
+    subtraction, so floats match DuckDB bit-for-bit."""
+    med = {
+        g: m
+        for g, (m,) in grouped_quantiles_from_count_table(
+            counts, group_col, value_col, [5000]
+        ).items()
+    }
+    if not med:
+        return {}
+    groups = counts.column(group_col).to_numpy(zero_copy_only=False)
+    vals = counts.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    ugroup, gcode = np.unique(groups, return_inverse=True)
+    med_by_code = np.array([float(med[g]) for g in ugroup], dtype=np.float64)
+    absdev = np.abs(vals - med_by_code[gcode])
+    dev_counts = pa.table(
+        {
+            group_col: counts.column(group_col),
+            value_col: pa.array(absdev, pa.float64()),
+            "cnt": counts.column("cnt"),
+        }
+    )
+    mad = grouped_quantiles_from_count_table(dev_counts, group_col, value_col, [5000])
+    return {g: (float(med[g]), float(mad[g][0])) for g in med}
+
+
 def grouped_topk_table(
     table: pa.Table, group_col: str, order_col: str, tiebreak_col: str, k: int
 ) -> pa.Table:

@@ -238,3 +238,38 @@ def test_bloom_no_false_negatives_property():
         assert merged.contains_hashes(keys).all()
 
     check()
+
+
+def test_grouped_median_mad_vs_duckdb():
+    """(median, MAD) from a count table vs DuckDB's quantile_disc on the
+    expanded multiset, random weighted values per group."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from schemasaurus_ray.stages.stats import grouped_median_mad_from_count_table
+
+    rng = np.random.default_rng(11)
+    rows_g, rows_v = [], []
+    for g in ("a", "b", "c"):
+        vals = np.round(rng.normal(size=rng.integers(5, 40)) * 10, 1)
+        reps = rng.integers(1, 4, size=len(vals))
+        for v, r in zip(vals, reps):
+            rows_g += [g] * int(r)
+            rows_v += [float(v)] * int(r)
+    tbl = pa.table({"g": pa.array(rows_g), "v": pa.array(rows_v, pa.float64())})
+    counts = (
+        tbl.group_by(["g", "v"]).aggregate([([], "count_all")]).rename_columns(["g", "v", "cnt"])
+    )
+    got = grouped_median_mad_from_count_table(counts, "g", "v")
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.sql(
+        """
+        WITH med AS (SELECT g, quantile_disc(v, 0.5) m FROM t GROUP BY 1)
+        SELECT med.g, med.m,
+               (SELECT quantile_disc(abs(t.v - med.m), 0.5) FROM t WHERE t.g = med.g) md
+          FROM med ORDER BY med.g
+        """
+    ).fetchall()
+    assert {g: (m, md) for g, m, md in want} == got
