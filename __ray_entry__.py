@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_minmax_events": q.rolling_minmax_events,
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
+        "heavy_hitters_events": q.heavy_hitters_events,
+        "prefix_dedup_documents": q.prefix_dedup_documents,
         "funnel_events": q.funnel_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
@@ -1010,6 +1012,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS sum_gap_us
               FROM d WHERE gap IS NOT NULL
              GROUP BY user_id ORDER BY user_id
+        """,
+        "heavy_hitters_events": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY user_id
+            HAVING count(*) * (SELECT count(DISTINCT user_id) FROM events) * 10
+                   > (SELECT count(*) FROM events) * 12
+             ORDER BY user_id
+        """,
+        "prefix_dedup_documents": """
+            SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+                   min(doc_id) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+              FROM documents
+             GROUP BY substr(text, 1, 64)
+            HAVING count(*) > 1
+             ORDER BY prefix_md5
         """,
         "mad_outliers_lineitem": """
             WITH med AS (

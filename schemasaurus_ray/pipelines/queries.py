@@ -2250,6 +2250,64 @@ def mad_outliers_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def heavy_hitters_events(sf_dir: str) -> pa.Table:
+    """Hot-key (shuffle-skew) audit: users whose event count exceeds 1.2×
+    the fair share (total/distinct users) — the keys that would need
+    salting before any user_id-partitioned stage. Per-shard pre-agg +
+    key-hash bucket shuffle where the per-bucket count tables STAY in the
+    object store; buckets report only (n_keys, total) pairs, the driver
+    derives one exact integer threshold, and a filter task per bucket
+    emits just the hot keys (stages/shuffle.heavy_hitters_shuffled) —
+    the full key-count table never lands on the driver."""
+    from ..stages.shuffle import heavy_hitters_shuffled
+
+    out = heavy_hitters_shuffled(
+        [os.path.join(sf_dir, "events.parquet")], ["user_id"], mult_num=12, mult_den=10
+    )
+    return out.sort_by("user_id")
+
+
+def prefix_dedup_documents(sf_dir: str) -> pa.Table:
+    """Truncation-duplicate detection: documents sharing their first 64
+    CHARACTERS (the classic boilerplate/re-crawl signature that exact
+    full-text hashing misses). Per batch: one vectorized
+    utf8_slice_codeunits + the numpy MD5 over the prefixes; then a
+    key-only (prefix_md5, doc_id) shuffle; per group with >1 member emit
+    (prefix_md5, keep_id = min doc_id, n_copies). Only 32-byte hashes and
+    ids ever move — never text."""
+    from ray.data.aggregate import Count, Min
+
+    from ..util import hash_column, md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefix_hash(batch: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(
+            batch.column("text").combine_chunks(), start=0, stop=64
+        )
+        # int64 ahash is the SHUFFLE key (never group by strings — CLAUDE.md);
+        # the md5 hex rides along for the output/oracle. Same collision
+        # caveat as exact_dedup (~1e-13/n² merges a group — oracle-checked).
+        h = hash_column(pref).view(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "prefix_md5": md5_hex(pref),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    pre = ds.map_batches(prefix_hash, batch_format="pyarrow")
+    agg = pre.groupby("h").aggregate(
+        Min("prefix_md5", alias_name="prefix_md5"),
+        Min("doc_id", alias_name="keep_id"),
+        Count(alias_name="n_copies"),
+    )
+    g = _collect(agg)
+    g = g.filter(pc.greater(g.column("n_copies"), 1))
+    return g.select(["prefix_md5", "keep_id", "n_copies"]).sort_by("prefix_md5")
+
+
 def audio_spectral_clips(sf_dir: str) -> pa.Table:
     """Spectral features over the clip fixture (sf_dir ignored — audio is
     fixture-synthesized): per-clip dominant frequency / centroid / 85%

@@ -189,6 +189,88 @@ def count_keys_shuffled(
     return pa.concat_tables(tables)
 
 
+def heavy_hitters_shuffled(
+    paths: list[str],
+    columns: list[str],
+    mult_num: int,
+    mult_den: int,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Keys whose row count exceeds ``mult_num/mult_den`` × the FAIR SHARE
+    (total rows ÷ distinct keys) — the shuffle-skew / hot-key audit that
+    decides which keys need salting. Exact integer predicate
+    ``cnt · n_keys · mult_den > total · mult_num``.
+
+    Scale shape: the global (total, n_keys) needed for the threshold are
+    NOT known until every key is counted, but the full key-count table must
+    never land on the driver (billions of keys at 100 TB). So: the standard
+    per-shard pre-agg + key-hash bucket shuffle builds per-bucket count
+    tables that STAY in the object store; each bucket reports only a
+    (n_keys, total) pair; the driver sums B pairs and launches one filter
+    task per bucket with the two global scalars. Only the (few) hot keys
+    ever leave the reduce tasks."""
+    import ray
+
+    num_buckets = num_buckets or _default_buckets(len(paths))
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=columns)
+        counts = _precount_table(tbl, columns)
+        out = _split_buckets(counts, columns, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+
+    @ray.remote
+    def bucket_stats(tbl: pa.Table) -> tuple[int, int]:
+        if tbl.num_rows == 0:
+            return (0, 0)
+        return (tbl.num_rows, int(pc.sum(tbl.column("cnt")).as_py()))
+
+    @ray.remote
+    def filter_bucket(tbl: pa.Table, thr: int) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        return tbl.filter(pc.greater_equal(tbl.column("cnt"), thr))
+
+    refs = [map_shard.remote(p) for p in sorted(paths)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    bucket_refs = [
+        combine_bucket.remote(
+            *_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket)
+        )
+        for b in range(num_buckets)
+    ]
+    stats = ray.get([bucket_stats.remote(r) for r in bucket_refs])
+    n_keys = sum(s[0] for s in stats)
+    total = sum(s[1] for s in stats)
+    if total == 0:
+        empty_cols: dict[str, Any] = {c: pa.array([], pa.string()) for c in columns}
+        empty_cols["cnt"] = pa.array([], pa.int64())
+        return pa.table(empty_cols)
+    # cnt·n_keys·den > total·num ⟺ cnt ≥ ⌊total·num / (n_keys·den)⌋ + 1 —
+    # the division happens ONCE in driver bigints, so the per-row predicate
+    # is a plain int64 compare (no overflow at any scale)
+    thr = (total * mult_num) // (n_keys * mult_den) + 1
+    tables = [
+        t
+        for t in ray.get([filter_bucket.remote(r, thr) for r in bucket_refs])
+        if t.num_rows
+    ]
+    if not tables:
+        empty_cols = {c: pa.array([], pa.string()) for c in columns}
+        empty_cols["cnt"] = pa.array([], pa.int64())
+        return pa.table(empty_cols)
+    return pa.concat_tables(tables)
+
+
 def _right_map_fns(right_col: str, num_buckets: int):
     """Remote fns for the right (reference) side of a key shuffle — built by
     both the early-overlap launcher and combined_key_checks_async."""

@@ -378,3 +378,39 @@ def test_mode_by_group_random_vs_duckdb(ray_session, tmp_path):
     assert [int(x) for x in got.column("cnt").to_pylist()] == [
         int(x) for x in want.column("cnt").to_pylist()
     ]
+
+
+def test_heavy_hitters_shuffled_vs_duckdb(ray_session, tmp_path):
+    """Fair-share hot-key filter on random skewed shards vs the HAVING
+    oracle; the full count table never returns to the driver."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import heavy_hitters_shuffled
+
+    rng = np.random.default_rng(5)
+    paths, parts = [], []
+    for s in range(4):
+        n = int(rng.integers(100, 400))
+        keys = rng.zipf(1.6, size=n) % 97  # skewed
+        t = pa.table({"k": pa.array(keys.astype(np.int64), pa.int64())})
+        p = str(tmp_path / f"h{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        parts.append(t)
+    got = heavy_hitters_shuffled(paths, ["k"], mult_num=3, mult_den=2, num_buckets=4)
+    got = got.sort_by("k")
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(parts))
+    want = con.sql(
+        """
+        SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY k
+        HAVING count(*) * (SELECT count(DISTINCT k) FROM t) * 2
+               > (SELECT count(*) FROM t) * 3
+         ORDER BY k
+        """
+    ).arrow()
+    assert got.column("k").to_pylist() == want.column("k").to_pylist()
+    assert got.column("cnt").to_pylist() == want.column("cnt").to_pylist()
