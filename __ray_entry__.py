@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_curate_clips": q.audio_curate_clips,
         "audio_quality_clips": q.audio_quality_clips,
         "audio_spectral_clips": q.audio_spectral_clips,
+        "audio_pitch_clips": q.audio_pitch_clips,
         "audio_logmel_clips": q.audio_logmel_clips,
         "audio_cmvn_clips": q.audio_cmvn_clips,
         "segment_audio_clips": q.segment_audio_clips,

@@ -815,3 +815,125 @@ def pcm_logmel(
         k = j
     out["feat"] = feat
     return out
+
+
+def pcm_pitch_stats(
+    bytes_col,
+    frame: int = 1024,
+    max_frames: int = 8,
+    fmin: float = 80.0,
+    fmax: float = 1000.0,
+    voiced_thresh: float = 0.5,
+) -> dict[str, np.ndarray]:
+    """Fundamental-frequency (f0) estimation for a WHOLE batch of WAV
+    blobs via short-time AUTOCORRELATION — the speech-curation signal
+    behind "is this clip voiced speech / what pitch register" filters.
+
+    Same zero-per-row-Python shape as :func:`pcm_spectral_stats`: up to
+    ``max_frames`` evenly-spaced frames per clip gathered into ONE
+    (frames, frame) float32 matrix per bounded chunk. Per chunk the
+    autocorrelation of every frame comes from one batched
+    rfft→|·|²→irfft round (zero-padded to 2·frame, so no circular wrap);
+    the per-frame period is the argmax of r[lag]/r[0] over each clip's
+    OWN lag band [sr/fmax, sr/fmin] (sr varies per clip), refined by
+    parabolic interpolation for sub-sample precision — at sr=8 kHz and
+    f0=920 Hz the integer lag grid alone is ~12% quantized; the parabola
+    brings it under 1%.
+
+    Returns per-clip float64 arrays: ``f0_hz`` (mean over voiced frames;
+    NaN if no voiced frame or invalid blob), ``voiced_ratio`` (fraction
+    of frames with normalized autocorr peak ≥ ``voiced_thresh``), and the
+    ``valid`` mask. Chunked to keep the live float32 footprint tens of MB
+    (CLAUDE.md cold-footprint rule)."""
+    from .util import single_chunk
+
+    arr = single_chunk(bytes_col)
+    n = len(arr)
+    out = {
+        "f0_hz": np.full(n, np.nan),
+        "voiced_ratio": np.full(n, np.nan),
+        "valid": np.zeros(n, dtype=bool),
+    }
+    if n == 0:
+        return out
+    layout = _pcm_layout(arr)
+    if layout is None:
+        return out
+    data, starts, lengths, sr, eff_len, valid = layout
+    out["valid"] = valid
+    if not valid.any():
+        return out
+    v = np.nonzero(valid)[0]
+    seg_b = starts[v] + HEADER_SIZE
+    n_samp = eff_len[v] // 2
+    srv = sr[v].astype(np.float64)
+    nf = np.clip(n_samp // frame, 1, max_frames).astype(np.int64)
+
+    lags = np.arange(frame, dtype=np.float64)
+    chunk_frames = 2048  # autocorr FFT is 2·frame wide — half the spectral chunk
+    m = len(v)
+    nf_cum = np.concatenate([[0], np.cumsum(nf)])
+    k = 0
+    while k < m:
+        j = k + 1
+        while j < m and nf_cum[j + 1] - nf_cum[k] <= chunk_frames:
+            j += 1
+        sl = slice(k, j)
+        nf_c = nf[sl]
+        total = int(nf_c.sum())
+        off = np.cumsum(nf_c) - nf_c
+        jj = np.arange(total, dtype=np.int64) - np.repeat(off, nf_c)
+        ns_rep = np.repeat(n_samp[sl], nf_c)
+        nf_rep = np.repeat(nf_c, nf_c)
+        span = np.maximum(ns_rep - frame, 0)
+        fstart = (jj * span) // np.maximum(nf_rep - 1, 1)
+        sidx = fstart[:, None] + np.arange(frame, dtype=np.int64)[None, :]
+        in_bounds = sidx < ns_rep[:, None]
+        sidx = np.minimum(sidx, np.maximum(ns_rep[:, None] - 1, 0))
+        b = np.repeat(seg_b[sl], nf_c)[:, None] + 2 * sidx
+        x = (
+            data[b].astype(np.int16) | (data[b + 1].astype(np.int16) << 8)
+        ).astype(np.float32)
+        x *= in_bounds
+        x -= x.mean(axis=1, keepdims=True)  # kill DC so lag-0 ≠ offset²
+        spec = np.fft.rfft(x, n=2 * frame, axis=1)
+        r = np.fft.irfft(spec * np.conj(spec), axis=1)[:, :frame]  # (total, frame)
+        # unbiased: raw FFT autocorr sums frame−lag products, so its
+        # envelope decays linearly with lag and drags the parabolic peak
+        # early (f0 biased high, ~2-3% at sr 44.1k); rescale by
+        # frame/(frame−lag) before normalizing
+        r *= frame / (frame - lags)
+        r0 = np.maximum(r[:, 0:1], 1e-12)
+        rn = r / r0  # normalized autocorr, rn[:,0] == 1
+        # per-frame lag band from the clip's own sample rate
+        sr_rep = np.repeat(srv[sl], nf_c)
+        lag_lo = np.ceil(sr_rep / fmax)
+        lag_hi = np.minimum(np.floor(sr_rep / fmin), frame - 2)
+        band = (lags[None, :] >= lag_lo[:, None]) & (lags[None, :] <= lag_hi[:, None])
+        rb = np.where(band, rn, -np.inf)
+        # octave-error guard: the autocorr of a periodic signal peaks at
+        # EVERY multiple of the period; the global argmax often lands on
+        # 2·lag (= f0/2). Take the SMALLEST in-band local maximum within
+        # 85% of the band max instead of the argmax itself.
+        maxval = rb.max(axis=1)
+        local = np.zeros_like(band)
+        local[:, 1:-1] = (rn[:, 1:-1] >= rn[:, :-2]) & (rn[:, 1:-1] >= rn[:, 2:])
+        cand = band & local & (rb >= (0.85 * maxval)[:, None])
+        has_cand = cand.any(axis=1)
+        lag = np.where(has_cand, np.argmax(cand, axis=1), np.argmax(rb, axis=1))
+        peak = rn[rows := np.arange(total), lag]
+        # parabolic refinement on (lag-1, lag, lag+1)
+        lm = rn[rows, np.maximum(lag - 1, 0)]
+        lp = rn[rows, np.minimum(lag + 1, frame - 1)]
+        denom = lm - 2 * rn[rows, lag] + lp
+        delta = np.where(np.abs(denom) > 1e-12, 0.5 * (lm - lp) / denom, 0.0)
+        delta = np.clip(delta, -0.5, 0.5)
+        lag_f = lag + delta
+        voiced = (peak >= voiced_thresh) & (lag > 0) & np.isfinite(rb[rows, lag])
+        f0 = np.where(voiced, sr_rep / np.maximum(lag_f, 1e-9), 0.0)
+        nv = np.add.reduceat(voiced.astype(np.float64), off)
+        f0_sum = np.add.reduceat(f0, off)
+        out["f0_hz"][v[sl]] = np.where(nv > 0, f0_sum / np.maximum(nv, 1), np.nan)
+        out["voiced_ratio"][v[sl]] = nv / nf_c
+        k = j
+    return out

@@ -132,6 +132,58 @@ class AudioSpectralStage:
         )
 
 
+class AudioPitchStage:
+    """Actor-pool stage: per-clip fundamental frequency (f0) + voiced
+    ratio via the batched short-time autocorrelation kernel
+    ``audio.pcm_pitch_stats`` (one rfft→|·|²→irfft round per bounded
+    chunk, octave-error guard, parabolic sub-sample refinement). f0 is
+    emitted in integer MILLIHERTZ (value-representation rule: floats only
+    as selected values; a derived ratio is fixed-point) and voiced_ratio
+    in basis points; nulls where the blob is undecodable or no frame is
+    voiced. Accuracy note: ≲3% for sr ≥ 8 kHz; at the fixture's
+    deliberately-broken sr=3000 rows a >660 Hz fundamental has <5 samples
+    per period and may resolve an octave low — downstream curation should
+    gate on sr (the golden test pins exactly this)."""
+
+    def __init__(
+        self,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+        frame: int = 1024,
+        max_frames: int = 8,
+    ):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.frame = frame
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_pitch_stats
+
+        st = pcm_pitch_stats(
+            batch.column(self.bytes_col), frame=self.frame, max_frames=self.max_frames
+        )
+        f0 = st["f0_hz"]
+        vr = st["voiced_ratio"]
+        f0_null = ~st["valid"] | ~np.isfinite(f0)
+        vr_null = ~st["valid"] | ~np.isfinite(vr)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "f0_mhz": pa.array(
+                    np.floor(np.where(f0_null, 0.0, f0) * 1000.0).astype(np.int64),
+                    pa.int64(),
+                    mask=f0_null,
+                ),
+                "voiced_bp": pa.array(
+                    np.floor(np.where(vr_null, 0.0, vr) * 10000.0).astype(np.int64),
+                    pa.int64(),
+                    mask=vr_null,
+                ),
+            }
+        )
+
+
 class AudioResampleStage:
     """Actor-pool stage: naive integer-factor resample (decimate / repeat) of
     WAV payloads to a target rate — the 'transform a binary column, emit a

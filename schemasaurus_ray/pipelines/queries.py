@@ -2308,6 +2308,24 @@ def prefix_dedup_documents(sf_dir: str) -> pa.Table:
     return g.select(["prefix_md5", "keep_id", "n_copies"]).sort_by("prefix_md5")
 
 
+def audio_pitch_clips(sf_dir: str) -> pa.Table:
+    """Per-clip fundamental frequency (f0, millihertz) + voiced ratio
+    (basis points) over the clip fixture — short-time autocorrelation
+    with octave guard and parabolic refinement (audio.pcm_pitch_stats),
+    batched FFTs, zero per-row Python. The fixture's sines make this
+    engine-verifiable without SQL: f_i = 200 + (i mod 37)·20 Hz is
+    recovered within 4% wherever sr ≥ 8 kHz (pytest golden)."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioPitchStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
+    out = ds.map_batches(AudioPitchStage(), batch_format="pyarrow")
+    return _collect(out).sort_by("clip_id")
+
+
 def audio_spectral_clips(sf_dir: str) -> pa.Table:
     """Spectral features over the clip fixture (sf_dir ignored — audio is
     fixture-synthesized): per-clip dominant frequency / centroid / 85%

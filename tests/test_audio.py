@@ -466,3 +466,47 @@ def test_audio_logmel_stage_and_cmvn_partials():
     mat = flat.reshape(-1, 24)
     assert np.allclose(np.asarray(parts.column("s1")), mat.sum(axis=0))
     assert np.allclose(np.asarray(parts.column("s2")), (mat * mat).sum(axis=0))
+
+
+def test_pcm_pitch_stats_golden():
+    """Autocorrelation f0 recovers each fixture sine within 4% wherever
+    sr ≥ 8 kHz (octave guard + parabolic refinement + unbiased autocorr);
+    invalid blobs are NaN; sr=3000 high-f0 clips (under 5 samples/period)
+    are allowed to fail only toward a subharmonic (f/k)."""
+    from schemasaurus_ray.audio import pcm_pitch_stats
+
+    blobs, freqs, srs = [], [], []
+    for i in range(60):
+        sr = [8000, 16000, 44100, 3000][i % 4]
+        f = 200.0 + (i % 37) * 20.0
+        blobs.append(wav_encode(synth_samples(i, sr, 700), sr))
+        freqs.append(f)
+        srs.append(sr)
+    blobs += [None, b"not a wav"]
+    res = pcm_pitch_stats(pa.chunked_array([pa.array(blobs, pa.binary())]))
+    for i in range(60):
+        f0 = res["f0_hz"][i]
+        assert res["valid"][i] and np.isfinite(f0), i
+        assert res["voiced_ratio"][i] >= 0.75, i
+        rel = abs(f0 - freqs[i]) / freqs[i]
+        if srs[i] >= 8000:
+            assert rel < 0.04, (i, srs[i], freqs[i], f0)
+        else:
+            # subharmonic escape only: f0 ≈ f/k for integer k
+            k = freqs[i] / f0
+            assert abs(k - round(k)) < 0.06, (i, freqs[i], f0)
+    assert not res["valid"][60:].any()
+    assert np.isnan(res["f0_hz"][60:]).all()
+
+
+def test_audio_pitch_stage_schema_and_nulls():
+    from schemasaurus_ray.functions.multimodal import AudioPitchStage
+
+    clips = make_clips(64, with_audio=True, inject=True)
+    out = AudioPitchStage()(clips)
+    assert out.column_names == ["clip_id", "f0_mhz", "voiced_bp"]
+    assert out.num_rows == 64
+    vals = [v for v in out.column("f0_mhz").to_pylist() if v is not None]
+    assert vals and all(50_000 <= v <= 1_100_000 for v in vals)  # 50–1100 Hz
+    bps = [v for v in out.column("voiced_bp").to_pylist() if v is not None]
+    assert all(0 <= v <= 10000 for v in bps)

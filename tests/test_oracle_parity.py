@@ -78,23 +78,15 @@ def test_oracle_parity(name, entrymod, con):
     pd.testing.assert_frame_equal(mine, theirs, check_dtype=False, check_exact=True)
 
 
-ROWS_ONLY = [
-    "simhash_documents",
-    "simhash_neardup_documents",
-    "winnow_passages_documents",
-    "ann_ivf_embeddings",
-    "audio_quality_clips",
-    "audio_spectral_clips",
-    "audio_logmel_clips",
-    "audio_cmvn_clips",
-    "speech_rate_clips",
-    "segment_audio_clips",
-    "pack_audio_segments",
-    "image_features_stub",
-    "video_frames_stub",
-    "audio_augment_clips",
-    "export_packed_audio",
-]
+# Auto-derived: every queries() entry without an oracle gets a rows-only
+# smoke run (golden-value coverage for these lives in the dedicated suites).
+def _rows_only_names():
+    import __ray_entry__ as m
+
+    return sorted(set(m.queries()) - set(m.oracle_sql()))
+
+
+ROWS_ONLY = _rows_only_names()
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
