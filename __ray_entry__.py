@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
+        "key_distribution_events": q.key_distribution_events,
+        "quantize_embeddings": q.quantize_embeddings,
         "prefix_dedup_documents": q.prefix_dedup_documents,
         "funnel_events": q.funnel_events,
         "cohort_retention_events": q.cohort_retention_events,
@@ -134,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_quality_clips": q.audio_quality_clips,
         "audio_spectral_clips": q.audio_spectral_clips,
         "audio_pitch_clips": q.audio_pitch_clips,
+        "audio_corpus_inventory": q.audio_corpus_inventory,
         "audio_logmel_clips": q.audio_logmel_clips,
         "audio_cmvn_clips": q.audio_cmvn_clips,
         "segment_audio_clips": q.segment_audio_clips,
@@ -1020,6 +1023,26 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) * (SELECT count(DISTINCT user_id) FROM events) * 10
                    > (SELECT count(*) FROM events) * 12
              ORDER BY user_id
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       coalesce(list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale
+                  FROM embeddings
+            )
+            SELECT vec_id, scale,
+                   CAST(CASE WHEN scale = 0 THEN 0
+                        ELSE list_sum(list_transform(
+                            embedding, x -> floor(127 * CAST(x AS DOUBLE) / scale)))
+                        END AS BIGINT) AS qsum
+              FROM s ORDER BY vec_id
+        """,
+        "key_distribution_events": """
+            SELECT cnt, CAST(count(*) AS BIGINT) AS n_keys
+              FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+                      FROM events GROUP BY user_id)
+             GROUP BY cnt ORDER BY cnt
         """,
         "prefix_dedup_documents": """
             SELECT md5(substr(text, 1, 64)) AS prefix_md5,

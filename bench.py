@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "lm_bigram_oov_documents",
     "funnel_events",
     "k_anonymity_customer",
+    "rolling_minmax_events",
+    "ntile_documents",
+    "mad_outliers_lineitem",
+    "heavy_hitters_events",
+    "quantize_embeddings",
 ]
 
 

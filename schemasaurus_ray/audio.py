@@ -295,6 +295,7 @@ def pcm_spectral_stats(
         "peak_hz": nan.copy(),
         "centroid_hz": nan.copy(),
         "rolloff_hz": nan.copy(),
+        "flatness": nan.copy(),
         "valid": np.zeros(n, dtype=bool),
     }
     if n == 0:
@@ -349,6 +350,11 @@ def pcm_spectral_stats(
         peak_bin = np.argmax(p, axis=1).astype(np.float64)
         centroid_bin = (p @ bins) / safe_tot
         roll_bin = (np.cumsum(p, axis=1) < (0.85 * safe_tot)[:, None]).sum(axis=1)
+        # spectral FLATNESS (Wiener entropy): geometric / arithmetic mean
+        # of the power spectrum (DC excluded) — ~1 for white noise, →0 for
+        # a tone; the classic speech/music-vs-noise discriminator
+        pk = p[:, 1:].astype(np.float64) + 1e-20
+        flat = np.exp(np.log(pk).mean(axis=1)) / pk.mean(axis=1)
         # per-clip frame means (frames of a clip are contiguous rows)
         red = off
         hz = np.repeat(srv[sl], nf_c) / frame  # Hz per bin, per frame row
@@ -358,6 +364,7 @@ def pcm_spectral_stats(
             ("rolloff_hz", roll_bin.astype(np.float64)),
         ):
             out[name][v[sl]] = np.add.reduceat(per_frame * hz, red) / nf_c
+        out["flatness"][v[sl]] = np.add.reduceat(flat, red) / nf_c
         k = j
     return out
 

@@ -96,7 +96,8 @@ class AudioSpectralStage:
     ``audio.pcm_spectral_stats`` — one (frames × frame_size) float32 matrix
     per bounded chunk, zero per-row Python. Hz values are emitted as
     floored int64 (value-representation rule) with nulls for undecodable
-    blobs."""
+    blobs; spectral flatness (Wiener entropy — the speech/tone-vs-noise
+    discriminator) as basis points."""
 
     def __init__(
         self,
@@ -122,12 +123,19 @@ class AudioSpectralStage:
             ints = np.floor(np.where(nanmask, 0.0, vals)).astype(np.int64)
             return pa.array(ints, pa.int64(), mask=nanmask)
 
+        flat = st["flatness"]
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
                 "peak_hz": hz(st["peak_hz"]),
                 "centroid_hz": hz(st["centroid_hz"]),
                 "rolloff_hz": hz(st["rolloff_hz"]),
+                # Wiener-entropy flatness as basis points (tone→0, noise→1)
+                "flatness_bp": pa.array(
+                    np.floor(np.where(nanmask, 0.0, flat) * 10000.0).astype(np.int64),
+                    pa.int64(),
+                    mask=nanmask,
+                ),
             }
         )
 

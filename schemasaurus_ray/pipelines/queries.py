@@ -2267,6 +2267,56 @@ def heavy_hitters_events(sf_dir: str) -> pa.Table:
     return out.sort_by("user_id")
 
 
+def quantize_embeddings(sf_dir: str) -> pa.Table:
+    """Symmetric int8 QUANTIZATION audit of the embedding column — the
+    compression step before ANN index shipping: per vector the max-abs
+    scale (a SELECTED float — bit-exact vs SQL) and the checksum of the
+    quantized codes sum(⌊127·x/scale⌋) (floor is exact; the ≤64·127 sum
+    is integer-exact in doubles). One vectorized pass per batch: Arrow
+    list_flatten + two reduceat segment reductions, float32 widened
+    losslessly to float64 so numpy and DuckDB round identically."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        lens = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(col), dtype=np.float64)
+        starts = np.cumsum(lens) - lens
+        nonempty = lens > 0
+        scale = np.zeros(len(lens))
+        qsum = np.zeros(len(lens), dtype=np.int64)
+        if nonempty.any():
+            seg = starts[nonempty]
+            mx = np.maximum.reduceat(np.abs(flat), seg)
+            rep = np.repeat(np.where(mx == 0, 1.0, mx), lens[nonempty])
+            q = np.floor(127.0 * flat / rep)
+            qs = np.add.reduceat(q, seg)
+            scale[nonempty] = mx
+            qsum[nonempty] = np.where(mx == 0, 0, qs).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "scale": pa.array(scale, pa.float64()),
+                "qsum": pa.array(qsum, pa.int64()),
+            }
+        )
+
+    return _collect(ds.map_batches(quantize, batch_format="pyarrow")).sort_by("vec_id")
+
+
+def key_distribution_events(sf_dir: str) -> pa.Table:
+    """Key-distribution audit for the user_id partition key: (cnt,
+    n_keys) — how many users have exactly cnt events. Decides salting /
+    partitioning strategy together with heavy_hitters_events; the reduce
+    collapses per-key counts to tiny histograms so the driver only merges
+    B (cnt, n_keys) tables (stages/shuffle.key_count_histogram_shuffled)."""
+    from ..stages.shuffle import key_count_histogram_shuffled
+
+    return key_count_histogram_shuffled(
+        [os.path.join(sf_dir, "events.parquet")], ["user_id"]
+    )
+
+
 def prefix_dedup_documents(sf_dir: str) -> pa.Table:
     """Truncation-duplicate detection: documents sharing their first 64
     CHARACTERS (the classic boilerplate/re-crawl signature that exact
@@ -3288,6 +3338,68 @@ def audio_logmel_clips(sf_dir: str) -> pa.Table:
     ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
     out = ds.map_batches(AudioLogMelStage(), batch_format="pyarrow")
     return _collect(out).sort_by("clip_id")
+
+
+def audio_corpus_inventory(sf_dir: str) -> pa.Table:
+    """CORPUS INVENTORY by sample rate — the first audio-QA dashboard
+    row: per sr_hz the clip count, decodable count, total decoded
+    samples (exact integers — hours = samples/sr/3600) and count of
+    header-vs-payload duration mismatches. One map_batches emits tiny
+    per-batch pre-agg tables (pcm_segment_stats for measured lengths);
+    the driver folds B × |sr values| rows. Rows-only surface (audio
+    payloads aren't SQL); the pytest golden recomputes it per clip with
+    wav_decode."""
+    import glob as glob_
+
+    from ..audio import pcm_segment_stats
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))))
+
+    def inventory(batch: pa.Table) -> pa.Table:
+        st = pcm_segment_stats(batch.column("bytes"))
+        valid = st["valid"]
+        # measured_ms is exact: n_samples = measured_ms * sr / 1000 is the
+        # decoded length; recover integer samples from the stats kernel
+        sr_meta = np.asarray(batch.column("sr_hz").combine_chunks(), dtype=np.int64)
+        n_samp = np.where(
+            valid, np.rint(st["measured_ms"] * sr_meta / 1000.0), 0
+        ).astype(np.int64)
+        dur_meta = np.asarray(batch.column("dur_ms").combine_chunks(), dtype=np.int64)
+        mismatch = valid & (np.abs(st["measured_ms"] - dur_meta) > 1.0)
+        t = pa.table(
+            {
+                "sr_hz": pa.array(sr_meta, pa.int64()),
+                "n_clips": pa.array(np.ones(len(sr_meta), np.int64)),
+                "n_decodable": pa.array(valid.astype(np.int64)),
+                "total_samples": pa.array(n_samp, pa.int64()),
+                "n_mismatch": pa.array(mismatch.astype(np.int64)),
+            }
+        )
+        return t.group_by("sr_hz").aggregate(
+            [
+                ("n_clips", "sum"),
+                ("n_decodable", "sum"),
+                ("total_samples", "sum"),
+                ("n_mismatch", "sum"),
+            ]
+        ).rename_columns(
+            ["sr_hz", "n_clips", "n_decodable", "total_samples", "n_mismatch"]
+        )
+
+    parts = _collect(ds.map_batches(inventory, batch_format="pyarrow"))
+    agg = parts.group_by("sr_hz").aggregate(
+        [
+            ("n_clips", "sum"),
+            ("n_decodable", "sum"),
+            ("total_samples", "sum"),
+            ("n_mismatch", "sum"),
+        ]
+    )
+    return agg.rename_columns(
+        ["sr_hz", "n_clips", "n_decodable", "total_samples", "n_mismatch"]
+    ).sort_by("sr_hz")
 
 
 def audio_cmvn_clips(sf_dir: str) -> pa.Table:

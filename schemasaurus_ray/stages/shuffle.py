@@ -271,6 +271,68 @@ def heavy_hitters_shuffled(
     return pa.concat_tables(tables)
 
 
+def key_count_histogram_shuffled(
+    paths: list[str],
+    columns: list[str],
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """(cnt, n_keys): how many keys occur exactly cnt times — the key-
+    DISTRIIBUTION audit behind partitioning decisions (is this key column
+    uniform, Zipfian, or degenerate?), companion to
+    :func:`heavy_hitters_shuffled`. Same per-shard pre-agg + key-hash
+    bucket shuffle; each bucket collapses its exact per-key counts to a
+    (cnt, n_keys) histogram IN THE REDUCE, so only ≤ B tiny histograms
+    reach the driver — never a key table."""
+    import ray
+
+    num_buckets = num_buckets or _default_buckets(len(paths))
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=columns)
+        counts = _precount_table(tbl, columns)
+        out = _split_buckets(counts, columns, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+
+    @ray.remote
+    def histogram_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        empty = pa.table(
+            {"cnt": pa.array([], pa.int64()), "n_keys": pa.array([], pa.int64())}
+        )
+        if merged.num_rows == 0:
+            return empty
+        agg = merged.group_by(columns).aggregate([("cnt", "sum")])
+        agg = agg.rename_columns(columns + ["cnt"])
+        h = agg.group_by("cnt").aggregate([([], "count_all")])
+        return h.rename_columns(["cnt", "n_keys"])
+
+    refs = [map_shard.remote(p) for p in sorted(paths)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    hists = ray.get(
+        [
+            histogram_bucket.remote(
+                *_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket)
+            )
+            for b in range(num_buckets)
+        ]
+    )
+    tables = [t for t in hists if t.num_rows]
+    if not tables:
+        return pa.table({"cnt": pa.array([], pa.int64()), "n_keys": pa.array([], pa.int64())})
+    merged = pa.concat_tables(tables)
+    out = merged.group_by("cnt").aggregate([("n_keys", "sum")])
+    return out.rename_columns(["cnt", "n_keys"]).sort_by("cnt")
+
+
 def _right_map_fns(right_col: str, num_buckets: int):
     """Remote fns for the right (reference) side of a key shuffle — built by
     both the early-overlap launcher and combined_key_checks_async."""

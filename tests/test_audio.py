@@ -209,6 +209,8 @@ def test_pcm_spectral_stats_golden_and_parity():
     assert not res["valid"][40:].any()
     assert np.isnan(res["peak_hz"][40:]).all()
     assert np.isnan(res["centroid_hz"][40:]).all()
+    # flatness separates tones from noise by an order of magnitude
+    assert np.nanmax(res["flatness"][:40]) < 0.25
 
     frame, max_frames = 512, 8
     win = np.hanning(frame).astype(np.float32)
@@ -240,7 +242,10 @@ def test_audio_spectral_stage_nulls_and_schema():
 
     clips = make_clips(64, with_audio=True, inject=True)
     out = AudioSpectralStage()(clips)
-    assert out.column_names == ["clip_id", "peak_hz", "centroid_hz", "rolloff_hz"]
+    assert out.column_names == ["clip_id", "peak_hz", "centroid_hz", "rolloff_hz", "flatness_bp"]
+    fb = [v for v in out.column("flatness_bp").to_pylist() if v is not None]
+    assert fb and all(0 <= v <= 10000 for v in fb)
+    assert max(fb) < 3000  # fixture clips are sine-dominated, not noise
     assert out.num_rows == 64
     # every decodable clip got a finite dominant frequency
     peaks = out.column("peak_hz")
@@ -510,3 +515,49 @@ def test_audio_pitch_stage_schema_and_nulls():
     assert vals and all(50_000 <= v <= 1_100_000 for v in vals)  # 50–1100 Hz
     bps = [v for v in out.column("voiced_bp").to_pylist() if v is not None]
     assert all(0 <= v <= 10000 for v in bps)
+
+
+def test_audio_corpus_inventory_golden(ray_session):
+    """Engine inventory ≡ per-clip wav_decode recomputation over the same
+    fixture shards (the non-SQL second path)."""
+    import glob
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.audio import wav_decode
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.audio_corpus_inventory("unused")
+    fix = q._audio_fixture()
+    exp = defaultdict(lambda: [0, 0, 0, 0])  # n, dec, samples, mismatch
+    for p in glob.glob(os.path.join(fix, "clips", "*.parquet")):
+        t = pq.read_table(p, columns=["bytes", "sr_hz", "dur_ms"])
+        for blob, sr, dur in zip(
+            t.column("bytes").to_pylist(),
+            t.column("sr_hz").to_pylist(),
+            t.column("dur_ms").to_pylist(),
+        ):
+            e = exp[int(sr)]
+            e[0] += 1
+            try:
+                x, hsr = wav_decode(blob)
+            except Exception:
+                continue
+            if len(x) == 0:  # engine's decodable = eff_len > 0 (≥1 sample)
+                continue
+            e[1] += 1
+            e[2] += len(x)
+            if abs(1000.0 * len(x) / hsr - dur) > 1.0:
+                e[3] += 1
+    rows = {
+        int(r["sr_hz"]): [
+            int(r["n_clips"]),
+            int(r["n_decodable"]),
+            int(r["total_samples"]),
+            int(r["n_mismatch"]),
+        ]
+        for r in got.to_pylist()
+    }
+    assert rows == {k: list(v) for k, v in exp.items()}
