@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": q.top_docs_by_length,
         "top_docs_per_lang": q.top_docs_per_lang,
         "sample_documents": q.sample_documents,
+        "weighted_sample_documents": q.weighted_sample_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         # schema-evolution aligned read (sources/io.read_parquet_aligned)
         "evolved_union_documents": q.evolved_union_documents,
@@ -669,6 +670,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid_documents": _langid_oracle_sql(),
         "curate_documents": _curate_oracle_sql(),
+        "weighted_sample_documents": """
+            SELECT doc_id, n_chars FROM documents
+             WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER)
+                   < least(60000, 64 * n_chars)
+             ORDER BY doc_id
+        """,
         "sample_documents": """
             SELECT doc_id FROM documents
              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

@@ -3158,6 +3158,29 @@ def evolved_union_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def weighted_sample_documents(sf_dir: str) -> pa.Table:
+    """Deterministic WEIGHTED sampling — the dataset-MIXING primitive
+    (sample long/high-quality documents at higher rates): keep a row iff
+    u16(md5(doc_id)[:2 bytes]) < min(60000, 64·n_chars), i.e. acceptance
+    probability ∝ length, capped. Like sample_documents the selection is
+    a pure function of the row — reproducible across block layout,
+    parallelism and resume, and SQL-checkable; per-row thresholds are
+    exact integer compares (no float rates)."""
+    from ..util import md5_digests
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids_str = batch.column("doc_id").cast(pa.string())
+        dig = md5_digests(ids_str)
+        u16 = dig[:, 0].astype(np.int64) << 8 | dig[:, 1].astype(np.int64)
+        n_chars = np.asarray(batch.column("n_chars").combine_chunks(), dtype=np.int64)
+        keep = u16 < np.minimum(60000, 64 * n_chars)
+        return batch.filter(pa.array(keep))
+
+    return _collect(ds.map_batches(pick, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic hash-based ~10% sample: keep rows where
     md5(doc_id)[:2] < '1a' (26/256 ≈ 10.2%). Unlike RNG-per-block
