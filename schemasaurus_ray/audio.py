@@ -944,3 +944,70 @@ def pcm_pitch_stats(
         out["voiced_ratio"][v[sl]] = nv / nf_c
         k = j
     return out
+
+
+def pcm_time_stretch(x: np.ndarray, rate: float, frame: int = 512) -> np.ndarray:
+    """Pitch-PRESERVING tempo change of one PCM clip by period-
+    SYNCHRONIZED overlap-add (SOLA): output duration ≈ len(x)/rate with
+    spectral content (and the f0 the pitch kernel measures) unchanged —
+    the complement of AudioAugmentStage's speed perturbation, which
+    shifts pitch WITH tempo.
+
+    Periodic-Hann frames at 50% output hop satisfy COLA exactly
+    (w[k] + w[k+N/2] == 1). Each grain's input advance is snapped to the
+    nearest multiple of the clip's fundamental period (estimated once per
+    clip from the autocorrelation of the opening samples — one rfft), so
+    overlapping grains are PHASE-COHERENT for periodic content: the sum
+    is constructive and amplitude is preserved (plain incoherent OLA
+    loses ~3 dB in every overlap). Unvoiced clips (weak autocorr peak)
+    fall back to unsnapped grains, where incoherent overlap is the
+    correct statistics anyway. Vectorized per clip: one frame gather +
+    two non-overlapping ravel placements — no per-frame Python."""
+    n = len(x)
+    hop = frame // 2
+    out_len = max(int(round(n / rate)), frame)
+    if n < frame:
+        pad = np.zeros(out_len, dtype=np.float64)
+        pad[: min(n, out_len)] = x[: min(n, out_len)]
+        return pad
+    nf = (out_len - frame) // hop + 1
+    # periodic Hann: exact constant-overlap-add at 50% hop
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+
+    # one-shot period estimate (same octave-guard shape as pcm_pitch_stats)
+    head = x[: min(n, 4096)].astype(np.float64)
+    head = head - head.mean()
+    spec = np.fft.rfft(head, n=2 * len(head))
+    r = np.fft.irfft(spec * np.conj(spec))[: len(head)]
+    period = 0
+    if r[0] > 1e-9 and len(head) > 64:
+        rn = r / r[0]
+        lo, hi = 16, min(len(head) // 2, 1024)
+        local = np.zeros(len(rn), dtype=bool)
+        local[1:-1] = (rn[1:-1] >= rn[:-2]) & (rn[1:-1] >= rn[2:])
+        band = np.zeros(len(rn), dtype=bool)
+        band[lo:hi] = True
+        mx = rn[lo:hi].max() if hi > lo else 0.0
+        cand = band & local & (rn >= 0.85 * mx)
+        if mx >= 0.4 and cand.any():
+            period = int(np.argmax(cand))
+
+    i = np.arange(nf, dtype=np.float64)
+    if period > 0:
+        # snap each grain's deviation from natural continuation to a
+        # period multiple: overlaps stay phase-coherent
+        k = np.round(i * hop * (rate - 1.0) / period)
+        in_pos = (i * hop + k * period).astype(np.int64)
+    else:
+        in_pos = (i * hop * rate).astype(np.int64)
+    in_pos = np.clip(in_pos, 0, max(n - frame, 0))
+    frames = x[in_pos[:, None] + np.arange(frame)[None, :]] * w
+    out = np.zeros(out_len + frame, dtype=np.float64)
+    even = frames[0::2]
+    odd = frames[1::2]
+    out[: even.shape[0] * frame] += even.ravel()
+    out[hop : hop + odd.shape[0] * frame] += odd.ravel()
+    # the first half-frame has only one tapered grain; grain 0 starts at
+    # input 0, so the original opening is the exact reconstruction
+    out[:hop] = x[:hop]
+    return out[:out_len]

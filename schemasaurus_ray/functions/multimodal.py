@@ -373,6 +373,68 @@ class AudioSegmentStage:
         return pa.table(cols)
 
 
+class AudioTempoStage:
+    """Deterministic pitch-PRESERVING tempo augmentation — one clip row →
+    one row per rate variant via period-synchronized overlap-add
+    (``audio.pcm_time_stretch``). Complements AudioAugmentStage's speed
+    perturbation (which shifts pitch with tempo): tempo variants keep the
+    fundamental, so pitch-conditioned models see the same register at
+    different speaking rates. Variants are an explicit list (no
+    randomness — reproducible, dedup-safe); invalid blobs yield zero
+    rows. Per-clip decode loop over C-speed kernels, same measured
+    rationale as AudioAugmentStage (flat-batch rewrites lose to the
+    first-touch page-fault wall on this host)."""
+
+    def __init__(
+        self,
+        rates: list[float] | None = None,
+        bytes_col: str = "bytes",
+        id_col: str = "clip_id",
+    ):
+        self.rates = rates if rates is not None else [0.9, 1.1]
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_time_stretch, wav_decode, wav_encode
+
+        ids: list = []
+        rate_col: list[int] = []
+        out_bytes: list[bytes] = []
+        srs: list[int] = []
+        durs: list[int] = []
+        blobs = batch.column(self.bytes_col)
+        id_vals = batch.column(self.id_col).to_pylist()
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                continue
+            try:
+                pcm, sr = wav_decode(blob)
+            except ValueError:
+                continue
+            if len(pcm) == 0 or sr <= 0:
+                continue
+            x = pcm.astype(np.float64)
+            for r in self.rates:
+                y = pcm_time_stretch(x, r)
+                enc = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+                ids.append(id_vals[i])
+                rate_col.append(int(round(r * 100)))
+                out_bytes.append(wav_encode(enc, sr))
+                srs.append(sr)
+                durs.append(round(len(enc) * 1000 / sr))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.string()),
+                "rate_pct": pa.array(rate_col, pa.int64()),
+                self.bytes_col: pa.array(out_bytes, pa.binary()),
+                "sr_hz": pa.array(srs, pa.int32()),
+                "dur_ms": pa.array(durs, pa.int64()),
+            }
+        )
+
+
 class AudioAugmentStage:
     """Deterministic audio augmentation — one clip row → one row per
     (speed, gain_db) variant, the standard training-set multiplier for

@@ -2477,6 +2477,34 @@ def audio_augment_clips(sf_dir: str) -> pa.Table:
     )
 
 
+def audio_tempo_clips(sf_dir: str) -> pa.Table:
+    """Pitch-preserving tempo augmentation fan-out: each fixture clip →
+    0.9×/1.1× rate variants via period-synchronized overlap-add
+    (audio.pcm_time_stretch — duration scales, the fundamental does NOT,
+    unlike the speed variants). Per-variant metadata; the payload
+    invariants (duration ratio, f0 preserved within 3%, RMS within 10%)
+    are pinned in tests/test_audio.py against the pitch kernel — two
+    independent DSP paths cross-validating each other."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioTempoStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes"],
+    )
+    # stateless stage → task pool; no batch_size after path-grain readers
+    # (fusion bundling invariant, CLAUDE.md)
+    out = ds.map_batches(
+        AudioTempoStage(), batch_format="pyarrow"
+    ).select_columns(["clip_id", "rate_pct", "sr_hz", "dur_ms"])
+    return _collect(out).sort_by(
+        [("clip_id", "ascending"), ("rate_pct", "ascending")]
+    )
+
+
 def image_features_stub(sf_dir: str) -> pa.Table:
     """Multimodal plumbing surface: opaque binary column → feature vector
     through the actor-pool decode stage (StubImageDecodeStage fake=True —

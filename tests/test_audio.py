@@ -561,3 +561,49 @@ def test_audio_corpus_inventory_golden(ray_session):
         for r in got.to_pylist()
     }
     assert rows == {k: list(v) for k, v in exp.items()}
+
+
+def test_pcm_time_stretch_invariants():
+    """Period-synchronized OLA: duration scales by 1/rate, the
+    fundamental does NOT move (cross-validated by the independent pitch
+    kernel), amplitude is preserved by coherent overlap."""
+    from schemasaurus_ray.audio import pcm_pitch_stats, pcm_time_stretch
+
+    for i, sr in ((5, 16000), (2, 44100), (10, 8000), (31, 22050)):
+        x = synth_samples(i, sr, 700).astype(np.float64)
+        f_exp = 200.0 + (i % 37) * 20.0
+        for rate in (0.9, 1.1, 1.25):
+            y = pcm_time_stretch(x, rate)
+            assert abs(len(y) - round(len(x) / rate)) <= 1, (i, rate)
+            blob = wav_encode(np.clip(np.rint(y), -32768, 32767).astype(np.int16), sr)
+            st = pcm_pitch_stats(pa.array([blob], pa.binary()))
+            assert abs(st["f0_hz"][0] - f_exp) / f_exp < 0.03, (i, sr, rate, st["f0_hz"][0])
+            rms_ratio = np.sqrt((y**2).mean()) / np.sqrt((x**2).mean())
+            assert 0.9 < rms_ratio < 1.1, (i, rate, rms_ratio)
+
+
+def test_pcm_time_stretch_short_and_noise():
+    from schemasaurus_ray.audio import pcm_time_stretch
+
+    rng = np.random.default_rng(3)
+    # unvoiced (noise) falls back to unsnapped grains and still stretches
+    noise = rng.standard_normal(8000) * 1000
+    y = pcm_time_stretch(noise, 1.25)
+    assert abs(len(y) - 6400) <= 1
+    # shorter than one frame: zero-padded copy at the target length
+    y2 = pcm_time_stretch(noise[:300], 2.0)
+    assert len(y2) == 512 and (y2[:150] == noise[:150]).all()
+
+
+def test_audio_tempo_stage_fanout():
+    from schemasaurus_ray.functions.multimodal import AudioTempoStage
+
+    clips = make_clips(48, with_audio=True, inject=True)
+    out = AudioTempoStage()(clips)
+    assert out.column_names == ["clip_id", "rate_pct", "bytes", "sr_hz", "dur_ms"]
+    # every decodable clip yields exactly len(rates) rows, invalid zero
+    per = {}
+    for cid in out.column("clip_id").to_pylist():
+        per[cid] = per.get(cid, 0) + 1
+    assert per and all(v == 2 for v in per.values())
+    assert set(out.column("rate_pct").to_pylist()) == {90, 110}
