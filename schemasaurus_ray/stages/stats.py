@@ -185,10 +185,13 @@ def grouped_quantiles_from_count_table(
     n_rows = counts.num_rows
     if n_rows == 0:
         return {}
-    groups = counts.column(group_col).to_numpy(zero_copy_only=False)
+    # dictionary_encode is C-speed; np.unique over an object array of
+    # strings was ~0.3 s per call on a 600k-row count table (measured)
+    enc = counts.column(group_col).combine_chunks().dictionary_encode()
+    gcode = np.asarray(enc.indices, dtype=np.int64)
+    ugroup = np.asarray(enc.dictionary.to_pylist(), dtype=object)
     vals = counts.column(value_col).to_numpy(zero_copy_only=False)
     cnt = counts.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-    ugroup, gcode = np.unique(groups, return_inverse=True)
     order = np.lexsort((vals, gcode))
     gc, v, c = gcode[order], vals[order], cnt[order]
     starts = np.flatnonzero(np.r_[True, gc[1:] != gc[:-1]])
@@ -224,9 +227,10 @@ def grouped_median_mad_from_count_table(
     }
     if not med:
         return {}
-    groups = counts.column(group_col).to_numpy(zero_copy_only=False)
+    enc = counts.column(group_col).combine_chunks().dictionary_encode()
+    gcode = np.asarray(enc.indices, dtype=np.int64)
+    ugroup = enc.dictionary.to_pylist()
     vals = counts.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    ugroup, gcode = np.unique(groups, return_inverse=True)
     med_by_code = np.array([float(med[g]) for g in ugroup], dtype=np.float64)
     absdev = np.abs(vals - med_by_code[gcode])
     dev_counts = pa.table(
