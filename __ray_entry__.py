@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q.top_docs_per_lang,
         "sample_documents": q.sample_documents,
         "weighted_sample_documents": q.weighted_sample_documents,
+        "epoch_order_documents": q.epoch_order_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         # schema-evolution aligned read (sources/io.read_parquet_aligned)
         "evolved_union_documents": q.evolved_union_documents,
@@ -671,6 +672,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid_documents": _langid_oracle_sql(),
         "curate_documents": _curate_oracle_sql(),
+        "epoch_order_documents": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR))) - 1
+                        AS BIGINT) AS position
+              FROM documents ORDER BY doc_id
+        """,
         "weighted_sample_documents": """
             SELECT doc_id, n_chars FROM documents
              WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))

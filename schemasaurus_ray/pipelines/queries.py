@@ -3186,6 +3186,21 @@ def evolved_union_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def epoch_order_documents(sf_dir: str) -> pa.Table:
+    """Deterministic EPOCH SHUFFLE order: every document's global position
+    in the permutation sorted by md5('ep1:' + doc_id) — the reproducible
+    training order a 100-TB run needs (new epoch = new salt = fresh
+    permutation; re-runs and resumes bit-identical). NO global sort: hex
+    md5 is uniform, so first-nibble buckets ARE order ranges — local sort
+    per bucket + 16 driver offsets (stages/rank.hash_order_positions)."""
+    from ..stages.rank import hash_order_positions
+
+    out = hash_order_positions(
+        [os.path.join(sf_dir, "documents.parquet")], "doc_id", "ep1:"
+    )
+    return out.sort_by("doc_id")
+
+
 def weighted_sample_documents(sf_dir: str) -> pa.Table:
     """Deterministic WEIGHTED sampling — the dataset-MIXING primitive
     (sample long/high-quality documents at higher rates): keep a row iff

@@ -86,6 +86,96 @@ def rank_starts_from_count_table(
     return list(ugroups), gc, v, rank_start, n_group
 
 
+def hash_order_positions(
+    paths: list[str],
+    id_col: str,
+    salt: str,
+    num_buckets: int = 16,
+) -> pa.Table:
+    """(id, position): the DETERMINISTIC GLOBAL SHUFFLE a training run
+    needs per epoch — every row's position in the order sorted by
+    ``md5(salt + id)`` — WITHOUT a global sort. Hex md5 is uniform, so
+    bucketing rows by the first hex nibble RANGE-partitions the order:
+    bucket b holds exactly the positions [offset_b, offset_b + n_b).
+    One map round (vectorized md5 + nibble split), one reduce per bucket
+    (local fixed-width byte sort + rank), driver adds 16 offsets. A new
+    ``salt`` (epoch number) is a fresh permutation; re-runs are
+    bit-identical — the property RNG-per-block shuffles cannot give.
+    SQL-checkable: position ≡ ROW_NUMBER() OVER (ORDER BY md5(salt||id))
+    − 1 (hex strings sort like the hashes)."""
+    import ray
+
+    from ..util import md5_hex
+
+    @ray.remote(num_returns=num_buckets)
+    def map_path(path: str):
+        tbl = pq.read_table(path, columns=[id_col])
+        ids = tbl.column(id_col).combine_chunks()
+        h = md5_hex(pc.binary_join_element_wise(salt, ids.cast(pa.string()), ""))
+        keyed = pa.table({"h": h, id_col: tbl.column(id_col)})
+        # range split by first hex nibble (0-f): buckets ARE order ranges
+        nib = pc.utf8_slice_codeunits(h, start=0, stop=1)
+        codes = np.asarray(
+            pc.index_in(nib, value_set=pa.array(list("0123456789abcdef"))),
+            dtype=np.int64,
+        )
+        order = np.argsort(codes, kind="stable")
+        sorted_tbl = keyed.take(pa.array(order, pa.int64()))
+        bounds = np.searchsorted(codes[order], np.arange(num_buckets + 1))
+        out = [
+            sorted_tbl.slice(bounds[b], bounds[b + 1] - bounds[b])
+            for b in range(num_buckets)
+        ]
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def rank_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "local_rank": pa.array([], pa.int64())}
+            )
+        tbl = pa.concat_tables(parts)
+        h = np.asarray(tbl.column("h").to_numpy(zero_copy_only=False), dtype="S32")
+        order = np.argsort(h, kind="stable")  # md5 collisions: none in practice
+        rank = np.empty(len(h), dtype=np.int64)
+        rank[order] = np.arange(len(h), dtype=np.int64)
+        return pa.table({id_col: tbl.column(id_col), "local_rank": pa.array(rank, pa.int64())})
+
+    @ray.remote
+    def add_offset(tbl: pa.Table, off: int) -> pa.Table:
+        pos = pc.add(tbl.column("local_rank"), off)
+        return pa.table({id_col: tbl.column(id_col), "position": pos})
+
+    refs = [map_path.remote(p) for p in sorted(paths)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    combine = _concat_remote()
+    ranked = [
+        rank_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine))
+        for b in range(num_buckets)
+    ]
+    sizes = ray.get([_num_rows_remote().remote(r) for r in ranked])
+    offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    finals = [add_offset.remote(r, int(offsets[b])) for b, r in enumerate(ranked)]
+    tables = [t for t in ray.get(finals) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "position": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tables)
+
+
+def _num_rows_remote():
+    import ray
+
+    @ray.remote
+    def num_rows(tbl: pa.Table) -> int:
+        return tbl.num_rows
+
+    return num_rows
+
+
 def ntile_assign_shuffled(
     src: Any,
     group_col: str,

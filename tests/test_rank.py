@@ -98,3 +98,35 @@ def test_ntile_shuffled_empty(ray_session, tmp_path):
     )
     out = ntile_assign_shuffled([p], "g", "v", "rid", k=4, num_buckets=2)
     assert out.num_rows == 0
+
+
+def test_hash_order_positions_vs_duckdb(ray_session, tmp_path):
+    """Range-partitioned epoch-shuffle rank ≡ ROW_NUMBER over md5 order;
+    positions are a bijection and salts give distinct permutations."""
+    import duckdb
+
+    from schemasaurus_ray.stages.rank import hash_order_positions
+
+    rng = np.random.default_rng(3)
+    paths = []
+    all_ids = rng.permutation(5000)[:700].astype(np.int64)
+    for s, chunk in enumerate(np.array_split(all_ids, 3)):
+        p = str(tmp_path / f"o{s}.parquet")
+        pq.write_table(pa.table({"doc_id": pa.array(chunk, pa.int64())}), p)
+        paths.append(p)
+    got = hash_order_positions(paths, "doc_id", "ep1:").sort_by("doc_id")
+    con = duckdb.connect()
+    con.register("t", pa.table({"doc_id": pa.array(all_ids, pa.int64())}))
+    want = con.sql(
+        """
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT) AS position
+          FROM t ORDER BY doc_id
+        """
+    ).arrow()
+    assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+    assert got.column("position").to_pylist() == want.column("position").to_pylist()
+    pos = got.column("position").to_pylist()
+    assert sorted(pos) == list(range(len(all_ids)))  # bijection
+    other = hash_order_positions(paths, "doc_id", "ep2:").sort_by("doc_id")
+    assert other.column("position").to_pylist() != pos  # fresh permutation
