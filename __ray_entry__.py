@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
         "key_distribution_events": q.key_distribution_events,
+        "heavy_hitters_approx_events": q.heavy_hitters_approx_events,
         "quantize_embeddings": q.quantize_embeddings,
         "prefix_dedup_documents": q.prefix_dedup_documents,
         "funnel_events": q.funnel_events,
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": q.sample_documents,
         "weighted_sample_documents": q.weighted_sample_documents,
         "epoch_order_documents": q.epoch_order_documents,
+        "sample_k_documents": q.sample_k_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         # schema-evolution aligned read (sources/io.read_parquet_aligned)
         "evolved_union_documents": q.evolved_union_documents,
@@ -672,6 +674,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid_documents": _langid_oracle_sql(),
         "curate_documents": _curate_oracle_sql(),
+        "sample_k_documents": """
+            SELECT doc_id FROM (
+                SELECT doc_id FROM documents
+                 ORDER BY md5('sk:' || CAST(doc_id AS VARCHAR)) LIMIT 100
+            ) ORDER BY doc_id
+        """,
         "epoch_order_documents": """
             SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (

@@ -2317,6 +2317,60 @@ def key_distribution_events(sf_dir: str) -> pa.Table:
     )
 
 
+def heavy_hitters_approx_events(sf_dir: str) -> pa.Table:
+    """APPROXIMATE heavy hitters via count-min sketch — the streaming
+    complement to the exact shuffle (heavy_hitters_events): per batch one
+    mergeable CMS partial (4×2048 int64, ~64 KB) + that batch's top-64
+    local candidates; the driver sums B sketches and ranks the candidate
+    union by estimated count. Nothing is ever shuffled by key — at 100 TB
+    this costs one narrow column scan and B tiny blobs. Rows-only
+    surface (approximate by design); the pytest golden pins the CMS
+    guarantees: top-10-by-estimate ⊇ true top-5, estimates ≥ truth and
+    within ε·N."""
+    from ..state.cms import CountMinSketch
+    from ..util import hash_column
+
+    width, depth, topk = 2048, 4, 10
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").combine_chunks()
+        cms = CountMinSketch(width=width, depth=depth)
+        cms.add_hashes(hash_column(ids))
+        vals, counts = np.unique(
+            np.asarray(ids, dtype=np.int64), return_counts=True
+        )
+        top = np.argsort(-counts, kind="stable")[:64]
+        return pa.table(
+            {
+                "cms": pa.array([cms.table.tobytes()], pa.binary()),
+                "candidates": pa.array([vals[top].tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = _collect(ds.map_batches(sketch_batch, batch_format="pyarrow"))
+    merged = CountMinSketch(width=width, depth=depth)
+    cand: set[int] = set()
+    for row in parts.to_pylist():
+        merged.merge(
+            CountMinSketch(
+                width,
+                depth,
+                np.frombuffer(row["cms"], dtype=np.int64).reshape(depth, width).copy(),
+            )
+        )
+        cand.update(row["candidates"])
+    cands = np.array(sorted(cand), dtype=np.int64)
+    est = merged.estimate_column(pa.array(cands, pa.int64()))
+    take = np.lexsort((cands, -est))[:topk]
+    return pa.table(
+        {
+            "user_id": pa.array(cands[take], pa.int64()),
+            "est_cnt": pa.array(est[take], pa.int64()),
+        }
+    )
+
+
 def prefix_dedup_documents(sf_dir: str) -> pa.Table:
     """Truncation-duplicate detection: documents sharing their first 64
     CHARACTERS (the classic boilerplate/re-crawl signature that exact
@@ -3199,6 +3253,33 @@ def epoch_order_documents(sf_dir: str) -> pa.Table:
         [os.path.join(sf_dir, "documents.parquet")], "doc_id", "ep1:"
     )
     return out.sort_by("doc_id")
+
+
+def sample_k_documents(sf_dir: str) -> pa.Table:
+    """EXACTLY-k deterministic uniform sample: the k documents with the
+    smallest md5('sk:' + doc_id) — unlike rate-based sampling the output
+    size is fixed, and unlike random_sample it is independent of block
+    layout / scan order / resume. No global sort: per-batch local
+    BOTTOM-k on the 32-hex-digit hash + one tiny driver re-top-k over
+    O(batches·k) candidates. Oracle: ORDER BY md5(...) LIMIT k."""
+    from ..util import md5_hex
+
+    k = 100
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks()
+        h = md5_hex(pc.binary_join_element_wise("sk:", ids.cast(pa.string()), ""))
+        hb = np.asarray(h.to_numpy(zero_copy_only=False), dtype="S32")
+        take = np.argsort(hb, kind="stable")[:k]
+        return pa.table(
+            {"doc_id": ids.take(pa.array(take, pa.int64())), "h": h.take(pa.array(take, pa.int64()))}
+        )
+
+    cand = _collect(ds.map_batches(local_bottomk, batch_format="pyarrow"))
+    hb = np.asarray(cand.column("h").to_numpy(zero_copy_only=False), dtype="S32")
+    take = np.argsort(hb, kind="stable")[:k]
+    return cand.select(["doc_id"]).take(pa.array(take, pa.int64())).sort_by("doc_id")
 
 
 def weighted_sample_documents(sf_dir: str) -> pa.Table:

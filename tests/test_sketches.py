@@ -170,3 +170,78 @@ def test_grouped_quantiles_vectorized_matches_scalar():
         pa.table({"g": pa.array([], pa.string()), "x": pa.array([], pa.float64()),
                   "cnt": pa.array([], pa.int64())}), "g", "x", bps
     ) == {}
+
+
+def test_cms_overestimate_and_bound():
+    """CMS never underestimates; error ≤ ε·N with overwhelming margin at
+    these sizes; merged partials ≡ one-shot sketch (exact table equality)."""
+    import pyarrow as pa
+
+    from schemasaurus_ray.state.cms import CountMinSketch
+
+    rng = np.random.default_rng(13)
+    keys = rng.zipf(1.4, size=30_000) % 5000
+    col = pa.array([f"k{v}" for v in keys], pa.string())
+    cms = CountMinSketch(width=2048, depth=4)
+    cms.add_column(col)
+    assert cms.total == 30_000
+
+    uniq, true_counts = np.unique(keys, return_counts=True)
+    qcol = pa.array([f"k{v}" for v in uniq], pa.string())
+    est = cms.estimate_column(qcol)
+    assert (est >= true_counts).all()  # never under
+    eps = np.e / 2048
+    assert (est - true_counts <= eps * cms.total + 1).all()
+    # heavy hitters keep near-exact counts
+    hot = np.argsort(true_counts)[::-1][:10]
+    assert (est[hot] - true_counts[hot] <= 0.002 * cms.total).all()
+
+    # mergeability: sharded partials sum to the one-shot table bit-exactly
+    merged = CountMinSketch(width=2048, depth=4)
+    for part in np.array_split(keys, 7):
+        p = CountMinSketch(width=2048, depth=4)
+        p.add_column(pa.array([f"k{v}" for v in part], pa.string()))
+        merged.merge(p)
+    assert np.array_equal(merged.table, cms.table)
+    assert np.array_equal(
+        merged.estimate_column(qcol), cms.estimate_column(qcol)
+    )
+
+
+def test_cms_weighted_updates():
+    import pyarrow as pa
+
+    from schemasaurus_ray.state.cms import CountMinSketch
+    from schemasaurus_ray.util import hash_column
+
+    cms = CountMinSketch(width=512, depth=3)
+    h = hash_column(pa.array(["a", "b"], pa.string()))
+    cms.add_hashes(h, counts=np.array([5, 11], dtype=np.int64))
+    est = cms.estimate_hashes(h)
+    assert est[0] >= 5 and est[1] >= 11 and cms.total == 16
+
+
+def test_heavy_hitters_approx_query_golden(ray_session):
+    """Driver surface: CMS top-10-by-estimate contains the true top-5;
+    estimates never underestimate and respect the ε·N bound."""
+    import duckdb
+    import pyarrow as pa  # noqa: F401
+
+    from schemasaurus_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.heavy_hitters_approx_events(sf)
+    con = duckdb.connect()
+    true = dict(
+        con.sql(
+            f"SELECT user_id, count(*) FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    total = sum(true.values())
+    top5 = [u for u, _ in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    rows = {int(r["user_id"]): int(r["est_cnt"]) for r in got.to_pylist()}
+    assert set(top5) <= set(rows)
+    eps = np.e / 2048
+    for u, est in rows.items():
+        assert est >= true.get(u, 0)
+        assert est - true.get(u, 0) <= eps * total + 1
