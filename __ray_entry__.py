@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_normalize_clips": q.audio_normalize_clips,
         "audio_augment_clips": q.audio_augment_clips,
         "audio_tempo_clips": q.audio_tempo_clips,
+        "audio_denoise_clips": q.audio_denoise_clips,
         "audio_curate_clips": q.audio_curate_clips,
         "audio_quality_clips": q.audio_quality_clips,
         "audio_spectral_clips": q.audio_spectral_clips,

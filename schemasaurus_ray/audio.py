@@ -1011,3 +1011,66 @@ def pcm_time_stretch(x: np.ndarray, rate: float, frame: int = 512) -> np.ndarray
     # input 0, so the original opening is the exact reconstruction
     out[:hop] = x[:hop]
     return out[:out_len]
+
+
+def pcm_denoise(
+    x: np.ndarray,
+    frame: int = 512,
+    noise_q: float = 0.10,
+    beta: float = 1.5,
+    floor: float = 0.05,
+) -> tuple[np.ndarray, float]:
+    """SPECTRAL-SUBTRACTION denoise of one PCM clip — the audio-side
+    quality REPAIR op (the analogue of text normalize/redact): estimate
+    the per-bin noise floor as the ``noise_q`` quantile of the STFT
+    magnitudes over time (quiet frames dominate low quantiles), subtract
+    ``beta``× it from every frame's magnitude (clamped at ``floor``× the
+    original — the standard musical-noise guard), resynthesize with the
+    original phases by inverse rFFT + overlap-add. Analysis window is
+    periodic Hann at 50% hop (COLA: Σ shifted w == 1), synthesis is
+    rectangular, so unmodified spectra reconstruct exactly.
+
+    Returns ``(denoised float64 samples — same length, noise_rms)`` where
+    noise_rms is the estimated noise level in normalized units (a QA
+    metadata signal). Vectorized per clip: one batched rfft/irfft round,
+    no per-frame Python."""
+    n = len(x)
+    hop = frame // 2
+    if n < 2 * frame:
+        return x.astype(np.float64).copy(), 0.0
+    nf = (n - frame) // hop + 1
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame) / frame)
+    pos = np.arange(nf) * hop
+    frames = x[pos[:, None] + np.arange(frame)[None, :]] * w
+    spec = np.fft.rfft(frames, axis=1)
+    mag = np.abs(spec)
+    noise = np.quantile(mag, noise_q, axis=0)  # per-bin floor over time
+    new_mag = np.maximum(mag - beta * noise[None, :], floor * mag)
+    scale = new_mag / np.maximum(mag, 1e-12)
+    y_frames = np.fft.irfft(spec * scale, n=frame, axis=1)
+    out = np.zeros(n + frame, dtype=np.float64)
+    even = y_frames[0::2]
+    odd = y_frames[1::2]
+    out[: even.shape[0] * frame] += even.ravel()
+    out[hop : hop + odd.shape[0] * frame] += odd.ravel()
+    # normalize by the actual window coverage (Σ of shifted Hanns == 1 in
+    # the interior; < 1 over the first/last half-frames and past the frame
+    # grid) — where coverage is weak, fall back to the original samples
+    norm = np.zeros(n + frame, dtype=np.float64)
+    wt = np.tile(w, even.shape[0])
+    norm[: even.shape[0] * frame] += wt
+    norm[hop : hop + odd.shape[0] * frame] += np.tile(w, odd.shape[0])
+    good = norm[:n] > 0.5
+    out_n = out[:n]
+    out_n[good] /= norm[:n][good]
+    out_n[~good] = x[~good]
+    # noise rms in normalized int16 units: quiet frames dominate the low
+    # quantiles of per-frame mean power; undo the analysis window's power
+    # shaping (a windowed noise frame has mean power σ²·mean(w²)). For a
+    # 512-sample frame the per-frame power concentrates, so q25 of the
+    # frame powers ≈ the noise floor during pauses.
+    frame_pow = (frames**2).mean(axis=1)
+    noise_rms = float(
+        np.sqrt(np.quantile(frame_pow, 0.25) / float((w**2).mean())) / 32768.0
+    )
+    return out_n, noise_rms

@@ -373,6 +373,56 @@ class AudioSegmentStage:
         return pa.table(cols)
 
 
+class AudioDenoiseStage:
+    """Actor-pool stage: spectral-subtraction denoise per clip
+    (``audio.pcm_denoise``) — the audio QUALITY-REPAIR op (text analogue:
+    normalize/redact). Emits the cleaned WAV payload plus the estimated
+    noise floor in basis points of full scale (QA metadata for curation
+    thresholds). Assumes intermittent signal (speech pauses) for the
+    quiet-frame noise estimate — a stationary tone is its own 'noise
+    floor' and passes through attenuated; clips shorter than two frames
+    pass through untouched. Per-clip decode loop over one batched
+    rfft/irfft round each (same measured per-clip rationale as the other
+    payload-rewrite stages)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id"):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audio import pcm_denoise, wav_decode, wav_encode
+
+        blobs = batch.column(self.bytes_col)
+        out_bytes: list[bytes | None] = []
+        noise_bp = np.zeros(batch.num_rows, dtype=np.int64)
+        nulls = np.zeros(batch.num_rows, dtype=bool)
+        for i in range(batch.num_rows):
+            blob = blobs[i].as_py()
+            if blob is None:
+                out_bytes.append(None)
+                nulls[i] = True
+                continue
+            try:
+                pcm, sr = wav_decode(blob)
+            except ValueError:
+                out_bytes.append(None)
+                nulls[i] = True
+                continue
+            y, nrms = pcm_denoise(pcm.astype(np.float64))
+            enc = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+            out_bytes.append(wav_encode(enc, sr) if sr > 0 else None)
+            if sr <= 0:
+                nulls[i] = True
+            noise_bp[i] = int(nrms * 10000)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                self.bytes_col: pa.array(out_bytes, pa.binary()),
+                "noise_bp": pa.array(noise_bp, pa.int64(), mask=nulls),
+            }
+        )
+
+
 class AudioTempoStage:
     """Deterministic pitch-PRESERVING tempo augmentation — one clip row →
     one row per rate variant via period-synchronized overlap-add

@@ -2531,6 +2531,29 @@ def audio_augment_clips(sf_dir: str) -> pa.Table:
     )
 
 
+def audio_denoise_clips(sf_dir: str) -> pa.Table:
+    """Spectral-subtraction denoise over the clip fixture: per-clip
+    noise-floor estimate (basis points of full scale) from the cleaned
+    payload pass (audio.pcm_denoise via the actor-pool
+    AudioDenoiseStage). Rows-only surface; the pytest golden pins SNR
+    improvement on gated signal + noise and exact passthrough of
+    unmodified spectra."""
+    import glob as glob_
+
+    from ..functions.multimodal import AudioDenoiseStage
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes"],
+    )
+    out = ds.map_batches(
+        AudioDenoiseStage(), batch_format="pyarrow"
+    ).select_columns(["clip_id", "noise_bp"])
+    return _collect(out).sort_by("clip_id")
+
+
 def audio_tempo_clips(sf_dir: str) -> pa.Table:
     """Pitch-preserving tempo augmentation fan-out: each fixture clip →
     0.9×/1.1× rate variants via period-synchronized overlap-add

@@ -607,3 +607,50 @@ def test_audio_tempo_stage_fanout():
         per[cid] = per.get(cid, 0) + 1
     assert per and all(v == 2 for v in per.values())
     assert set(out.column("rate_pct").to_pylist()) == {90, 110}
+
+
+def test_pcm_denoise_golden():
+    """Identity when nothing is subtracted; on gated signal + noise the
+    ON-region SNR improves and OFF-region noise power drops; the
+    noise-floor estimate tracks the injected level within 10%."""
+    from schemasaurus_ray.audio import pcm_denoise
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(4000) * 1000
+    y, _ = pcm_denoise(x, beta=0.0, floor=1.0)
+    assert np.abs(y - x).max() < 1e-9  # exact COLA reconstruction
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    gate = np.zeros(sr)
+    gate[4000:9000] = 1.0
+    clean = 8000 * np.sin(2 * np.pi * 300 * t) * gate
+    noisy = clean + 1500 * rng.standard_normal(sr)
+    den, nrms = pcm_denoise(noisy)
+
+    def snr(a, sl):
+        e = a[sl] - clean[sl]
+        return 10 * np.log10((clean[sl] ** 2).mean() / (e**2).mean())
+
+    on = slice(4500, 8500)
+    off = slice(10000, 15000)
+    assert snr(den, on) > snr(noisy, on) + 3.0
+    assert (den[off] ** 2).mean() < 0.5 * (noisy[off] ** 2).mean()
+    assert abs(nrms - 1500 / 32768) / (1500 / 32768) < 0.10
+    # short clip: untouched
+    y2, n2 = pcm_denoise(x[:600])
+    assert np.array_equal(y2, x[:600]) and n2 == 0.0
+
+
+def test_audio_denoise_stage_schema():
+    from schemasaurus_ray.functions.multimodal import AudioDenoiseStage
+
+    clips = make_clips(32, with_audio=True, inject=True)
+    out = AudioDenoiseStage()(clips)
+    assert out.column_names == ["clip_id", "bytes", "noise_bp"]
+    assert out.num_rows == 32
+    vals = [v for v in out.column("noise_bp").to_pylist() if v is not None]
+    # fixture clips are CONTINUOUS 0.5-amplitude sines (+0.1 noise): with
+    # no pauses the quiet-frame floor IS the clip rms ≈ √(0.5²/2 + 0.1²)
+    # ≈ 0.364 full scale — the documented stationary-signal caveat
+    assert vals and all(v == 0 or 3000 <= v <= 4200 for v in vals)  # 0 = short-clip passthrough
