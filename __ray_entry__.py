@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
+        "langid_confusion_documents": q.langid_confusion_documents,
         "vocab_topk_documents": q.vocab_topk_documents,
         # joins
         "enrich_events_customer": q.enrich_events_customer,
@@ -202,6 +203,16 @@ def _langid_pred_ctes() -> str:
 
 def _langid_oracle_sql() -> str:
     return f"WITH {_langid_pred_ctes()} SELECT doc_id, lang_pred FROM lang ORDER BY doc_id"
+
+
+def _langid_confusion_oracle_sql() -> str:
+    return f"""
+        WITH {_langid_pred_ctes()}
+        SELECT d.lang, coalesce(l.lang_pred, 'und') AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+          FROM documents d JOIN lang l USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 def _curate_oracle_sql() -> str:
@@ -674,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         "langid_documents": _langid_oracle_sql(),
+        "langid_confusion_documents": _langid_confusion_oracle_sql(),
         "curate_documents": _curate_oracle_sql(),
         "sample_k_documents": """
             SELECT doc_id FROM (

@@ -1337,6 +1337,38 @@ def langid_documents(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "lang_pred"]).sort_by("doc_id")
 
 
+def langid_confusion_documents(sf_dir: str) -> pa.Table:
+    """Language-ID CONFUSION MATRIX vs the labeled lang column — the
+    model-vs-label evaluation table every classifier-driven curation
+    stage needs before its output is trusted: (lang, lang_pred, n).
+    One map_batches (same cached LangIdStage) emits per-batch (label,
+    pred) count partials; the driver merges ≤ languages² tiny rows. The
+    oracle reproduces the prediction in SQL generated from the SAME
+    stopword tables (cannot drift)."""
+    from ..util import cached_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        pred = cached_stage(LangIdStage)(batch.select(["doc_id", "text"]))
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                # null (below-threshold) → 'und' so both sides group/sort
+                # identically
+                "lang_pred": pc.fill_null(pred.column("lang_pred"), "und"),
+            }
+        )
+        g = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    parts = _collect(ds.map_batches(count_pairs, batch_format="pyarrow"))
+    out = parts.group_by(["lang", "lang_pred"]).aggregate([("n", "sum")])
+    return out.rename_columns(["lang", "lang_pred", "n"]).sort_by(
+        [("lang", "ascending"), ("lang_pred", "ascending")]
+    )
+
+
 # ---- similarity search ------------------------------------------------------
 def _query_vectors(sf_dir: str, n: int = 4) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
