@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "interarrival_events": q.interarrival_events,
         "rolling_minmax_events": q.rolling_minmax_events,
+        "late_events": q.late_events,
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
@@ -1112,6 +1113,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (PARTITION BY lang
                                         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
               FROM documents ORDER BY doc_id
+        """,
+        "late_events": """
+            WITH j AS (
+                SELECT event_id,
+                       epoch_us(ts) - CAST(CAST(concat('0x',
+                           substr(md5(CAST(event_id AS VARCHAR)), 1, 3))
+                           AS INTEGER) AS BIGINT) * 30000000 AS t
+                  FROM events
+            ), w AS (
+                SELECT event_id, t,
+                       MAX(t) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+                  FROM j
+            )
+            SELECT event_id, t, CAST(wm - t AS BIGINT) AS late_us
+              FROM w WHERE t < wm - 12 * 3600000000
+             ORDER BY event_id
         """,
         "rolling_minmax_events": """
             SELECT event_id,

@@ -2154,6 +2154,40 @@ def interarrival_events(sf_dir: str) -> pa.Table:
     ).sort_by("user_id")
 
 
+def late_events(sf_dir: str) -> pa.Table:
+    """WATERMARK / LATE-DATA audit over a replayed stream (§2G's last
+    category): arrival order = event_id, event time = ts minus a
+    deterministic md5-derived delivery jitter (0–34 h — the synthetic
+    events are strictly in-order, so the jitter simulates at-least-once
+    delivery; it is reproduced verbatim in the oracle SQL). An event is
+    LATE when its event time trails the watermark (running max of event
+    time over arrival order) by > 12 h. The running max is a distributed
+    PREFIX SCAN, not a shuffle: range-bucket by event_id, exclusive
+    cummax per bucket, B scalar maxima prefix-maxed on the driver
+    (stages/temporal.late_events_shuffled). Rows move exactly once."""
+    from ..stages.temporal import late_events_shuffled
+    from ..util import md5_digests
+
+    W = 12 * 3_600_000_000
+
+    def jitter(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").combine_chunks()
+        dig = md5_digests(eid.cast(pa.string()))
+        # first 3 hex chars as an int (0..4095), exactly CAST(concat('0x',
+        # substr(md5(id),1,3)) AS INTEGER): 12 bits = byte0·16 + byte1>>4
+        j12 = dig[:, 0].astype(np.int64) * 16 + (dig[:, 1].astype(np.int64) >> 4)
+        t = np.asarray(tbl.column("ts").cast(pa.int64())) - j12 * 30_000_000
+        return pa.table(
+            {"event_id": tbl.column("event_id"), "t": pa.array(t, pa.int64())}
+        )
+
+    out = late_events_shuffled(
+        [os.path.join(sf_dir, "events.parquet")], "event_id", "t",
+        watermark_us=W, pre_fn=jitter, read_cols=["event_id", "ts"],
+    )
+    return out.sort_by("event_id")
+
+
 def rolling_minmax_events(sf_dir: str) -> pa.Table:
     """Trailing-3-event min/max of `value` per user — exactly SQL's
     MIN/MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS

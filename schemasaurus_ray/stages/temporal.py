@@ -809,3 +809,131 @@ def rolling_minmax_shuffled(
             }
         )
     return pa.concat_tables(tables)
+
+
+def late_events_shuffled(
+    paths: list[str],
+    seq_col: str,
+    ts_col: str,
+    watermark_us: int,
+    pre_fn=None,
+    read_cols: list[str] | None = None,
+    num_ranges: int = 16,
+) -> pa.Table:
+    """WATERMARK / LATE-DATA detection — the §2G streaming category over a
+    replayed stream: with arrival order = ``seq_col`` and event time =
+    ``ts_col`` (µs int64; ``pre_fn`` may derive it), the watermark at row
+    i is max(t of all rows with smaller seq); a row is LATE when
+    ``t < watermark − watermark_us``. Exactly SQL's
+    ``MAX(t) OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    A running max over arrival order is a PREFIX SCAN, not a shuffle —
+    and the plan is the classic two-phase distributed scan: (1) one tiny
+    pass for per-shard seq ranges → B equal RANGE buckets; (2) rows move
+    once into their range bucket; each bucket sorts locally and computes
+    its exclusive cumulative max; buckets report one max each, the driver
+    prefix-maxes B scalars, and a finalize task per bucket merges the
+    incoming watermark and emits only the late rows. No global sort, rows
+    shipped exactly once, O(B) driver state."""
+    import ray
+
+    INT64_MIN = np.iinfo(np.int64).min
+
+    @ray.remote
+    def seq_range(path: str):
+        tbl = pq.read_table(path, columns=[seq_col])
+        if tbl.num_rows == 0:
+            return None
+        s = _np_col(tbl, seq_col)
+        return (int(s.min()), int(s.max()))
+
+    ranges = [r for r in ray.get([seq_range.remote(p) for p in sorted(paths)]) if r]
+    empty = pa.table(
+        {
+            seq_col: pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "late_us": pa.array([], pa.int64()),
+        }
+    )
+    if not ranges:
+        return empty
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges) + 1
+    bounds = np.linspace(lo, hi, num_ranges + 1).astype(np.int64)
+    bounds[0], bounds[-1] = lo, hi
+
+    cols = read_cols if read_cols is not None else sorted({seq_col, ts_col})
+
+    @ray.remote(num_returns=num_ranges)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=cols)
+        if pre_fn is not None:
+            tbl = pre_fn(tbl)  # derives ts_col (e.g. jittered event time)
+        s = _np_col(tbl, seq_col)
+        b = np.clip(np.searchsorted(bounds, s, side="right") - 1, 0, num_ranges - 1)
+        order = np.argsort(b, kind="stable")
+        st = tbl.take(pa.array(order, pa.int64()))
+        cuts = np.searchsorted(b[order], np.arange(num_ranges + 1))
+        out = [st.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(num_ranges)]
+        return out if num_ranges > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def scan_bucket(*tables: pa.Table):
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            return empty.append_column("wm_local", pa.array([], pa.int64())), INT64_MIN
+        tbl = pa.concat_tables(parts)
+        s = _np_col(tbl, seq_col)
+        t = _np_col(tbl, ts_col)
+        order = np.argsort(s, kind="stable")
+        ts_sorted = t[order]
+        cm = np.maximum.accumulate(ts_sorted)
+        excl = np.empty_like(cm)
+        excl[0] = INT64_MIN
+        excl[1:] = cm[:-1]
+        out = pa.table(
+            {
+                seq_col: pa.array(s[order], pa.int64()),
+                "t": pa.array(ts_sorted, pa.int64()),
+                "wm_local": pa.array(excl, pa.int64()),
+            }
+        )
+        return out, int(cm[-1])
+
+    @ray.remote
+    def finalize(tbl: pa.Table, incoming: int) -> pa.Table:
+        if tbl.num_rows == 0:
+            return empty
+        t = np.asarray(tbl.column("t").combine_chunks(), dtype=np.int64)
+        wm = np.maximum(
+            np.asarray(tbl.column("wm_local").combine_chunks(), dtype=np.int64), incoming
+        )
+        # INT64_MIN wm (no prior row anywhere) can never flag late
+        late = wm > t + watermark_us
+        sel = pa.array(late)
+        return pa.table(
+            {
+                seq_col: tbl.column(seq_col).filter(sel),
+                "t": tbl.column("t").filter(sel),
+                "late_us": pa.array((wm - t)[late], pa.int64()),
+            }
+        )
+
+    refs = [map_shard.remote(p) for p in sorted(paths)]
+    if num_ranges == 1:
+        refs = [[r] for r in refs]
+    combine = _concat_remote()
+    scanned = [
+        scan_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine))
+        for b in range(num_ranges)
+    ]
+    maxima = ray.get([s[1] for s in scanned])
+    incoming = INT64_MIN
+    finals = []
+    for b in range(num_ranges):
+        finals.append(finalize.remote(scanned[b][0], incoming))
+        incoming = max(incoming, maxima[b])
+    tables = [t for t in ray.get(finals) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables)

@@ -539,3 +539,43 @@ def test_rolling_minmax_random_vs_duckdb(ray_session, tmp_path):
     assert got.column("n_in_window").to_pylist() == want.column("n_in_window").to_pylist()
     for c in ("roll_min", "roll_max"):
         assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_late_events_shuffled_vs_duckdb(ray_session, tmp_path):
+    """Distributed prefix-scan watermark on interleaved shards (seq values
+    deliberately split across files) vs the running-max window oracle,
+    heavy out-of-orderness."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import late_events_shuffled
+
+    rng = np.random.default_rng(17)
+    n = 900
+    seq = rng.permutation(5000)[:n].astype(np.int64)
+    t = (np.sort(rng.integers(0, 10**9, size=n)) - rng.integers(0, 10**8, size=n)).astype(
+        np.int64
+    )  # broadly increasing with heavy jitter
+    tbl = pa.table({"seq": pa.array(seq, pa.int64()), "t": pa.array(t, pa.int64())})
+    paths = []
+    for s in range(4):  # interleave: shard s takes rows s, s+4, s+8, ...
+        part = tbl.take(pa.array(np.arange(s, n, 4), pa.int64()))
+        p = str(tmp_path / f"l{s}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+    W = 50_000_000
+    got = late_events_shuffled(paths, "seq", "t", watermark_us=W, num_ranges=5)
+    got = got.sort_by("seq")
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.sql(
+        f"""
+        WITH w AS (SELECT seq, t, MAX(t) OVER (ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) wm FROM t)
+        SELECT seq, t, CAST(wm - t AS BIGINT) AS late_us
+          FROM w WHERE t < wm - {W} ORDER BY seq
+        """
+    ).arrow()
+    assert got.num_rows == want.num_rows and got.num_rows > 0
+    for c in ("seq", "t", "late_us"):
+        assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
