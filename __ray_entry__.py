@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q.quantize_embeddings,
         "prefix_dedup_documents": q.prefix_dedup_documents,
         "funnel_events": q.funnel_events,
+        "funnel_window_events": q.funnel_window_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
         "infer_spec_documents": q.infer_spec_documents,
@@ -1025,6 +1026,23 @@ def oracle_sql() -> dict[str, str]:
                     WHERE e.event_type='click' GROUP BY 1),
             s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
                      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                    WHERE e.event_type='purchase' GROUP BY 1)
+            SELECT stage, n_users FROM (
+              SELECT 'view' AS stage, count(*) AS n_users FROM s1
+              UNION ALL SELECT 'view>click', count(*) FROM s2
+              UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
+            ) ORDER BY stage
+        """,
+        "funnel_window_events": """
+            WITH ev AS (SELECT * FROM events WHERE event_id % 8 = 0),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type='view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                     JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+                            AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+                    WHERE e.event_type='click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+                     JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+                            AND e.ts <= s2.t2 + INTERVAL 24 HOUR
                     WHERE e.event_type='purchase' GROUP BY 1)
             SELECT stage, n_users FROM (
               SELECT 'view' AS stage, count(*) AS n_users FROM s1

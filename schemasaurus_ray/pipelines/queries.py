@@ -3536,6 +3536,38 @@ def funnel_events(sf_dir: str) -> pa.Table:
     ).sort_by("stage")
 
 
+def funnel_window_events(sf_dir: str) -> pa.Table:
+    """Conversion funnel with a 24 h ATTRIBUTION WINDOW: each stage must
+    occur strictly after AND within 24 h of reaching the previous stage
+    (greedy earliest-completion — the standard analytics semantics, and
+    exactly what the oracle's bounded joins compute). Same one-shuffle
+    plan as funnel_events; the window is one extra vectorized mask per
+    stage in the reduce kernel (stages/temporal.funnel_shuffled
+    max_gap_us)."""
+    from ..stages.temporal import funnel_shuffled
+
+    stages = ["view", "click", "purchase"]
+
+    def thin(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("event_id").combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(ids % 8 == 0)).drop_columns(["event_id"])
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        thin, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = funnel_shuffled(
+        ds, "user_id", "ts", "event_type", stages, max_gap_us=24 * 3_600_000_000
+    )
+    labels = [">".join(stages[: i + 1]) for i in range(len(stages))]
+    idx = out.column("stage_idx").to_pylist()
+    return pa.table(
+        {
+            "stage": pa.array([labels[i] for i in idx], pa.string()),
+            "n_users": out.column("n_keys"),
+        }
+    ).sort_by("stage")
+
+
 def cohort_retention_events(sf_dir: str) -> pa.Table:
     """COHORT RETENTION TRIANGLE: users grouped by first-activity day,
     counted on each active day offset — (cohort, day_offset, n_users),

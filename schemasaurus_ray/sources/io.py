@@ -33,8 +33,21 @@ def read_parquet_tasks(
     target_block_bytes: int = 128 * 1024 * 1024,
     prune_missing: bool = False,
     max_rows_per_block: int | None = None,
+    on_error: str = "raise",
+    quarantine_dir: str | None = None,
 ) -> "ray.data.Dataset":
+    """See module docstring. ``on_error="skip"`` makes a corrupt /
+    unreadable shard yield ZERO rows instead of failing the whole run —
+    at 100 TB one bad file must not kill a multi-hour job — and, when
+    ``quarantine_dir`` is set, writes an idempotent sidecar record
+    ``corrupt-<md5(path)>.json`` (path + error) from the reading task so
+    the operator can retry/repair exactly the quarantined shards. The
+    default stays ``raise``: silently narrowing correctness-critical
+    input is opt-in, never implicit."""
     import ray.data as rd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     cols = list(columns) if columns else None
     # prune_missing: schema-evolved lakes — a shard written before a column
@@ -67,7 +80,23 @@ def read_parquet_tasks(
             # memory_map: local files (tmpfs/page cache) assemble Arrow
             # buffers from mapped pages instead of read()-copies — with
             # uncompressed binary columns this is the near-zero-copy path
-            t = pq.read_table(p, columns=sel(p), memory_map=True).replace_schema_metadata(None)
+            try:
+                t = pq.read_table(p, columns=sel(p), memory_map=True).replace_schema_metadata(None)
+            except Exception as exc:  # noqa: BLE001 — any decode/IO failure
+                if on_error != "skip":
+                    raise
+                if quarantine_dir is not None:
+                    import hashlib
+                    import json as _json
+                    import os as _os
+
+                    _os.makedirs(quarantine_dir, exist_ok=True)
+                    name = f"corrupt-{hashlib.md5(p.encode()).hexdigest()}.json"
+                    tmp = _os.path.join(quarantine_dir, name + ".tmp")
+                    with open(tmp, "w") as f:
+                        _json.dump({"path": p, "error": str(exc)[:500]}, f)
+                    _os.replace(tmp, _os.path.join(quarantine_dir, name))
+                continue
             if include_paths:
                 t = t.append_column("path", pa.array([p] * t.num_rows, pa.string()))
                 t = t.append_column(

@@ -531,6 +531,7 @@ def funnel_shuffled(
     type_col: str,
     stages: list[str],
     num_buckets: int | None = None,
+    max_gap_us: int | None = None,
 ) -> pa.Table:
     """ORDERED FUNNEL: how many keys reached stage i — where reaching
     stage i means an event of type stages[i] STRICTLY AFTER the time the
@@ -544,7 +545,13 @@ def funnel_shuffled(
     the stage's type strictly after the key's previous-stage time) and
     returns only a (stage_idx, n_keys) pair table; the driver sums B×S
     tiny rows. Keys that stall at stage i stay at +inf for every later
-    stage, so later counts are monotonically ≤ earlier ones."""
+    stage, so later counts are monotonically ≤ earlier ones.
+
+    ``max_gap_us`` adds an ATTRIBUTION WINDOW: stage i must occur within
+    that many µs of reaching stage i-1 (greedy earliest-completion — the
+    standard analytics semantics, mirrored exactly by the oracle's
+    ``ts > t_prev AND ts <= t_prev + T`` joins; greedy can differ from
+    the optimal-assignment funnel, by design)."""
     import ray
 
     srcs = src if isinstance(src, list) else None
@@ -581,7 +588,13 @@ def funnel_shuffled(
         t_prev = np.full(n_keys, np.iinfo(np.int64).min, dtype=np.int64)
         counts = np.zeros(len(stage_list), dtype=np.int64)
         for i in range(len(stage_list)):
-            cand = np.where((cs == i) & (ts_ > t_prev[seg_of_row]), ts_, INF)
+            tp = t_prev[seg_of_row]
+            ok = (cs == i) & (ts_ > tp)
+            if max_gap_us is not None and i > 0:
+                # ts − tp is exact for real tp; for tp = +inf (stage i−1
+                # unreached) the strict > above is already False
+                ok &= (ts_ - tp) <= max_gap_us
+            cand = np.where(ok, ts_, INF)
             t_stage = np.minimum.reduceat(cand, seg) if n_keys else cand[:0]
             counts[i] = int((t_stage < INF).sum())
             t_prev = t_stage

@@ -213,3 +213,42 @@ def test_read_csv_tasks_schema_nulls_and_lineage(ray_session, tmp_path):
     proj = read_csv_tasks([p1], schema=schema, columns=["a"])
     pt = pa.concat_tables(list(proj.iter_batches(batch_format="pyarrow")))
     assert pt.column_names == ["a"]
+
+
+def test_read_parquet_tasks_on_error_skip(ray_session, tmp_path):
+    """A corrupt shard: default raises; on_error='skip' yields the good
+    rows only and writes one idempotent quarantine record per bad file."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from schemasaurus_ray.sources.io import read_parquet_tasks
+
+    paths = []
+    for s in range(3):
+        p = str(tmp_path / f"g{s}.parquet")
+        pq.write_table(pa.table({"x": pa.array([s * 10, s * 10 + 1], pa.int64())}), p)
+        paths.append(p)
+    bad = str(tmp_path / "bad.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 this is not really parquet")
+    paths.append(bad)
+
+    with pytest.raises(Exception):
+        read_parquet_tasks(paths).take_all()
+
+    qdir = str(tmp_path / "quarantine")
+    ds = read_parquet_tasks(paths, on_error="skip", quarantine_dir=qdir)
+    rows = sorted(r["x"] for r in ds.take_all())
+    assert rows == [0, 1, 10, 11, 20, 21]
+    recs = glob.glob(os.path.join(qdir, "corrupt-*.json"))
+    assert len(recs) == 1
+    rec = json.load(open(recs[0]))
+    assert rec["path"] == bad and rec["error"]
+    # re-run is idempotent: same single record
+    read_parquet_tasks(paths, on_error="skip", quarantine_dir=qdir).take_all()
+    assert len(glob.glob(os.path.join(qdir, "corrupt-*.json"))) == 1

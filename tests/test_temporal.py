@@ -579,3 +579,57 @@ def test_late_events_shuffled_vs_duckdb(ray_session, tmp_path):
     assert got.num_rows == want.num_rows and got.num_rows > 0
     for c in ("seq", "t", "late_us"):
         assert got.column(c).to_pylist() == want.column(c).to_pylist(), c
+
+
+def test_funnel_window_random_vs_duckdb(ray_session, tmp_path):
+    """Windowed funnel (attribution window between consecutive stages) on
+    random shards vs the bounded-join oracle; tight window so it actually
+    discriminates."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import funnel_shuffled
+
+    rng = np.random.default_rng(23)
+    paths, parts = [], []
+    types = np.array(["a", "b", "c", "x"], dtype=object)
+    for s in range(3):
+        n = int(rng.integers(80, 250))
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 40, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 1000, size=n), pa.int64()),
+                "ty": pa.array(types[rng.integers(0, 4, size=n)].tolist(), pa.string()),
+            }
+        )
+        p = str(tmp_path / f"fw{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        parts.append(t)
+    W = 60
+    got = funnel_shuffled(paths, "k", "ts", "ty", ["a", "b", "c"], num_buckets=4, max_gap_us=W)
+    con = duckdb.connect()
+    con.register("t", pa.concat_tables(parts))
+    want = con.sql(
+        f"""
+        WITH s1 AS (SELECT k, min(ts) t1 FROM t WHERE ty='a' GROUP BY 1),
+        s2 AS (SELECT e.k, min(e.ts) t2 FROM t e JOIN s1 ON e.k=s1.k
+                 AND e.ts > s1.t1 AND e.ts <= s1.t1 + {W}
+                WHERE e.ty='b' GROUP BY 1),
+        s3 AS (SELECT e.k, min(e.ts) t3 FROM t e JOIN s2 ON e.k=s2.k
+                 AND e.ts > s2.t2 AND e.ts <= s2.t2 + {W}
+                WHERE e.ty='c' GROUP BY 1)
+        SELECT * FROM (
+          SELECT 0 i, count(*) n FROM s1
+          UNION ALL SELECT 1, count(*) FROM s2
+          UNION ALL SELECT 2, count(*) FROM s3) ORDER BY i
+        """
+    ).fetchall()
+    got_counts = dict(zip(got.column("stage_idx").to_pylist(), got.column("n_keys").to_pylist()))
+    for i, n in want:
+        assert got_counts[i] == n, (i, got_counts, want)
+    # windowed counts must be <= unwindowed at stages > 0
+    plain = funnel_shuffled(paths, "k", "ts", "ty", ["a", "b", "c"], num_buckets=4)
+    pc_counts = dict(zip(plain.column("stage_idx").to_pylist(), plain.column("n_keys").to_pylist()))
+    assert got_counts[0] == pc_counts[0]
+    assert got_counts[1] <= pc_counts[1] and got_counts[2] <= pc_counts[2]
