@@ -252,6 +252,8 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--no-resume", action="store_true")
         p.add_argument("--num-cpus", type=int, default=None)
         p.add_argument("--batch-size", type=int, default=None)
+        p.add_argument("--on-error", choices=["raise", "skip"], default="raise",
+                       help="skip: quarantine unreadable shards instead of failing the run")
 
     p = sub.add_parser("infer", help="profile a table into a suggested validation spec")
     p.add_argument("--input", required=True, help="parquet file or directory of shards")
@@ -303,7 +305,10 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.snapshot) as f:
             snapshot = json.load(f)
 
-    pipe = ValidationPipeline(spec, args.out, snapshot=snapshot, batch_size=args.batch_size)
+    pipe = ValidationPipeline(
+        spec, args.out, snapshot=snapshot, batch_size=args.batch_size,
+        on_error=getattr(args, "on_error", "raise"),
+    )
     report = pipe.run(args.input, ref_datasets=refs or None, resume=not args.no_resume)
 
     if args.cmd == "snapshot":

@@ -272,6 +272,9 @@ class ValidationReport:
             and self.metrics.get("duplicate_keys", 0) == 0
             and self.metrics.get("orphans", 0) == 0
             and self.metrics.get("quantile_violations", 0) == 0
+            # quarantined (unreadable, on_error='skip') shards mean rows
+            # were never checked — the dataset cannot be declared valid
+            and not self.metrics.get("quarantined_shards")
         )
 
 
@@ -300,6 +303,7 @@ class ValidationPipeline:
         snapshot: dict[str, Any] | None = None,
         batch_size: int | None = None,
         concurrency: int | None = None,
+        on_error: str = "raise",
     ):
         self.raw_spec = raw_spec
         self.spec: TableSpec = parse_table_spec(raw_spec)
@@ -310,9 +314,36 @@ class ValidationPipeline:
         )
         self.batch_size = batch_size
         self.concurrency = concurrency
+        # "skip": a corrupt/unreadable parquet shard yields zero rows and a
+        # quarantine record instead of failing the run; the shard writes no
+        # partial, stays un-completed in the manifest, and is retried by the
+        # next resume — repair, then re-run (100 TB: one bad file must not
+        # kill the job). Default "raise" — narrowing input is opt-in.
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+        self.on_error = on_error
         self.rule_hash = _spec_hash(raw_spec)
 
     # -- helpers -------------------------------------------------------------
+    def _quarantined(self, shards: list[str]) -> list[str]:
+        """Input shards with a corrupt-shard record under out_dir/quarantine
+        (written by the reader when on_error='skip'). These are counted in
+        metrics but NOT marked complete — resume retries them."""
+        import glob as _glob
+        import json as _json
+
+        qdir = os.path.join(self.out_dir, "quarantine")
+        want = set(shards)
+        out = []
+        for f in sorted(_glob.glob(os.path.join(qdir, "corrupt-*.json"))):
+            try:
+                rec = _json.load(open(f))
+            except Exception:
+                continue
+            if rec.get("path") in want:
+                out.append(rec["path"])
+        return out
+
     def _list_shards(self, input_path: str | list[str]) -> list[str]:
         if isinstance(input_path, list):
             return sorted(input_path)
@@ -542,7 +573,11 @@ class ValidationPipeline:
             if parquet_todo:
                 readers.append(
                     read_parquet_tasks(
-                        parquet_todo, include_paths=True, max_rows_per_block=self.batch_size
+                        parquet_todo,
+                        include_paths=True,
+                        max_rows_per_block=self.batch_size,
+                        on_error=self.on_error,
+                        quarantine_dir=os.path.join(self.out_dir, "quarantine"),
                     )
                 )
             if jsonl_todo:
@@ -670,6 +705,12 @@ class ValidationPipeline:
 
         t_row_pass = time.time() - t0
 
+        # quarantined shards (on_error='skip') contributed zero rows to the
+        # row pass and have no key pre-aggs — the key shuffles must not try
+        # to re-read them (they would crash on the same corrupt file)
+        quarantined = set(self._quarantined(shards)) if self.on_error == "skip" else set()
+        ok_shards = [p for p in shards if p not in quarantined]
+
         # ---- fused key shuffle, launched from the persisted partials (every
         # shard's pre-agg is on disk: just written by the row pass for todo
         # shards, durable from prior runs for completed ones; missing files
@@ -677,14 +718,14 @@ class ValidationPipeline:
         fused_finish = None
         if fused_unique is not None:
             fused_finish = combined_key_checks_async(
-                shards,
+                ok_shards,
                 fused_unique.columns[0],
                 fused_right,
                 fused_ref.ref_column if fused_ref is not None else None,
                 num_buckets=fused_nb,
                 path_pids=path_map,
                 partials_dir=key_partials_dir,
-                done_paths=set(shards),
+                done_paths=set(ok_shards),
                 right_refs=early_rrefs,
                 left_refs=fused_streamer.refs() if fused_streamer is not None else None,
             )
@@ -795,7 +836,7 @@ class ValidationPipeline:
             _emit_dups(
                 rule,
                 count_keys_shuffled(
-                    shards,
+                    ok_shards,
                     list(rule.columns),
                     min_count=2,
                     path_pids=path_map,
@@ -807,7 +848,7 @@ class ValidationPipeline:
             (
                 rr,
                 anti_join_shuffled(
-                    shards,
+                    ok_shards,
                     rr.column,
                     _resolve_right(rr),
                     rr.ref_column,
@@ -909,6 +950,7 @@ class ValidationPipeline:
             "orphans": orphan_count,
             "quantile_violations": quantile_violations,
             "drifted_partitions": len(drifted_pids),
+            "quarantined_shards": sorted(quarantined),
             "wall_time_sec": time.time() - t0,
             "phase_sec": {
                 "row_pass": round(t_row_pass, 3),

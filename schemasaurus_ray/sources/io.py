@@ -82,6 +82,20 @@ def read_parquet_tasks(
             # uncompressed binary columns this is the near-zero-copy path
             try:
                 t = pq.read_table(p, columns=sel(p), memory_map=True).replace_schema_metadata(None)
+                if quarantine_dir is not None:
+                    # shard reads fine now — clear any stale corrupt record
+                    # (repair + resume must turn the report clean)
+                    import hashlib
+                    import os as _os
+
+                    rec = _os.path.join(
+                        quarantine_dir, f"corrupt-{hashlib.md5(p.encode()).hexdigest()}.json"
+                    )
+                    if _os.path.exists(rec):
+                        try:
+                            _os.remove(rec)
+                        except OSError:
+                            pass
             except Exception as exc:  # noqa: BLE001 — any decode/IO failure
                 if on_error != "skip":
                     raise

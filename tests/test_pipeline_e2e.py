@@ -633,3 +633,51 @@ def test_csv_shards_match_parquet_pipeline(ray_session, tmp_path_factory):
     )
     rep2 = run(csv_dir, os.path.join(base, "out_csv"))
     assert rep2.metrics["shards_validated_this_run"] == 0
+
+
+def test_quarantine_and_resume_repair(tmp_path, ray_session):
+    """on_error='skip': a corrupt shard quarantines (run completes, report
+    invalid, shard NOT marked done); after repairing the file, resume
+    validates ONLY the repaired shard and the report goes clean."""
+    import shutil
+
+    fix = str(tmp_path / "fx")
+    dirs = write_fixture(fix, n=1000, shards=4, with_audio=True, inject=False)
+    shard_files = sorted(
+        os.path.join(dirs["clips"], f) for f in os.listdir(dirs["clips"]) if f.endswith(".parquet")
+    )
+    victim = shard_files[1]
+    backup = victim + ".bak"
+    shutil.copy(victim, backup)
+    with open(victim, "wb") as f:
+        f.write(b"PAR1 corrupted beyond recognition")
+
+    out_dir = str(tmp_path / "out")
+    pipe = ValidationPipeline(AUDIO_CLIP_SPEC, out_dir, on_error="skip")
+    rep = pipe.run(dirs["clips"], ref_datasets={"transcripts": dirs["transcripts"]})
+    assert rep.metrics["quarantined_shards"] == [victim]
+    assert not rep.valid  # unread rows can never be declared valid
+    assert rep.metrics["rows_total"] == 750  # 3 of 4 shards
+    manifest = json.load(open(rep.manifest_path))
+    done_paths = {r["path"] for r in manifest["partitions"].values() if r.get("row_pass_done")}
+    assert victim not in done_paths
+
+    os.replace(backup, victim)  # repair
+    rep2 = ValidationPipeline(AUDIO_CLIP_SPEC, out_dir, on_error="skip").run(
+        dirs["clips"], ref_datasets={"transcripts": dirs["transcripts"]}
+    )
+    assert rep2.metrics["shards_validated_this_run"] == 1  # only the repaired one
+    assert rep2.metrics["rows_total"] == 1000
+    # the reader cleared the stale record once the shard read fine
+    assert rep2.metrics["quarantined_shards"] == []
+
+    # repaired-resume ≡ never-corrupted: a control run on pristine input
+    # must produce identical verdict-relevant metrics
+    ctrl = ValidationPipeline(AUDIO_CLIP_SPEC, str(tmp_path / "ctrl")).run(
+        dirs["clips"], ref_datasets={"transcripts": dirs["transcripts"]}
+    )
+    for k in ("rows_total", "row_violations", "duplicate_keys", "orphans",
+              "quantile_violations"):
+        assert rep2.metrics[k] == ctrl.metrics[k], k
+    assert rep2.valid == ctrl.valid
+    assert sorted(rep2.partitions["verdict"]) == sorted(ctrl.partitions["verdict"])
