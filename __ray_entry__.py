@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "ann_ivf_embeddings": q.ann_ivf_embeddings,
+        "ann_recall_embeddings": q.ann_recall_embeddings,
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,

@@ -143,11 +143,22 @@ def ivf_topk(
     rows whose nearest centroid is among each query's ``nprobe`` probes."""
     import ray
 
-    sample = ds.select_columns([vec_col]).random_sample(
-        min(1.0, sample_size / max(1, ds.count())), seed=seed
+    # DETERMINISTIC sample: id % mod selection sorted by id — random_sample
+    # + take() depends on block scheduling order, which made the trained
+    # centroids (and so the whole index) differ run to run
+    mod = max(1, ds.count() // sample_size)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        return batch.select([id_col, vec_col]).filter(pa.array(ids % mod == 0))
+
+    sample_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+    ).sort_by(id_col)
+    sample_tbl = sample_tbl.slice(0, sample_size)
+    cent = _kmeans(
+        _unit(_as_matrix(sample_tbl.column(vec_col))), n_clusters, seed=seed
     )
-    sample_rows = [r[vec_col] for r in sample.take(sample_size)]
-    cent = _kmeans(_unit(np.asarray(sample_rows, dtype=np.float64)), n_clusters, seed=seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probe_sets = [set(p.tolist()) for p in probes]

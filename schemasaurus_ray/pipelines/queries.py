@@ -1395,6 +1395,39 @@ def ann_ivf_embeddings(sf_dir: str) -> pa.Table:
     return ivf_topk(ds, q, qids, k=10, n_clusters=16, nprobe=6)
 
 
+def ann_recall_embeddings(sf_dir: str) -> pa.Table:
+    """QUALITY EVAL of the approximate index: recall@10 of the IVF path
+    against the exact brute-force top-10 on the same queries — the number
+    you check before trusting an ANN index for dedup/retrieval. Both
+    paths are deterministic (seeded k-means, fixed query set), so this
+    rows-only surface is stable; the pytest golden enforces a floor.
+    Output (query_id, recall_bp) in basis points — integers only."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q, qids = _query_vectors(sf_dir)
+    exact = brute_force_topk(ds, q, qids, k=10)
+    approx = ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, qids, k=10,
+        n_clusters=16, nprobe=6,
+    )
+    truth: dict[int, set[int]] = {}
+    for r in exact.to_pylist():
+        truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    got: dict[int, set[int]] = {}
+    for r in approx.to_pylist():
+        got.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    rows = sorted(truth)
+    recall = [
+        (10000 * len(truth[qid] & got.get(qid, set()))) // max(len(truth[qid]), 1)
+        for qid in rows
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array(rows, pa.int64()),
+            "recall_bp": pa.array(recall, pa.int64()),
+        }
+    )
+
+
 # ---- normalizer -------------------------------------------------------------
 def normalize_lineitem(sf_dir: str) -> pa.Table:
     """NormalizeStage: type coercion (number→integer) + projection to spec

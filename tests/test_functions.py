@@ -831,3 +831,18 @@ def test_bigram_lm_topk_deterministic_head(ray_session, tmp_path):
     assert lm.to_pylist() == ["a b", "b a"]
     lm3 = bigram_lm_topk([p1, p2], k=10, min_df=2)
     assert lm3.to_pylist() == ["a b", "b a", "c d"]
+
+
+def test_ann_recall_query_floor(ray_session):
+    """IVF recall@10 vs exact brute force: deterministic and above the
+    floor that makes the approximate path trustworthy for dedup."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    out = q.ann_recall_embeddings("/root/testdata/sf0.001")
+    rows = out.to_pylist()
+    assert rows and all(0 <= r["recall_bp"] <= 10000 for r in rows)
+    mean_bp = sum(r["recall_bp"] for r in rows) / len(rows)
+    assert mean_bp >= 7000, rows  # nprobe=6/16 on clustered synthetic data
+    # deterministic: second run identical
+    again = q.ann_recall_embeddings("/root/testdata/sf0.001").to_pylist()
+    assert again == rows
