@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
         "unique_events_composite": q.unique_events_composite,
         "distinct_users_by_type": q.distinct_users_by_type,
+        "distinct_users_by_type_approx": q.distinct_users_by_type_approx,
         "referential_events_customer": q.referential_events_customer,
         "referential_bloom_orders": q.referential_bloom_orders,
         "referential_chain_supplier": q.referential_chain_supplier,

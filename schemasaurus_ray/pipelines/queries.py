@@ -400,6 +400,58 @@ def distinct_users_by_type(sf_dir: str) -> pa.Table:
     return tbl.rename_columns(["event_type", "n_users"]).sort_by("event_type")
 
 
+def distinct_users_by_type_approx(sf_dir: str) -> pa.Table:
+    """APPROXIMATE per-group distinct via keyed HLL partials — the scale
+    path when groups × distinct keys make the exact pair shuffle
+    (distinct_users_by_type) too wide: each batch emits one (group,
+    registers) row per group present (2^10 registers = 1 KB each);
+    merging is an elementwise register MAX, so the estimate is exactly
+    ORDER-INDEPENDENT — deterministic regardless of block layout,
+    parallelism or resume. Nothing keyed ever shuffles; the driver folds
+    B × groups KB-sized rows. Rows-only surface (approximate by design);
+    the pytest golden pins relative error < 5% vs the exact shuffle."""
+    from ..state.hll import HyperLogLog
+    from ..util import hash_column
+
+    P = 10
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def hll_partials(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").combine_chunks()
+        h = hash_column(batch.column("user_id").combine_chunks())
+        enc = types.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        groups, regs = [], []
+        for c in range(len(enc.dictionary)):
+            hll = HyperLogLog(p=P)
+            hll.add_hashes(h[codes == c])
+            groups.append(enc.dictionary[c].as_py())
+            regs.append(hll.registers.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(groups, pa.string()),
+                "regs": pa.array(regs, pa.binary()),
+            }
+        )
+
+    parts = _collect(ds.map_batches(hll_partials, batch_format="pyarrow"))
+    merged: dict[str, np.ndarray] = {}
+    for row in parts.to_pylist():
+        r = np.frombuffer(row["regs"], dtype=np.uint8)
+        g = row["event_type"]
+        merged[g] = np.maximum(merged[g], r) if g in merged else r.copy()
+    groups = sorted(merged)
+    ests = [
+        int(round(HyperLogLog(p=P, registers=merged[g]).estimate())) for g in groups
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(groups, pa.string()),
+            "n_users_est": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 def referential_events_customer(sf_dir: str) -> pa.Table:
     """Orphan events: user_id not among customers with c_custkey > 10 —
     the ref side is intentionally narrowed so the anti-join is non-empty."""

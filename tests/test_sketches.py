@@ -245,3 +245,18 @@ def test_heavy_hitters_approx_query_golden(ray_session):
     for u, est in rows.items():
         assert est >= true.get(u, 0)
         assert est - true.get(u, 0) <= eps * total + 1
+
+
+def test_distinct_by_group_hll_vs_exact(ray_session):
+    """Keyed HLL partials: per-group estimates within 5% of the exact
+    pair-shuffle counts, and deterministic across runs."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: r["n_users_est"] for r in q.distinct_users_by_type_approx(sf).to_pylist()}
+    exact = {r["event_type"]: r["n_users"] for r in q.distinct_users_by_type(sf).to_pylist()}
+    assert set(approx) == set(exact)
+    for g, n in exact.items():
+        assert abs(approx[g] - n) / max(n, 1) < 0.05, (g, approx[g], n)
+    again = {r["event_type"]: r["n_users_est"] for r in q.distinct_users_by_type_approx(sf).to_pylist()}
+    assert again == approx
