@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_events": q.interarrival_events,
         "rolling_minmax_events": q.rolling_minmax_events,
         "late_events": q.late_events,
+        "ontime_windowed_events": q.ontime_windowed_events,
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
@@ -1133,6 +1134,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (PARTITION BY lang
                                         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
               FROM documents ORDER BY doc_id
+        """,
+        "ontime_windowed_events": """
+            WITH j AS (
+                SELECT event_id,
+                       epoch_us(ts) - CAST(CAST(concat('0x',
+                           substr(md5(CAST(event_id AS VARCHAR)), 1, 3))
+                           AS INTEGER) AS BIGINT) * 30000000 AS t
+                  FROM events
+            ), w AS (
+                SELECT event_id, t,
+                       MAX(t) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+                  FROM j
+            )
+            SELECT t // 3600000000 AS window_id, CAST(count(*) AS BIGINT) AS n
+              FROM w WHERE wm IS NULL OR t >= wm - 12 * 3600000000
+             GROUP BY 1 ORDER BY 1
         """,
         "late_events": """
             WITH j AS (

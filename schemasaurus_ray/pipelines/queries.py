@@ -2273,6 +2273,35 @@ def late_events(sf_dir: str) -> pa.Table:
     return out.sort_by("event_id")
 
 
+def ontime_windowed_events(sf_dir: str) -> pa.Table:
+    """Watermark-GATED hourly aggregate — what a streaming engine would
+    have emitted at each window close: per event-time hour the count of
+    ON-TIME events only (same replayed stream, jitter and 12 h watermark
+    as late_events; on-time + late = total). Same distributed prefix
+    scan; the finalize collapses each bucket to a tiny (window, n)
+    histogram, so only B × hours rows reach the driver."""
+    from ..stages.temporal import late_events_shuffled
+    from ..util import md5_digests
+
+    W = 12 * 3_600_000_000
+    HOUR = 3_600_000_000
+
+    def jitter(tbl: pa.Table) -> pa.Table:
+        eid = tbl.column("event_id").combine_chunks()
+        dig = md5_digests(eid.cast(pa.string()))
+        j12 = dig[:, 0].astype(np.int64) * 16 + (dig[:, 1].astype(np.int64) >> 4)
+        t = np.asarray(tbl.column("ts").cast(pa.int64())) - j12 * 30_000_000
+        return pa.table(
+            {"event_id": tbl.column("event_id"), "t": pa.array(t, pa.int64())}
+        )
+
+    return late_events_shuffled(
+        [os.path.join(sf_dir, "events.parquet")], "event_id", "t",
+        watermark_us=W, pre_fn=jitter, read_cols=["event_id", "ts"],
+        ontime_window_us=HOUR,
+    )
+
+
 def rolling_minmax_events(sf_dir: str) -> pa.Table:
     """Trailing-3-event min/max of `value` per user — exactly SQL's
     MIN/MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS

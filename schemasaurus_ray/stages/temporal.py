@@ -832,6 +832,7 @@ def late_events_shuffled(
     pre_fn=None,
     read_cols: list[str] | None = None,
     num_ranges: int = 16,
+    ontime_window_us: int | None = None,
 ) -> pa.Table:
     """WATERMARK / LATE-DATA detection — the §2G streaming category over a
     replayed stream: with arrival order = ``seq_col`` and event time =
@@ -913,16 +914,29 @@ def late_events_shuffled(
         )
         return out, int(cm[-1])
 
+    empty_win = pa.table(
+        {"window_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
     @ray.remote
     def finalize(tbl: pa.Table, incoming: int) -> pa.Table:
         if tbl.num_rows == 0:
-            return empty
+            return empty_win if ontime_window_us else empty
         t = np.asarray(tbl.column("t").combine_chunks(), dtype=np.int64)
         wm = np.maximum(
             np.asarray(tbl.column("wm_local").combine_chunks(), dtype=np.int64), incoming
         )
         # INT64_MIN wm (no prior row anywhere) can never flag late
         late = wm > t + watermark_us
+        if ontime_window_us:
+            win = t[~late] // ontime_window_us
+            ids, cnts = np.unique(win, return_counts=True)
+            return pa.table(
+                {
+                    "window_id": pa.array(ids, pa.int64()),
+                    "n": pa.array(cnts.astype(np.int64), pa.int64()),
+                }
+            )
         sel = pa.array(late)
         return pa.table(
             {
@@ -947,6 +961,12 @@ def late_events_shuffled(
         finals.append(finalize.remote(scanned[b][0], incoming))
         incoming = max(incoming, maxima[b])
     tables = [t for t in ray.get(finals) if t.num_rows]
+    if ontime_window_us:
+        if not tables:
+            return empty_win
+        merged = pa.concat_tables(tables)
+        out = merged.group_by("window_id").aggregate([("n", "sum")])
+        return out.rename_columns(["window_id", "n"]).sort_by("window_id")
     if not tables:
         return empty
     return pa.concat_tables(tables)

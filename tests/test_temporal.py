@@ -633,3 +633,37 @@ def test_funnel_window_random_vs_duckdb(ray_session, tmp_path):
     pc_counts = dict(zip(plain.column("stage_idx").to_pylist(), plain.column("n_keys").to_pylist()))
     assert got_counts[0] == pc_counts[0]
     assert got_counts[1] <= pc_counts[1] and got_counts[2] <= pc_counts[2]
+
+
+def test_ontime_window_counts_complement(ray_session, tmp_path):
+    """Watermark-gated window counts + late rows = total rows, and the
+    counts match a brute-force recomputation."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import late_events_shuffled
+
+    rng = np.random.default_rng(29)
+    n = 600
+    seq = np.arange(n, dtype=np.int64)
+    t = (np.sort(rng.integers(0, 10**9, size=n)) - rng.integers(0, 10**8, size=n)).astype(
+        np.int64
+    )
+    tbl = pa.table({"seq": pa.array(seq), "t": pa.array(t)})
+    paths = []
+    for s in range(3):
+        part = tbl.take(pa.array(np.arange(s, n, 3), pa.int64()))
+        p = str(tmp_path / f"ow{s}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+    W, WIN = 40_000_000, 10**8
+    late = late_events_shuffled(paths, "seq", "t", watermark_us=W, num_ranges=4)
+    wins = late_events_shuffled(
+        paths, "seq", "t", watermark_us=W, num_ranges=4, ontime_window_us=WIN
+    )
+    assert int(pa.compute.sum(wins.column("n")).as_py()) + late.num_rows == n
+    # brute force
+    wm = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(t)[:-1]]
+    ontime = ~(wm > t + W)
+    ids, cnts = np.unique(t[ontime] // WIN, return_counts=True)
+    got = dict(zip(wins.column("window_id").to_pylist(), wins.column("n").to_pylist()))
+    assert got == {int(i): int(c) for i, c in zip(ids, cnts)}
