@@ -667,3 +667,37 @@ def test_ontime_window_counts_complement(ray_session, tmp_path):
     ids, cnts = np.unique(t[ontime] // WIN, return_counts=True)
     got = dict(zip(wins.column("window_id").to_pylist(), wins.column("n").to_pylist()))
     assert got == {int(i): int(c) for i, c in zip(ids, cnts)}
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30), st.integers(0, 3)),
+        max_size=40,
+    ),
+    st.integers(1, 6),
+)
+def test_rolling_minmax_matches_brute(rows, window):
+    """Hypothesis: trailing-window min/max ≡ a per-row brute force over
+    random (key, ts, value-class) rows with heavy ties."""
+    from schemasaurus_ray.stages.temporal import rolling_minmax
+
+    keys = ARR([k for k, _, _ in rows])
+    ts = ARR([t for _, t, _ in rows])
+    vals = np.asarray([float(v) for _, _, v in rows])
+    tb = ARR(range(len(rows)))
+    rmin, rmax, n_in = rolling_minmax(keys, ts, tb, vals, window)
+    order = sorted(range(len(rows)), key=lambda i: (keys[i], ts[i], tb[i]))
+    pos_in_order = {i: p for p, i in enumerate(order)}
+    for i in range(len(rows)):
+        p = pos_in_order[i]
+        prior = [
+            order[j]
+            for j in range(max(0, p - window + 1), p + 1)
+            if keys[order[j]] == keys[i]
+        ]
+        # same key is guaranteed within the window slice only while the
+        # segment is contiguous — keys are sorted so it always is
+        w = [vals[j] for j in prior]
+        assert n_in[i] == len(prior)
+        assert rmin[i] == min(w) and rmax[i] == max(w), (i, rows, window)
