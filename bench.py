@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "mad_outliers_lineitem",
     "heavy_hitters_events",
     "quantize_embeddings",
+    "ontime_windowed_events",
+    "epoch_order_documents",
 ]
 
 
