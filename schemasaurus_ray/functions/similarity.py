@@ -143,18 +143,25 @@ def ivf_topk(
     rows whose nearest centroid is among each query's ``nprobe`` probes."""
     import ray
 
-    # DETERMINISTIC sample: id % mod selection sorted by id — random_sample
-    # + take() depends on block scheduling order, which made the trained
-    # centroids (and so the whole index) differ run to run
+    # DETERMINISTIC and UNBIASED sample: select by id HASH (uniform over
+    # the id space — an id % mod pick followed by an id-sorted slice
+    # systematically dropped the upper id range, which under-covers
+    # recent data on id-correlated corpora), order by the same hash, keep
+    # the first sample_size. random_sample + take() depended on block
+    # scheduling order, which made the trained centroids differ run to run.
+    from ..util import hash_column
+
     mod = max(1, ds.count() // sample_size)
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
-        return batch.select([id_col, vec_col]).filter(pa.array(ids % mod == 0))
+        h = hash_column(batch.column(id_col).combine_chunks(), seed=7)
+        keep = (h % np.uint64(mod)) == 0
+        t = batch.select([id_col, vec_col]).filter(pa.array(keep))
+        return t.append_column("h", pa.array(h[keep].view(np.int64), pa.int64()))
 
     sample_tbl = pa.concat_tables(
         ray.get(ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
-    ).sort_by(id_col)
+    ).sort_by([("h", "ascending"), (id_col, "ascending")])
     sample_tbl = sample_tbl.slice(0, sample_size)
     cent = _kmeans(
         _unit(_as_matrix(sample_tbl.column(vec_col))), n_clusters, seed=seed

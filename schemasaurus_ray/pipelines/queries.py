@@ -2239,6 +2239,21 @@ def interarrival_events(sf_dir: str) -> pa.Table:
     ).sort_by("user_id")
 
 
+def _md5_delivery_jitter(tbl: pa.Table) -> pa.Table:
+    """(event_id, t): event time = ts − md5-derived delivery jitter
+    (first 3 hex chars of md5(event_id) × 30 s, 0–34 h). ONE definition
+    shared by late_events and ontime_windowed_events — the constants must
+    mirror their oracle SQL bit-for-bit, so there is exactly one copy."""
+    from ..util import md5_digests
+
+    eid = tbl.column("event_id").combine_chunks()
+    dig = md5_digests(eid.cast(pa.string()))
+    # 12 bits = byte0·16 + byte1>>4 ≡ CAST(concat('0x', substr(md5(id),1,3)) AS INT)
+    j12 = dig[:, 0].astype(np.int64) * 16 + (dig[:, 1].astype(np.int64) >> 4)
+    t = np.asarray(tbl.column("ts").cast(pa.int64())) - j12 * 30_000_000
+    return pa.table({"event_id": tbl.column("event_id"), "t": pa.array(t, pa.int64())})
+
+
 def late_events(sf_dir: str) -> pa.Table:
     """WATERMARK / LATE-DATA audit over a replayed stream (§2G's last
     category): arrival order = event_id, event time = ts minus a
@@ -2281,23 +2296,12 @@ def ontime_windowed_events(sf_dir: str) -> pa.Table:
     scan; the finalize collapses each bucket to a tiny (window, n)
     histogram, so only B × hours rows reach the driver."""
     from ..stages.temporal import late_events_shuffled
-    from ..util import md5_digests
 
     W = 12 * 3_600_000_000
     HOUR = 3_600_000_000
-
-    def jitter(tbl: pa.Table) -> pa.Table:
-        eid = tbl.column("event_id").combine_chunks()
-        dig = md5_digests(eid.cast(pa.string()))
-        j12 = dig[:, 0].astype(np.int64) * 16 + (dig[:, 1].astype(np.int64) >> 4)
-        t = np.asarray(tbl.column("ts").cast(pa.int64())) - j12 * 30_000_000
-        return pa.table(
-            {"event_id": tbl.column("event_id"), "t": pa.array(t, pa.int64())}
-        )
-
     return late_events_shuffled(
         [os.path.join(sf_dir, "events.parquet")], "event_id", "t",
-        watermark_us=W, pre_fn=jitter, read_cols=["event_id", "ts"],
+        watermark_us=W, pre_fn=_md5_delivery_jitter, read_cols=["event_id", "ts"],
         ontime_window_us=HOUR,
     )
 
@@ -2459,7 +2463,9 @@ def quantize_embeddings(sf_dir: str) -> pa.Table:
 
     def quantize(batch: pa.Table) -> pa.Table:
         col = batch.column("embedding").combine_chunks()
-        lens = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        # null embedding rows → len 0 → (scale 0.0, qsum 0), exactly the
+        # oracle's coalesce(list_max(...), 0.0) + CASE scale=0 path
+        lens = np.asarray(pc.fill_null(pc.list_value_length(col), 0), dtype=np.int64)
         flat = np.asarray(pc.list_flatten(col), dtype=np.float64)
         starts = np.cumsum(lens) - lens
         nonempty = lens > 0

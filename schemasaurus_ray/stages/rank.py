@@ -155,7 +155,8 @@ def hash_order_positions(
         rank_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine))
         for b in range(num_buckets)
     ]
-    sizes = ray.get([_num_rows_remote().remote(r) for r in ranked])
+    num_rows = _num_rows_remote()
+    sizes = ray.get([num_rows.remote(r) for r in ranked])
     offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
     finals = [add_offset.remote(r, int(offsets[b])) for b, r in enumerate(ranked)]
     tables = [t for t in ray.get(finals) if t.num_rows]

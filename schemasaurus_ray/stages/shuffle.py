@@ -248,13 +248,22 @@ def heavy_hitters_shuffled(
         )
         for b in range(num_buckets)
     ]
+    def _typed_empty() -> pa.Table:
+        # type key columns from the input schema — a string-typed fallback
+        # flipped the output schema with data content (review r3)
+        sch = pq.read_schema(sorted(paths)[0]) if paths else None
+        cols = {
+            c: pa.array([], sch.field(c).type if sch is not None and c in sch.names else pa.string())
+            for c in columns
+        }
+        cols["cnt"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
     stats = ray.get([bucket_stats.remote(r) for r in bucket_refs])
     n_keys = sum(s[0] for s in stats)
     total = sum(s[1] for s in stats)
     if total == 0:
-        empty_cols: dict[str, Any] = {c: pa.array([], pa.string()) for c in columns}
-        empty_cols["cnt"] = pa.array([], pa.int64())
-        return pa.table(empty_cols)
+        return _typed_empty()
     # cnt·n_keys·den > total·num ⟺ cnt ≥ ⌊total·num / (n_keys·den)⌋ + 1 —
     # the division happens ONCE in driver bigints, so the per-row predicate
     # is a plain int64 compare (no overflow at any scale)
@@ -265,9 +274,7 @@ def heavy_hitters_shuffled(
         if t.num_rows
     ]
     if not tables:
-        empty_cols = {c: pa.array([], pa.string()) for c in columns}
-        empty_cols["cnt"] = pa.array([], pa.int64())
-        return pa.table(empty_cols)
+        return _typed_empty()
     return pa.concat_tables(tables)
 
 

@@ -720,7 +720,8 @@ def rolling_minmax(
     n = keys.shape[0]
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
-        return values.copy(), values.copy(), z
+        e = values.astype(np.float64, copy=True)
+        return e, e.copy(), z
     perm = np.lexsort((tiebreak, ts, keys))
     kk = keys[perm]
     vv = values[perm].astype(np.float64, copy=True)
@@ -929,7 +930,11 @@ def late_events_shuffled(
         # INT64_MIN wm (no prior row anywhere) can never flag late
         late = wm > t + watermark_us
         if ontime_window_us:
-            win = t[~late] // ontime_window_us
+            # DuckDB's integer // TRUNCATES toward zero; numpy floors.
+            # Event times here are positive epochs, but keep the pinned
+            # SQL parity exact for any sign
+            ot = t[~late]
+            win = np.where(ot >= 0, ot // ontime_window_us, -((-ot) // ontime_window_us))
             ids, cnts = np.unique(win, return_counts=True)
             return pa.table(
                 {

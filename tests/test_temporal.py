@@ -664,7 +664,10 @@ def test_ontime_window_counts_complement(ray_session, tmp_path):
     # brute force
     wm = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(t)[:-1]]
     ontime = ~(wm > t + W)
-    ids, cnts = np.unique(t[ontime] // WIN, return_counts=True)
+    ot = t[ontime]
+    # DuckDB // truncates toward zero (the engine matches it exactly) —
+    # this synthetic stream has negative times, unlike epoch data
+    ids, cnts = np.unique(np.where(ot >= 0, ot // WIN, -((-ot) // WIN)), return_counts=True)
     got = dict(zip(wins.column("window_id").to_pylist(), wins.column("n").to_pylist()))
     assert got == {int(i): int(c) for i, c in zip(ids, cnts)}
 
