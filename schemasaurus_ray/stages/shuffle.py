@@ -189,6 +189,29 @@ def count_keys_shuffled(
     return pa.concat_tables(tables)
 
 
+def _precount_map_fns(columns: list[str], num_buckets: int):
+    """(map_shard, combine_bucket) pair shared by the key-audit shuffles
+    (heavy hitters / count histogram): per-shard pre-agg + key-hash bucket
+    split, and a group-by-sum bucket combiner."""
+    import ray
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        tbl = pq.read_table(path, columns=columns)
+        counts = _precount_table(tbl, columns)
+        out = _split_buckets(counts, columns, num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        merged = pa.concat_tables(tables)
+        if merged.num_rows == 0:
+            return merged
+        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+
+    return map_shard, combine_bucket
+
+
 def heavy_hitters_shuffled(
     paths: list[str],
     columns: list[str],
@@ -212,20 +235,7 @@ def heavy_hitters_shuffled(
     import ray
 
     num_buckets = num_buckets or _default_buckets(len(paths))
-
-    @ray.remote(num_returns=num_buckets)
-    def map_shard(path: str):
-        tbl = pq.read_table(path, columns=columns)
-        counts = _precount_table(tbl, columns)
-        out = _split_buckets(counts, columns, num_buckets)
-        return out if num_buckets > 1 else out[0]
-
-    @ray.remote
-    def combine_bucket(*tables: pa.Table) -> pa.Table:
-        merged = pa.concat_tables(tables)
-        if merged.num_rows == 0:
-            return merged
-        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+    map_shard, combine_bucket = _precount_map_fns(columns, num_buckets)
 
     @ray.remote
     def bucket_stats(tbl: pa.Table) -> tuple[int, int]:
@@ -293,20 +303,7 @@ def key_count_histogram_shuffled(
     import ray
 
     num_buckets = num_buckets or _default_buckets(len(paths))
-
-    @ray.remote(num_returns=num_buckets)
-    def map_shard(path: str):
-        tbl = pq.read_table(path, columns=columns)
-        counts = _precount_table(tbl, columns)
-        out = _split_buckets(counts, columns, num_buckets)
-        return out if num_buckets > 1 else out[0]
-
-    @ray.remote
-    def combine_bucket(*tables: pa.Table) -> pa.Table:
-        merged = pa.concat_tables(tables)
-        if merged.num_rows == 0:
-            return merged
-        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+    map_shard, combine_bucket = _precount_map_fns(columns, num_buckets)
 
     @ray.remote
     def histogram_bucket(*tables: pa.Table) -> pa.Table:
