@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
+        "histogram_prices_lineitem": q.histogram_prices_lineitem,
         "key_distribution_events": q.key_distribution_events,
         "heavy_hitters_approx_events": q.heavy_hitters_approx_events,
         "quantize_embeddings": q.quantize_embeddings,
@@ -1076,6 +1077,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS sum_gap_us
               FROM d WHERE gap IS NOT NULL
              GROUP BY user_id ORDER BY user_id
+        """,
+        "histogram_prices_lineitem": """
+            SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "heavy_hitters_events": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

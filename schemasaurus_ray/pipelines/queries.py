@@ -2434,6 +2434,27 @@ def mad_outliers_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def histogram_prices_lineitem(sf_dir: str) -> pa.Table:
+    """Equi-width numeric histogram of l_extendedprice (5000-wide bins) —
+    the numeric companion to the categorical histogram surface: per batch
+    one vectorized floor-divide + bincount partial; the driver merges
+    B × bins tiny rows. floor(x/5000) on positive doubles is the same
+    exactly-rounded IEEE op in numpy and DuckDB."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column("l_extendedprice").combine_chunks())
+        bins = np.floor(x / 5000.0).astype(np.int64)
+        ids, cnts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(ids, pa.int64()), "n": pa.array(cnts.astype(np.int64))}
+        )
+
+    parts = _collect(ds.map_batches(hist, batch_format="pyarrow"))
+    out = parts.group_by("bin").aggregate([("n", "sum")])
+    return out.rename_columns(["bin", "n"]).sort_by("bin")
+
+
 def heavy_hitters_events(sf_dir: str) -> pa.Table:
     """Hot-key (shuffle-skew) audit: users whose event count exceeds 1.2×
     the fair share (total/distinct users) — the keys that would need
