@@ -33,19 +33,47 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 # ---------------------------------------------------------------- exact dedup
+def _content_hash_map(text_col: str, id_col: str):
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash_column(batch.column(text_col)).view(np.int64)
+        return pa.table({id_col: batch.column(id_col), "h": pa.array(h, pa.int64())})
+
+    return add_hash
+
+
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
     """Survivors after exact-content dedup: min(id) per identical text.
     Equivalent SQL: SELECT min(id) FROM t GROUP BY text (64-bit content hash
     stands in for the text as the shuffle key; collision odds ~1e-13/n²)."""
     from ray.data.aggregate import Min
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash_column(batch.column(text_col)).view(np.int64)
-        return pa.table({id_col: batch.column(id_col), "h": pa.array(h, pa.int64())})
-
-    pre = ds.select_columns([id_col, text_col]).map_batches(add_hash, batch_format="pyarrow")
+    pre = ds.select_columns([id_col, text_col]).map_batches(
+        _content_hash_map(text_col, id_col), batch_format="pyarrow"
+    )
     agg = pre.groupby("h").aggregate(Min(id_col, alias_name=id_col))
     return agg.select_columns([id_col])
+
+
+def exact_dedup_dup_groups(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """DUPLICATE content groups only: (h, min_id) for every 64-bit content
+    hash with count > 1 — the basis of the DROPPED-set broadcast pattern
+    (VERDICT r3 #1). Same single groupby-min shuffle as :func:`exact_dedup`,
+    but the driver-collected / ``ray.put``-broadcast product is
+    O(duplicate groups), not O(corpus): a keep pass re-hashes content
+    batch-local and keeps a row unless its hash is in this table AND its id
+    differs from the group min. At 10^10 docs with ~1 % dup rate that is an
+    ~1.6 GB broadcast instead of the ~80 GB survivor-id array."""
+    from ray.data.aggregate import Count, Min
+
+    pre = ds.select_columns([id_col, text_col]).map_batches(
+        _content_hash_map(text_col, id_col), batch_format="pyarrow"
+    )
+    agg = pre.groupby("h").aggregate(
+        Min(id_col, alias_name="min_id"), Count(alias_name="cnt")
+    )
+    return agg.filter(expr="cnt > 1").select_columns(["h", "min_id"])
 
 
 # ------------------------------------------------------------- shingle hashes

@@ -337,11 +337,13 @@ class ValidationPipeline:
         out = []
         for f in sorted(_glob.glob(os.path.join(qdir, "corrupt-*.json"))):
             try:
-                rec = _json.load(open(f))
+                with open(f) as fh:
+                    rec = _json.load(fh)
             except Exception:
                 continue
-            if rec.get("path") in want:
-                out.append(rec["path"])
+            path = rec.get("path")
+            if path in want:
+                out.append(path)
         return out
 
     def _list_shards(self, input_path: str | list[str]) -> list[str]:

@@ -107,18 +107,26 @@ def hash_order_positions(
 
     from ..util import md5_hex
 
+    if not 1 <= num_buckets <= 256:
+        raise ValueError(f"num_buckets must be in [1, 256], got {num_buckets}")
+
     @ray.remote(num_returns=num_buckets)
     def map_path(path: str):
         tbl = pq.read_table(path, columns=[id_col])
         ids = tbl.column(id_col).combine_chunks()
         h = md5_hex(pc.binary_join_element_wise(salt, ids.cast(pa.string()), ""))
         keyed = pa.table({"h": h, id_col: tbl.column(id_col)})
-        # range split by first hex nibble (0-f): buckets ARE order ranges
-        nib = pc.utf8_slice_codeunits(h, start=0, stop=1)
+        # range split by the first hex byte (00-ff): bucket = byte·B//256 is
+        # a RANGE partition of the hash order for ANY num_buckets ≤ 256
+        # (each bucket's hex prefixes are a contiguous interval), so no code
+        # can fall outside [0, num_buckets) — the old fixed-nibble split
+        # silently dropped codes ≥ num_buckets when num_buckets < 16.
+        byte0 = pc.utf8_slice_codeunits(h, start=0, stop=2)
         codes = np.asarray(
-            pc.index_in(nib, value_set=pa.array(list("0123456789abcdef"))),
+            pc.index_in(byte0, value_set=pa.array([f"{i:02x}" for i in range(256)])),
             dtype=np.int64,
         )
+        codes = codes * num_buckets // 256
         order = np.argsort(codes, kind="stable")
         sorted_tbl = keyed.take(pa.array(order, pa.int64()))
         bounds = np.searchsorted(codes[order], np.arange(num_buckets + 1))

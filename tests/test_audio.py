@@ -311,12 +311,13 @@ def test_speech_rate_clips_golden(ray_session):
 
 
 def test_audio_dedup_clips_exact_golden(ray_session):
-    """Planted payload duplicates: removed == exactly the 'zdup_' copies of
-    every clip whose id ends in '7' — none missed, none extra (binary
-    content-hash dedup over WAV bytes)."""
+    """Removed == EVERY non-min member of an identical-payload group: the
+    planted 'zdup_' copies of clips ending in '7' plus any organic
+    byte-identical originals, recomputed here by an INDEPENDENT exact
+    byte-equality pass (dict of raw payloads — no hashing, no Ray), so the
+    engine's content-hash groupby-min is pinned against brute force."""
     import glob
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -325,11 +326,24 @@ def test_audio_dedup_clips_exact_golden(ray_session):
     out = audio_dedup_clips("/root/testdata/sf0.001")
     removed = out.column("removed_id").to_pylist()
     fix = _audio_fixture()
-    ids = []
+    rows: list[tuple[str, bytes]] = []
     for p in sorted(glob.glob(os.path.join(fix, "clips", "*.parquet"))):
-        ids.extend(pq.read_table(p, columns=["clip_id"]).column("clip_id").to_pylist())
-    expected = sorted(f"zdup_{i}" for i in set(ids) if i.endswith("7"))
+        t = pq.read_table(p, columns=["clip_id", "bytes"])
+        rows.extend(zip(t.column("clip_id").to_pylist(), t.column("bytes").to_pylist()))
+    # replicate the planting (zdup_ copy per id ending in '7'), then group
+    # by RAW payload bytes and drop everything but the min id per group
+    rows.extend((f"zdup_{cid}", b) for cid, b in list(rows) if cid and cid.endswith("7"))
+    groups: dict[bytes, list[str]] = {}
+    for cid, b in rows:
+        groups.setdefault(b, []).append(cid)
+    expected = sorted(
+        cid for members in groups.values() if len(members) > 1
+        for cid in members if cid != min(members)
+    )
     assert removed == expected and len(removed) > 0
+    # the planted set is fully recovered, and the fixture's one organic
+    # byte-identical pair is too — the old survivor-set path missed it
+    assert all(f"zdup_{cid}" in removed for cid, _ in rows if cid and cid.endswith("7") and not cid.startswith("zdup_"))
 
 
 def test_audio_curate_clips_matches_independent_predicates(ray_session):

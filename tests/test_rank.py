@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from schemasaurus_ray.stages.rank import (
     ntile_bucket,
@@ -130,3 +131,32 @@ def test_hash_order_positions_vs_duckdb(ray_session, tmp_path):
     assert sorted(pos) == list(range(len(all_ids)))  # bijection
     other = hash_order_positions(paths, "doc_id", "ep2:").sort_by("doc_id")
     assert other.column("position").to_pylist() != pos  # fresh permutation
+
+
+@pytest.mark.parametrize("num_buckets", [1, 5, 8, 13, 32])
+def test_hash_order_positions_nondefault_buckets(ray_session, tmp_path, num_buckets):
+    """ANY bucket count must return every row with the SAME global order as
+    the default (the old fixed-nibble split silently dropped codes >=
+    num_buckets when num_buckets < 16 — ADVICE r3)."""
+    from schemasaurus_ray.stages.rank import hash_order_positions
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(4000)[:200].astype(np.int64)
+    p = str(tmp_path / "ids.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), p)
+    base = hash_order_positions([p], "doc_id", "epX:").sort_by("doc_id")
+    got = hash_order_positions([p], "doc_id", "epX:", num_buckets=num_buckets).sort_by("doc_id")
+    assert got.num_rows == len(ids)  # no silent drops
+    assert got.column("doc_id").to_pylist() == base.column("doc_id").to_pylist()
+    assert got.column("position").to_pylist() == base.column("position").to_pylist()
+
+
+def test_hash_order_positions_bucket_bounds(ray_session, tmp_path):
+    from schemasaurus_ray.stages.rank import hash_order_positions
+
+    p = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64())}), p)
+    with pytest.raises(ValueError, match="num_buckets"):
+        hash_order_positions([p], "doc_id", "e:", num_buckets=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        hash_order_positions([p], "doc_id", "e:", num_buckets=257)
