@@ -21,70 +21,20 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """ORDER MATTERS: the round driver records CORRECTNESS rows for only a
+    prefix of this dict (50 entries in round 3). Rounds certify cumulatively,
+    so the prefix here is (a) the 44 oracle-backed queries that had no driver
+    row in CORRECTNESS_r03 and (b) six flagship / this-round-modified
+    re-checks — together exactly 50 — followed by the oracle-backed queries
+    already driver-certified in r03, with the rows-only (no-oracle) surfaces
+    last so no checked slot is spent on a weaker rows-only row."""
     return {
-        # validator rule-pack (SURVEY.md §2B keywords, vectorized)
-        "validate_lineitem": q.validate_lineitem,
-        "check_constraints_lineitem": q.check_constraints_lineitem,
-        "validate_documents": q.validate_documents,
-        "validate_embeddings": q.validate_embeddings,
-        "validate_events": q.validate_events,
-        "validate_documents_formats": q.validate_documents_formats,
-        "validate_documents_jsonl": q.validate_documents_jsonl,
-        "validate_documents_csv": q.validate_documents_csv,
-        # normalizer (§2C)
-        "normalize_lineitem": q.normalize_lineitem,
-        "normalize_events_defaults": q.normalize_events_defaults,
-        # column stats (§2E)
-        "stats_lineitem": q.stats_lineitem,
-        "distinct_orderkeys": q.distinct_orderkeys,
-        # uniqueness / referential shuffles (§2E)
-        "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
-        "unique_events_composite": q.unique_events_composite,
-        "distinct_users_by_type": q.distinct_users_by_type,
-        "distinct_users_by_type_approx": q.distinct_users_by_type_approx,
-        "referential_events_customer": q.referential_events_customer,
-        "referential_bloom_orders": q.referential_bloom_orders,
-        "referential_chain_supplier": q.referential_chain_supplier,
-        # grouped histogram (drift PSI input, §2E)
-        "histogram_events_type": q.histogram_events_type,
-        "props_sum_by_type": q.props_sum_by_type,
-        "top_parts_by_quantity": q.top_parts_by_quantity,
-        # grouped aggregate constraint + join rollup
-        "agg_constraint_orders": q.agg_constraint_orders,
-        "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
-        "snapshot_diff_orders": q.snapshot_diff_orders,
-        "k_anonymity_customer": q.k_anonymity_customer,
-        "mode_event_type_by_user": q.mode_event_type_by_user,
-        "daily_volume_events": q.daily_volume_events,
-        "benford_lineitem": q.benford_lineitem,
-        "revenue_by_segment": q.revenue_by_segment,
-        "revenue_by_segment_flag": q.revenue_by_segment_flag,
-        "revenue_rollup": q.revenue_rollup,
-        "pivot_events_user": q.pivot_events_user,
-        # dedup family
-        "dedup_exact_documents": q.dedup_exact_documents,
-        "dedup_incremental_documents": q.dedup_incremental_documents,
-        "minhash_neardup_documents": q.minhash_neardup_documents,
-        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,
-        "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,
-        "simhash_documents": q.simhash_documents,
-        "simhash_neardup_documents": q.simhash_neardup_documents,
-        "embedding_neardup": q.embedding_neardup,
-        # text analysis
-        "token_count_documents": q.token_count_documents,
-        "quality_documents": q.quality_documents,
-        "best_doc_per_stratum": q.best_doc_per_stratum,
-        "normalize_text_documents": q.normalize_text_documents,
-        "pack_documents": q.pack_documents,
-        "export_packed_documents": q.export_packed_documents,
-        "curate_documents": q.curate_documents,
-        "decontaminate_documents": q.decontaminate_documents,
-        "repetition_documents": q.repetition_documents,
+        # -- driver-check priority: oracle-backed, no CORRECTNESS row yet --
+        # text analysis / curation siblings
         "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
         "redact_documents": q.redact_documents,
         "split_assign_documents": q.split_assign_documents,
         "fingerprint_documents": q.fingerprint_documents,
-        "winnow_passages_documents": q.winnow_passages_documents,
         "langid_documents": q.langid_documents,
         "langid_confusion_documents": q.langid_confusion_documents,
         "vocab_topk_documents": q.vocab_topk_documents,
@@ -93,8 +43,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q.join_orders_customer,
         # similarity search
         "ann_topk_embeddings": q.ann_topk_embeddings,
-        "ann_ivf_embeddings": q.ann_ivf_embeddings,
-        "ann_recall_embeddings": q.ann_recall_embeddings,
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
@@ -112,7 +60,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_events": q.heavy_hitters_events,
         "histogram_prices_lineitem": q.histogram_prices_lineitem,
         "key_distribution_events": q.key_distribution_events,
-        "heavy_hitters_approx_events": q.heavy_hitters_approx_events,
         "quantize_embeddings": q.quantize_embeddings,
         "prefix_dedup_documents": q.prefix_dedup_documents,
         "funnel_events": q.funnel_events,
@@ -136,6 +83,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": q.stratified_sample_documents,
         # schema-evolution aligned read (sources/io.read_parquet_aligned)
         "evolved_union_documents": q.evolved_union_documents,
+        # -- flagship / modified-this-round re-checks (r03-certified) --
+        "validate_lineitem": q.validate_lineitem,
+        "check_constraints_lineitem": q.check_constraints_lineitem,
+        "stats_lineitem": q.stats_lineitem,
+        "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "curate_documents": q.curate_documents,  # dropped-set broadcast (r4)
+        # -- oracle-backed, already driver-certified green in r03 --
+        # validator rule-pack (SURVEY.md §2B keywords, vectorized)
+        "validate_documents": q.validate_documents,
+        "validate_embeddings": q.validate_embeddings,
+        "validate_events": q.validate_events,
+        "validate_documents_formats": q.validate_documents_formats,
+        "validate_documents_jsonl": q.validate_documents_jsonl,
+        "validate_documents_csv": q.validate_documents_csv,
+        # normalizer (§2C)
+        "normalize_lineitem": q.normalize_lineitem,
+        "normalize_events_defaults": q.normalize_events_defaults,
+        # column stats (§2E)
+        "distinct_orderkeys": q.distinct_orderkeys,
+        # uniqueness / referential shuffles (§2E)
+        "unique_events_composite": q.unique_events_composite,
+        "distinct_users_by_type": q.distinct_users_by_type,
+        "referential_events_customer": q.referential_events_customer,
+        "referential_bloom_orders": q.referential_bloom_orders,
+        "referential_chain_supplier": q.referential_chain_supplier,
+        # grouped histogram (drift PSI input, §2E)
+        "histogram_events_type": q.histogram_events_type,
+        "props_sum_by_type": q.props_sum_by_type,
+        "top_parts_by_quantity": q.top_parts_by_quantity,
+        # grouped aggregate constraint + join rollup
+        "agg_constraint_orders": q.agg_constraint_orders,
+        "reconcile_orders_lineitem": q.reconcile_orders_lineitem,
+        "snapshot_diff_orders": q.snapshot_diff_orders,
+        "k_anonymity_customer": q.k_anonymity_customer,
+        "mode_event_type_by_user": q.mode_event_type_by_user,
+        "daily_volume_events": q.daily_volume_events,
+        "benford_lineitem": q.benford_lineitem,
+        "revenue_by_segment": q.revenue_by_segment,
+        "revenue_by_segment_flag": q.revenue_by_segment_flag,
+        "revenue_rollup": q.revenue_rollup,
+        "pivot_events_user": q.pivot_events_user,
+        # dedup family
+        "dedup_incremental_documents": q.dedup_incremental_documents,
+        "minhash_neardup_documents": q.minhash_neardup_documents,
+        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,
+        "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,
+        "embedding_neardup": q.embedding_neardup,
+        # text analysis
+        "token_count_documents": q.token_count_documents,
+        "quality_documents": q.quality_documents,
+        "best_doc_per_stratum": q.best_doc_per_stratum,
+        "normalize_text_documents": q.normalize_text_documents,
+        "pack_documents": q.pack_documents,
+        "export_packed_documents": q.export_packed_documents,
+        "decontaminate_documents": q.decontaminate_documents,
+        "repetition_documents": q.repetition_documents,
+        # -- rows-only surfaces (no SQL-expressible oracle by design) --
+        "distinct_users_by_type_approx": q.distinct_users_by_type_approx,
+        "simhash_documents": q.simhash_documents,
+        "simhash_neardup_documents": q.simhash_neardup_documents,
+        "winnow_passages_documents": q.winnow_passages_documents,
+        "ann_ivf_embeddings": q.ann_ivf_embeddings,
+        "ann_recall_embeddings": q.ann_recall_embeddings,
+        "heavy_hitters_approx_events": q.heavy_hitters_approx_events,
         # audio flagship (fixture-synthesized; rows-only)
         "validate_audio_clips": q.validate_audio_clips,
         "audio_features": q.audio_features,
