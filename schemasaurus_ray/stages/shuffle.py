@@ -118,6 +118,7 @@ def count_keys_shuffled(
     min_count: int = 2,
     path_pids: dict[str, int] | None = None,
     partials_dir: str | None = None,
+    max_key_rows: int | None = None,
 ) -> pa.Table:
     """(key columns..., cnt) for keys with total count ≥ ``min_count``
     across all parquet shards. min_count=2 → duplicate keys (uniqueness
@@ -127,8 +128,16 @@ def count_keys_shuffled(
     pre-agg chunks exist on disk (written by CombinedStage._sink_key_partials
     under the '+'-joined column name) are served from those tiny files —
     including COMPOSITE keys — so this shuffle re-reads NOTHING from the
-    heavy input (one-scan invariant, VERDICT r2 #10)."""
+    heavy input (one-scan invariant, VERDICT r2 #10).
+
+    ``max_key_rows`` trips :class:`stats.DomainTooLargeError` LOUDLY — in
+    the map tasks (per-shard domain) and on the driver (merged total) —
+    instead of silently shuffling an O(rows) 'count table' for a
+    continuous column; the grouped-quantile routers catch it and fall back
+    to keyed t-digests (VERDICT r3 #4)."""
     import ray
+
+    from .stats import DomainTooLargeError
 
     num_buckets = num_buckets or _default_buckets(len(paths))
     key_name = "+".join(columns)
@@ -137,6 +146,11 @@ def count_keys_shuffled(
     def map_shard(path: str):
         tbl = pq.read_table(path, columns=columns)
         counts = _precount_table(tbl, columns)
+        if max_key_rows is not None and counts.num_rows > max_key_rows:
+            raise DomainTooLargeError(
+                f"shard {path!r}: {counts.num_rows} distinct {columns} keys exceed "
+                f"max_key_rows={max_key_rows}"
+            )
         out = _split_buckets(counts, columns, num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -186,6 +200,12 @@ def count_keys_shuffled(
         empty_cols: dict[str, Any] = {c: pa.array([], pa.string()) for c in columns}
         empty_cols["cnt"] = pa.array([], pa.int64())
         return pa.table(empty_cols)
+    if max_key_rows is not None:
+        total = sum(t.num_rows for t in tables)
+        if total > max_key_rows:
+            raise DomainTooLargeError(
+                f"{total} merged distinct {columns} keys exceed max_key_rows={max_key_rows}"
+            )
     return pa.concat_tables(tables)
 
 

@@ -17,6 +17,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..state.hll import HyperLogLog
 from ..state.tdigest import TDigest
@@ -106,6 +107,15 @@ def merge_stats_partials(partials: list[dict[str, Any]]) -> dict[str, dict[str, 
             a["quantiles"] = {"p01": qs[0], "p25": qs[1], "p50": qs[2], "p75": qs[3], "p99": qs[4]}
             a["_tdigest"] = td
     return agg
+
+
+class DomainTooLargeError(ValueError):
+    """An exact count-table quantile path would materialize more than
+    ``max_distinct`` (group, value) rows — the 'tiny shuffle' would be
+    O(input distinct) ≈ O(rows) for a continuous column at scale (VERDICT
+    r3 #4). Callers either surface this loudly (quantiles_lineitem) or
+    route to the mergeable keyed t-digest fallback
+    (:func:`grouped_quantiles_auto` / :func:`grouped_median_mad_auto`)."""
 
 
 def batch_value_counts(
@@ -270,6 +280,154 @@ def grouped_topk_table(
     keep = rank < k
     out = table.take(pa.array(perm[keep], pa.int64()))
     return out.append_column("rnk", pa.array(rank[keep] + 1, pa.int64()))
+
+
+def grouped_tdigest_quantiles_shuffled(
+    paths: list[str],
+    group_col: str,
+    value_col: str,
+    q_bps: list[int],
+    delta: int = 400,
+    center: dict[Any, float] | None = None,
+) -> dict[Any, list[float]]:
+    """Per-group APPROXIMATE quantiles via mergeable t-digests — the scale
+    path for unbounded/continuous domains: one raw-Ray map per shard emits
+    O(groups) serialized digests (never O(distinct) rows), the driver
+    merges per group. ``center`` (group → m) digests |v − m| instead of v —
+    the MAD second pass without a count table. Groups are assumed few
+    (the engine's grouped checks key on low-cardinality flags); a digest
+    per (shard × group) is what crosses the wire."""
+    import ray
+
+    cpaths = sorted(paths)
+
+    @ray.remote
+    def map_shard(path: str, center_arg: dict[Any, float] | None) -> pa.Table:
+        tbl = pq.read_table(path, columns=[group_col, value_col])
+        mask = pc.and_(
+            tbl.column(group_col).combine_chunks().is_valid(),
+            tbl.column(value_col).combine_chunks().is_valid(),
+        )
+        tbl = tbl.filter(mask)
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()), "td": pa.array([], pa.string())})
+        enc = tbl.column(group_col).combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        groups = enc.dictionary.to_pylist()
+        vals = np.asarray(tbl.column(value_col).combine_chunks().cast(pa.float64()))
+        order = np.argsort(codes, kind="stable")
+        codes_s, vals_s = codes[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
+        out_g, out_td = [], []
+        for s, e in zip(starts, ends):
+            g = groups[codes_s[s]]
+            seg = vals_s[s:e]
+            if center_arg is not None:
+                seg = np.abs(seg - float(center_arg[g]))
+            td = TDigest(delta)
+            td.add(seg)
+            out_g.append(g)
+            out_td.append(td.to_json())
+        return pa.table({group_col: pa.array(out_g), "td": pa.array(out_td, pa.string())})
+
+    parts = ray.get([map_shard.remote(p, center) for p in cpaths])
+    merged: dict[Any, TDigest] = {}
+    for t in parts:
+        for g, tj in zip(t.column(group_col).to_pylist(), t.column("td").to_pylist()):
+            td = TDigest.from_json(tj)
+            if g in merged:
+                merged[g].merge(td)
+            else:
+                merged[g] = td
+    q = np.array([bp / 10000.0 for bp in q_bps])
+    return {g: [float(x) for x in td.quantile(q)] for g, td in merged.items()}
+
+
+def grouped_quantiles_auto(
+    paths: list[str],
+    group_col: str,
+    value_col: str,
+    q_bps: list[int],
+    max_distinct: int = 1_000_000,
+) -> tuple[str, dict[Any, list[Any]]]:
+    """Domain-guarded router (VERDICT r3 #4): EXACT per-group quantile_disc
+    from the (group, value) count-table shuffle while the merged domain
+    stays ≤ ``max_distinct`` rows; when a continuous column would blow
+    that bound (count table ≈ O(rows)), routes LOUDLY (warning) to the
+    keyed t-digest fallback. Returns ("exact"|"tdigest", group → values);
+    bounded-domain results are bit-identical to the non-routed path."""
+    import warnings
+
+    import ray
+
+    from .shuffle import count_keys_shuffled
+
+    try:
+        counts = count_keys_shuffled(
+            paths, [group_col, value_col], min_count=1, max_key_rows=max_distinct
+        )
+    except DomainTooLargeError as e:
+        reason = str(e)
+    except ray.exceptions.RayTaskError as e:
+        if not isinstance(e.cause, DomainTooLargeError):
+            raise
+        reason = str(e.cause)
+    else:
+        return "exact", grouped_quantiles_from_count_table(
+            counts, group_col, value_col, q_bps
+        )
+    warnings.warn(
+        f"grouped quantiles on {value_col!r}: {reason} — routing to the "
+        "approximate keyed t-digest path",
+        stacklevel=2,
+    )
+    return "tdigest", grouped_tdigest_quantiles_shuffled(paths, group_col, value_col, q_bps)
+
+
+def grouped_median_mad_auto(
+    paths: list[str],
+    group_col: str,
+    value_col: str,
+    max_distinct: int = 1_000_000,
+) -> tuple[str, dict[Any, tuple[float, float]]]:
+    """Domain-guarded (median, MAD) router: exact from one count-table
+    shuffle on bounded domains; on :class:`DomainTooLargeError` routes to
+    TWO t-digest passes (median, then |v − median| with the medians
+    broadcast as remote-call args) — no count table ever materializes."""
+    import warnings
+
+    import ray
+
+    from .shuffle import count_keys_shuffled
+
+    try:
+        counts = count_keys_shuffled(
+            paths, [group_col, value_col], min_count=1, max_key_rows=max_distinct
+        )
+    except DomainTooLargeError as e:
+        reason = str(e)
+    except ray.exceptions.RayTaskError as e:
+        if not isinstance(e.cause, DomainTooLargeError):
+            raise
+        reason = str(e.cause)
+    else:
+        return "exact", grouped_median_mad_from_count_table(counts, group_col, value_col)
+    warnings.warn(
+        f"grouped median/MAD on {value_col!r}: {reason} — routing to the "
+        "approximate keyed t-digest path",
+        stacklevel=2,
+    )
+    med = {
+        g: v[0]
+        for g, v in grouped_tdigest_quantiles_shuffled(
+            paths, group_col, value_col, [5000]
+        ).items()
+    }
+    mad = grouped_tdigest_quantiles_shuffled(
+        paths, group_col, value_col, [5000], center=med
+    )
+    return "tdigest", {g: (float(med[g]), float(mad[g][0])) for g in med}
 
 
 def stats_to_table(stats: dict[str, dict[str, Any]]) -> pa.Table:
