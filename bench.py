@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     "ontime_windowed_events",
     "epoch_order_documents",
+    # round 4: dropped-set curation + the persisted-IVF query path (first
+    # pass builds/reuses the index; min-of-3 reports the warm indexed read)
+    "curate_documents",
+    "ann_ivf_embeddings",
 ]
 
 
