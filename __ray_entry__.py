@@ -83,11 +83,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": q.stratified_sample_documents,
         # schema-evolution aligned read (sources/io.read_parquet_aligned)
         "evolved_union_documents": q.evolved_union_documents,
+        # -- new round-4 operators (need their first driver row) --
+        "fd_violations_events": q.fd_violations_events,
+        "coverage_customer_events": q.coverage_customer_events,
         # -- flagship / modified-this-round re-checks (r03-certified) --
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
-        "stats_lineitem": q.stats_lineitem,
-        "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
         "dedup_exact_documents": q.dedup_exact_documents,
         "curate_documents": q.curate_documents,  # dropped-set broadcast (r4)
         # -- oracle-backed, already driver-certified green in r03 --
@@ -102,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_lineitem": q.normalize_lineitem,
         "normalize_events_defaults": q.normalize_events_defaults,
         # column stats (§2E)
+        "stats_lineitem": q.stats_lineitem,
+        "unique_lineitem_orderkey": q.unique_lineitem_orderkey,
         "distinct_orderkeys": q.distinct_orderkeys,
         # uniqueness / referential shuffles (§2E)
         "unique_events_composite": q.unique_events_composite,
@@ -520,6 +523,19 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "fd_violations_events": """
+            SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+              FROM events GROUP BY user_id
+            HAVING COUNT(DISTINCT event_type) > 1
+             ORDER BY user_id
+        """,
+        "coverage_customer_events": """
+            SELECT CAST(c_custkey AS VARCHAR) AS row_ref, 'c_custkey' AS col,
+                   'coverage' AS code
+              FROM customer
+             WHERE c_custkey NOT IN (SELECT user_id FROM events)
+             ORDER BY row_ref
         """,
         "redact_documents": """
             WITH planted AS (

@@ -390,6 +390,52 @@ def referential_chain_supplier(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(classify, batch_format="pyarrow")).sort_by("row_ref")
 
 
+def fd_violations_events(sf_dir: str) -> pa.Table:
+    """FUNCTIONAL-DEPENDENCY audit (the dbt `unique` generalization a
+    profiler suggests before declaring a key): LHS keys whose RHS is not
+    single-valued — here user_id → event_type, returning every user seen
+    with >1 distinct event type and the distinct count. Same distributed
+    exact distinct-pair machinery as distinct_users_by_type
+    (stages/shuffle.distinct_count_by_group: per-shard distinct pairs,
+    pair-hash buckets, per-group partial counts summed on the driver),
+    with the HAVING > 1 applied to the tiny (group, cnt) result. A held
+    FD returns zero rows — the check output IS the violation list."""
+    from ..stages.shuffle import distinct_count_by_group
+
+    tbl = distinct_count_by_group(
+        [os.path.join(sf_dir, "events.parquet")], "user_id", "event_type"
+    )
+    out = tbl.filter(pc.greater(tbl.column("cnt"), 1))
+    return out.rename_columns(["user_id", "n_types"]).sort_by("user_id")
+
+
+def coverage_customer_events(sf_dir: str) -> pa.Table:
+    """COVERAGE / completeness check — the REVERSE of the referential
+    orphan audit: parent entities with zero children (customers never
+    seen in the event stream — the standard "does every entity have
+    telemetry?" validation). Runs as the same co-partitioned anti-join as
+    the referential family with the roles swapped (stages/referential.
+    orphan_rows, method='shuffle': the event keys are the big side so
+    nothing broadcasts), emitting (row_ref, col, code='coverage')
+    violation rows; zero rows ⇔ the check holds."""
+    from ..stages.referential import orphan_rows
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+    out = _collect(orphan_rows(cust, "c_custkey", events, "user_id", method="shuffle"))
+    if out.num_rows == 0:
+        return pa.table(
+            {
+                "row_ref": pa.array([], pa.string()),
+                "col": pa.array([], pa.string()),
+                "code": pa.array([], pa.string()),
+            }
+        )
+    out = out.rename_columns(["row_ref", "col", "code"])
+    code = pa.array(["coverage"] * out.num_rows, pa.string())
+    return out.set_column(2, "code", code).sort_by("row_ref")
+
+
 def distinct_users_by_type(sf_dir: str) -> pa.Table:
     """Distributed exact COUNT(DISTINCT user_id) GROUP BY event_type
     (stages/shuffle.distinct_count_by_group): per-shard distinct pairs
