@@ -888,11 +888,19 @@ def verify_pairs_distributed(
     shingle_tbl: pa.Table,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    driver_verify_rows: int = 1 << 14,
 ) -> pa.Table:
     """Distributed exact-Jaccard verify of candidate pairs: the candidate
-    shingle table (O(candidates)) is broadcast once via ``ray.put``; pairs
-    fan out over tasks, each computing |A∩B|/|A∪B| on sorted int64 hash
-    arrays. No document text is ever materialized on the driver."""
+    shingle sets (O(candidates)) are broadcast once via ``ray.put`` as flat
+    CSR numpy arrays (zero-copy through the object store — no Python-object
+    pickling), with shingle values RANK-ENCODED against the candidate set's
+    sorted distinct values. Pairs fan out over tasks; each batch counts
+    |A∩B| for all its pairs in ONE searchsorted pass with no sort at all:
+    a composite key ``pair_idx * R + rank`` is globally sorted on each side
+    (segments are value-sorted — candidate_shingles emits per-doc sorted
+    unique sets — and pair index is non-decreasing by construction), so
+    shared elements are exactly the B-keys found in the A-key array. No
+    document text is ever materialized on the driver."""
     import ray
     import ray.data as rd
 
@@ -907,43 +915,93 @@ def verify_pairs_distributed(
     pairs = _dedupe_pairs(pairs)
     if pairs.num_rows == 0:
         return empty
-    lookup = {
-        i: frozenset(s)
-        for i, s in zip(shingle_tbl.column(id_col).to_pylist(), shingle_tbl.column("shingles").to_pylist())
-    }
-    sh_ref = ray.put(lookup)
+    # CSR view of the shingle table: ids sorted for searchsorted lookup,
+    # offsets zero-copy from the Arrow list column, values rank-encoded
+    # (the distinct candidate-set vocabulary R is O(candidate shingles)).
+    sh_ids = np.asarray(shingle_tbl.column(id_col).combine_chunks(), dtype=np.int64)
+    sh_list = shingle_tbl.column("shingles").combine_chunks()
+    sh_off = np.asarray(sh_list.offsets, dtype=np.int64)
+    sh_val = np.asarray(sh_list.values, dtype=np.int64)
+    vocab = np.unique(sh_val)
+    sh_rank = np.searchsorted(vocab, sh_val).astype(np.int64)
+    perm = np.argsort(sh_ids, kind="stable")
+    sh_ref = ray.put((sh_ids[perm], perm.astype(np.int64), sh_off, sh_rank, len(vocab) + 1))
+
+    def _rows(ids_sorted, row_of, q):
+        """Row index in the CSR table for each queried id (-1 = absent)."""
+        pos = np.searchsorted(ids_sorted, q)
+        pos[pos == len(ids_sorted)] = 0
+        found = ids_sorted[pos] == q if len(ids_sorted) else np.zeros(len(q), dtype=bool)
+        return np.where(found, row_of[pos], -1)
+
+    def _gather_keys(starts, lens, flat, R):
+        """pair_idx * R + flat[starts[i] : starts[i]+lens[i]], concatenated
+        — globally sorted when each segment is sorted ascending."""
+        tot = int(lens.sum())
+        if tot == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        seg = np.repeat(np.arange(len(lens)), lens)
+        base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = np.repeat(starts - base, lens) + np.arange(tot)
+        return seg * R + flat[idx], seg
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
-        keep_a, keep_b, sims, bps = [], [], [], []
-        for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
-            sa, sb = sh.get(a), sh.get(b)
-            if sa is None or sb is None:
-                continue
-            # C-level set intersection: ~10x over np.intersect1d per pair
-            # at these set sizes (the verify fan-out is pair-count bound)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            j = 1.0 if union == 0 else inter / union
-            if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(round(j, 6))
-                # multiply-first basis points: identical double expression to
-                # the DuckDB oracle (FLOOR(10000.0 * inter / union))
-                bps.append(10000 if union == 0 else int(np.floor(10000.0 * inter / union)))
+        ids_sorted, row_of, off, rank, R = ray.get(sh_ref)
+        a = np.asarray(batch.column("id_a").combine_chunks(), dtype=np.int64)
+        b = np.asarray(batch.column("id_b").combine_chunks(), dtype=np.int64)
+        ra, rb = _rows(ids_sorted, row_of, a), _rows(ids_sorted, row_of, b)
+        ok = (ra >= 0) & (rb >= 0)
+        a, b, ra, rb = a[ok], b[ok], ra[ok], rb[ok]
+        if not len(a):
+            return empty
+        la, lb = off[ra + 1] - off[ra], off[rb + 1] - off[rb]
+        ka, _ = _gather_keys(off[ra], la, rank, R)
+        kb, pb_idx = _gather_keys(off[rb], lb, rank, R)
+        inter = np.zeros(len(a), dtype=np.int64)
+        if len(ka) and len(kb):
+            pos = np.searchsorted(ka, kb)
+            pos_c = np.minimum(pos, len(ka) - 1)
+            found = (pos < len(ka)) & (ka[pos_c] == kb)
+            inter = np.bincount(pb_idx[found], minlength=len(a))
+        union = la + lb - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+        keep = j >= threshold
+        if not keep.any():
+            return empty
+        ka, kb = a[keep], b[keep]
+        ki, ku = inter[keep], union[keep]
+        # the kept set is tiny (true pairs only): render the float columns
+        # with the exact per-element expressions the oracle uses —
+        # round(inter/union, 6) and FLOOR(10000.0 * inter / union)
+        sims = [
+            1.0 if u == 0 else round(i / u, 6) for i, u in zip(ki.tolist(), ku.tolist())
+        ]
+        bps = [
+            10000 if u == 0 else int(np.floor(10000.0 * i / u))
+            for i, u in zip(ki.tolist(), ku.tolist())
+        ]
         return pa.table(
             {
-                "id_a": pa.array(keep_a, pa.int64()),
-                "id_b": pa.array(keep_b, pa.int64()),
+                "id_a": pa.array(ka, pa.int64()),
+                "id_b": pa.array(kb, pa.int64()),
                 "jaccard": pa.array(sims, pa.float64()),
                 "jacc_bp": pa.array(bps, pa.int64()),
             }
         )
 
+    # the pair table is already driver-local (it came out of the bucket
+    # shuffle): below the threshold the batch kernel runs once in-process —
+    # no Dataset round-trip. The threshold is deliberately small: the
+    # kernel's temporaries are ~10 int64s per shingle of both sides, and
+    # large single-threaded driver temporaries hit this host's first-touch
+    # fault pathology (see CLAUDE.md round-3 notes) — fan out keeps each
+    # batch's footprint in the tens of MB on already-warm worker heaps.
+    if pairs.num_rows <= driver_verify_rows:
+        return verify(pairs)
     out = list(
         rd.from_arrow(pairs)
-        .map_batches(verify, batch_format="pyarrow", batch_size=8192)
+        .map_batches(verify, batch_format="pyarrow", batch_size=16384)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return pa.concat_tables(out) if out else empty
