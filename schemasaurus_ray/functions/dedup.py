@@ -895,10 +895,11 @@ def verify_pairs_distributed(
     CSR numpy arrays (zero-copy through the object store — no Python-object
     pickling), with shingle values RANK-ENCODED against the candidate set's
     sorted distinct values. Pairs fan out over tasks; each batch counts
-    |A∩B| for all its pairs in ONE searchsorted pass with no sort at all:
-    a composite key ``pair_idx * R + rank`` is globally sorted on each side
-    (segments are value-sorted — candidate_shingles emits per-doc sorted
-    unique sets — and pair index is non-decreasing by construction), so
+    |A∩B| for all its pairs in ONE searchsorted pass with no per-batch sort:
+    a composite key ``pair_idx * R + rank`` is globally sorted on the probe
+    side (segments are value-sorted — enforced by one driver-side lexsort
+    over the O(candidates) table at build, so callers need no ordering
+    precondition — and pair index is non-decreasing by construction), so
     shared elements are exactly the B-keys found in the A-key array. No
     document text is ever materialized on the driver."""
     import ray
@@ -922,8 +923,19 @@ def verify_pairs_distributed(
     sh_list = shingle_tbl.column("shingles").combine_chunks()
     sh_off = np.asarray(sh_list.offsets, dtype=np.int64)
     sh_val = np.asarray(sh_list.values, dtype=np.int64)
+    # normalize to 0-based offsets over exactly the referenced values
+    # (ListArray.values is the FULL child array even for sliced arrays)
+    sh_val = sh_val[sh_off[0] : sh_off[-1]]
+    sh_off = sh_off - sh_off[0]
     vocab = np.unique(sh_val)
     sh_rank = np.searchsorted(vocab, sh_val).astype(np.int64)
+    if len(sh_rank):
+        # sort each doc's segment ascending (stable lexsort keyed by the
+        # contiguous segment id maps every segment's slice onto itself, so
+        # the offsets stay valid) — the searchsorted kernel needs sorted
+        # segments and callers should not have to guarantee it
+        seg_of = np.repeat(np.arange(len(sh_off) - 1), np.diff(sh_off))
+        sh_rank = sh_rank[np.lexsort((sh_rank, seg_of))]
     perm = np.argsort(sh_ids, kind="stable")
     sh_ref = ray.put((sh_ids[perm], perm.astype(np.int64), sh_off, sh_rank, len(vocab) + 1))
 

@@ -665,6 +665,83 @@ def test_winnow_fingerprints_detect_shared_passages():
     assert out.equals(out2)
 
 
+def test_verify_pairs_kernel_randomized_bruteforce(ray_session):
+    """The rank-encoded searchsorted intersection kernel vs a frozenset
+    brute force on randomized set tables, covering the adversarial edges:
+    pair ids missing from the shingle table (skipped), both-empty sets
+    (J=1), identical sets, disjoint sets, and BOTH dispatch paths (the
+    driver-local small-table path and the forced distributed fan-out)."""
+    import numpy as np
+
+    from schemasaurus_ray.functions.dedup import verify_pairs_distributed
+
+    rng = np.random.default_rng(7)
+    n_docs, vocab = 120, 60
+    sets = {}
+    for i in range(n_docs):
+        k = int(rng.integers(0, 25))
+        # hash-like spread values in RANDOM order (the kernel must not
+        # depend on callers passing sorted lists); include empty sets
+        vals = list({int(v) * 0x9E3779B97F4A7C15 % (1 << 62) for v in rng.integers(0, vocab, k)})
+        rng.shuffle(vals)
+        sets[i] = vals
+    # two identical non-empty sets and a planted big-overlap pair
+    sets[1] = sets[0] or [42]
+    sets[0] = sets[1]
+    sets[2], sets[3] = list(sets[1]), list(sets[1])[:-1] + [999]
+    shingle_tbl = pa.table(
+        {
+            "doc_id": pa.array(list(sets), pa.int64()),
+            "shingles": pa.array([sets[i] for i in sets], pa.list_(pa.int64())),
+        }
+    )
+    ids = list(sets)
+    a = rng.choice(ids, 400).astype(np.int64)
+    b = rng.choice(ids, 400).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # pairs referencing ids absent from the shingle table must be skipped
+    a[:5] = 10_000 + np.arange(5)
+    # force the planted identical / near-identical pairs into the batch
+    a = np.concatenate([a, [0, 2]]).astype(np.int64)
+    b = np.concatenate([b, [1, 3]]).astype(np.int64)
+    pairs = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    def brute(th):
+        out = set()
+        seen = set()
+        for x, y in zip(a.tolist(), b.tolist()):
+            if (x, y) in seen or x == y:
+                continue
+            seen.add((x, y))
+            if x not in sets or y not in sets:
+                continue
+            sx, sy = frozenset(sets[x]), frozenset(sets[y])
+            inter = len(sx & sy)
+            union = len(sx) + len(sy) - inter
+            j = 1.0 if union == 0 else inter / union
+            if j >= th:
+                bp = 10000 if union == 0 else int(np.floor(10000.0 * inter / union))
+                out.add((x, y, bp))
+        return out
+
+    for th in (0.3, 0.8):
+        expect = brute(th)
+        for driver_rows in (1 << 14, 0):  # driver-local path, then forced fan-out
+            got_tbl = verify_pairs_distributed(
+                pairs, shingle_tbl, threshold=th, driver_verify_rows=driver_rows
+            )
+            got = set(
+                zip(
+                    got_tbl.column("id_a").to_pylist(),
+                    got_tbl.column("id_b").to_pylist(),
+                    got_tbl.column("jacc_bp").to_pylist(),
+                )
+            )
+            assert got == expect, (th, driver_rows)
+        assert len(expect) > 0  # planted identical/overlap pairs qualify
+
+
 def test_pairs_from_key_rows_star_cap_and_dedupe():
     """Hot buckets emit O(n) star pairs; duplicate (key, id) rows collapse;
     groups segment correctly across key boundaries."""
