@@ -73,7 +73,67 @@ def exact_dedup_dup_groups(
     agg = pre.groupby("h").aggregate(
         Min(id_col, alias_name="min_id"), Count(alias_name="cnt")
     )
-    return agg.filter(expr="cnt > 1").select_columns(["h", "min_id"])
+
+    # one map_batches (not filter → select_columns operator pair) so every
+    # output block has the identical (h, min_id) schema — the two-operator
+    # form emitted schema-divergent bundles and tripped Ray's warning
+    def dup_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("cnt"), 1)
+        return batch.filter(keep).select(["h", "min_id"])
+
+    return agg.map_batches(dup_only, batch_format="pyarrow")
+
+
+def exact_dedup_paths(
+    paths: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Parquet-shard fast path for :func:`exact_dedup`: the same
+    hash→groupby-min semantics through the raw-Ray bucket shuffle
+    (stages/shuffle.agg_keys_shuffled — per-shard pre-agg combiners, so
+    only O(distinct hashes per shard) 16-byte rows enter the shuffle;
+    text never leaves the map tasks). Returns the survivor id table."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    out = agg_keys_shuffled(
+        paths,
+        ["h"],
+        [(id_col, "min")],
+        transform_fn=_content_hash_map(text_col, id_col),
+        read_cols=[id_col, text_col],
+    )
+    if out.num_rows == 0:
+        return pa.table({id_col: pa.array([], pa.int64())})
+    return out.select([f"min_{id_col}"]).rename_columns([id_col])
+
+
+def exact_dedup_dup_groups_paths(
+    paths: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_type: pa.DataType | None = None,
+) -> pa.Table:
+    """Parquet-shard fast path for :func:`exact_dedup_dup_groups`: same
+    (h, min_id) duplicate-group product through agg_keys_shuffled, with
+    the count>1 HAVING applied inside the reduce tasks so the driver only
+    ever receives the O(duplicate groups) table."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("cnt"), 1)).select(["h", f"min_{id_col}"])
+
+    out = agg_keys_shuffled(
+        paths,
+        ["h"],
+        [(id_col, "min"), (id_col, "count")],
+        transform_fn=_content_hash_map(text_col, id_col),
+        having_fn=having,
+        read_cols=[id_col, text_col],
+    )
+    if out.num_rows == 0:
+        return pa.table(
+            {"h": pa.array([], pa.int64()), "min_id": pa.array([], id_type or pa.int64())}
+        )
+    return out.rename_columns(["h", "min_id"])
 
 
 # ------------------------------------------------------------- shingle hashes

@@ -1003,8 +1003,10 @@ def histogram_events_type(sf_dir: str) -> pa.Table:
 
 # ---- dedup ------------------------------------------------------------------
 def dedup_exact_documents(sf_dir: str) -> pa.Table:
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return _collect(exact_dedup(ds)).sort_by("doc_id")
+    from ..functions.dedup import exact_dedup_paths
+
+    out = exact_dedup_paths([os.path.join(sf_dir, "documents.parquet")])
+    return out.sort_by("doc_id")
 
 
 def minhash_neardup_documents(sf_dir: str) -> pa.Table:
@@ -1350,11 +1352,11 @@ def curate_documents(sf_dir: str) -> pa.Table:
     quality ratios, the generated stopword scoring)."""
     import ray
 
-    from ..functions.dedup import exact_dedup_dup_groups
+    from ..functions.dedup import exact_dedup_dup_groups_paths
     from ..util import cached_stage, hash_column
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    dup = _collect(exact_dedup_dup_groups(ds))
+    dup = exact_dedup_dup_groups_paths([os.path.join(sf_dir, "documents.parquet")])
     if dup.num_rows:
         dup_h = np.asarray(dup.column("h").combine_chunks(), dtype=np.int64)
         dup_min = np.asarray(dup.column("min_id").combine_chunks(), dtype=np.int64)
@@ -1813,7 +1815,7 @@ def audio_curate_clips(sf_dir: str) -> pa.Table:
     import ray
 
     from ..audio import pcm_segment_stats
-    from ..functions.dedup import exact_dedup_dup_groups
+    from ..functions.dedup import exact_dedup_dup_groups_paths
     from ..sources.io import read_parquet_tasks
     from ..specs import AUDIO_CLIP_SPEC
     from ..util import hash_column
@@ -1822,9 +1824,8 @@ def audio_curate_clips(sf_dir: str) -> pa.Table:
     paths = sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet")))
     meta_cols = ["clip_id", "sr_hz", "dur_ms"]
 
-    dup = _collect(
-        exact_dedup_dup_groups(read_parquet_tasks(paths, columns=["clip_id", "bytes"]),
-                               text_col="bytes", id_col="clip_id")
+    dup = exact_dedup_dup_groups_paths(
+        paths, text_col="bytes", id_col="clip_id", id_type=pa.large_string()
     )
     if dup.num_rows:
         dup_h = np.asarray(dup.column("h").combine_chunks(), dtype=np.int64)
