@@ -86,12 +86,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new round-4 operators (need their first driver row) --
         "fd_violations_events": q.fd_violations_events,
         "coverage_customer_events": q.coverage_customer_events,
-        # -- flagship / modified-this-round re-checks (r03-certified) --
+        # -- modified-this-round re-checks (r03 certification no longer
+        # covers the current code for these; validate_lineitem and
+        # check_constraints_lineitem are UNMODIFIED since their r03 rows,
+        # so they yield their prefix slots — the validate pipeline is also
+        # re-smoked every round via entry()) --
+        "dedup_exact_documents": q.dedup_exact_documents,  # raw-shuffle path (r4)
+        "curate_documents": q.curate_documents,  # dropped-set broadcast (r4)
+        "minhash_neardup_documents": q.minhash_neardup_documents,  # CSR verify (r4)
+        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,  # CSR verify (r4)
+        # -- oracle-backed, already driver-certified green in r03 --
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
-        "dedup_exact_documents": q.dedup_exact_documents,
-        "curate_documents": q.curate_documents,  # dropped-set broadcast (r4)
-        # -- oracle-backed, already driver-certified green in r03 --
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
         "validate_documents": q.validate_documents,
         "validate_embeddings": q.validate_embeddings,
@@ -128,10 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment_flag": q.revenue_by_segment_flag,
         "revenue_rollup": q.revenue_rollup,
         "pivot_events_user": q.pivot_events_user,
-        # dedup family
+        # dedup family (minhash/ngram registered in the modified-prefix above)
         "dedup_incremental_documents": q.dedup_incremental_documents,
-        "minhash_neardup_documents": q.minhash_neardup_documents,
-        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,
         "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,
         "embedding_neardup": q.embedding_neardup,
         # text analysis
