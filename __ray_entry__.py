@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_distribution_events": q.key_distribution_events,
         "quantize_embeddings": q.quantize_embeddings,
         "prefix_dedup_documents": q.prefix_dedup_documents,
-        "funnel_events": q.funnel_events,
         "funnel_window_events": q.funnel_window_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec)
@@ -86,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new round-4 operators (need their first driver row) --
         "fd_violations_events": q.fd_violations_events,
         "coverage_customer_events": q.coverage_customer_events,
+        "dup_passages_documents": q.dup_passages_documents,
         # -- modified-this-round re-checks (r03 certification no longer
         # covers the current code for these; validate_lineitem and
         # check_constraints_lineitem are UNMODIFIED since their r03 rows,
@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-backed, already driver-certified green in r03 --
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
+        "funnel_events": q.funnel_events,  # subset of in-prefix funnel_window_events
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
         "validate_documents": q.validate_documents,
         "validate_embeddings": q.validate_embeddings,
@@ -540,6 +541,29 @@ def oracle_sql() -> dict[str, str]:
               FROM customer
              WHERE c_custkey NOT IN (SELECT user_id FROM events)
              ORDER BY row_ref
+        """,
+        "dup_passages_documents": r"""
+            -- exact duplicate 8-token passages: windows whose token
+            -- sequence appears in >1 distinct doc; tokenization matches
+            -- the engine's ascii_split_whitespace + empty-token filter
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                  FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+                  FROM toks,
+                       LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+                 WHERE len(t) >= 8
+            ),
+            shared AS (
+                SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+              FROM grams WHERE g IN (SELECT g FROM shared)
+             GROUP BY doc_id ORDER BY doc_id
         """,
         "redact_documents": """
             WITH planted AS (

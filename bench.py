@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "minhash_neardup_documents",
     "ngram_jaccard_neardup_documents",
+    "dup_passages_documents",
     "token_count_documents",
     "quality_documents",
     "langid_documents",

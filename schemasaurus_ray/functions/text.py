@@ -329,3 +329,180 @@ def bigram_lm_topk(paths: list[str], k: int = 500, min_df: int = 2) -> pa.Array:
         return pa.array([], pa.string())
     head = counts.sort_by([("sum_n", "descending"), ("bg", "ascending")]).slice(0, k)
     return head.column("bg").combine_chunks()
+
+
+# ------------------------------------------------- exact duplicate passages
+# position multipliers for L-token window hashes (odd ⇒ bijective over
+# Z/2^64); order-sensitive so "a b" and "b a" windows never collide
+_PASSAGE_MULT = None
+
+
+def _passage_mult(L: int) -> np.ndarray:
+    global _PASSAGE_MULT
+    if _PASSAGE_MULT is None or len(_PASSAGE_MULT) < L:
+        from ..util import splitmix64
+
+        _PASSAGE_MULT = splitmix64(np.arange(101, 101 + max(L, 16), dtype=np.uint64)) | np.uint64(1)
+    return _PASSAGE_MULT
+
+
+def window_hash_rows(
+    col, ids: np.ndarray, L: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """(window_hash int64, doc_id int64) for every L-token window of every
+    document — the exact-substring-dedup primitive (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better': duplicate spans ≥ L tokens).
+    One Arrow ASCII-whitespace split for the whole column, one vectorized
+    word-hash pass, windows as position-multiplied XOR combinations of L
+    consecutive word hashes, boundary-masked so windows never span docs.
+    Docs shorter than L tokens contribute nothing (they have no L-window)."""
+    from ..util import hash_column, single_chunk, splitmix64
+
+    col = single_chunk(col)
+    d = len(col)
+    words = pc.ascii_split_whitespace(pc.fill_null(col, ""))
+    lens = np.asarray(pc.list_value_length(words), dtype=np.int64)
+    flat = pc.list_flatten(words)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    h_all = hash_column(flat)
+    parents_all = np.repeat(np.arange(d), lens)
+    h, parents = h_all[keep], parents_all[keep]
+    s = len(h)
+    if s < L:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    mult = _passage_mult(L)
+    with np.errstate(over="ignore"):
+        acc = h[: s - L + 1] * mult[0]
+        for j in range(1, L):
+            acc = acc ^ (h[j : s - L + 1 + j] * mult[j])
+        g = splitmix64(acc)
+    valid = parents[: s - L + 1] == parents[L - 1 :]
+    return g[valid].view(np.int64), ids[parents[: s - L + 1][valid]]
+
+
+def duplicate_passage_counts(
+    ds: "object", text_col: str = "text", id_col: str = "doc_id", L: int = 8, num_buckets: int = 16
+) -> pa.Table:
+    """Per-document count of L-token windows whose exact token sequence also
+    appears in ANOTHER document — passage-level exact duplication (boilerplate
+    / contamination spans), the within-corpus complement of whole-doc dedup.
+
+    Scale shape: each batch emits per-(window-hash, doc) occurrence counts
+    (the combiner — repeated boilerplate inside one batch collapses before
+    the shuffle), O(corpus tokens) 24-byte rows hash-partition by window
+    hash through the raw-Ray bucket shuffle (the inherent cost of EXACT
+    substring dedup — Lee et al.'s suffix arrays pay the same O(tokens)),
+    each reduce keeps hashes spanning ≥ 2 distinct docs and emits only the
+    per-doc counts of those — O(duplicated windows) rows reach the driver,
+    never text or the full window set."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+    from ..util import single_chunk, splitmix64
+
+    empty3 = pa.table(
+        {
+            "wh": pa.array([], pa.int64()),
+            "doc": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def window_stage(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(single_chunk(batch.column(id_col)), dtype=np.int64)
+        wh, doc = window_hash_rows(batch.column(text_col), ids, L)
+        if not len(wh):
+            return empty3
+        order = np.lexsort((doc, wh))
+        w, dd = wh[order], doc[order]
+        new = np.ones(len(w), dtype=bool)
+        new[1:] = (w[1:] != w[:-1]) | (dd[1:] != dd[:-1])
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, len(w)))
+        return pa.table(
+            {
+                "wh": pa.array(w[idx], pa.int64()),
+                "doc": pa.array(dd[idx], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        window_stage, batch_format="pyarrow"
+    )
+
+    @ray.remote(num_returns=num_buckets)
+    def map_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "wh" not in tbl.column_names:
+            return [empty3] * num_buckets if num_buckets > 1 else empty3
+        w = np.asarray(tbl.column("wh").combine_chunks(), dtype=np.int64)
+        b = (splitmix64(w.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        t = tbl.take(pa.array(order))
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        out = [t.slice(bounds[x], bounds[x + 1] - bounds[x]) for x in range(num_buckets)]
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        e = pa.table({"doc": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return e
+        w = np.asarray(t.column("wh").combine_chunks(), dtype=np.int64)
+        dd = np.asarray(t.column("doc").combine_chunks(), dtype=np.int64)
+        c = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((dd, w))
+        w, dd, c = w[order], dd[order], c[order]
+        # re-merge (wh, doc) partials that arrived from different map blocks
+        new = np.ones(len(w), dtype=bool)
+        new[1:] = (w[1:] != w[:-1]) | (dd[1:] != dd[:-1])
+        idx = np.flatnonzero(new)
+        w, dd = w[idx], dd[idx]
+        c = np.add.reduceat(c, idx)
+        # distinct docs per window hash = run length over the deduped rows
+        runs = np.ones(len(w), dtype=bool)
+        runs[1:] = w[1:] != w[:-1]
+        rstart = np.flatnonzero(runs)
+        rlen = np.diff(np.append(rstart, len(w)))
+        shared = np.repeat(rlen >= 2, rlen)
+        if not shared.any():
+            return e
+        return pa.table(
+            {"doc": pa.array(dd[shared], pa.int64()), "cnt": pa.array(c[shared], pa.int64())}
+        )
+
+    refs = [map_block.remote(r) for r in rows.to_arrow_refs()]
+    out_empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "n_dup_windows": pa.array([], pa.int64())}
+    )
+    if not refs:
+        return out_empty
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return out_empty
+    t = pa.concat_tables(tables)
+    dd = np.asarray(t.column("doc").combine_chunks(), dtype=np.int64)
+    c = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+    order = np.argsort(dd, kind="stable")
+    dd, c = dd[order], c[order]
+    new = np.ones(len(dd), dtype=bool)
+    new[1:] = dd[1:] != dd[:-1]
+    idx = np.flatnonzero(new)
+    return pa.table(
+        {
+            id_col: pa.array(dd[idx], pa.int64()),
+            "n_dup_windows": pa.array(np.add.reduceat(c, idx), pa.int64()),
+        }
+    )

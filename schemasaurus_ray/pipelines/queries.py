@@ -1088,6 +1088,20 @@ def ngram_jaccard_neardup_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def dup_passages_documents(sf_dir: str) -> pa.Table:
+    """Exact duplicate-PASSAGE detection (Lee et al.-style substring dedup
+    at L=8 token windows): per doc, the count of 8-token windows whose
+    exact token sequence also appears in another document — the
+    boilerplate/contamination-span audit that whole-doc dedup misses.
+    One O(corpus tokens) window-hash shuffle, per-(hash,doc) combiners,
+    only the O(duplicated windows) counts reach the driver
+    (functions/text.duplicate_passage_counts)."""
+    from ..functions.text import duplicate_passage_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_passage_counts(ds, L=8).sort_by("doc_id")
+
+
 def dedup_neardup_survivors_documents(sf_dir: str) -> pa.Table:
     """Keep-one-per-cluster near-dup dedup: MinHash-LSH pairs → connected
     components (union-by-min) → survivors = corpus minus non-minimal

@@ -635,6 +635,46 @@ def test_stub_image_decode():
     assert out.column("features").to_pylist() == [[1.0, pytest.approx(0.8164965, rel=1e-5), 3.0]]
 
 
+def test_duplicate_passage_counts(ray_session):
+    """Exact L-token duplicate passages: cross-doc shared windows count per
+    OCCURRENCE on each side; windows repeated only WITHIN one doc are
+    excluded (>1 distinct doc, matching the oracle's HAVING); docs shorter
+    than L contribute nothing; disjoint docs report nothing."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.text import duplicate_passage_counts
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = {
+        # doc 1 and 2 share the full 10-token passage → 3 shared 8-windows each
+        1: passage + " alpha beta gamma delta epsilon zeta eta theta",
+        2: "intro words here now okay then so forth " + passage,
+        # doc 3 repeats ITS OWN 8-token phrase twice but shares nothing
+        3: ("unique phrase only in three repeated again " * 2).strip(),
+        # doc 4: shorter than 8 tokens
+        4: "too short to window at all",
+        # doc 5: shares the passage too, TWICE → its windows count per occurrence
+        5: passage + " mid filler words pad pad pad pad pad " + passage,
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    )
+    out = duplicate_passage_counts(ds, L=8)
+    got = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("n_dup_windows").to_pylist())
+    )
+    # 10-token passage → 3 distinct 8-token windows shared across docs 1/2/5.
+    # Docs 1 and 2 also share nothing else; doc 5 contains each window twice.
+    assert got[1] == 3 and got[2] == 3
+    assert got[5] == 6
+    assert 3 not in got and 4 not in got
+
+
 def test_winnow_fingerprints_detect_shared_passages():
     from schemasaurus_ray.functions.text import winnow_fingerprints
 
