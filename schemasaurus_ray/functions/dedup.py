@@ -324,7 +324,6 @@ def minhash_candidates(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
-    concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (id_a < id_b) from LSH band buckets —
     shingle→minhash→band→bucket shuffle (the canonical web-dedup shape).

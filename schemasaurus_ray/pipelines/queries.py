@@ -15,7 +15,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.dedup import (
-    exact_dedup,
     minhash_candidates,
     simhash_signatures,
 )
@@ -1037,7 +1036,7 @@ def minhash_neardup_documents(sf_dir: str) -> pa.Table:
     # transitive closure of the star-capped candidates: without it a hot
     # bucket's (x, y) pairs never reach the verify and the all-pairs oracle
     # would see more rows (ADVICE r2)
-    pairs = expand_candidate_pairs(_dedupe_pairs(_collect(minhash_candidates(ds, concurrency=2))))
+    pairs = expand_candidate_pairs(_dedupe_pairs(_collect(minhash_candidates(ds))))
     if pairs.num_rows == 0:
         return pa.table(
             {
@@ -1116,7 +1115,7 @@ def dedup_neardup_survivors_documents(sf_dir: str) -> pa.Table:
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _dedupe_pairs(_collect(minhash_candidates(ds, concurrency=2)))
+    pairs = _dedupe_pairs(_collect(minhash_candidates(ds)))
     if pairs.num_rows:
         cand_ids = set(pairs.column("id_a").to_pylist()) | set(pairs.column("id_b").to_pylist())
         pairs = verify_pairs_distributed(pairs, candidate_shingles(ds, cand_ids), threshold=0.8)

@@ -102,7 +102,7 @@ def test_exact_dedup_dup_groups_broadcast_is_o_duplicates(docs_ds):
 
 def test_minhash_finds_near_dups(docs_ds):
     ds, tbl = docs_ds
-    pairs_ds = minhash_candidates(ds, concurrency=2)
+    pairs_ds = minhash_candidates(ds)
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
     texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
     verified = verify_pairs_jaccard(pairs, texts, threshold=0.8)
@@ -128,7 +128,7 @@ def test_minhash_distributed_verify_parity(docs_ds):
 
     ds, tbl = docs_ds
     pairs_raw = pa.concat_tables(
-        list(minhash_candidates(ds, concurrency=2).iter_batches(batch_format="pyarrow", batch_size=None))
+        list(minhash_candidates(ds).iter_batches(batch_format="pyarrow", batch_size=None))
     )
     texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
     ref = verify_pairs_jaccard(pairs_raw, texts, threshold=0.8)
