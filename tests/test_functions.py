@@ -675,6 +675,53 @@ def test_duplicate_passage_counts(ray_session):
     assert 3 not in got and 4 not in got
 
 
+def test_duplicate_passage_counts_randomized_bruteforce(ray_session):
+    """duplicate_passage_counts vs a pure-Python sliding-window brute force
+    on random small-vocab docs (small vocab ⇒ organic cross-doc window
+    collisions), including whitespace-noise docs and L-boundary lengths."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.text import duplicate_passage_counts
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(3)]  # 3^6=729 possible windows ⇒ collisions
+    texts = []
+    for i in range(120):
+        k = int(rng.integers(0, 24))  # many below the L=6 boundary
+        toks = [vocab[int(v)] for v in rng.integers(0, len(vocab), k)]
+        sep = "  " if i % 7 == 0 else " "  # double-space noise
+        texts.append(("  " if i % 11 == 0 else "") + sep.join(toks))
+    L = 6
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = duplicate_passage_counts(ds, L=L)
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("n_dup_windows").to_pylist()))
+
+    from collections import Counter, defaultdict
+
+    owners = defaultdict(set)
+    windows = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        ws = [tuple(toks[j : j + L]) for j in range(len(toks) - L + 1)]
+        windows[i] = ws
+        for w in set(ws):
+            owners[w].add(i)
+    expect = {}
+    for i, ws in windows.items():
+        n = sum(1 for w in ws if len(owners[w]) > 1)
+        if n:
+            expect[i] = n
+    assert got == expect
+    assert len(expect) > 0  # small vocab guarantees collisions
+
+
 def test_winnow_fingerprints_detect_shared_passages():
     from schemasaurus_ray.functions.text import winnow_fingerprints
 
