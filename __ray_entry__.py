@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_audio_clips": q.validate_audio_clips,
         "audio_features": q.audio_features,
         "audio_dedup_clips": q.audio_dedup_clips,
+        "audio_repeated_segments_clips": q.audio_repeated_segments_clips,
         "audio_neardup_clips": q.audio_neardup_clips,
         "audio_normalize_clips": q.audio_normalize_clips,
         "audio_augment_clips": q.audio_augment_clips,

@@ -161,3 +161,69 @@ def audio_near_dups(
         batch_format="pyarrow",
     )
     return banded_near_dups(sigs.materialize(), id_col=key_col, max_hamming=max_hamming)
+
+
+# --------------------------------------------------- repeated PCM segments
+def pcm_segment_hash_rows(
+    bytes_col, keys: np.ndarray, seg_samples: int = 1024, chunk: int = 1_000_000
+) -> tuple[np.ndarray, np.ndarray]:
+    """(segment_hash int64, clip_key int64) for every NON-OVERLAPPING
+    ``seg_samples`` window of every decodable clip's PCM — the audio
+    analogue of text.window_hash_rows (exact repeated-segment detection:
+    shared jingles / silence boilerplate / spliced copies). Equal hash ⇔
+    equal int16 sample sequence (each sample is position-mixed with
+    splitmix64 before an XOR segment reduce, so permuted segments never
+    collide). Tail samples short of a full segment are ignored.
+
+    Bounded-chunk gather (the CLAUDE.md cold-footprint rule): ~35 bytes of
+    temporaries per sample, processed ``chunk`` samples at a time."""
+    from ..util import single_chunk, splitmix64
+
+    arr = single_chunk(bytes_col)
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    if len(arr) == 0:
+        return empty
+    layout = _pcm_layout(arr)
+    if layout is None:
+        return empty
+    data, starts, lengths, sr, eff_len, valid = layout
+    v = np.nonzero(valid)[0]
+    if not len(v):
+        return empty
+    pcm_b = (starts[v] + HEADER_SIZE).astype(np.int64)
+    n_segs = (eff_len[v] // 2) // seg_samples
+    keep = n_segs > 0
+    if not keep.any():
+        return empty
+    v, pcm_b, n_segs = v[keep], pcm_b[keep], n_segs[keep]
+    used = n_segs * seg_samples
+    keys_v = np.asarray(keys, dtype=np.int64)[v]
+    ends_used = np.cumsum(used)
+    pos_tmpl = (np.arange(min(chunk + seg_samples, int(used.sum())), dtype=np.uint64)
+                % np.uint64(seg_samples)) << np.uint64(16)
+    out_h: list[np.ndarray] = []
+    out_k: list[np.ndarray] = []
+    m, k = len(v), 0
+    while k < m:
+        j = k + 1
+        base_off = ends_used[k - 1] if k else 0
+        while j < m and ends_used[j] - base_off <= chunk:
+            j += 1
+        uu = used[k:j]
+        total = int(uu.sum())
+        base = np.concatenate([[0], np.cumsum(uu)[:-1]])
+        rel = np.arange(total, dtype=np.int64) - np.repeat(base, uu)
+        samp_idx = np.repeat(pcm_b[k:j], uu) + 2 * rel
+        u = data[samp_idx].astype(np.uint16) | (
+            data[samp_idx + 1].astype(np.uint16) << np.uint16(8)
+        )
+        if len(pos_tmpl) < total:  # a single clip larger than the chunk
+            pos_tmpl = (np.arange(total, dtype=np.uint64) % np.uint64(seg_samples)) << np.uint64(16)
+        mixed = splitmix64(u.astype(np.uint64) | pos_tmpl[:total])
+        hh = splitmix64(
+            np.bitwise_xor.reduceat(mixed, np.arange(0, total, seg_samples, dtype=np.int64))
+        )
+        out_h.append(hh.view(np.int64))
+        out_k.append(np.repeat(keys_v[k:j], n_segs[k:j]))
+        k = j
+    return np.concatenate(out_h), np.concatenate(out_k)

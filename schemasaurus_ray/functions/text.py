@@ -395,41 +395,63 @@ def duplicate_passage_counts(
     each reduce keeps hashes spanning ≥ 2 distinct docs and emits only the
     per-doc counts of those — O(duplicated windows) rows reach the driver,
     never text or the full window set."""
-    import ray
-
-    from ..stages.shuffle import _tree_combine
-    from ..util import single_chunk, splitmix64
-
-    empty3 = pa.table(
-        {
-            "wh": pa.array([], pa.int64()),
-            "doc": pa.array([], pa.int64()),
-            "cnt": pa.array([], pa.int64()),
-        }
-    )
+    from ..util import single_chunk
 
     def window_stage(batch: pa.Table) -> pa.Table:
         ids = np.asarray(single_chunk(batch.column(id_col)), dtype=np.int64)
         wh, doc = window_hash_rows(batch.column(text_col), ids, L)
-        if not len(wh):
-            return empty3
-        order = np.lexsort((doc, wh))
-        w, dd = wh[order], doc[order]
-        new = np.ones(len(w), dtype=bool)
-        new[1:] = (w[1:] != w[:-1]) | (dd[1:] != dd[:-1])
-        idx = np.flatnonzero(new)
-        cnt = np.diff(np.append(idx, len(w)))
-        return pa.table(
-            {
-                "wh": pa.array(w[idx], pa.int64()),
-                "doc": pa.array(dd[idx], pa.int64()),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
+        return preagg_window_rows(wh, doc)
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
         window_stage, batch_format="pyarrow"
     )
+    return shared_window_counts(rows, id_col=id_col, num_buckets=num_buckets)
+
+
+_EMPTY_WINDOW_ROWS = pa.table(
+    {
+        "wh": pa.array([], pa.int64()),
+        "doc": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    }
+)
+
+
+def preagg_window_rows(wh: np.ndarray, doc: np.ndarray) -> pa.Table:
+    """(wh, doc) occurrence rows → per-(wh, doc) counted (wh, doc, cnt)
+    table — the map-side combiner for :func:`shared_window_counts`."""
+    if not len(wh):
+        return _EMPTY_WINDOW_ROWS
+    order = np.lexsort((doc, wh))
+    w, dd = wh[order], doc[order]
+    new = np.ones(len(w), dtype=bool)
+    new[1:] = (w[1:] != w[:-1]) | (dd[1:] != dd[:-1])
+    idx = np.flatnonzero(new)
+    cnt = np.diff(np.append(idx, len(w)))
+    return pa.table(
+        {
+            "wh": pa.array(w[idx], pa.int64()),
+            "doc": pa.array(dd[idx], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+def shared_window_counts(
+    rows: "object", id_col: str = "doc_id", num_buckets: int = 16
+) -> pa.Table:
+    """Generic shared-window reducer over a Dataset of pre-aggregated
+    (wh, doc, cnt) tables (text passages, audio PCM segments, any
+    windowed-content hash): hash-partition by wh through the raw-Ray
+    bucket shuffle, keep hashes held by ≥ 2 DISTINCT ids, return the
+    per-id total occurrence counts of those shared windows as
+    (id_col, n_dup_windows)."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+    from ..util import splitmix64
+
+    empty3 = _EMPTY_WINDOW_ROWS
 
     @ray.remote(num_returns=num_buckets)
     def map_block(tbl: pa.Table):

@@ -1818,6 +1818,78 @@ def audio_neardup_clips(sf_dir: str) -> pa.Table:
     return audio_near_dups(planted, key_col="clip_key", max_hamming=3)
 
 
+def audio_repeated_segments_clips(sf_dir: str) -> pa.Table:
+    """Repeated-PCM-SEGMENT audit — the audio analogue of
+    dup_passages_documents (axes A+B): per clip, the count of 1024-sample
+    non-overlapping PCM segments whose exact int16 content also appears in
+    a DIFFERENT clip (shared jingles / silence boilerplate / spliced
+    copies that whole-clip dedup misses). Segment hashes ride the same
+    generic shared-window shuffle as the text operator
+    (functions/text.shared_window_counts); audio bytes never leave the map
+    tasks, and only the O(shared segments) counts reach the driver.
+    Cross-clip sharing is PLANTED in-stream (ids ending '7' gain a
+    'zseg_' whole-payload copy — the zdup pattern) so the golden is
+    exact: each planted pair reports floor(samples/1024) shared segments
+    on both sides. Rows-only (the audio fixture is not a driver view);
+    the segment-level (partial-overlap) semantics are pinned by the
+    constructed-WAV brute-force test."""
+    import glob as glob_
+
+    from ..functions.audio_fp import pcm_segment_hash_rows
+    from ..functions.text import preagg_window_rows, shared_window_counts
+    from ..sources.io import read_parquet_tasks
+    from ..util import hash_column
+
+    fix = _audio_fixture()
+    paths = sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet")))
+    ds = read_parquet_tasks(paths, columns=["clip_id", "bytes"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ends7 = pc.ends_with(batch.column("clip_id").combine_chunks(), pattern="7")
+        dups = batch.filter(ends7)
+        dup_ids = pc.binary_join_element_wise(
+            pa.array(["zseg_"] * dups.num_rows, pa.string()),
+            dups.column("clip_id").combine_chunks().cast(pa.string()),
+            "",
+        )
+        dups = dups.set_column(dups.column_names.index("clip_id"), "clip_id", dup_ids)
+        return pa.concat_tables([batch, dups]).combine_chunks()
+
+    def stage(batch: pa.Table) -> pa.Table:
+        batch = plant(batch)
+        keys = hash_column(batch.column("clip_id").combine_chunks()).view(np.int64)
+        wh, ck = pcm_segment_hash_rows(batch.column("bytes"), keys, seg_samples=1024)
+        return preagg_window_rows(wh, ck)
+
+    counts = shared_window_counts(
+        ds.map_batches(stage, batch_format="pyarrow"), id_col="clip_key"
+    )
+    if counts.num_rows == 0:
+        return pa.table(
+            {
+                "clip_id": pa.array([], pa.string()),
+                "n_dup_segments": pa.array([], pa.int64()),
+            }
+        )
+    meta = _collect(read_parquet_tasks(paths, columns=["clip_id"]))
+    ids = meta.column("clip_id").combine_chunks().cast(pa.string())
+    planted_ids = pc.binary_join_element_wise(
+        pa.array(["zseg_"] * len(ids), pa.string()), ids, ""
+    ).filter(pc.ends_with(ids, pattern="7"))
+    ids = pa.concat_arrays([ids, planted_ids])
+    mk = hash_column(ids).view(np.int64)
+    order = np.argsort(mk, kind="stable")
+    ck = np.asarray(counts.column("clip_key").combine_chunks(), dtype=np.int64)
+    pos = np.searchsorted(mk[order], ck)
+    out = pa.table(
+        {
+            "clip_id": ids.take(pa.array(order[pos])),
+            "n_dup_segments": counts.column("n_dup_windows"),
+        }
+    )
+    return out.sort_by("clip_id")
+
+
 def audio_curate_clips(sf_dir: str) -> pa.Table:
     """End-to-end AUDIO curation — the audio-axis sibling of
     curate_documents: the exact payload-dedup groupby-min shuffle (the

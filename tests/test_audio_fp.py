@@ -423,3 +423,98 @@ def test_augment_stage_invariants():
     r0 = np.sqrt(np.mean(x.astype(np.float64) ** 2))
     r1 = np.sqrt(np.mean(g.astype(np.float64) ** 2))
     assert abs(r1 / r0 - 10 ** (-6 / 20)) < 0.01
+
+
+def test_pcm_segment_hash_rows_bruteforce():
+    """Segment hashes vs a per-clip numpy brute force: equal hash ⇔ equal
+    int16 sequence on the non-overlapping grid; permuted/shifted content
+    and tail remainders never collide; invalid blobs contribute nothing."""
+    from schemasaurus_ray.functions.audio_fp import pcm_segment_hash_rows
+
+    seg = 64
+    rng = np.random.default_rng(3)
+    jingle = rng.integers(-20000, 20000, 3 * seg).astype(np.int16)
+    a = np.concatenate([jingle, rng.integers(-100, 100, 2 * seg + 17).astype(np.int16)])
+    b = np.concatenate([jingle, rng.integers(-100, 100, seg).astype(np.int16)])
+    # c contains the jingle OFF the segment grid (shifted by 5 samples):
+    # the non-overlapping grid must NOT match it (documented semantics)
+    c = np.concatenate([np.zeros(5, np.int16), jingle, np.zeros(seg, np.int16)])
+    # d: a's second segment with two samples SWAPPED (same multiset of
+    # values) — position mixing must keep it distinct
+    d = a[seg : 2 * seg].copy()
+    d[0], d[-1] = d[-1], d[0]
+    blobs = [
+        wav_encode(a, 16000),
+        wav_encode(b, 16000),
+        wav_encode(c, 16000),
+        wav_encode(d, 16000),
+        None,
+        b"not a wav",
+        wav_encode(np.zeros(seg - 1, np.int16), 8000),  # shorter than one segment
+    ]
+    keys = np.arange(len(blobs), dtype=np.int64) * 10
+    col = pa.chunked_array([pa.array(blobs, pa.large_binary())])
+    wh, ck = pcm_segment_hash_rows(col, keys, seg_samples=seg)
+
+    # brute force: hash identity == segment-content identity
+    segs = {}
+    for i, x in enumerate([a, b, c, d]):
+        for s in range(len(x) // seg):
+            segs.setdefault(x[s * seg : (s + 1) * seg].tobytes(), []).append(keys[i])
+    got_by_key = {}
+    for h, k in zip(wh.tolist(), ck.tolist()):
+        got_by_key.setdefault(k, []).append(h)
+    # per-clip segment counts match the brute force
+    expect_counts = {keys[i]: len(x) // seg for i, x in enumerate([a, b, c, d])}
+    assert {k: len(v) for k, v in got_by_key.items()} == expect_counts
+    # group hashes: equal contents (a/b share jingle segments) share hashes
+    pairs = list(zip(wh.tolist(), ck.tolist()))
+    # rebuild per (clip, seg_index) in order: emission order is clip order
+    per_clip = {}
+    for h, k in pairs:
+        per_clip.setdefault(k, []).append(h)
+    for s in range(3):  # the three jingle segments
+        assert per_clip[0][s] == per_clip[10][s]
+    # c's grid-shifted jingle and d's swapped segment match nothing of a
+    assert not set(per_clip[20]) & set(per_clip[0])
+    assert not set(per_clip[30]) & set(per_clip[0])
+    # distinct contents ⇒ distinct hashes within the whole emission
+    uniq_contents = len(segs)
+    assert len(set(wh.tolist())) == uniq_contents
+
+
+def test_audio_repeated_segments_planted_golden(ray_session):
+    """The planted whole-payload copies (ids ending '7' → zseg_ twin) are
+    the ONLY cross-clip sharers in the fixture, and each pair reports
+    exactly floor(decodable_samples/1024) shared segments on both sides —
+    recomputed here per clip from wav_decode (independent brute force)."""
+    import glob as glob_
+    import os
+
+    from schemasaurus_ray.pipelines.queries import (
+        _audio_fixture,
+        audio_repeated_segments_clips,
+    )
+
+    out = audio_repeated_segments_clips("unused-sfdir")
+    got = dict(zip(out.column("clip_id").to_pylist(), out.column("n_dup_segments").to_pylist()))
+
+    import pyarrow.parquet as pq
+
+    fix = _audio_fixture()
+    expect = {}
+    for p in sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))):
+        t = pq.read_table(p, columns=["clip_id", "bytes"])
+        for cid, blob in zip(t.column("clip_id").to_pylist(), t.column("bytes").to_pylist()):
+            if not str(cid).endswith("7") or blob is None:
+                continue
+            try:
+                x, _sr = wav_decode(blob)
+            except Exception:
+                continue
+            n = len(x) // 1024
+            if n > 0:
+                expect[str(cid)] = n
+                expect["zseg_" + str(cid)] = n
+    assert got == expect
+    assert len(expect) > 100  # the fixture plants ~200 pairs
