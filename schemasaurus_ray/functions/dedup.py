@@ -956,9 +956,11 @@ def verify_pairs_distributed(
     sorted distinct values. Pairs fan out over tasks; each batch counts
     |A∩B| for all its pairs in ONE searchsorted pass with no per-batch sort:
     a composite key ``pair_idx * R + rank`` is globally sorted on the probe
-    side (segments are value-sorted — enforced by one driver-side lexsort
-    over the O(candidates) table at build, so callers need no ordering
-    precondition — and pair index is non-decreasing by construction), so
+    side (segments are value-sorted and set-deduped — enforced by one
+    driver-side lexsort over the O(candidates) table at build, so callers
+    need no ordering OR uniqueness precondition; Jaccard is computed over
+    SETS exactly as the frozenset implementation this replaced — and pair
+    index is non-decreasing by construction), so
     shared elements are exactly the B-keys found in the A-key array. No
     document text is ever materialized on the driver."""
     import ray
@@ -989,12 +991,20 @@ def verify_pairs_distributed(
     vocab = np.unique(sh_val)
     sh_rank = np.searchsorted(vocab, sh_val).astype(np.int64)
     if len(sh_rank):
-        # sort each doc's segment ascending (stable lexsort keyed by the
-        # contiguous segment id maps every segment's slice onto itself, so
-        # the offsets stay valid) — the searchsorted kernel needs sorted
-        # segments and callers should not have to guarantee it
+        # sort each doc's segment ascending AND drop within-segment
+        # duplicates — the searchsorted kernel needs sorted SET segments
+        # (sizes are set cardinalities, each B element matches at most one
+        # A slot), and callers should not have to guarantee either; the
+        # frozenset implementation this replaced deduped implicitly
         seg_of = np.repeat(np.arange(len(sh_off) - 1), np.diff(sh_off))
-        sh_rank = sh_rank[np.lexsort((sh_rank, seg_of))]
+        order = np.lexsort((sh_rank, seg_of))
+        sh_rank, seg_of = sh_rank[order], seg_of[order]
+        keep = np.ones(len(sh_rank), dtype=bool)
+        keep[1:] = (seg_of[1:] != seg_of[:-1]) | (sh_rank[1:] != sh_rank[:-1])
+        sh_rank = sh_rank[keep]
+        sh_off = np.concatenate(
+            [[0], np.cumsum(np.bincount(seg_of[keep], minlength=len(sh_off) - 1))]
+        )
     perm = np.argsort(sh_ids, kind="stable")
     sh_ref = ray.put((sh_ids[perm], perm.astype(np.int64), sh_off, sh_rank, len(vocab) + 1))
 

@@ -771,6 +771,8 @@ def test_verify_pairs_kernel_randomized_bruteforce(ray_session):
         # depend on callers passing sorted lists); include empty sets
         vals = list({int(v) * 0x9E3779B97F4A7C15 % (1 << 62) for v in rng.integers(0, vocab, k)})
         rng.shuffle(vals)
+        if vals and i % 5 == 0:
+            vals = vals + vals[:2]  # duplicated entries: set semantics must hold
         sets[i] = vals
     # two identical non-empty sets and a planted big-overlap pair
     sets[1] = sets[0] or [42]
