@@ -881,6 +881,35 @@ def expand_candidate_pairs(pairs: pa.Table, max_component: int = 512) -> pa.Tabl
     return _dedupe_pairs(pa.concat_tables([pairs.select(["id_a", "id_b"]), extra]))
 
 
+def _candidate_shingle_rows(
+    batch: pa.Table, cand: np.ndarray, text_col: str, id_col: str, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Semi-join shingle-SET extraction for one batch: keep rows whose id is
+    in the sorted candidate array, shingle them in one vectorized pass, and
+    set-dedupe per doc. Returns (kept_ids int64, per-doc distinct counts
+    int64, flat shingle values int64, parents int64 local row index) with
+    the value/parent pair lexsorted by (parent, value) — each doc's segment
+    is a sorted SET, and empty-text docs keep a 0-count entry (their
+    presence matters: empty∩empty pairs verify at J=1)."""
+    z = np.zeros(0, dtype=np.int64)
+    col = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+    mask = np.isin(col, cand)
+    if not mask.any():
+        return z, z, z, z
+    sub = batch.filter(pa.array(mask))
+    sub_ids = np.asarray(sub.column(id_col).combine_chunks(), dtype=np.int64)
+    flat, parents = _shingle_hash_arrays(sub.column(text_col), n)
+    sflat = flat.view(np.int64)
+    order = np.lexsort((sflat, parents))
+    sp, sv = parents[order], sflat[order]
+    if len(sp):
+        keep = np.ones(len(sp), dtype=bool)
+        keep[1:] = (sp[1:] != sp[:-1]) | (sv[1:] != sv[:-1])
+        sp, sv = sp[keep], sv[keep]
+    counts = np.bincount(sp, minlength=sub.num_rows).astype(np.int64)
+    return sub_ids, counts, sv, sp
+
+
 def candidate_shingles(
     ds: "ray.data.Dataset",
     candidate_ids,
@@ -906,23 +935,13 @@ def candidate_shingles(
 
     def stage(batch: pa.Table) -> pa.Table:
         cand = ray.get(ids_ref)
-        col = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
-        mask = np.isin(col, cand)
-        if not mask.any():
-            return empty
-        sub = batch.filter(pa.array(mask))
-        sub_ids = np.asarray(sub.column(id_col).combine_chunks(), dtype=np.int64)
         # one vectorized shingle pass over the kept docs, then per-doc
         # unique via lexsort + adjacent-dedupe (no Python doc loop)
-        flat, parents = _shingle_hash_arrays(sub.column(text_col), n)
-        sflat = flat.view(np.int64)
-        order = np.lexsort((sflat, parents))
-        sp, sv = parents[order], sflat[order]
-        if len(sp):
-            keep = np.ones(len(sp), dtype=bool)
-            keep[1:] = (sp[1:] != sp[:-1]) | (sv[1:] != sv[:-1])
-            sp, sv = sp[keep], sv[keep]
-        counts = np.bincount(sp, minlength=sub.num_rows)
+        sub_ids, counts, sv, _sp = _candidate_shingle_rows(
+            batch, cand, text_col, id_col, n
+        )
+        if not len(sub_ids):
+            return empty
         list_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         shingle_arr = pa.ListArray.from_arrays(
             pa.array(list_offsets, pa.int32()), pa.array(sv, pa.int64())
@@ -1086,6 +1105,227 @@ def verify_pairs_distributed(
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return pa.concat_tables(out) if out else empty
+
+
+def verify_pairs_shuffled(
+    paths: list[str],
+    pairs: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_buckets: int | None = None,
+    probe_chunk: int = 1 << 22,
+) -> pa.Table:
+    """Exact-Jaccard verify of candidate pairs with NO candidate shingle
+    set ever leaving its worker — the 100-TB shape for candidate sets that
+    approach the corpus (PPJoin's do: its prefix filter marks ~90 % of this
+    corpus as some pair's endpoint, so the candidate_shingles →
+    verify_pairs_distributed path re-collects O(corpus) shingle mass on the
+    driver before re-broadcasting it — the same anti-pattern VERDICT r3 #1
+    flagged for survivor-id sets).
+
+    Shape (mirrors stages/shuffle.py's raw map/reduce): one map task per
+    parquet shard reads (id, text), semi-joins against the broadcast sorted
+    candidate-id array, and emits its candidates' distinct (shingle,
+    doc_rank) rows split into B buckets by ``shingle % B`` (shingles are
+    splitmix64 outputs — already uniform), plus a tiny (rank, set_size)
+    side table. Each reduce groups its shingle range, probes a broadcast
+    pair-adjacency CSR (each pair stored once, at its id_a endpoint:
+    "which of id_a's partners also contain this shingle" is one
+    composite-key searchsorted over the group-sorted rows), and returns
+    SPARSE (pair, cnt) intersection partials. The driver combines partials
+    with the per-doc sizes: |A∪B| = |A| + |B| − |A∩B|.
+
+    Driver + broadcast memory = O(pairs + candidate COUNT), never shingle
+    mass. Work = Σ_docs |S_d|·deg(d) = Σ_pairs (|S_a|+|S_b|) — identical to
+    the broadcast-CSR verify, just partitioned by shingle instead of by
+    pair. Probe expansion is chunked (``probe_chunk``) so reduce
+    temporaries stay tens of MB (round-3 first-touch-fault lesson).
+
+    Semantics are exactly :func:`verify_pairs_distributed`'s: pairs
+    deduped, a==b dropped, pairs with an endpoint absent from the corpus
+    skipped, empty∪empty ⇒ J=1, jaccard = round(i/u, 6), jacc_bp =
+    floor(10000·i/u)."""
+    import ray
+
+    from ..stages.shuffle import _default_buckets, _tree_combine
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "jacc_bp": pa.array([], pa.int64()),
+        }
+    )
+    pairs = _dedupe_pairs(pairs)
+    n_pairs = pairs.num_rows
+    if n_pairs == 0:
+        return empty
+    a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
+    b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
+    cand = np.unique(np.concatenate([a, b]))
+    n_cand = len(cand)
+    ra = np.searchsorted(cand, a)
+    rb = np.searchsorted(cand, b)
+    # pair-adjacency CSR in rank space, one entry per pair at its id_a
+    # endpoint (duplicate (a,b) rows were already collapsed; a (b,a) twin
+    # would simply probe from the other side and keep its own pair slot)
+    adj_order = np.argsort(ra, kind="stable")
+    adj_nb = rb[adj_order].astype(np.int64)
+    adj_pair = adj_order.astype(np.int64)
+    adj_off = np.concatenate(
+        [[0], np.cumsum(np.bincount(ra, minlength=n_cand))]
+    ).astype(np.int64)
+    num_buckets = num_buckets or _default_buckets(len(paths))
+    nb_buckets = num_buckets
+    cand_ref = ray.put(cand)
+    adj_ref = ray.put((adj_off, adj_nb, adj_pair))
+
+    @ray.remote(num_returns=nb_buckets + 1)
+    def map_shard(path: str, cand_l: np.ndarray):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=[id_col, text_col])
+        ids, sizes, sv, sp = _candidate_shingle_rows(tbl, cand_l, text_col, id_col, n)
+        rank = np.searchsorted(cand_l, ids).astype(np.int64)
+        sizes_tbl = pa.table(
+            {"rank": pa.array(rank, pa.int64()), "size": pa.array(sizes, pa.int64())}
+        )
+        row_rank = rank[sp] if len(sp) else np.zeros(0, dtype=np.int64)
+        bkt = (sv.view(np.uint64) % np.uint64(nb_buckets)).astype(np.int64)
+        order = np.argsort(bkt, kind="stable")
+        sv_s, rk_s, bk_s = sv[order], row_rank[order], bkt[order]
+        bounds = np.searchsorted(bk_s, np.arange(nb_buckets + 1))
+        outs = [
+            pa.table(
+                {
+                    "sh": pa.array(sv_s[bounds[i] : bounds[i + 1]], pa.int64()),
+                    "rank": pa.array(rk_s[bounds[i] : bounds[i + 1]], pa.int64()),
+                }
+            )
+            for i in range(nb_buckets)
+        ]
+        return (*outs, sizes_tbl)
+
+    @ray.remote
+    def combine_rows(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        return pa.concat_tables(live or list(tables))
+
+    @ray.remote
+    def reduce_bucket(adj, *tables: pa.Table) -> pa.Table:
+        adj_off_l, adj_nb_l, adj_pair_l = adj
+        sparse_empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+        t = pa.concat_tables([x for x in tables if x.num_rows] or list(tables))
+        if t.num_rows == 0:
+            return sparse_empty
+        sh = np.asarray(t.column("sh").combine_chunks(), dtype=np.int64)
+        rk = np.asarray(t.column("rank").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((rk, sh))
+        sh, rk = sh[order], rk[order]
+        new = np.ones(len(sh), dtype=bool)
+        new[1:] = sh[1:] != sh[:-1]
+        gid = np.cumsum(new) - 1
+        c_local = int(adj_off_l.shape[0] - 1)
+        # composite-key bound: the probe/target key is gid * C + rank with
+        # rank < C, monotone over the (gid, rank)-sorted rows — needs
+        # groups_per_bucket * candidates < 2^63 (raise num_buckets to
+        # restore headroom; at 2^30 candidates that is 2^33 distinct
+        # shingles per bucket before this trips)
+        assert (int(gid[-1]) + 1) <= (1 << 63) // max(c_local, 1), (
+            "composite probe key would overflow int64 — raise num_buckets"
+        )
+        tkey = gid * c_local + rk
+        # probe only rows in shared-shingle groups whose doc has partners
+        gsz = np.bincount(gid)
+        deg = adj_off_l[rk + 1] - adj_off_l[rk]
+        live = (gsz[gid] > 1) & (deg > 0)
+        if not live.any():
+            return sparse_empty
+        gid_l, rk_l, deg_l = gid[live], rk[live], deg[live]
+        inter = np.zeros(len(adj_pair_l), dtype=np.int64)
+        csum = np.cumsum(deg_l)
+        # row-range cuts with ≤ probe_chunk (+ one row's degree) probes each
+        interior = (
+            np.searchsorted(csum, np.arange(probe_chunk, int(csum[-1]), probe_chunk)) + 1
+        )
+        cuts = np.concatenate([[0], interior, [len(deg_l)]])
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            if s >= e:
+                continue
+            g_c, r_c, d_c = gid_l[s:e], rk_l[s:e], deg_l[s:e]
+            tot = int(d_c.sum())
+            if tot == 0:
+                continue
+            base = np.concatenate([[0], np.cumsum(d_c)[:-1]])
+            idx = np.repeat(adj_off_l[r_c] - base, d_c) + np.arange(tot)
+            pkey = np.repeat(g_c, d_c) * c_local + adj_nb_l[idx]
+            pos = np.searchsorted(tkey, pkey)
+            pos_c = np.minimum(pos, len(tkey) - 1)
+            found = (pos < len(tkey)) & (tkey[pos_c] == pkey)
+            if found.any():
+                inter += np.bincount(adj_pair_l[idx[found]], minlength=len(inter))
+        hit = np.nonzero(inter)[0]
+        if not len(hit):
+            return sparse_empty
+        return pa.table(
+            {"pair": pa.array(hit, pa.int64()), "cnt": pa.array(inter[hit], pa.int64())}
+        )
+
+    refs = [map_shard.remote(p, cand_ref) for p in sorted(paths)]
+    reduced = [
+        reduce_bucket.remote(
+            adj_ref,
+            *_tree_combine([refs[m][i] for m in range(len(refs))], combine_rows),
+        )
+        for i in range(nb_buckets)
+    ]
+    size_tables = ray.get(_tree_combine([r[nb_buckets] for r in refs], combine_rows))
+    sizes_tbl = pa.concat_tables(size_tables)
+    size = np.full(n_cand, -1, dtype=np.int64)
+    if sizes_tbl.num_rows:
+        size[np.asarray(sizes_tbl.column("rank").combine_chunks(), dtype=np.int64)] = (
+            np.asarray(sizes_tbl.column("size").combine_chunks(), dtype=np.int64)
+        )
+    inter = np.zeros(n_pairs, dtype=np.int64)
+    for t in ray.get(reduced):
+        if t.num_rows:
+            inter[np.asarray(t.column("pair").combine_chunks(), dtype=np.int64)] += (
+                np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+            )
+    la, lb = size[ra], size[rb]
+    ok = (la >= 0) & (lb >= 0)
+    a, b, la, lb, inter = a[ok], b[ok], la[ok], lb[ok], inter[ok]
+    if not len(a):
+        return empty
+    union = la + lb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    keep = j >= threshold
+    if not keep.any():
+        return empty
+    ka, kb = a[keep], b[keep]
+    ki, ku = inter[keep], union[keep]
+    # kept set is tiny (true pairs only): render the float columns with the
+    # exact per-element expressions the oracle uses (verify_pairs_distributed
+    # parity) — round(inter/union, 6) and FLOOR(10000.0 * inter / union)
+    sims = [1.0 if u == 0 else round(i / u, 6) for i, u in zip(ki.tolist(), ku.tolist())]
+    bps = [
+        10000 if u == 0 else int(np.floor(10000.0 * i / u))
+        for i, u in zip(ki.tolist(), ku.tolist())
+    ]
+    return pa.table(
+        {
+            "id_a": pa.array(ka, pa.int64()),
+            "id_b": pa.array(kb, pa.int64()),
+            "jaccard": pa.array(sims, pa.float64()),
+            "jacc_bp": pa.array(bps, pa.int64()),
+        }
+    )
 
 
 def verify_pairs_jaccard(

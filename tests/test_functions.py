@@ -150,6 +150,115 @@ def test_minhash_distributed_verify_parity(docs_ds):
     assert len(dist) > 0
 
 
+def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
+    """The shingle-bucket shuffle verify (no candidate shingle set ever
+    leaves its worker — the 100-TB path for PPJoin-sized candidate sets)
+    must return exactly the reference verify's pairs and jaccards, across
+    bucket counts, multi-shard inputs, and forced probe-chunk boundaries."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.functions.dedup import _dedupe_pairs, verify_pairs_shuffled
+
+    ds, tbl = docs_ds
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 173), p1)
+    pq.write_table(tbl.slice(173), p2)
+    pairs_raw = pa.concat_tables(
+        list(minhash_candidates(ds).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    ref = verify_pairs_jaccard(_dedupe_pairs(pairs_raw), texts, threshold=0.8)
+    expect = {
+        (a, b): j
+        for a, b, j in zip(
+            ref.column("id_a").to_pylist(),
+            ref.column("id_b").to_pylist(),
+            ref.column("jaccard").to_pylist(),
+        )
+    }
+    assert expect  # fixture plants real near-dups
+    for buckets, chunk in ((1, 1 << 22), (5, 1 << 22), (None, 131)):
+        got = verify_pairs_shuffled(
+            [p1, p2], pairs_raw, threshold=0.8, num_buckets=buckets, probe_chunk=chunk
+        )
+        got_d = {
+            (a, b): j
+            for a, b, j in zip(
+                got.column("id_a").to_pylist(),
+                got.column("id_b").to_pylist(),
+                got.column("jaccard").to_pylist(),
+            )
+        }
+        assert got_d == expect, (buckets, chunk)
+
+
+def test_verify_pairs_shuffled_randomized_edges(ray_session, tmp_path):
+    """Randomized-text brute-force parity for the shuffled verify,
+    covering the adversarial edges: pair ids absent from the corpus
+    (skipped), two empty texts (J=1 via the empty∩empty convention),
+    short (<n words) docs, duplicate pair rows (deduped), and a low
+    threshold so mid-range jaccards exercise the filter."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        verify_pairs_jaccard,
+        verify_pairs_shuffled,
+    )
+
+    rng = np.random.default_rng(23)
+    words = [f"tok{i}" for i in range(12)]  # tiny vocab → shared trigrams
+    texts = [" ".join(rng.choice(words, int(rng.integers(0, 25))).tolist()) for _ in range(240)]
+    texts[1] = texts[0]  # exact dup
+    texts[3] = texts[2] + " tail"  # near dup
+    texts[5], texts[6] = "", ""  # empty∩empty
+    texts[7] = "one two"  # short doc (< n words)
+    # mid-range jaccard pair: overlapping slices of one sequence (J ≈ 0.3)
+    seq = [f"u{i}" for i in range(60)]
+    texts[10], texts[11] = " ".join(seq[:40]), " ".join(seq[20:])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(240)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(tbl.slice(0, 120), p1)
+    pq.write_table(tbl.slice(120), p2)
+    a = rng.choice(240, 600).astype(np.int64)
+    b = rng.choice(240, 600).astype(np.int64)
+    a = np.concatenate([a, [0, 2, 5, 10, 9000], a[:20]])  # planted + absent + dup rows
+    b = np.concatenate([b, [1, 3, 6, 11, 0], b[:20]])
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    texts_by_id = dict(zip(range(240), texts))
+    n_by_th = {}
+    for th in (0.2, 0.8):
+        ref = verify_pairs_jaccard(_dedupe_pairs(pairs), texts_by_id, threshold=th)
+        expect = set(
+            zip(
+                ref.column("id_a").to_pylist(),
+                ref.column("id_b").to_pylist(),
+                [round(j, 6) for j in ref.column("jaccard").to_pylist()],
+            )
+        )
+        got_tbl = verify_pairs_shuffled(
+            [p1, p2], pairs, threshold=th, num_buckets=3, probe_chunk=89
+        )
+        got = set(
+            zip(
+                got_tbl.column("id_a").to_pylist(),
+                got_tbl.column("id_b").to_pylist(),
+                got_tbl.column("jaccard").to_pylist(),
+            )
+        )
+        assert got == expect, th
+        assert (0, 1, 1.0) in got and (5, 6, 1.0) in got
+        n_by_th[th] = len(got)
+    # the low threshold must surface mid-range jaccards beyond the planted
+    # identical pairs, or the >= threshold filter edge isn't exercised
+    assert n_by_th[0.2] > n_by_th[0.8]
+
+
 def test_winnow_shared_passages_corpus(docs_ds, tmp_path):
     """Corpus-level winnowing: exact-dup pairs share (nearly) all
     fingerprints; near-dup pairs share most; unrelated docs share ~none."""
