@@ -477,6 +477,129 @@ def lsh_bucket_pairs(
 
 
 # -------------------------------------------- exact n-gram Jaccard join
+def _sampled_doc_shingles(
+    batch: pa.Table, text_col: str, id_col: str, n: int, mod: int
+) -> np.ndarray:
+    """Per-doc-UNIQUE shingle values (int64) of the deterministic
+    splitmix64(id) % mod == 0 doc sample of one batch — the df-sample
+    kernel shared by the full-scan and shard-sampled df passes (df counts
+    DOCS, not occurrences, hence the per-doc dedupe)."""
+    z = np.zeros(0, dtype=np.int64)
+    ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+    mask = splitmix64(ids.view(np.uint64)) % np.uint64(mod) == 0
+    if not mask.any():
+        return z
+    sub = batch.filter(pa.array(mask))
+    flat, parents = _shingle_hash_arrays(sub.column(text_col), n)
+    if not len(flat):
+        return z
+    order = np.lexsort((flat.view(np.int64), parents))
+    p, v = parents[order], flat[order]
+    keep = np.ones(len(p), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
+    return v[keep].view(np.int64)
+
+
+def sample_shard_paths(paths: list[str], denom: int) -> list[str]:
+    """Deterministic ~1/denom shard sample: rank paths by a stable content
+    hash of the path STRING and keep the ceil(len/denom) smallest (always
+    ≥ 1). Path-hash ranking (not `[::denom]` striding) keeps the pick
+    stable when shards are added or the listing order changes."""
+    import zlib
+
+    k = max(1, -(-len(paths) // denom))
+    ranked = sorted(paths, key=lambda p: (zlib.crc32(p.encode("utf-8")), p))
+    return sorted(ranked[:k])
+
+
+def sampled_df_table_paths(
+    paths: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sample_mod: int = 20,
+    shard_denom: int = 4,
+    min_df: int = 2,
+    cap: int = 1 << 20,
+    num_buckets: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shard-sampled sibling of :func:`sampled_df_table` — the 100-TB df
+    pass. The full-scan variant READS every text byte and then discards
+    19/20 of the docs; at 100 TB that is 100 TB of I/O to shingle 5 TB.
+    Here only ceil(len(paths)/shard_denom) deterministically-chosen shards
+    are read at all, and the within-shard doc-hash mod is scaled down
+    (sample_mod·kept/len) so the OVERALL doc sampling rate stays
+    ≈ 1/sample_mod — i.e. the same df fidelity for ~1/shard_denom of the
+    read bytes. Per-shard doc-id hashing keeps the sample unbiased w.r.t.
+    id order; the shard pick is path-hash-ranked so it is reproducible and
+    independent of listing order. Like the full-scan variant this only
+    ORDERS the prefix filter (rare shingles first) — any consistent total
+    order preserves PPJoin's exactness, so shard sampling affects candidate
+    COUNT, never the verified output."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+
+    kept = sample_shard_paths(paths, shard_denom)
+    within_mod = max(1, sample_mod * len(kept) // len(paths))
+    per_bucket_cap = max(1, cap // num_buckets)
+
+    @ray.remote(num_returns=num_buckets)
+    def map_shard(path: str):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=[id_col, text_col])
+        v = _sampled_doc_shingles(tbl, text_col, id_col, n, within_mod)
+        b = (splitmix64(v.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, vs = b[order], v[order]
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        out = [
+            pa.table({"sh": pa.array(vs[bounds[x] : bounds[x + 1]], pa.int64())})
+            for x in range(num_buckets)
+        ]
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables(tables)
+        e = pa.table({"sh": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return e
+        uniq, cnt = np.unique(
+            np.asarray(t.column("sh").combine_chunks(), dtype=np.int64), return_counts=True
+        )
+        m = cnt >= min_df
+        uniq, cnt = uniq[m], cnt[m]
+        if len(uniq) > per_bucket_cap:
+            top = np.argsort(cnt)[::-1][:per_bucket_cap]
+            uniq, cnt = uniq[top], cnt[top]
+        return pa.table({"sh": pa.array(uniq, pa.int64()), "df": pa.array(cnt, pa.int64())})
+
+    refs = [map_shard.remote(p) for p in kept]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = ray.get(
+        [
+            reduce_bucket.remote(
+                *_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket)
+            )
+            for b in range(num_buckets)
+        ]
+    )
+    t = pa.concat_tables(reduced)
+    if t.num_rows == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    sh = np.asarray(t.column("sh").combine_chunks(), dtype=np.int64).view(np.uint64)
+    df = np.asarray(t.column("df").combine_chunks(), dtype=np.int64)
+    order = np.argsort(sh)
+    return sh[order], df[order]
+
+
 def sampled_df_table(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -505,21 +628,9 @@ def sampled_df_table(
     from ..stages.shuffle import _tree_combine
 
     def stage(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"sh": pa.array([], pa.int64())})
-        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
-        mask = splitmix64(ids.view(np.uint64)) % np.uint64(sample_mod) == 0
-        if not mask.any():
-            return empty
-        sub = batch.filter(pa.array(mask))
-        flat, parents = _shingle_hash_arrays(sub.column(text_col), n)
-        if not len(flat):
-            return empty
-        # per-doc unique first (df counts DOCS, not occurrences)
-        order = np.lexsort((flat.view(np.int64), parents))
-        p, v = parents[order], flat[order]
-        keep = np.ones(len(p), dtype=bool)
-        keep[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
-        return pa.table({"sh": pa.array(v[keep].view(np.int64), pa.int64())})
+        return pa.table(
+            {"sh": pa.array(_sampled_doc_shingles(batch, text_col, id_col, n, sample_mod), pa.int64())}
+        )
 
     per_bucket_cap = max(1, cap // num_buckets)
 
@@ -745,6 +856,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     cap: int = 64,
+    paths: list[str] | None = None,
 ) -> pa.Table:
     """EXACT candidate generation for the word-n-gram Jaccard >= threshold
     self-join via prefix filtering (the All-Pairs / PPJoin technique) —
@@ -766,10 +878,18 @@ def ngram_jaccard_pairs(
     shingles, key-only int64 rows through the raw-Ray bucket shuffle; hot
     groups are star-capped (expand transitively + verify exactly, as with
     MinHash). Returns candidate (id_a < id_b) pairs — a superset of the true
-    pairs; verify with :func:`verify_pairs_distributed`."""
+    pairs; verify with :func:`verify_pairs_distributed`.
+
+    When ``paths`` is given, the df-sample pass reads only a deterministic
+    ~1/4 of the shards (:func:`sampled_df_table_paths`) instead of scanning
+    every text byte to keep 5 % of docs — at 100 TB that is the difference
+    between a 25 TB and a 100 TB read for the ordering pass."""
     import ray
 
-    df_sh, df_cnt = sampled_df_table(ds, text_col, id_col, n)
+    if paths:
+        df_sh, df_cnt = sampled_df_table_paths(paths, text_col, id_col, n)
+    else:
+        df_sh, df_cnt = sampled_df_table(ds, text_col, id_col, n)
     df_ref = ray.put((df_sh, df_cnt))
     tb = int(round(threshold * 10000))
     empty = pa.table(

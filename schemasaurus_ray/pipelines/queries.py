@@ -1071,7 +1071,12 @@ def ngram_jaccard_neardup_documents(sf_dir: str) -> pa.Table:
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = expand_candidate_pairs(_dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8)))
+    doc_paths = [os.path.join(sf_dir, "documents.parquet")]
+    # paths= routes the df-ORDERING pass through the shard-sampled reader
+    # (reads ~1/4 of shards instead of every text byte for a 5 % doc sample)
+    pairs = expand_candidate_pairs(
+        _dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8, paths=doc_paths))
+    )
     if pairs.num_rows == 0:
         return pa.table(
             {
@@ -1083,9 +1088,7 @@ def ngram_jaccard_neardup_documents(sf_dir: str) -> pa.Table:
     # PPJoin candidates cover ~the whole corpus, so the verify MUST be the
     # shingle-bucket shuffle — fetching candidate shingle sets to the
     # driver would re-materialize O(corpus) (VERDICT r3 #1's anti-pattern)
-    out = verify_pairs_shuffled(
-        [os.path.join(sf_dir, "documents.parquet")], pairs, threshold=0.8
-    )
+    out = verify_pairs_shuffled(doc_paths, pairs, threshold=0.8)
     return out.select(["id_a", "id_b", "jacc_bp"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )

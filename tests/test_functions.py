@@ -502,6 +502,85 @@ def test_ngram_jaccard_boilerplate_hot_shingles(ray_session):
     assert got == truth and (3, 7) in got
 
 
+def test_sampled_df_table_paths_shard_sample(docs_ds, tmp_path):
+    """The shard-sampled df pass (the 100-TB ordering pass): the shard pick
+    is deterministic and listing-order independent, NON-sampled shards are
+    never opened (poison-file proof), the within-shard doc mod rescales so
+    the overall sampling rate stays ≈ 1/sample_mod, and on a single shard
+    the output is bit-identical to the full-scan df pass."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.functions import dedup as dd
+
+    ds, tbl = docs_ds
+    one = str(tmp_path / "only.parquet")
+    pq.write_table(tbl, one)
+    # single shard: kept == all, within_mod == sample_mod → exact parity
+    sh_p, df_p = dd.sampled_df_table_paths([one], sample_mod=4)
+    sh_f, df_f = dd.sampled_df_table(ds, sample_mod=4)
+    assert np.array_equal(sh_p, sh_f) and np.array_equal(df_p, df_f)
+
+    # 8 shards, denom 4 → exactly 2 read; the other 6 are POISON (not
+    # parquet) so any attempt to open them raises
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"s{i}.parquet")
+        paths.append(p)
+    kept = dd.sample_shard_paths(paths, 4)
+    assert len(kept) == 2
+    assert kept == dd.sample_shard_paths(list(reversed(paths)), 4)  # order-free
+    n_shard = len(tbl) // 8
+    for i, p in enumerate(paths):
+        if p in kept:
+            pq.write_table(tbl.slice(i * n_shard, n_shard), p)
+        else:
+            with open(p, "wb") as fh:
+                fh.write(b"NOT A PARQUET FILE")
+    sh_s, df_s = dd.sampled_df_table_paths(paths, sample_mod=4, shard_denom=4)
+    # within_mod = 4 * 2 // 8 = 1 → every doc of the 2 kept shards counted
+    expect = {}
+    for p in kept:
+        t = pq.read_table(p)
+        flat, parents = dd._shingle_hash_arrays(t.column("text"), 3)
+        for d in range(t.num_rows):
+            for v in set(flat[parents == d].tolist()):
+                expect[v] = expect.get(v, 0) + 1
+    expect = {v: c for v, c in expect.items() if c >= 2}
+    got = dict(zip(sh_s.tolist(), df_s.tolist()))
+    assert got == expect
+
+
+def test_ngram_jaccard_pairs_paths_df_same_verified_output(docs_ds, tmp_path):
+    """Routing the df pass through the shard sample only reorders the
+    prefix filter — the verified near-dup output must stay EXACTLY the
+    brute-force truth (the PPJoin guarantee holds for any consistent total
+    order), and candidates must stay a superset of the truth."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        expand_candidate_pairs,
+        ngram_jaccard_pairs,
+        verify_pairs_shuffled,
+    )
+
+    ds, tbl = docs_ds
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"d{i}.parquet")
+        pq.write_table(tbl.slice(i * 100, 100), p)
+        paths.append(p)
+    truth = _true_jaccard_pairs(tbl, 0.8)
+    pairs = expand_candidate_pairs(
+        _dedupe_pairs(ngram_jaccard_pairs(ds, threshold=0.8, paths=paths))
+    )
+    cand = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert truth <= cand
+    verified = verify_pairs_shuffled(paths, pairs, threshold=0.8)
+    got = set(zip(verified.column("id_a").to_pylist(), verified.column("id_b").to_pylist()))
+    assert got == truth
+
+
 def test_ngram_jaccard_empty_input(ray_session):
     import ray.data as rd
 
