@@ -878,7 +878,9 @@ def ngram_jaccard_pairs(
     shingles, key-only int64 rows through the raw-Ray bucket shuffle; hot
     groups are star-capped (expand transitively + verify exactly, as with
     MinHash). Returns candidate (id_a < id_b) pairs — a superset of the true
-    pairs; verify with :func:`verify_pairs_distributed`.
+    pairs; verify with :func:`verify_pairs_shuffled` (PPJoin candidate sets
+    approach the corpus, so the fetch-and-broadcast
+    :func:`verify_pairs_distributed` is only safe for small LSH-sized sets).
 
     When ``paths`` is given, the df-sample pass reads only a deterministic
     ~1/4 of the shards (:func:`sampled_df_table_paths`) instead of scanning
