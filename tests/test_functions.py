@@ -1120,13 +1120,15 @@ def test_md5_length_class_passes_bound_memory():
         assert bytes(d) == hashlib.md5(r).digest()
 
 
-def test_ngram_jaccard_property_random_corpora(ray_session):
+def test_ngram_jaccard_property_random_corpora(ray_session, tmp_path):
     """Property harness for the prefix-filter join's exactness guarantee:
     random small-vocabulary corpora (forcing heavy shingle sharing, the
     hard case for prefix filtering) across thresholds — the join must equal
-    brute-force all-pairs Jaccard EXACTLY every time. Deterministic seeds
+    brute-force all-pairs Jaccard EXACTLY every time, through BOTH verify
+    kernels (broadcast-CSR and shingle-bucket shuffle). Deterministic seeds
     rather than hypothesis: each example spins Ray datasets, so a bounded
     fixed set keeps the suite fast while still sweeping corpus shapes."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from schemasaurus_ray.functions.dedup import (
@@ -1135,6 +1137,7 @@ def test_ngram_jaccard_property_random_corpora(ray_session):
         expand_candidate_pairs,
         ngram_jaccard_pairs,
         verify_pairs_distributed,
+        verify_pairs_shuffled,
     )
 
     rng = np.random.default_rng(7)
@@ -1167,6 +1170,27 @@ def test_ngram_jaccard_property_random_corpora(ray_session):
         got = set(zip(ver.column("id_a").to_pylist(), ver.column("id_b").to_pylist()))
         assert got == truth, f"case {case}: {got ^ truth}"
         assert (2, 5) in got or (5, 2) in got  # planted dup found
+        # the shuffled verify must agree, jaccards included
+        shard = str(tmp_path / f"case{case}.parquet")
+        pq.write_table(tbl, shard)
+        ver2 = verify_pairs_shuffled([shard], pairs, threshold=thresh, num_buckets=3)
+        got2 = {
+            (a, b): j
+            for a, b, j in zip(
+                ver2.column("id_a").to_pylist(),
+                ver2.column("id_b").to_pylist(),
+                ver2.column("jaccard").to_pylist(),
+            )
+        }
+        ref2 = {
+            (a, b): j
+            for a, b, j in zip(
+                ver.column("id_a").to_pylist(),
+                ver.column("id_b").to_pylist(),
+                ver.column("jaccard").to_pylist(),
+            )
+        }
+        assert got2 == ref2, f"case {case}: shuffled verify diverged"
 
 
 def test_prefix_pairs_hot_group_guard():
