@@ -53,7 +53,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_events": q.interarrival_events,
         "rolling_minmax_events": q.rolling_minmax_events,
         "late_events": q.late_events,
-        "ontime_windowed_events": q.ontime_windowed_events,
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
@@ -96,10 +95,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_documents": q.minhash_neardup_documents,  # CSR verify (r4)
         "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,  # CSR verify (r4)
         "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,  # CSR verify (r4)
+        # NEW r4 session-3: persisted LSH band-bucket index, probe-only ingest
+        "neardup_incremental_documents": q.neardup_incremental_documents,
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
-        # -- oracle-backed, already driver-certified green in r03; the two
-        # displaced first-timers (langid_confusion, infer_spec_documents)
-        # are machinery twins of in-prefix siblings and keep pytest parity --
+        # -- oracle-backed, already driver-certified green in r03; the three
+        # displaced first-timers (langid_confusion, infer_spec_documents,
+        # ontime_windowed_events) are machinery twins of in-prefix siblings
+        # (ontime shares late_events' prefix scan + jitter) and keep pytest
+        # parity --
+        "ontime_windowed_events": q.ontime_windowed_events,
         "langid_confusion_documents": q.langid_confusion_documents,
         "infer_spec_documents": q.infer_spec_documents,
         "validate_lineitem": q.validate_lineitem,
@@ -930,6 +934,32 @@ def oracle_sql() -> dict[str, str]:
               FROM tri a JOIN tri b ON a.doc_id < b.doc_id
              WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
                    len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
+             ORDER BY 1, 2
+        """,
+        # same all-pairs ground truth as minhash_neardup_documents restricted
+        # to pairs touching the incoming (odd-id) drop — the incremental
+        # probe against the persisted snapshot index must find exactly the
+        # pairs a full re-run would emit for those docs
+        "neardup_incremental_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3 THEN
+                           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                          for i in range(1, len(words) - 1)])
+                       ELSE [array_to_string(words, ' ')] END AS grams
+                  FROM toks
+                 WHERE len(words) > 0  -- zero-word docs have no shingles in the engine
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(FLOOR(10000.0 * len(list_intersect(a.grams, b.grams)) /
+                        len(list_distinct(list_concat(a.grams, b.grams)))) AS BIGINT) AS jacc_bp
+              FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+             WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
+                   len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
+               AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
              ORDER BY 1, 2
         """,
         # identical all-pairs ground truth as minhash_neardup_documents: the

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     # pass builds/reuses the index; min-of-3 reports the warm indexed read)
     "curate_documents",
     "ann_ivf_embeddings",
+    # round 4 session 3: persisted LSH band-bucket index probe (first pass
+    # builds/reuses the snapshot index; min-of-3 reports the warm probe)
+    "neardup_incremental_documents",
 ]
 
 

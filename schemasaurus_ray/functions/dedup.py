@@ -318,21 +318,18 @@ class MinHashStage:
         )
 
 
-def minhash_candidates(
+def minhash_bkey_rows(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
 ) -> "ray.data.Dataset":
-    """Candidate near-dup pairs (id_a < id_b) from LSH band buckets —
-    shingle→minhash→band→bucket shuffle (the canonical web-dedup shape).
-    Bucketing runs through :func:`lsh_bucket_pairs` (raw-Ray hash shuffle;
-    Ray Data's sort-based groupby measured ~10x slower here); (band,
-    band_hash) collapse to one int64 bucket key — a cross-band collision
-    only adds a false candidate that the exact-Jaccard verify discards."""
-    import ray.data as rd
-
+    """(bkey, id) LSH rows for every doc: shingle→minhash→band, with (band,
+    band_hash) collapsed into one int64 bucket key — a cross-band collision
+    only adds a false candidate that the exact-Jaccard verify discards.
+    The shared front half of :func:`minhash_candidates` and
+    :func:`lsh_build_index`."""
     from ..util import cached_stage
 
     # stateless cached-plan tasks (not an actor pool): seeds are cheap to
@@ -360,7 +357,23 @@ def minhash_candidates(
         )
         return pa.table({"bkey": bkey, id_col: batch.column(id_col)})
 
-    keyed = sig.map_batches(to_bkey, batch_format="pyarrow")
+    return sig.map_batches(to_bkey, batch_format="pyarrow")
+
+
+def minhash_candidates(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs (id_a < id_b) from LSH band buckets —
+    shingle→minhash→band→bucket shuffle (the canonical web-dedup shape).
+    Bucketing runs through :func:`lsh_bucket_pairs` (raw-Ray hash shuffle;
+    Ray Data's sort-based groupby measured ~10x slower here)."""
+    import ray.data as rd
+
+    keyed = minhash_bkey_rows(ds, text_col, id_col, num_perm, bands)
     return rd.from_arrow(lsh_bucket_pairs(keyed, id_col))
 
 
@@ -474,6 +487,225 @@ def lsh_bucket_pairs(
     if not tables:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     return pa.concat_tables(tables)
+
+
+# ---------------------------------- persisted LSH index / incremental near-dup
+def _pairs_from_key_rows_semi(
+    keys: np.ndarray, ids: np.ndarray, flags: np.ndarray, cap: int
+) -> pa.Table:
+    """(key, id, is_new) rows → candidate pairs per key group with AT LEAST
+    ONE new member: small groups emit new × all (the snapshot's own old×old
+    near-dup clusters collide in every probed bucket — emitting them would
+    re-run the whole corpus's dedup on every ingest), hot groups star around
+    the min id (same documented star-cap bound as
+    :func:`_pairs_from_key_rows`; transitive expansion + exact verify
+    recover intra-cluster pairs). Old-only groups emit nothing."""
+    order = np.lexsort((ids, keys))
+    k, i, f = keys[order], ids[order], flags[order]
+    if len(k):
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
+        k, i, f = k[keep], i[keep], f[keep]
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
+    starts = np.concatenate([[0], bounds]) if len(k) else []
+    ends = np.concatenate([bounds, [len(k)]]) if len(k) else []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        grp, gf = i[s:e], f[s:e].astype(bool)
+        if not gf.any():
+            continue
+        if n <= cap:
+            new = grp[gf]
+            a = np.repeat(new, n)
+            b = np.tile(grp, len(new))
+            m = a != b
+            a_out.append(np.minimum(a[m], b[m]))
+            b_out.append(np.maximum(a[m], b[m]))
+        else:
+            a_out.append(np.full(n - 1, grp[0], dtype=np.int64))
+            b_out.append(grp[1:])
+    if not a_out:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+        }
+    )
+
+
+def lsh_build_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    n_parts: int = 64,
+) -> None:
+    """ONE-TIME persisted MinHash-LSH band-row layout for INCREMENTAL
+    near-dup: the snapshot's (bkey, id) band rows are written as
+    hive-partitioned parquet ``index_dir/bucket=<splitmix64(bkey)%%n_parts>/``
+    (min_rows_per_file coalesces the per-block fragments — same lesson as
+    the IVF layout), so an incoming batch probes ONLY the bucket dirs its
+    own band keys hash into instead of re-scanning and re-signing the whole
+    corpus on every ingest. Idempotent via a param-matched meta marker —
+    the nightly-crawl sibling of :func:`~..functions.similarity.ivf_build_index`."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "lsh_meta.json")
+    params = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "n_parts": n_parts,
+        "text_col": text_col,
+        "id_col": id_col,
+        "layout": 1,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("params") == params:
+                return
+    keyed = minhash_bkey_rows(ds, text_col, id_col, num_perm, bands)
+    npu = np.uint64(n_parts)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        kk = np.asarray(batch.column("bkey").combine_chunks(), dtype=np.int64)
+        b = (splitmix64(kk.view(np.uint64)) % npu).astype(np.int32)
+        return pa.table(
+            {
+                "bkey": batch.column("bkey"),
+                id_col: batch.column(id_col),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    keyed.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"], mode="overwrite", min_rows_per_file=65536
+    )
+    with open(meta_path, "w") as fh:
+        json.dump({"params": params}, fh)
+
+
+def lsh_probe_pairs(
+    index_dir: str,
+    new_keyed: pa.Table,
+    id_col: str = "doc_id",
+    cap: int = 64,
+    num_buckets: int = 16,
+    io_stats: dict | None = None,
+) -> pa.Table:
+    """Candidate near-dup pairs between an incoming batch (its (bkey, id)
+    band rows, driver-local — incoming ≪ corpus is the incremental
+    contract) and the persisted snapshot index: reads ONLY the probed
+    bucket dirs, in-map semi-joins the snapshot rows against the broadcast
+    sorted incoming-bkey set (rows for band keys no incoming doc holds
+    never enter the shuffle), and emits new×all pairs per colliding key
+    group (:func:`_pairs_from_key_rows_semi`). new×new pairs surface too —
+    the union rows carry the incoming batch. ``io_stats`` gets
+    files/bytes read vs total for the pruning audit."""
+    import glob
+    import json
+    import os
+
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    if new_keyed.num_rows == 0:
+        return empty
+    with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
+        n_parts = json.load(fh)["params"]["n_parts"]
+    nk = np.asarray(new_keyed.column("bkey").combine_chunks(), dtype=np.int64)
+    nid = np.asarray(new_keyed.column(id_col).combine_chunks(), dtype=np.int64)
+    new_bkeys = np.unique(nk)
+    probed = np.unique(splitmix64(new_bkeys.view(np.uint64)) % np.uint64(n_parts))
+    bfiles = [
+        f
+        for c in probed.tolist()
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={int(c)}", "*.parquet")))
+    ]
+    if io_stats is not None:
+        all_files = glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet"))
+        io_stats.update(
+            files_read=len(bfiles),
+            files_total=len(all_files),
+            bytes_read=sum(os.path.getsize(f) for f in bfiles),
+            bytes_total=sum(os.path.getsize(f) for f in all_files),
+        )
+    bk_ref = ray.put(new_bkeys)
+
+    def _split(kk: np.ndarray, ii: np.ndarray, ff: np.ndarray) -> list[pa.Table]:
+        b = (splitmix64(kk.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, ks, is_, fs = b[order], kk[order], ii[order], ff[order]
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        return [
+            pa.table(
+                {
+                    "bkey": pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
+                    id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
+                    "nw": pa.array(fs[bounds[x] : bounds[x + 1]], pa.int8()),
+                }
+            )
+            for x in range(num_buckets)
+        ]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_old(path: str, bk_sorted: np.ndarray):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["bkey", id_col])
+        kk = np.asarray(tbl.column("bkey").combine_chunks(), dtype=np.int64)
+        ii = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
+        if len(bk_sorted):
+            pos = np.searchsorted(bk_sorted, kk)
+            pos[pos == len(bk_sorted)] = 0
+            keep = bk_sorted[pos] == kk
+            kk, ii = kk[keep], ii[keep]
+        else:
+            kk, ii = kk[:0], ii[:0]
+        out = _split(kk, ii, np.zeros(len(kk), dtype=np.int8))
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return _pairs_from_key_rows_semi(
+            np.asarray(t.column("bkey").combine_chunks(), dtype=np.int64),
+            np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64),
+            np.asarray(t.column("nw").combine_chunks(), dtype=np.int8),
+            cap,
+        )
+
+    new_splits = _split(nk, nid, np.ones(len(nk), dtype=np.int8))
+    refs = [map_old.remote(p, bk_ref) for p in bfiles]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(
+            ray.put(new_splits[b]),
+            *_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket),
+        )
+        for b in range(num_buckets)
+    ]
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    return pa.concat_tables(tables) if tables else empty
 
 
 # -------------------------------------------- exact n-gram Jaccard join

@@ -2226,6 +2226,82 @@ def dedup_incremental_documents(sf_dir: str) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def _lsh_index_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|p64|b16|n64".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/schemasaurus_ray/lsh_index", key)
+
+
+def neardup_incremental_documents(sf_dir: str) -> pa.Table:
+    """INCREMENTAL near-dup: even doc_ids are the indexed corpus snapshot,
+    odd doc_ids the incoming crawl drop (the split convention of
+    dedup_incremental_documents, lifted from exact to NEAR duplicates).
+    The snapshot's MinHash band rows persist ONCE in a bucket-partitioned
+    layout (dedup.lsh_build_index, idempotent); each ingest signs only the
+    incoming docs and probes only the bucket dirs its band keys hash into
+    (dedup.lsh_probe_pairs — snapshot rows for untouched band keys never
+    even enter the shuffle), so the nightly cost scales with the DROP, not
+    the corpus. Candidates expand transitively and verify exactly through
+    the shingle-bucket shuffle (the one full-text pass — exact Jaccard
+    needs both texts by definition); output keeps pairs with ≥1 incoming
+    endpoint. Oracle: exact all-pairs trigram Jaccard ≥ 0.8 restricted to
+    pairs with an odd endpoint — same banding-miss budget as
+    minhash_neardup_documents (≈1e-4 at j=0.8, ≪1e-15 at the j≥0.9 pairs
+    in this data)."""
+    from ..functions.dedup import (
+        _dedupe_pairs,
+        expand_candidate_pairs,
+        lsh_build_index,
+        lsh_probe_pairs,
+        minhash_bkey_rows,
+        verify_pairs_shuffled,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(batch: pa.Table, *, odd: bool) -> pa.Table:
+        is_odd = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1)
+        return batch.filter(is_odd if odd else pc.invert(is_odd))
+
+    import functools
+
+    snapshot = docs.map_batches(
+        functools.partial(parity, odd=False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    incoming = docs.map_batches(
+        functools.partial(parity, odd=True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    idx = _lsh_index_dir(sf_dir)
+    lsh_build_index(snapshot, idx)
+    new_keyed = _collect(minhash_bkey_rows(incoming))
+    pairs = expand_candidate_pairs(_dedupe_pairs(lsh_probe_pairs(idx, new_keyed)))
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jacc_bp": pa.array([], pa.int64()),
+        }
+    )
+    if pairs.num_rows == 0:
+        return empty
+    out = verify_pairs_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")], pairs, threshold=0.8
+    )
+    # transitive expansion can add snapshot-internal pairs for connectivity;
+    # the incremental product is pairs touching the incoming drop
+    has_new = pc.or_(
+        pc.equal(pc.bit_wise_and(out.column("id_a"), 1), 1),
+        pc.equal(pc.bit_wise_and(out.column("id_b"), 1), 1),
+    )
+    out = out.filter(has_new)
+    return out.select(["id_a", "id_b", "jacc_bp"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
 def vocab_topk_documents(sf_dir: str, k: int = 100) -> pa.Table:
     """Corpus vocabulary top-k: the k most frequent whitespace tokens
     (ties broken by token asc). Per-batch vectorized tokenize + local

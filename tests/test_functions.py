@@ -150,6 +150,88 @@ def test_minhash_distributed_verify_parity(docs_ds):
     assert len(dist) > 0
 
 
+def test_lsh_index_probe_parity_and_pruning(docs_ds, tmp_path):
+    """The persisted LSH band-bucket index: (1) probing with an incoming
+    batch finds exactly the verified near-dup pairs a full re-run emits
+    for pairs touching that batch; (2) a SMALL incoming batch reads only
+    the bucket dirs its band keys hash into (io_stats pruning audit — the
+    point of persisting the index); (3) the build is idempotent (second
+    call with matching params reuses the marker without rewriting)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        expand_candidate_pairs,
+        lsh_build_index,
+        lsh_probe_pairs,
+        minhash_bkey_rows,
+        minhash_candidates,
+        verify_pairs_jaccard,
+        verify_pairs_shuffled,
+    )
+
+    ds, tbl = docs_ds
+    shard = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, shard)
+    # snapshot = even ids, incoming = odd ids
+    even = tbl.filter(pa.array([i % 2 == 0 for i in tbl.column("doc_id").to_pylist()]))
+    odd = tbl.filter(pa.array([i % 2 == 1 for i in tbl.column("doc_id").to_pylist()]))
+    idx = str(tmp_path / "lsh_idx")
+    lsh_build_index(rd.from_arrow(even), idx, n_parts=64)
+    marker = os.path.join(idx, "lsh_meta.json")
+    mtimes = {f: os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(idx) for f in fs}
+    lsh_build_index(rd.from_arrow(even), idx, n_parts=64)  # idempotent reuse
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(r, f)) for r, _, fs in os.walk(idx) for f in fs
+    }
+    assert os.path.exists(marker)
+
+    new_keyed = pa.concat_tables(
+        list(
+            minhash_bkey_rows(rd.from_arrow(odd)).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    cand = expand_candidate_pairs(_dedupe_pairs(lsh_probe_pairs(idx, new_keyed)))
+    got_tbl = verify_pairs_shuffled([shard], cand, threshold=0.8)
+    got = {
+        (a, b)
+        for a, b in zip(got_tbl.column("id_a").to_pylist(), got_tbl.column("id_b").to_pylist())
+        if a % 2 == 1 or b % 2 == 1
+    }
+    # reference: full-corpus LSH + exact verify, restricted to odd-touching
+    full_pairs = pa.concat_tables(
+        list(minhash_candidates(ds).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    ref_tbl = verify_pairs_jaccard(_dedupe_pairs(full_pairs), texts, threshold=0.8)
+    ref = {
+        (a, b)
+        for a, b in zip(ref_tbl.column("id_a").to_pylist(), ref_tbl.column("id_b").to_pylist())
+        if a % 2 == 1 or b % 2 == 1
+    }
+    assert got == ref and len(got) > 0
+
+    # pruning: a 3-doc incoming batch touches ≤ 3·bands band keys → far
+    # fewer than all 64 bucket dirs are opened
+    tiny = odd.slice(0, 3)
+    tiny_keyed = pa.concat_tables(
+        list(
+            minhash_bkey_rows(rd.from_arrow(tiny)).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    stats: dict = {}
+    lsh_probe_pairs(idx, tiny_keyed, io_stats=stats)
+    assert 0 < stats["files_read"] < stats["files_total"]
+    assert stats["bytes_read"] < stats["bytes_total"]
+
+
 def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
     """The shingle-bucket shuffle verify (no candidate shingle set ever
     leaves its worker — the 100-TB path for PPJoin-sized candidate sets)
