@@ -593,6 +593,44 @@ def lsh_build_index(
         json.dump({"params": params}, fh)
 
 
+def lsh_append_index(
+    index_dir: str,
+    new_keyed: pa.Table,
+    ingest_id: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Append an ingested batch's (bkey, id) band rows to the persisted LSH
+    index AFTER probing — the third step of the probe → verify → append
+    ingest loop, so the NEXT drop dedups against this one without a corpus
+    re-scan. Driver-local write (incoming ≪ corpus is the incremental
+    contract): rows split by the index's bucket hash, ONE parquet file per
+    touched bucket named by ``ingest_id`` — re-running the same ingest
+    overwrites its own files (idempotent), and a duplicated row would only
+    re-emit an already-deduped candidate pair anyway."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
+        n_parts = json.load(fh)["params"]["n_parts"]
+    if new_keyed.num_rows == 0:
+        return
+    kk = np.asarray(new_keyed.column("bkey").combine_chunks(), dtype=np.int64)
+    b = (splitmix64(kk.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    t = new_keyed.select(["bkey", id_col]).take(pa.array(order, pa.int64()))
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(n_parts + 1))
+    for x in range(n_parts):
+        lo, hi = bounds[x], bounds[x + 1]
+        if lo == hi:
+            continue
+        d = os.path.join(index_dir, f"bucket={x}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t.slice(lo, hi - lo), os.path.join(d, f"ingest_{ingest_id}.parquet"))
+
+
 def lsh_probe_pairs(
     index_dir: str,
     new_keyed: pa.Table,

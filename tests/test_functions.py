@@ -232,6 +232,77 @@ def test_lsh_index_probe_parity_and_pruning(docs_ds, tmp_path):
     assert stats["bytes_read"] < stats["bytes_total"]
 
 
+def test_lsh_append_ingest_loop(ray_session, tmp_path):
+    """The probe → verify → append ingest loop across TWO drops: a doc in
+    drop 2 that duplicates a doc from drop 1 is only findable if drop 1's
+    band rows were appended to the index — the cross-drop pair must appear
+    after append and must NOT appear against the snapshot-only index."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        lsh_append_index,
+        lsh_build_index,
+        lsh_probe_pairs,
+        minhash_bkey_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{k}" for k in range(200)]
+    mk = lambda: " ".join(rng.choice(words, 30).tolist())
+    snap_ids = list(range(0, 100, 2))
+    snap = pa.table(
+        {
+            "doc_id": pa.array(snap_ids, pa.int64()),
+            "text": pa.array([mk() for _ in snap_ids], pa.string()),
+        }
+    )
+    d1_texts = [mk() for _ in range(10)]
+    drop1 = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 21, 2)), pa.int64()),
+            "text": pa.array(d1_texts, pa.string()),
+        }
+    )
+    # drop 2: one exact copy of a drop-1 doc + one copy of a snapshot doc
+    drop2 = pa.table(
+        {
+            "doc_id": pa.array([201, 203], pa.int64()),
+            "text": pa.array([d1_texts[4], snap.column("text")[0].as_py()], pa.string()),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    lsh_build_index(rd.from_arrow(snap), idx, n_parts=32)
+
+    def keyed(tbl):
+        return pa.concat_tables(
+            list(
+                minhash_bkey_rows(rd.from_arrow(tbl)).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+
+    k1, k2 = keyed(drop1), keyed(drop2)
+
+    def pairs_of(k):
+        t = _dedupe_pairs(lsh_probe_pairs(idx, k))
+        return set(zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()))
+
+    # without append: drop 2 only matches the snapshot copy
+    before = pairs_of(k2)
+    assert (0, 203) in before and (9, 201) not in before
+    # probe drop 1 (its own ingest), then append it; idempotent re-append
+    lsh_probe_pairs(idx, k1)
+    lsh_append_index(idx, k1, ingest_id="drop1")
+    lsh_append_index(idx, k1, ingest_id="drop1")
+    after = pairs_of(k2)
+    assert (0, 203) in after and (9, 201) in after  # cross-drop pair surfaced
+    # no spurious pair duplication: probe output is a set after dedupe
+    assert len(after) == len({(a, b) for a, b in after})
+
+
 def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
     """The shingle-bucket shuffle verify (no candidate shingle set ever
     leaves its worker — the 100-TB path for PPJoin-sized candidate sets)
