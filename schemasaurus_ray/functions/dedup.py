@@ -746,6 +746,254 @@ def lsh_probe_pairs(
     return pa.concat_tables(tables) if tables else empty
 
 
+def _banded_sig_rows(batch: pa.Table, id_col: str, sig_col: str) -> pa.Table:
+    """(id, sig, band0..band3) signature rows → (bkey, id, sig) band rows,
+    bkey = band_value | band_index<<32 (the banded_near_dups key), with the
+    signature CARRIED so hamming verify never re-reads old content."""
+    n = batch.num_rows
+    if n == 0 or id_col not in batch.column_names:
+        return pa.table(
+            {
+                "bkey": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                sig_col: pa.array([], pa.int64()),
+            }
+        )
+    ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+    sig = np.asarray(batch.column(sig_col).combine_chunks(), dtype=np.int64)
+    keys, out_ids, out_sig = [], [], []
+    for b in range(4):
+        band = np.asarray(batch.column(f"band{b}").combine_chunks(), dtype=np.int64)
+        keys.append(band | (np.int64(b) << np.int64(32)))
+        out_ids.append(ids)
+        out_sig.append(sig)
+    return pa.table(
+        {
+            "bkey": pa.array(np.concatenate(keys), pa.int64()),
+            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            sig_col: pa.array(np.concatenate(out_sig), pa.int64()),
+        }
+    )
+
+
+def banded_index_build(
+    sigs_ds: "ray.data.Dataset",
+    index_dir: str,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_parts: int = 64,
+) -> None:
+    """ONE-TIME persisted banded-signature layout — the SimHash/perceptual-
+    fingerprint sibling of :func:`lsh_build_index`: the snapshot's (bkey,
+    id, sig) band rows (64-bit signature CARRIED per row — 8 B/clip×4,
+    so probes verify hamming from the index alone and never re-read or
+    re-fingerprint old content) written hive-partitioned by
+    splitmix64(bkey)%%n_parts, idempotent via a param-matched marker."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, "banded_meta.json")
+    params = {"n_parts": n_parts, "id_col": id_col, "sig_col": sig_col, "layout": 1}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("params") == params:
+                return
+    npu = np.uint64(n_parts)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        rows = _banded_sig_rows(batch, id_col, sig_col)
+        kk = np.asarray(rows.column("bkey").combine_chunks(), dtype=np.int64)
+        b = (splitmix64(kk.view(np.uint64)) % npu).astype(np.int32)
+        return rows.append_column("bucket", pa.array(b, pa.int32()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    sigs_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"], mode="overwrite", min_rows_per_file=65536
+    )
+    with open(meta_path, "w") as fh:
+        json.dump({"params": params}, fh)
+
+
+def banded_probe_pairs(
+    index_dir: str,
+    new_sigs: pa.Table,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    cap: int = 64,
+    num_buckets: int = 8,
+    io_stats: dict | None = None,
+) -> pa.Table:
+    """Verified near-dup pairs between an incoming signature batch and the
+    persisted banded index: reads ONLY the probed bucket dirs, in-map
+    semi-joins snapshot rows against the broadcast incoming-bkey set, each
+    reduce emits new×all candidate pairs per colliding band group PLUS the
+    (id, sig) rows of exactly the ids it paired (O(pairs), for the verify
+    — old content is never touched), and the driver expands candidates
+    transitively (star-cap recovery, same bound as banded_near_dups) and
+    verifies with one vectorized SWAR hamming pass. Returns (id_a, id_b,
+    hamming) with hamming ≤ max_hamming; pairs may include snapshot-only
+    members added by expansion — callers filter for their ingest product."""
+    import glob
+    import json
+    import os
+
+    import ray
+
+    from ..stages.shuffle import _tree_combine
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if new_sigs.num_rows == 0:
+        return empty
+    with open(os.path.join(index_dir, "banded_meta.json")) as fh:
+        n_parts = json.load(fh)["params"]["n_parts"]
+    new_rows = _banded_sig_rows(new_sigs, id_col, sig_col)
+    nk = np.asarray(new_rows.column("bkey").combine_chunks(), dtype=np.int64)
+    nid = np.asarray(new_rows.column(id_col).combine_chunks(), dtype=np.int64)
+    nsg = np.asarray(new_rows.column(sig_col).combine_chunks(), dtype=np.int64)
+    new_bkeys = np.unique(nk)
+    probed = np.unique(splitmix64(new_bkeys.view(np.uint64)) % np.uint64(n_parts))
+    bfiles = [
+        f
+        for c in probed.tolist()
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={int(c)}", "*.parquet")))
+    ]
+    if io_stats is not None:
+        all_files = glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet"))
+        io_stats.update(
+            files_read=len(bfiles),
+            files_total=len(all_files),
+            bytes_read=sum(os.path.getsize(f) for f in bfiles),
+            bytes_total=sum(os.path.getsize(f) for f in all_files),
+        )
+    bk_ref = ray.put(new_bkeys)
+
+    def _split(kk, ii, ss, ff) -> list[pa.Table]:
+        b = (splitmix64(kk.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, ks, is_, ssg, fs = b[order], kk[order], ii[order], ss[order], ff[order]
+        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+        return [
+            pa.table(
+                {
+                    "bkey": pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
+                    id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
+                    sig_col: pa.array(ssg[bounds[x] : bounds[x + 1]], pa.int64()),
+                    "nw": pa.array(fs[bounds[x] : bounds[x + 1]], pa.int8()),
+                }
+            )
+            for x in range(num_buckets)
+        ]
+
+    @ray.remote(num_returns=num_buckets)
+    def map_old(path: str, bk_sorted: np.ndarray):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["bkey", id_col, sig_col])
+        kk = np.asarray(tbl.column("bkey").combine_chunks(), dtype=np.int64)
+        ii = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
+        ss = np.asarray(tbl.column(sig_col).combine_chunks(), dtype=np.int64)
+        if len(bk_sorted):
+            pos = np.searchsorted(bk_sorted, kk)
+            pos[pos == len(bk_sorted)] = 0
+            keep = bk_sorted[pos] == kk
+            kk, ii, ss = kk[keep], ii[keep], ss[keep]
+        else:
+            kk, ii, ss = kk[:0], ii[:0], ss[:0]
+        out = _split(kk, ii, ss, np.zeros(len(kk), dtype=np.int8))
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        return pa.concat_tables(tables)
+
+    pairs_empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    sigs_empty = pa.table({id_col: pa.array([], pa.int64()), sig_col: pa.array([], pa.int64())})
+
+    @ray.remote(num_returns=2)
+    def reduce_bucket(*tables: pa.Table):
+        t = pa.concat_tables(tables)
+        if t.num_rows == 0:
+            return pairs_empty, sigs_empty
+        kk = np.asarray(t.column("bkey").combine_chunks(), dtype=np.int64)
+        ii = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
+        ff = np.asarray(t.column("nw").combine_chunks(), dtype=np.int8)
+        pairs = _pairs_from_key_rows_semi(kk, ii, ff, cap)
+        if pairs.num_rows == 0:
+            return pairs_empty, sigs_empty
+        members = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64),
+                    np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64),
+                ]
+            )
+        )
+        ss = np.asarray(t.column(sig_col).combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(members, ii)
+        pos[pos == len(members)] = 0
+        m = members[pos] == ii
+        mi, ms = ii[m], ss[m]
+        o = np.argsort(mi, kind="stable")
+        mi, ms = mi[o], ms[o]
+        k1 = np.ones(len(mi), dtype=bool)
+        k1[1:] = mi[1:] != mi[:-1]
+        return pairs, pa.table(
+            {id_col: pa.array(mi[k1], pa.int64()), sig_col: pa.array(ms[k1], pa.int64())}
+        )
+
+    new_splits = _split(nk, nid, nsg, np.ones(len(nk), dtype=np.int8))
+    refs = [map_old.remote(p, bk_ref) for p in bfiles]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = [
+        reduce_bucket.remote(
+            ray.put(new_splits[b]),
+            *_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket),
+        )
+        for b in range(num_buckets)
+    ]
+    pair_tbls, sig_tbls = [], []
+    for pr, sr in reduced:
+        pt, st = ray.get(pr), ray.get(sr)
+        if pt.num_rows:
+            pair_tbls.append(pt)
+            sig_tbls.append(st)
+    if not pair_tbls:
+        return empty
+    pairs = expand_candidate_pairs(_dedupe_pairs(pa.concat_tables(pair_tbls)))
+    if pairs.num_rows == 0:
+        return empty
+    sig_tbl = pa.concat_tables(sig_tbls)
+    si = np.asarray(sig_tbl.column(id_col).combine_chunks(), dtype=np.int64)
+    sv = np.asarray(sig_tbl.column(sig_col).combine_chunks(), dtype=np.int64)
+    o = np.argsort(si, kind="stable")
+    si, sv = si[o], sv[o]
+    a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
+    b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
+    pa_ = np.searchsorted(si, a).clip(max=max(len(si) - 1, 0))
+    pb_ = np.searchsorted(si, b).clip(max=max(len(si) - 1, 0))
+    ok = (si[pa_] == a) & (si[pb_] == b) if len(si) else np.zeros(len(a), bool)
+    a, b, pa_, pb_ = a[ok], b[ok], pa_[ok], pb_[ok]
+    if not len(a):
+        return empty
+    d = hamming64(sv[pa_].view(np.uint64), sv[pb_].view(np.uint64)).astype(np.int64)
+    keep = d <= max_hamming
+    return pa.table(
+        {
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "hamming": pa.array(d[keep], pa.int64()),
+        }
+    )
+
+
 # -------------------------------------------- exact n-gram Jaccard join
 def _sampled_doc_shingles(
     batch: pa.Table, text_col: str, id_col: str, n: int, mod: int

@@ -1758,24 +1758,16 @@ def audio_dedup_clips(sf_dir: str) -> pa.Table:
     return out.sort_by("removed_id")
 
 
-def audio_neardup_clips(sf_dir: str) -> pa.Table:
-    """PERCEPTUAL near-duplicate clips (functions/audio_fp.py): gain- and
-    requantization-invariant envelope fingerprints → banded-hamming LSH →
-    exact-hamming verify, the audio-axis sibling of
-    simhash_neardup_documents. Duplicates are PLANTED in-stream so the
-    golden is exact: clips with numeric key ≡ 3 (mod 10) gain a
-    gain-halved copy (key + 1e9), keys ≡ 9 (mod 10) a 0.15 %-noise copy
-    (key + 2e9, ≈56 dB SNR). Expected pairs == the planted (base, copy)
-    set: copies land within hamming ≤ 3 (pigeonhole-exact recall) and
-    distinct clips sit ≥ 14 bits apart, so organic band collisions die in
-    the verify. Returns (id_a, id_b, hamming)."""
+def _planted_neardup_clips_ds(fix: str):
+    """The shared planted-duplicate clip stream of audio_neardup_clips and
+    audio_neardup_incremental_clips: well-formed clips plus a gain-halved
+    copy (key+1e9) of every key ≡ 3 (mod 10) and a 0.15 %-noise copy
+    (key+2e9, ≈56 dB SNR) of every key ≡ 9 (mod 10)."""
     import glob as glob_
 
     from ..audio import wav_decode, wav_encode
-    from ..functions.audio_fp import audio_near_dups
     from ..sources.io import read_parquet_tasks
 
-    fix = _audio_fixture()
     ds = read_parquet_tasks(
         sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
         columns=["clip_id", "bytes"],
@@ -1821,8 +1813,83 @@ def audio_neardup_clips(sf_dir: str) -> pa.Table:
             )
         return pa.concat_tables(out).combine_chunks()
 
-    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def audio_neardup_clips(sf_dir: str) -> pa.Table:
+    """PERCEPTUAL near-duplicate clips (functions/audio_fp.py): gain- and
+    requantization-invariant envelope fingerprints → banded-hamming LSH →
+    exact-hamming verify, the audio-axis sibling of
+    simhash_neardup_documents. Duplicates are PLANTED in-stream so the
+    golden is exact: clips with numeric key ≡ 3 (mod 10) gain a
+    gain-halved copy (key + 1e9), keys ≡ 9 (mod 10) a 0.15 %-noise copy
+    (key + 2e9, ≈56 dB SNR). Expected pairs == the planted (base, copy)
+    set: copies land within hamming ≤ 3 (pigeonhole-exact recall) and
+    distinct clips sit ≥ 14 bits apart, so organic band collisions die in
+    the verify. Returns (id_a, id_b, hamming)."""
+    from ..functions.audio_fp import audio_near_dups
+
+    planted = _planted_neardup_clips_ds(_audio_fixture())
     return audio_near_dups(planted, key_col="clip_key", max_hamming=3)
+
+
+def audio_neardup_incremental_clips(sf_dir: str) -> pa.Table:
+    """INCREMENTAL perceptual near-dup — the audio-axis sibling of
+    neardup_incremental_documents: the base clips (key < 1e9) are the
+    indexed snapshot, the planted copies the incoming drop. The snapshot's
+    banded 64-bit fingerprints persist ONCE (dedup.banded_index_build —
+    and because the SIGNATURE rides in the index rows, the probe verifies
+    exact hamming without re-reading or re-fingerprinting ANY old audio
+    byte); each ingest fingerprints only the incoming clips and probes
+    only the touched bucket dirs (dedup.banded_probe_pairs). Output =
+    verified pairs touching the drop — exactly the planted (base, copy)
+    golden of audio_neardup_clips. Rows-only (bit signatures are not
+    SQL-expressible); golden + full-run parity + io pruning in pytest."""
+    import functools
+    import hashlib
+
+    from ..functions.audio_fp import AudioFingerprintStage
+    from ..functions.dedup import banded_index_build, banded_probe_pairs
+    from ..util import cached_stage
+
+    fix = _audio_fixture()
+
+    def sigs_ds():
+        return _planted_neardup_clips_ds(fix).map_batches(
+            cached_stage(AudioFingerprintStage, key_col="clip_key", bytes_col="bytes"),
+            batch_format="pyarrow",
+        )
+
+    def side(batch: pa.Table, *, new: bool) -> pa.Table:
+        m = pc.greater_equal(batch.column("clip_key"), 10**9)
+        return batch.filter(m if new else pc.invert(m))
+
+    # snapshot signatures STREAM into the one-time build (only the drop's
+    # signatures are driver-collected — O(ingest), the incremental contract;
+    # the even/odd-style split is fixture mechanics: a real pipeline gets
+    # snapshot and drop as separate inputs)
+    idx = os.path.join(
+        "/tmp/schemasaurus_ray/banded_index",
+        hashlib.md5(f"{os.path.abspath(fix)}|n64".encode()).hexdigest()[:12],
+    )
+    banded_index_build(
+        sigs_ds().map_batches(
+            functools.partial(side, new=False), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        idx,
+        id_col="clip_key",
+    )
+    new = _collect(
+        sigs_ds().map_batches(
+            functools.partial(side, new=True), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out = banded_probe_pairs(idx, new, id_col="clip_key", max_hamming=3)
+    has_new = pc.or_(
+        pc.greater_equal(out.column("id_a"), 10**9),
+        pc.greater_equal(out.column("id_b"), 10**9),
+    )
+    return out.filter(has_new).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def audio_repeated_segments_clips(sf_dir: str) -> pa.Table:

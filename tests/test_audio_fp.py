@@ -140,6 +140,81 @@ def test_audio_near_dups_planted_golden(ray_session):
     assert got == expected
 
 
+def test_banded_index_incremental_probe_golden(ray_session, tmp_path):
+    """Incremental perceptual near-dup: index the BASE clips' banded
+    fingerprints once, then probe with only the planted copies — the
+    verified pairs must equal the full-run planted golden (every expected
+    pair touches a copy), the probe must verify hamming from index-carried
+    signatures without touching any audio bytes, and a tiny drop must read
+    only its touched bucket dirs (io pruning)."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import banded_index_build, banded_probe_pairs
+
+    rows_k, rows_b = [], []
+    expected = set()
+    for i in range(60):
+        blob, sr = _clip(i)
+        x, _ = wav_decode(blob)
+        rows_k.append(i)
+        rows_b.append(blob)
+        if i % 3 == 0:
+            rows_k.append(i + 1_000_000)
+            rows_b.append(wav_encode((x.astype(np.int32) // 2).astype(np.int16), sr))
+            expected.add((i, i + 1_000_000))
+        if i % 5 == 0:
+            rng = np.random.Generator(np.random.PCG64(400 + i))
+            y = np.clip(
+                x.astype(np.float64) + 0.0015 * 32767 * rng.standard_normal(len(x)), -32768, 32767
+            ).astype(np.int16)
+            rows_k.append(i + 2_000_000)
+            rows_b.append(wav_encode(y, sr))
+            expected.add((i, i + 2_000_000))
+        if i % 15 == 0:
+            expected.add((i + 1_000_000, i + 2_000_000))
+    tbl = pa.table(
+        {"clip_key": pa.array(rows_k, pa.int64()), "bytes": pa.array(rows_b, pa.binary())}
+    )
+    sigs = AudioFingerprintStage(key_col="clip_key", bytes_col="bytes")(tbl)
+    keys = np.asarray(sigs.column("clip_key"), dtype=np.int64)
+    old = sigs.filter(pa.array(keys < 1_000_000))
+    new = sigs.filter(pa.array(keys >= 1_000_000))
+    idx = str(tmp_path / "bidx")
+    banded_index_build(rd.from_arrow(old).repartition(3), idx, id_col="clip_key")
+    out = banded_probe_pairs(idx, new, id_col="clip_key", max_hamming=3)
+    got = set(
+        zip(
+            np.asarray(out.column("id_a"), dtype=np.int64).tolist(),
+            np.asarray(out.column("id_b"), dtype=np.int64).tolist(),
+        )
+    )
+    # probe pairs touching a copy == the full planted golden (expansion may
+    # also surface base×base pairs; none qualify at hamming ≤ 3 here)
+    got_new = {(a, b) for a, b in got if a >= 1_000_000 or b >= 1_000_000}
+    assert got_new == expected
+    # hammings agree with direct signature recomputation
+    sig_of = dict(
+        zip(keys.tolist(), np.asarray(sigs.column("simhash"), dtype=np.int64).tolist())
+    )
+    from schemasaurus_ray.functions.dedup import hamming64 as h64
+
+    for a, b, d in zip(
+        np.asarray(out.column("id_a"), dtype=np.int64).tolist(),
+        np.asarray(out.column("id_b"), dtype=np.int64).tolist(),
+        np.asarray(out.column("hamming"), dtype=np.int64).tolist(),
+    ):
+        assert d == int(
+            h64(
+                np.array([sig_of[a]], dtype=np.int64).view(np.uint64),
+                np.array([sig_of[b]], dtype=np.int64).view(np.uint64),
+            )[0]
+        )
+    # io pruning: a single-clip drop touches ≤ 4 band keys → few buckets
+    stats: dict = {}
+    banded_probe_pairs(idx, new.slice(0, 1), id_col="clip_key", io_stats=stats)
+    assert 0 < stats["files_read"] < stats["files_total"]
+
+
 # ---------------------------------------------------------- audio normalizer
 def test_trim_gain_kernel():
     from schemasaurus_ray.audio import pcm_trim_gain
