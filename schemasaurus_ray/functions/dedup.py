@@ -2310,27 +2310,30 @@ def banded_near_dups(
             .iter_batches(batch_format="pyarrow", batch_size=None)
         )
     )
-    lookup = {
-        int(i): np.uint64(s)
-        for i, s in zip(
-            np.asarray(sig_tbl.column(id_col), dtype=np.int64),
-            np.asarray(sig_tbl.column(sig_col), dtype=np.int64).view(np.uint64),
-        )
-    }
-    sig_ref = ray.put(lookup)
+    # zero-copy sorted-array broadcast + searchsorted lookup — a Python
+    # dict is pickled per task and probed per pair in Python (the
+    # vectorized-lookup rule of VERDICT r3 #5)
+    tids = np.asarray(sig_tbl.column(id_col), dtype=np.int64)
+    tsig = np.asarray(sig_tbl.column(sig_col), dtype=np.int64)
+    torder = np.argsort(tids, kind="stable")
+    sig_ref = ray.put((tids[torder], tsig[torder]))
 
     def verify(batch: pa.Table) -> pa.Table:
-        sigs = ray.get(sig_ref)
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
-        sa = np.array([sigs[a] for a in a_ids], dtype=np.uint64)
-        sb = np.array([sigs[b] for b in b_ids], dtype=np.uint64)
-        d = hamming64(sa, sb)
+        sids, ssig = ray.get(sig_ref)
+        a = np.asarray(batch.column("id_a").combine_chunks(), dtype=np.int64)
+        b = np.asarray(batch.column("id_b").combine_chunks(), dtype=np.int64)
+        pa_ = np.searchsorted(sids, a).clip(max=max(len(sids) - 1, 0))
+        pb_ = np.searchsorted(sids, b).clip(max=max(len(sids) - 1, 0))
+        ok = (sids[pa_] == a) & (sids[pb_] == b) if len(sids) else np.zeros(len(a), bool)
+        a, b, pa_, pb_ = a[ok], b[ok], pa_[ok], pb_[ok]
+        if not len(a):
+            return empty
+        d = hamming64(ssig[pa_].view(np.uint64), ssig[pb_].view(np.uint64))
         keep = d <= max_hamming
         return pa.table(
             {
-                "id_a": pa.array(np.asarray(a_ids, dtype=np.int64)[keep], pa.int64()),
-                "id_b": pa.array(np.asarray(b_ids, dtype=np.int64)[keep], pa.int64()),
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
                 "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
             }
         )
@@ -2474,24 +2477,28 @@ def embedding_near_dups(
     vec_tbl = pa.concat_tables(vec_batches)
     vids = np.asarray(vec_tbl.column(id_col).combine_chunks(), dtype=np.int64)
     vmat = _unit(_as_matrix(vec_tbl.column(vec_col)))
-    lookup = {int(i): vmat[j] for j, i in enumerate(vids)}
-    vec_ref = ray.put(lookup)
+    # zero-copy numpy broadcast, sorted for searchsorted lookup — a Python
+    # dict here is pickled per task and probed per pair in Python (the
+    # vectorized-lookup rule of VERDICT r3 #5)
+    vorder = np.argsort(vids, kind="stable")
+    vec_ref = ray.put((vids[vorder], vmat[vorder]))
 
     def verify(batch: pa.Table) -> pa.Table:
-        vecs = ray.get(vec_ref)
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
-        rows = [(a, b) for a, b in zip(a_ids, b_ids) if a in vecs and b in vecs]
-        if not rows:
+        sids, smat = ray.get(vec_ref)
+        a = np.asarray(batch.column("id_a").combine_chunks(), dtype=np.int64)
+        b = np.asarray(batch.column("id_b").combine_chunks(), dtype=np.int64)
+        pa_ = np.searchsorted(sids, a).clip(max=max(len(sids) - 1, 0))
+        pb_ = np.searchsorted(sids, b).clip(max=max(len(sids) - 1, 0))
+        ok = (sids[pa_] == a) & (sids[pb_] == b) if len(sids) else np.zeros(len(a), bool)
+        a, b, pa_, pb_ = a[ok], b[ok], pa_[ok], pb_[ok]
+        if not len(a):
             return empty
-        A = np.stack([vecs[a] for a, _ in rows])
-        B = np.stack([vecs[b] for _, b in rows])
-        sims = np.einsum("ij,ij->i", A, B)
+        sims = np.einsum("ij,ij->i", smat[pa_], smat[pb_])
         keep = sims >= threshold
         return pa.table(
             {
-                "id_a": pa.array([r[0] for r, k in zip(rows, keep) if k], pa.int64()),
-                "id_b": pa.array([r[1] for r, k in zip(rows, keep) if k], pa.int64()),
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
                 "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
             }
         )
