@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import hash_column, splitmix64
+from ..util import arrow_block_refs, hash_column, splitmix64
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -472,7 +472,7 @@ def lsh_bucket_pairs(
             cap,
         )
 
-    refs = [map_block.remote(r) for r in keys_ds.to_arrow_refs()]
+    refs = [map_block.remote(r) for r in arrow_block_refs(keys_ds)]
     if not refs:
         # empty dataset yields zero blocks: reduce_bucket would concat no
         # tables and raise inside the task (ADVICE r2)
@@ -1189,7 +1189,7 @@ def sampled_df_table(
         return pa.table({"sh": pa.array(uniq, pa.int64()), "df": pa.array(cnt, pa.int64())})
 
     rows = ds.select_columns([id_col, text_col]).map_batches(stage, batch_format="pyarrow")
-    refs = [map_block.remote(r) for r in rows.to_arrow_refs()]
+    refs = [map_block.remote(r) for r in arrow_block_refs(rows)]
     if not refs:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
     if num_buckets == 1:
@@ -1352,7 +1352,7 @@ def prefix_bucket_pairs(
             cap=cap,
         )
 
-    refs = [map_block.remote(r) for r in rows_ds.to_arrow_refs()]
+    refs = [map_block.remote(r) for r in arrow_block_refs(rows_ds)]
     if not refs:
         return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     if num_buckets == 1:
@@ -2566,8 +2566,8 @@ def incremental_dedup_shuffled(
             itbl = itbl.filter(pc.fill_null(mask, True))
         return itbl.select([id_col])
 
-    irefs_raw = incoming.to_arrow_refs()
-    srefs_raw = snapshot.to_arrow_refs()
+    irefs_raw = arrow_block_refs(incoming)
+    srefs_raw = arrow_block_refs(snapshot)
     irefs = [map_incoming.remote(r) for r in irefs_raw]
     srefs = [map_snapshot.remote(r) for r in srefs_raw]
     if num_buckets == 1:

@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import arrow_block_refs
+
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
@@ -107,7 +109,7 @@ def pack_by_length_buckets(
             }
         )
 
-    refs = [map_block.remote(r) for r in keys_ds.to_arrow_refs()]
+    refs = [map_block.remote(r) for r in arrow_block_refs(keys_ds)]
     if not refs:
         return empty
     reduced = [

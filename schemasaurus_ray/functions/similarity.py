@@ -27,6 +27,8 @@ from typing import TYPE_CHECKING, Any
 import numpy as np
 import pyarrow as pa
 
+from ..util import arrow_block_refs
+
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
@@ -196,7 +198,7 @@ def train_centroids(
         return t.append_column("h", pa.array(h[keep].view(np.int64), pa.int64()))
 
     sample_tbl = pa.concat_tables(
-        ray.get(ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        ray.get(arrow_block_refs(ds.map_batches(pick, batch_format="pyarrow")))
     ).sort_by([("h", "ascending"), (id_col, "ascending")])
     sample_tbl = sample_tbl.slice(0, sample_size)
     return _kmeans(_unit(_as_matrix(sample_tbl.column(vec_col))), n_clusters, seed=seed)

@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import arrow_block_refs
+
 TOKEN_RE = r"\S+"
 WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?"  # BPE-ish word pieces incl. contractions
 
@@ -499,7 +501,7 @@ def shared_window_counts(
             {"doc": pa.array(dd[shared], pa.int64()), "cnt": pa.array(c[shared], pa.int64())}
         )
 
-    refs = [map_block.remote(r) for r in rows.to_arrow_refs()]
+    refs = [map_block.remote(r) for r in arrow_block_refs(rows)]
     out_empty = pa.table(
         {id_col: pa.array([], pa.int64()), "n_dup_windows": pa.array([], pa.int64())}
     )

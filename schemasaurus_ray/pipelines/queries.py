@@ -30,6 +30,8 @@ from ..stages.rulepack import RowRuleStage
 from ..stages.stats import batch_stats_partial, merge_stats_partials
 from ..stages.unique import duplicate_keys
 
+from ..util import arrow_block_refs
+
 DOCUMENTS_SPEC: dict = {
     "columns": {
         "doc_id": {"type": "integer", "required": True, "minimum": 0},
@@ -2418,7 +2420,7 @@ def vocab_topk_documents(sf_dir: str, k: int = 100) -> pa.Table:
         top = g.sort_by([("cnt", "descending"), ("token", "ascending")])
         return top.slice(0, k)
 
-    refs = [map_tokens.remote(r) for r in ds.to_arrow_refs()]
+    refs = [map_tokens.remote(r) for r in arrow_block_refs(ds)]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     reduced = []

@@ -23,6 +23,8 @@ import pyarrow.parquet as pq
 
 from .shuffle import _default_buckets, _split_buckets, _tree_combine
 
+from ..util import arrow_block_refs
+
 
 def _map_refs(src: Any, cols: list[str], key_col: str, num_buckets: int) -> list:
     import ray
@@ -46,7 +48,7 @@ def _map_refs(src: Any, cols: list[str], key_col: str, num_buckets: int) -> list
     if isinstance(src, list):
         refs = [map_path.remote(p) for p in sorted(src)]
     else:
-        refs = [map_table.remote(ref) for ref in src.to_arrow_refs()]
+        refs = [map_table.remote(ref) for ref in arrow_block_refs(src)]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     return refs

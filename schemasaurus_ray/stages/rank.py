@@ -42,6 +42,8 @@ import pyarrow.parquet as pq
 from .shuffle import _default_buckets, _split_buckets, _tree_combine
 from .temporal import _concat_remote, _segment_starts
 
+from ..util import arrow_block_refs
+
 
 def ntile_bucket(r: np.ndarray, n: np.ndarray, k: int) -> np.ndarray:
     """Closed-form SQL NTILE: 0-based global rank ``r`` in a partition of
@@ -216,7 +218,7 @@ def ntile_assign_shuffled(
         def precount(tbl: pa.Table) -> pa.Table:
             return _precount_table(tbl.select([group_col, value_col]), [group_col, value_col])
 
-        parts = ray.get([precount.remote(r) for r in src.to_arrow_refs()])
+        parts = ray.get([precount.remote(r) for r in arrow_block_refs(src)])
         merged = pa.concat_tables([t for t in parts if t.num_rows])
         counts = (
             merged.group_by([group_col, value_col])
@@ -297,7 +299,7 @@ def ntile_assign_shuffled(
     if srcs is not None:
         refs = [map_path.remote(p) for p in sorted(srcs)]
     else:
-        refs = [map_table.remote(r) for r in src.to_arrow_refs()]
+        refs = [map_table.remote(r) for r in arrow_block_refs(src)]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     combine = _concat_remote()

@@ -20,7 +20,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pyarrow as pa
 
-from ..util import hash_column
+from ..util import arrow_block_refs, hash_column
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -270,8 +270,8 @@ def _orphans_bloom(ds, column, ref_ds, ref_column, fp_rate, exact):
             column,
         )
 
-    cand_refs = [map_cand.remote(r) for r in marked.to_arrow_refs()]
-    ref_refs = [map_ref.remote(r) for r in ref_keys.to_arrow_refs()]
+    cand_refs = [map_cand.remote(r) for r in arrow_block_refs(marked)]
+    ref_refs = [map_ref.remote(r) for r in arrow_block_refs(ref_keys)]
     if num_buckets == 1:
         cand_refs = [[r] for r in cand_refs]
         ref_refs = [[r] for r in ref_refs]

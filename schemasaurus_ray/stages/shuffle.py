@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..util import hash_column, splitmix64
+from ..util import arrow_block_refs, hash_column, splitmix64
 
 # max inputs per combine/reduce task — bounds task-arg counts and keeps the
 # reduce tree ~2 levels deep up to ~4k shards, 3 levels to ~260k
@@ -399,7 +399,7 @@ def launch_right_maps(right: "Any", right_col: str, num_buckets: int) -> list:
     map_right_path, map_right_table = _right_map_fns(right_col, num_buckets)
     if isinstance(right, list):
         return [map_right_path.remote(p) for p in sorted(right)]
-    return [map_right_table.remote(ref) for ref in right.to_arrow_refs()]
+    return [map_right_table.remote(ref) for ref in arrow_block_refs(right)]
 
 
 class FusedLeftStreamer:
@@ -792,7 +792,7 @@ def anti_join_shuffled(
     if isinstance(right, list):
         rrefs = [map_right_path.remote(p) for p in sorted(right)]
     else:
-        rrefs = [map_right_table.remote(ref) for ref in right.to_arrow_refs()]
+        rrefs = [map_right_table.remote(ref) for ref in arrow_block_refs(right)]
     if num_buckets == 1:
         lrefs = [[r] for r in lrefs]
         rrefs = [[r] for r in rrefs]

@@ -40,6 +40,8 @@ import pyarrow.parquet as pq
 
 from .shuffle import _default_buckets, _split_buckets, _tree_combine
 
+from ..util import arrow_block_refs
+
 # ---------------------------------------------------------------------------
 # vectorized kernels (pure numpy; unit-tested against brute force)
 # ---------------------------------------------------------------------------
@@ -232,7 +234,7 @@ def _bucket_map_refs(
     if isinstance(src, list):
         refs = [map_path.remote(p) for p in sorted(src)]
     else:
-        refs = [map_table.remote(ref) for ref in src.to_arrow_refs()]
+        refs = [map_table.remote(ref) for ref in arrow_block_refs(src)]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     return refs

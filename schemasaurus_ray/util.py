@@ -203,6 +203,18 @@ def cached_stage(cls, **kwargs):
     return fn
 
 
+def arrow_block_refs(ds) -> list:
+    """Block object refs of a Dataset, WITHOUT the schema probe
+    ``Dataset.to_arrow_refs`` makes: ray 2.49 calls
+    ``self.schema(fetch_if_missing=True)`` after consuming the bundles,
+    which RE-EXECUTES the whole plan with limit=1 (measured: 15 duplicate
+    read+repartition+signature runs per bench; one such concurrent
+    re-execution raced a raylet ``task_manager.cc`` check-failure on this
+    host). Every engine stage emits pyarrow blocks, so to_arrow_refs'
+    zero-copy branch — plain block refs — is always the result anyway."""
+    return [r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs]
+
+
 # ---------------------------------------------------------------- batch MD5
 # Vectorized MD5 over an Arrow string/binary column — one numpy pass per
 # 64-byte block ROUND, not per row (the last Python row loops in the hot
