@@ -92,9 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-smoked every round via entry()) --
         "dedup_exact_documents": q.dedup_exact_documents,  # raw-shuffle path (r4)
         "curate_documents": q.curate_documents,  # dropped-set broadcast (r4)
-        "minhash_neardup_documents": q.minhash_neardup_documents,  # CSR verify (r4)
-        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,  # CSR verify (r4)
-        "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,  # CSR verify (r4)
+        "minhash_neardup_documents": q.minhash_neardup_documents,  # shingle-shuffle verify (r4)
+        "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,  # shingle-shuffle verify (r4)
+        "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,  # shingle-shuffle verify (r4)
         # NEW r4 session-3: persisted LSH band-bucket index, probe-only ingest
         "neardup_incremental_documents": q.neardup_incremental_documents,
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import arrow_block_refs, hash_column, splitmix64
+from ..util import arrow_block_refs, hash_column, sorted_lookup, splitmix64
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -598,6 +598,8 @@ def lsh_append_index(
     new_keyed: pa.Table,
     ingest_id: str,
     id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
 ) -> None:
     """Append an ingested batch's (bkey, id) band rows to the persisted LSH
     index AFTER probing — the third step of the probe → verify → append
@@ -606,14 +608,29 @@ def lsh_append_index(
     contract): rows split by the index's bucket hash, ONE parquet file per
     touched bucket named by ``ingest_id`` — re-running the same ingest
     overwrites its own files (idempotent), and a duplicated row would only
-    re-emit an already-deduped candidate pair anyway."""
+    re-emit an already-deduped candidate pair anyway.
+
+    ``num_perm``/``bands`` declare how the caller computed ``new_keyed``
+    (its :func:`minhash_bkey_rows` arguments); they are checked against the
+    index meta because appending rows keyed under DIFFERENT banding would
+    silently poison recall — a true near-dup of a later drop would never
+    collide with the mis-keyed rows in any bucket."""
     import json
     import os
 
     import pyarrow.parquet as pq
 
     with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
-        n_parts = json.load(fh)["params"]["n_parts"]
+        params = json.load(fh)["params"]
+    n_parts = params["n_parts"]
+    declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col}
+    stored = {k: params[k] for k in declared}
+    if stored != declared:
+        raise ValueError(
+            f"lsh_append_index: rows computed with {declared} cannot be "
+            f"appended to an index built with {stored} — the band keys would "
+            "never collide with future probes (silent recall loss)"
+        )
     if new_keyed.num_rows == 0:
         return
     kk = np.asarray(new_keyed.column("bkey").combine_chunks(), dtype=np.int64)
@@ -638,6 +655,8 @@ def lsh_probe_pairs(
     cap: int = 64,
     num_buckets: int = 16,
     io_stats: dict | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
 ) -> pa.Table:
     """Candidate near-dup pairs between an incoming batch (its (bkey, id)
     band rows, driver-local — incoming ≪ corpus is the incremental
@@ -648,21 +667,61 @@ def lsh_probe_pairs(
     group (:func:`_pairs_from_key_rows_semi`). new×new pairs surface too —
     the union rows carry the incoming batch. ``io_stats`` gets
     files/bytes read vs total for the pruning audit."""
-    import glob
     import json
+    import os
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    if new_keyed.num_rows == 0:
+        return empty
+    with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
+        params = json.load(fh)["params"]
+    declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col}
+    stored = {k: params[k] for k in declared}
+    if stored != declared:
+        raise ValueError(
+            f"lsh_probe_pairs: rows computed with {declared} cannot probe an "
+            f"index built with {stored} — band keys would never collide "
+            "(silent recall loss)"
+        )
+    pairs, _sigs = _probe_index_pairs(
+        index_dir, new_keyed, id_col, None, cap, num_buckets, io_stats, params["n_parts"]
+    )
+    return pairs if pairs.num_rows else empty
+
+
+def _probe_index_pairs(
+    index_dir: str,
+    new_rows: pa.Table,
+    id_col: str,
+    sig_col: str | None,
+    cap: int,
+    num_buckets: int,
+    io_stats: dict | None,
+    n_parts: int,
+) -> tuple[pa.Table, pa.Table]:
+    """Shared probe machinery for the persisted LSH / banded-signature
+    indexes: choose bucket dirs from the incoming bkeys, semi-join snapshot
+    rows in-map against the broadcast sorted incoming-bkey set, shuffle
+    (bkey, id[, sig], new-flag) rows, and emit per-bucket new×all candidate
+    pairs (:func:`_pairs_from_key_rows_semi`) plus — when ``sig_col`` is
+    given — the (id, sig) rows of exactly the paired ids (O(pairs), for a
+    driver-side verify that never re-reads snapshot content). Returns
+    (pairs, member_sigs); member_sigs is empty when sig_col is None."""
+    import glob
     import os
 
     import ray
 
     from ..stages.shuffle import _tree_combine
 
-    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    if new_keyed.num_rows == 0:
-        return empty
-    with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
-        n_parts = json.load(fh)["params"]["n_parts"]
-    nk = np.asarray(new_keyed.column("bkey").combine_chunks(), dtype=np.int64)
-    nid = np.asarray(new_keyed.column(id_col).combine_chunks(), dtype=np.int64)
+    scol = sig_col or "_sig"
+    nk = np.asarray(new_rows.column("bkey").combine_chunks(), dtype=np.int64)
+    nid = np.asarray(new_rows.column(id_col).combine_chunks(), dtype=np.int64)
+    nsg = (
+        np.asarray(new_rows.column(scol).combine_chunks(), dtype=np.int64)
+        if sig_col
+        else np.zeros(len(nk), dtype=np.int64)
+    )
     new_bkeys = np.unique(nk)
     probed = np.unique(splitmix64(new_bkeys.view(np.uint64)) % np.uint64(n_parts))
     bfiles = [
@@ -679,17 +738,19 @@ def lsh_probe_pairs(
             bytes_total=sum(os.path.getsize(f) for f in all_files),
         )
     bk_ref = ray.put(new_bkeys)
+    read_cols = ["bkey", id_col] + ([sig_col] if sig_col else [])
 
-    def _split(kk: np.ndarray, ii: np.ndarray, ff: np.ndarray) -> list[pa.Table]:
+    def _split(kk, ii, ss, ff) -> list[pa.Table]:
         b = (splitmix64(kk.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
         order = np.argsort(b, kind="stable")
-        bs, ks, is_, fs = b[order], kk[order], ii[order], ff[order]
+        bs, ks, is_, ssg, fs = b[order], kk[order], ii[order], ss[order], ff[order]
         bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
         return [
             pa.table(
                 {
                     "bkey": pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
                     id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
+                    scol: pa.array(ssg[bounds[x] : bounds[x + 1]], pa.int64()),
                     "nw": pa.array(fs[bounds[x] : bounds[x + 1]], pa.int8()),
                 }
             )
@@ -700,38 +761,57 @@ def lsh_probe_pairs(
     def map_old(path: str, bk_sorted: np.ndarray):
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path, columns=["bkey", id_col])
+        tbl = pq.read_table(path, columns=read_cols)
         kk = np.asarray(tbl.column("bkey").combine_chunks(), dtype=np.int64)
         ii = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
-        if len(bk_sorted):
-            pos = np.searchsorted(bk_sorted, kk)
-            pos[pos == len(bk_sorted)] = 0
-            keep = bk_sorted[pos] == kk
-            kk, ii = kk[keep], ii[keep]
-        else:
-            kk, ii = kk[:0], ii[:0]
-        out = _split(kk, ii, np.zeros(len(kk), dtype=np.int8))
+        ss = (
+            np.asarray(tbl.column(scol).combine_chunks(), dtype=np.int64)
+            if sig_col
+            else np.zeros(len(kk), dtype=np.int64)
+        )
+        pos, found = sorted_lookup(bk_sorted, kk)
+        kk, ii, ss = kk[found], ii[found], ss[found]
+        out = _split(kk, ii, ss, np.zeros(len(kk), dtype=np.int8))
         return out if num_buckets > 1 else out[0]
 
     @ray.remote
     def combine_bucket(*tables: pa.Table) -> pa.Table:
         return pa.concat_tables(tables)
 
-    @ray.remote
-    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+    pairs_empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    sigs_empty = pa.table({id_col: pa.array([], pa.int64()), scol: pa.array([], pa.int64())})
+
+    @ray.remote(num_returns=2)
+    def reduce_bucket(*tables: pa.Table):
         t = pa.concat_tables(tables)
         if t.num_rows == 0:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            return pairs_empty, sigs_empty
+        kk = np.asarray(t.column("bkey").combine_chunks(), dtype=np.int64)
+        ii = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
+        ff = np.asarray(t.column("nw").combine_chunks(), dtype=np.int8)
+        pairs = _pairs_from_key_rows_semi(kk, ii, ff, cap)
+        if pairs.num_rows == 0 or sig_col is None:
+            return pairs, sigs_empty
+        members = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64),
+                    np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64),
+                ]
             )
-        return _pairs_from_key_rows_semi(
-            np.asarray(t.column("bkey").combine_chunks(), dtype=np.int64),
-            np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64),
-            np.asarray(t.column("nw").combine_chunks(), dtype=np.int8),
-            cap,
+        )
+        ss = np.asarray(t.column(scol).combine_chunks(), dtype=np.int64)
+        _pos, m = sorted_lookup(members, ii)
+        mi, ms = ii[m], ss[m]
+        o = np.argsort(mi, kind="stable")
+        mi, ms = mi[o], ms[o]
+        k1 = np.ones(len(mi), dtype=bool)
+        k1[1:] = mi[1:] != mi[:-1]
+        return pairs, pa.table(
+            {id_col: pa.array(mi[k1], pa.int64()), scol: pa.array(ms[k1], pa.int64())}
         )
 
-    new_splits = _split(nk, nid, np.ones(len(nk), dtype=np.int8))
+    new_splits = _split(nk, nid, nsg, np.ones(len(nk), dtype=np.int8))
     refs = [map_old.remote(p, bk_ref) for p in bfiles]
     if num_buckets == 1:
         refs = [[r] for r in refs]
@@ -742,8 +822,15 @@ def lsh_probe_pairs(
         )
         for b in range(num_buckets)
     ]
-    tables = [t for t in ray.get(reduced) if t.num_rows]
-    return pa.concat_tables(tables) if tables else empty
+    pair_tbls, sig_tbls = [], []
+    for pr, sr in reduced:
+        pt = ray.get(pr)
+        if pt.num_rows:
+            pair_tbls.append(pt)
+            sig_tbls.append(ray.get(sr))
+    pairs = pa.concat_tables(pair_tbls) if pair_tbls else pairs_empty
+    sigs = pa.concat_tables(sig_tbls) if sig_tbls else sigs_empty
+    return pairs, sigs
 
 
 def _banded_sig_rows(batch: pa.Table, id_col: str, sig_col: str) -> pa.Table:
@@ -834,13 +921,8 @@ def banded_probe_pairs(
     verifies with one vectorized SWAR hamming pass. Returns (id_a, id_b,
     hamming) with hamming ≤ max_hamming; pairs may include snapshot-only
     members added by expansion — callers filter for their ingest product."""
-    import glob
     import json
     import os
-
-    import ray
-
-    from ..stages.shuffle import _tree_combine
 
     empty = pa.table(
         {
@@ -852,134 +934,32 @@ def banded_probe_pairs(
     if new_sigs.num_rows == 0:
         return empty
     with open(os.path.join(index_dir, "banded_meta.json")) as fh:
-        n_parts = json.load(fh)["params"]["n_parts"]
+        params = json.load(fh)["params"]
+    declared = {"id_col": id_col, "sig_col": sig_col}
+    stored = {k: params[k] for k in declared}
+    if stored != declared:
+        raise ValueError(
+            f"banded_probe_pairs: rows keyed as {declared} cannot probe an "
+            f"index built with {stored}"
+        )
     new_rows = _banded_sig_rows(new_sigs, id_col, sig_col)
-    nk = np.asarray(new_rows.column("bkey").combine_chunks(), dtype=np.int64)
-    nid = np.asarray(new_rows.column(id_col).combine_chunks(), dtype=np.int64)
-    nsg = np.asarray(new_rows.column(sig_col).combine_chunks(), dtype=np.int64)
-    new_bkeys = np.unique(nk)
-    probed = np.unique(splitmix64(new_bkeys.view(np.uint64)) % np.uint64(n_parts))
-    bfiles = [
-        f
-        for c in probed.tolist()
-        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={int(c)}", "*.parquet")))
-    ]
-    if io_stats is not None:
-        all_files = glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet"))
-        io_stats.update(
-            files_read=len(bfiles),
-            files_total=len(all_files),
-            bytes_read=sum(os.path.getsize(f) for f in bfiles),
-            bytes_total=sum(os.path.getsize(f) for f in all_files),
-        )
-    bk_ref = ray.put(new_bkeys)
-
-    def _split(kk, ii, ss, ff) -> list[pa.Table]:
-        b = (splitmix64(kk.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        bs, ks, is_, ssg, fs = b[order], kk[order], ii[order], ss[order], ff[order]
-        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-        return [
-            pa.table(
-                {
-                    "bkey": pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
-                    id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
-                    sig_col: pa.array(ssg[bounds[x] : bounds[x + 1]], pa.int64()),
-                    "nw": pa.array(fs[bounds[x] : bounds[x + 1]], pa.int8()),
-                }
-            )
-            for x in range(num_buckets)
-        ]
-
-    @ray.remote(num_returns=num_buckets)
-    def map_old(path: str, bk_sorted: np.ndarray):
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(path, columns=["bkey", id_col, sig_col])
-        kk = np.asarray(tbl.column("bkey").combine_chunks(), dtype=np.int64)
-        ii = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
-        ss = np.asarray(tbl.column(sig_col).combine_chunks(), dtype=np.int64)
-        if len(bk_sorted):
-            pos = np.searchsorted(bk_sorted, kk)
-            pos[pos == len(bk_sorted)] = 0
-            keep = bk_sorted[pos] == kk
-            kk, ii, ss = kk[keep], ii[keep], ss[keep]
-        else:
-            kk, ii, ss = kk[:0], ii[:0], ss[:0]
-        out = _split(kk, ii, ss, np.zeros(len(kk), dtype=np.int8))
-        return out if num_buckets > 1 else out[0]
-
-    @ray.remote
-    def combine_bucket(*tables: pa.Table) -> pa.Table:
-        return pa.concat_tables(tables)
-
-    pairs_empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    sigs_empty = pa.table({id_col: pa.array([], pa.int64()), sig_col: pa.array([], pa.int64())})
-
-    @ray.remote(num_returns=2)
-    def reduce_bucket(*tables: pa.Table):
-        t = pa.concat_tables(tables)
-        if t.num_rows == 0:
-            return pairs_empty, sigs_empty
-        kk = np.asarray(t.column("bkey").combine_chunks(), dtype=np.int64)
-        ii = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
-        ff = np.asarray(t.column("nw").combine_chunks(), dtype=np.int8)
-        pairs = _pairs_from_key_rows_semi(kk, ii, ff, cap)
-        if pairs.num_rows == 0:
-            return pairs_empty, sigs_empty
-        members = np.unique(
-            np.concatenate(
-                [
-                    np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64),
-                    np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64),
-                ]
-            )
-        )
-        ss = np.asarray(t.column(sig_col).combine_chunks(), dtype=np.int64)
-        pos = np.searchsorted(members, ii)
-        pos[pos == len(members)] = 0
-        m = members[pos] == ii
-        mi, ms = ii[m], ss[m]
-        o = np.argsort(mi, kind="stable")
-        mi, ms = mi[o], ms[o]
-        k1 = np.ones(len(mi), dtype=bool)
-        k1[1:] = mi[1:] != mi[:-1]
-        return pairs, pa.table(
-            {id_col: pa.array(mi[k1], pa.int64()), sig_col: pa.array(ms[k1], pa.int64())}
-        )
-
-    new_splits = _split(nk, nid, nsg, np.ones(len(nk), dtype=np.int8))
-    refs = [map_old.remote(p, bk_ref) for p in bfiles]
-    if num_buckets == 1:
-        refs = [[r] for r in refs]
-    reduced = [
-        reduce_bucket.remote(
-            ray.put(new_splits[b]),
-            *_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket),
-        )
-        for b in range(num_buckets)
-    ]
-    pair_tbls, sig_tbls = [], []
-    for pr, sr in reduced:
-        pt, st = ray.get(pr), ray.get(sr)
-        if pt.num_rows:
-            pair_tbls.append(pt)
-            sig_tbls.append(st)
-    if not pair_tbls:
+    raw_pairs, sig_tbl = _probe_index_pairs(
+        index_dir, new_rows, id_col, sig_col, cap, num_buckets, io_stats, params["n_parts"]
+    )
+    if raw_pairs.num_rows == 0:
         return empty
-    pairs = expand_candidate_pairs(_dedupe_pairs(pa.concat_tables(pair_tbls)))
+    pairs = expand_candidate_pairs(_dedupe_pairs(raw_pairs))
     if pairs.num_rows == 0:
         return empty
-    sig_tbl = pa.concat_tables(sig_tbls)
     si = np.asarray(sig_tbl.column(id_col).combine_chunks(), dtype=np.int64)
     sv = np.asarray(sig_tbl.column(sig_col).combine_chunks(), dtype=np.int64)
     o = np.argsort(si, kind="stable")
     si, sv = si[o], sv[o]
     a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
     b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
-    pa_ = np.searchsorted(si, a).clip(max=max(len(si) - 1, 0))
-    pb_ = np.searchsorted(si, b).clip(max=max(len(si) - 1, 0))
-    ok = (si[pa_] == a) & (si[pb_] == b) if len(si) else np.zeros(len(a), bool)
+    pa_, ok_a = sorted_lookup(si, a)
+    pb_, ok_b = sorted_lookup(si, b)
+    ok = ok_a & ok_b
     a, b, pa_, pb_ = a[ok], b[ok], pa_[ok], pb_[ok]
     if not len(a):
         return empty
@@ -1875,10 +1855,15 @@ def verify_pairs_shuffled(
         # rank < C, monotone over the (gid, rank)-sorted rows — needs
         # groups_per_bucket * candidates < 2^63 (raise num_buckets to
         # restore headroom; at 2^30 candidates that is 2^33 distinct
-        # shingles per bucket before this trips)
-        assert (int(gid[-1]) + 1) <= (1 << 63) // max(c_local, 1), (
-            "composite probe key would overflow int64 — raise num_buckets"
-        )
+        # shingles per bucket before this trips). Explicit raise, not
+        # assert: under python -O the overflow would silently wrap the
+        # keys and corrupt intersection counts
+        if (int(gid[-1]) + 1) > (1 << 63) // max(c_local, 1):
+            raise OverflowError(
+                "verify_pairs_shuffled: composite probe key "
+                f"(groups={int(gid[-1]) + 1} × candidates={c_local}) would "
+                "overflow int64 — raise num_buckets"
+            )
         tkey = gid * c_local + rk
         # probe only rows in shared-shingle groups whose doc has partners
         gsz = np.bincount(gid)
@@ -2322,9 +2307,9 @@ def banded_near_dups(
         sids, ssig = ray.get(sig_ref)
         a = np.asarray(batch.column("id_a").combine_chunks(), dtype=np.int64)
         b = np.asarray(batch.column("id_b").combine_chunks(), dtype=np.int64)
-        pa_ = np.searchsorted(sids, a).clip(max=max(len(sids) - 1, 0))
-        pb_ = np.searchsorted(sids, b).clip(max=max(len(sids) - 1, 0))
-        ok = (sids[pa_] == a) & (sids[pb_] == b) if len(sids) else np.zeros(len(a), bool)
+        pa_, ok_a = sorted_lookup(sids, a)
+        pb_, ok_b = sorted_lookup(sids, b)
+        ok = ok_a & ok_b
         a, b, pa_, pb_ = a[ok], b[ok], pa_[ok], pb_[ok]
         if not len(a):
             return empty
@@ -2487,9 +2472,9 @@ def embedding_near_dups(
         sids, smat = ray.get(vec_ref)
         a = np.asarray(batch.column("id_a").combine_chunks(), dtype=np.int64)
         b = np.asarray(batch.column("id_b").combine_chunks(), dtype=np.int64)
-        pa_ = np.searchsorted(sids, a).clip(max=max(len(sids) - 1, 0))
-        pb_ = np.searchsorted(sids, b).clip(max=max(len(sids) - 1, 0))
-        ok = (sids[pa_] == a) & (sids[pb_] == b) if len(sids) else np.zeros(len(a), bool)
+        pa_, ok_a = sorted_lookup(sids, a)
+        pb_, ok_b = sorted_lookup(sids, b)
+        ok = ok_a & ok_b
         a, b, pa_, pb_ = a[ok], b[ok], pa_[ok], pb_[ok]
         if not len(a):
             return empty

@@ -1856,36 +1856,36 @@ def audio_neardup_incremental_clips(sf_dir: str) -> pa.Table:
 
     fix = _audio_fixture()
 
-    def sigs_ds():
-        return _planted_neardup_clips_ds(fix).map_batches(
-            cached_stage(AudioFingerprintStage, key_col="clip_key", bytes_col="bytes"),
-            batch_format="pyarrow",
-        )
-
     def side(batch: pa.Table, *, new: bool) -> pa.Table:
         m = pc.greater_equal(batch.column("clip_key"), 10**9)
         return batch.filter(m if new else pc.invert(m))
 
-    # snapshot signatures STREAM into the one-time build (only the drop's
-    # signatures are driver-collected — O(ingest), the incremental contract;
-    # the even/odd-style split is fixture mechanics: a real pipeline gets
-    # snapshot and drop as separate inputs)
+    def side_sigs_ds(new: bool):
+        # filter on clip_key BEFORE fingerprinting: each leg decodes only
+        # its own clips' audio (the warm probe fingerprints the DROP only —
+        # the incremental contract; the key split is fixture mechanics, a
+        # real pipeline gets snapshot and drop as separate inputs)
+        return (
+            _planted_neardup_clips_ds(fix)
+            .map_batches(
+                functools.partial(side, new=new),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                cached_stage(AudioFingerprintStage, key_col="clip_key", bytes_col="bytes"),
+                batch_format="pyarrow",
+            )
+        )
+
+    # snapshot signatures STREAM into the one-time build; only the drop's
+    # signatures are driver-collected — O(ingest)
     idx = os.path.join(
         "/tmp/schemasaurus_ray/banded_index",
         hashlib.md5(f"{os.path.abspath(fix)}|n64".encode()).hexdigest()[:12],
     )
-    banded_index_build(
-        sigs_ds().map_batches(
-            functools.partial(side, new=False), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        idx,
-        id_col="clip_key",
-    )
-    new = _collect(
-        sigs_ds().map_batches(
-            functools.partial(side, new=True), batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
+    banded_index_build(side_sigs_ds(new=False), idx, id_col="clip_key")
+    new = _collect(side_sigs_ds(new=True))
     out = banded_probe_pairs(idx, new, id_col="clip_key", max_hamming=3)
     has_new = pc.or_(
         pc.greater_equal(out.column("id_a"), 10**9),

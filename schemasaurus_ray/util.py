@@ -203,6 +203,18 @@ def cached_stage(cls, **kwargs):
     return fn
 
 
+def sorted_lookup(sorted_keys: np.ndarray, queries: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized membership probe against a SORTED key array:
+    (clipped positions, found mask). Factors the searchsorted→clip→compare
+    pattern (and its empty-table edge) that was hand-rolled at every
+    broadcast-lookup site (VERDICT r3 #5's vectorized-lookup rule)."""
+    pos = np.searchsorted(sorted_keys, queries)
+    if len(sorted_keys) == 0:
+        return pos, np.zeros(len(queries), dtype=bool)
+    pos = np.minimum(pos, len(sorted_keys) - 1)
+    return pos, sorted_keys[pos] == queries
+
+
 def arrow_block_refs(ds) -> list:
     """Block object refs of a Dataset, WITHOUT the schema probe
     ``Dataset.to_arrow_refs`` makes: ray 2.49 calls

@@ -301,6 +301,12 @@ def test_lsh_append_ingest_loop(ray_session, tmp_path):
     assert (0, 203) in after and (9, 201) in after  # cross-drop pair surfaced
     # no spurious pair duplication: probe output is a set after dedupe
     assert len(after) == len({(a, b) for a, b in after})
+    # rows keyed under different banding must be REJECTED, not appended or
+    # probed (mis-keyed rows silently lose recall against future drops)
+    with pytest.raises(ValueError, match="recall"):
+        lsh_append_index(idx, k1, ingest_id="bad", bands=8)
+    with pytest.raises(ValueError, match="recall"):
+        lsh_probe_pairs(idx, k2, num_perm=128)
 
 
 def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
