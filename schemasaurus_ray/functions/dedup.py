@@ -26,7 +26,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import arrow_block_refs, hash_column, sorted_lookup, splitmix64
+from ..util import (
+    arrow_block_refs,
+    hash_column,
+    sorted_lookup,
+    split_cols_by_key_hash,
+    splitmix64,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -440,19 +446,7 @@ def lsh_bucket_pairs(
             return [e] * num_buckets if num_buckets > 1 else e
         k = np.asarray(tbl.column(key_col).combine_chunks(), dtype=np.int64)
         i = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
-        b = (splitmix64(k.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        bs, ks, is_ = b[order], k[order], i[order]
-        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-        out = [
-            pa.table(
-                {
-                    key_col: pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
-                    id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
-                }
-            )
-            for x in range(num_buckets)
-        ]
+        out = split_cols_by_key_hash({key_col: k, id_col: i}, key_col, num_buckets)
         return out if num_buckets > 1 else out[0]
 
     @ray.remote
@@ -633,19 +627,17 @@ def lsh_append_index(
         )
     if new_keyed.num_rows == 0:
         return
+    from ..util import split_cols_by_key_hash as _split_cols
+
     kk = np.asarray(new_keyed.column("bkey").combine_chunks(), dtype=np.int64)
-    b = (splitmix64(kk.view(np.uint64)) % np.uint64(n_parts)).astype(np.int64)
-    order = np.argsort(b, kind="stable")
-    t = new_keyed.select(["bkey", id_col]).take(pa.array(order, pa.int64()))
-    bs = b[order]
-    bounds = np.searchsorted(bs, np.arange(n_parts + 1))
-    for x in range(n_parts):
-        lo, hi = bounds[x], bounds[x + 1]
-        if lo == hi:
+    ii = np.asarray(new_keyed.column(id_col).combine_chunks(), dtype=np.int64)
+    parts = _split_cols({"bkey": kk, id_col: ii}, "bkey", n_parts)
+    for x, t in enumerate(parts):
+        if t.num_rows == 0:
             continue
         d = os.path.join(index_dir, f"bucket={x}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(t.slice(lo, hi - lo), os.path.join(d, f"ingest_{ingest_id}.parquet"))
+        pq.write_table(t, os.path.join(d, f"ingest_{ingest_id}.parquet"))
 
 
 def lsh_probe_pairs(
@@ -741,21 +733,9 @@ def _probe_index_pairs(
     read_cols = ["bkey", id_col] + ([sig_col] if sig_col else [])
 
     def _split(kk, ii, ss, ff) -> list[pa.Table]:
-        b = (splitmix64(kk.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        bs, ks, is_, ssg, fs = b[order], kk[order], ii[order], ss[order], ff[order]
-        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-        return [
-            pa.table(
-                {
-                    "bkey": pa.array(ks[bounds[x] : bounds[x + 1]], pa.int64()),
-                    id_col: pa.array(is_[bounds[x] : bounds[x + 1]], pa.int64()),
-                    scol: pa.array(ssg[bounds[x] : bounds[x + 1]], pa.int64()),
-                    "nw": pa.array(fs[bounds[x] : bounds[x + 1]], pa.int8()),
-                }
-            )
-            for x in range(num_buckets)
-        ]
+        return split_cols_by_key_hash(
+            {"bkey": kk, id_col: ii, scol: ss, "nw": ff}, "bkey", num_buckets
+        )
 
     @ray.remote(num_returns=num_buckets)
     def map_old(path: str, bk_sorted: np.ndarray):
@@ -1048,14 +1028,7 @@ def sampled_df_table_paths(
 
         tbl = pq.read_table(path, columns=[id_col, text_col])
         v = _sampled_doc_shingles(tbl, text_col, id_col, n, within_mod)
-        b = (splitmix64(v.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        bs, vs = b[order], v[order]
-        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-        out = [
-            pa.table({"sh": pa.array(vs[bounds[x] : bounds[x + 1]], pa.int64())})
-            for x in range(num_buckets)
-        ]
+        out = split_cols_by_key_hash({"sh": v}, "sh", num_buckets)
         return out if num_buckets > 1 else out[0]
 
     @ray.remote
@@ -1138,14 +1111,7 @@ def sampled_df_table(
         if tbl.num_rows == 0 or "sh" not in tbl.column_names:
             return [empty] * num_buckets if num_buckets > 1 else empty
         v = np.asarray(tbl.column("sh").combine_chunks(), dtype=np.int64)
-        b = (splitmix64(v.view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        bs, vs = b[order], v[order]
-        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-        out = [
-            pa.table({"sh": pa.array(vs[bounds[x] : bounds[x + 1]], pa.int64())})
-            for x in range(num_buckets)
-        ]
+        out = split_cols_by_key_hash({"sh": v}, "sh", num_buckets)
         return out if num_buckets > 1 else out[0]
 
     @ray.remote
@@ -1300,21 +1266,8 @@ def prefix_bucket_pairs(
         if tbl.num_rows == 0 or key_col not in tbl.column_names:
             e = pa.table({c: pa.array([], pa.int64()) for c in cols})
             return [e] * num_buckets if num_buckets > 1 else e
-        arrs = [np.asarray(tbl.column(c).combine_chunks(), dtype=np.int64) for c in cols]
-        b = (splitmix64(arrs[0].view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        bs = b[order]
-        sorted_arrs = [a[order] for a in arrs]
-        bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
-        out = [
-            pa.table(
-                {
-                    c: pa.array(a[bounds[x] : bounds[x + 1]], pa.int64())
-                    for c, a in zip(cols, sorted_arrs)
-                }
-            )
-            for x in range(num_buckets)
-        ]
+        arrs = {c: np.asarray(tbl.column(c).combine_chunks(), dtype=np.int64) for c in cols}
+        out = split_cols_by_key_hash(arrs, cols[0], num_buckets)
         return out if num_buckets > 1 else out[0]
 
     @ray.remote
@@ -1814,19 +1767,9 @@ def verify_pairs_shuffled(
             {"rank": pa.array(rank, pa.int64()), "size": pa.array(sizes, pa.int64())}
         )
         row_rank = rank[sp] if len(sp) else np.zeros(0, dtype=np.int64)
-        bkt = (sv.view(np.uint64) % np.uint64(nb_buckets)).astype(np.int64)
-        order = np.argsort(bkt, kind="stable")
-        sv_s, rk_s, bk_s = sv[order], row_rank[order], bkt[order]
-        bounds = np.searchsorted(bk_s, np.arange(nb_buckets + 1))
-        outs = [
-            pa.table(
-                {
-                    "sh": pa.array(sv_s[bounds[i] : bounds[i + 1]], pa.int64()),
-                    "rank": pa.array(rk_s[bounds[i] : bounds[i + 1]], pa.int64()),
-                }
-            )
-            for i in range(nb_buckets)
-        ]
+        # bucket by the raw shingle value (already a splitmix64 output —
+        # the shared splitter's extra mix is harmless and keeps one path)
+        outs = split_cols_by_key_hash({"sh": sv, "rank": row_rank}, "sh", nb_buckets)
         return (*outs, sizes_tbl)
 
     @ray.remote

@@ -215,6 +215,29 @@ def sorted_lookup(sorted_keys: np.ndarray, queries: np.ndarray) -> tuple[np.ndar
     return pos, sorted_keys[pos] == queries
 
 
+def split_cols_by_key_hash(
+    cols: "dict[str, np.ndarray]", key: str, num_buckets: int
+) -> list:
+    """Range-split parallel numpy columns into ``num_buckets`` Arrow tables
+    by ``splitmix64(cols[key]) %% num_buckets`` — the map-side bucket
+    splitter of every raw shuffle (was hand-rolled, with its empty-array
+    and argsort edges, at each map site). Column dtypes pass through
+    ``pa.array``'s numpy inference (int64 stays int64, int8 stays int8)."""
+    import pyarrow as pa
+
+    b = (splitmix64(cols[key].view(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    sorted_cols = {c: a[order] for c, a in cols.items()}
+    bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+    return [
+        pa.table(
+            {c: pa.array(a[bounds[x] : bounds[x + 1]]) for c, a in sorted_cols.items()}
+        )
+        for x in range(num_buckets)
+    ]
+
+
 def arrow_block_refs(ds) -> list:
     """Block object refs of a Dataset, WITHOUT the schema probe
     ``Dataset.to_arrow_refs`` makes: ray 2.49 calls
