@@ -232,6 +232,46 @@ def test_lsh_index_probe_parity_and_pruning(docs_ds, tmp_path):
     assert stats["bytes_read"] < stats["bytes_total"]
 
 
+def test_pairs_from_key_rows_semi_randomized_bruteforce():
+    """Randomized parity for the semi pair kernel (new×all per key group):
+    against a brute-force enumeration — old-only groups emit nothing,
+    small groups emit exactly {canonical (a,b): a or b is new, same key
+    group}, hot groups star around the group min (the documented cap
+    bound), duplicate (key,id) rows collapse first."""
+    from schemasaurus_ray.functions.dedup import _pairs_from_key_rows_semi
+
+    rng = np.random.default_rng(31)
+    for trial in range(40):
+        n = int(rng.integers(1, 400))
+        keys = rng.integers(0, 12, n).astype(np.int64)
+        ids = rng.integers(0, 60, n).astype(np.int64)
+        # flags must be consistent per id (a doc is either old or new)
+        id_flag = {int(i): int(rng.integers(0, 2)) for i in set(ids.tolist())}
+        flags = np.array([id_flag[int(i)] for i in ids], dtype=np.int8)
+        cap = int(rng.integers(2, 8)) if trial % 3 == 0 else 1 << 20
+        got = _pairs_from_key_rows_semi(keys, ids, flags, cap)
+        got_set = set(
+            zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist())
+        )
+        expect = set()
+        groups: dict[int, set[int]] = {}
+        for k, i in zip(keys.tolist(), ids.tolist()):
+            groups.setdefault(k, set()).add(i)
+        for members in groups.values():
+            news = [i for i in members if id_flag[i]]
+            if len(members) < 2 or not news:
+                continue
+            if len(members) <= cap:
+                for a in news:
+                    for b in members:
+                        if a != b:
+                            expect.add((min(a, b), max(a, b)))
+            else:
+                m = min(members)
+                expect.update((m, x) for x in members if x != m)
+        assert got_set == expect, trial
+
+
 def test_lsh_append_ingest_loop(ray_session, tmp_path):
     """The probe → verify → append ingest loop across TWO drops: a doc in
     drop 2 that duplicates a doc from drop 1 is only findable if drop 1's
