@@ -1417,7 +1417,9 @@ def _dedupe_pairs(pairs: pa.Table) -> pa.Table:
     return pairs.group_by(["id_a", "id_b"]).aggregate([]).select(["id_a", "id_b"])
 
 
-def expand_candidate_pairs(pairs: pa.Table, max_component: int = 512) -> pa.Table:
+def expand_candidate_pairs(
+    pairs: pa.Table, max_component: int = 512, shard_threshold: int | None = None
+) -> pa.Table:
     """Close candidate pairs transitively within their connected components
     (ADVICE r2: star-capping hot buckets emits only (min, x) pairs, so a
     genuine near-dup (x, y) inside a big cluster never reaches the verify
@@ -1426,20 +1428,37 @@ def expand_candidate_pairs(pairs: pa.Table, max_component: int = 512) -> pa.Tabl
     pairs added back (the verify step discards false positives); larger
     components keep only the star pairs — that bound is the documented
     exactness limit of the pairs product (survivors are unaffected either
-    way: component membership is already transitive)."""
+    way: component membership is already transitive).
+
+    Pair sets above CC_SHARD_THRESHOLD label through the distributed
+    min-label propagation (the same dispatch as
+    :func:`connected_component_dropped` — boilerplate-heavy corpora can
+    make |pairs| too big for the driver union-find's Python heap);
+    grouping by root is vectorized either way."""
     if pairs.num_rows == 0:
         return pairs
-    comp = connected_component_min(pairs)
-    roots: dict[int, list[int]] = {}
-    for x, r in comp.items():
-        roots.setdefault(r, []).append(x)
+    if shard_threshold is None:
+        shard_threshold = CC_SHARD_THRESHOLD
+    if pairs.num_rows <= shard_threshold:
+        comp = connected_component_min(pairs)
+        nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+        rts = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+    else:
+        labels = connected_component_min_sharded(pairs)
+        nodes = np.asarray(labels.column("id").combine_chunks(), dtype=np.int64)
+        rts = np.asarray(labels.column("root").combine_chunks(), dtype=np.int64)
+    order = np.lexsort((nodes, rts))
+    nodes, rts = nodes[order], rts[order]
+    new = np.ones(len(rts), dtype=bool)
+    new[1:] = rts[1:] != rts[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(rts)))
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
-    for members in roots.values():
-        m = len(members)
+    for st, m in zip(starts.tolist(), sizes.tolist()):
         if m < 3 or m > max_component:
             continue
-        grp = np.sort(np.asarray(members, dtype=np.int64))
+        grp = nodes[st : st + m]  # root-sorted groups, ids ascending within
         ia, ib = np.triu_indices(m, k=1)
         a_out.append(grp[ia])
         b_out.append(grp[ib])

@@ -814,6 +814,27 @@ def test_expand_candidate_pairs_closes_star_caps():
     assert out_big.num_rows == 600  # unchanged: component of 601 > cap
 
 
+def test_expand_candidate_pairs_sharded_dispatch(ray_session):
+    """Above the pair threshold, expansion labels through the distributed
+    min-label propagation — the expanded pair set must be identical to the
+    driver union-find path on a mixed graph (stars, a chain, pairs)."""
+    from schemasaurus_ray.functions.dedup import expand_candidate_pairs
+
+    rng = np.random.default_rng(13)
+    a = [1, 1, 1, 10, 11, 12, 20, 30, 30]
+    b = [2, 3, 4, 11, 12, 13, 21, 31, 32]
+    a += rng.integers(100, 160, 80).tolist()
+    b += rng.integers(100, 160, 80).tolist()
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    def as_set(t):
+        return set(zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()))
+
+    driver = as_set(expand_candidate_pairs(pairs))
+    sharded = as_set(expand_candidate_pairs(pairs, shard_threshold=0))
+    assert driver == sharded and len(driver) > len(set(zip(a, b)))
+
+
 def test_sharded_cc_matches_union_find(ray_session):
     """Distributed min-label propagation must drop exactly the ids the
     driver union-find drops — random graph with chains, stars, and
