@@ -45,7 +45,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
-        "drift_partition_verdicts": q.drift_partition_verdicts,
         # temporal keyed operators (as-of / range join / sessionization)
         "asof_events_purchase": q.asof_events_purchase,
         "activity_window_events": q.activity_window_events,
@@ -97,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,  # shingle-shuffle verify (r4)
         # NEW r4 session-3: persisted LSH band-bucket index, probe-only ingest
         "neardup_incremental_documents": q.neardup_incremental_documents,
+        "embedding_neardup": q.embedding_neardup,  # vectorized verify lookup (r4)
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         # -- oracle-backed, already driver-certified green in r03; the three
         # displaced first-timers (langid_confusion, infer_spec_documents,
@@ -144,10 +144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment_flag": q.revenue_by_segment_flag,
         "revenue_rollup": q.revenue_rollup,
         "pivot_events_user": q.pivot_events_user,
-        # dedup family (minhash/ngram/survivors registered in the
+        # dedup family (minhash/ngram/survivors/embedding registered in the
         # modified-prefix above)
         "dedup_incremental_documents": q.dedup_incremental_documents,
-        "embedding_neardup": q.embedding_neardup,
+        # drift_partition_verdicts displaced from the prefix for the
+        # modified embedding_neardup re-check: it is the per-partition
+        # twin of in-prefix drift_psi_events (same PSI kernel) and keeps
+        # pytest parity
+        "drift_partition_verdicts": q.drift_partition_verdicts,
         # text analysis
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,
