@@ -383,15 +383,26 @@ def minhash_candidates(
     return rd.from_arrow(lsh_bucket_pairs(keyed, id_col))
 
 
-def _pairs_from_key_rows(keys: np.ndarray, ids: np.ndarray, cap: int) -> pa.Table:
-    """(key, id) rows → candidate (id_a < id_b) pairs per key group,
-    star-capped for hot keys. Vectorized group segmentation via lexsort."""
+def _pairs_from_key_rows(
+    keys: np.ndarray, ids: np.ndarray, cap: int, flags: np.ndarray | None = None
+) -> pa.Table:
+    """(key, id) rows → candidate pairs per key group, star-capped for hot
+    keys; vectorized group segmentation via lexsort. Without ``flags``,
+    small groups emit all (id_a < id_b) triu pairs. With ``flags`` (1 =
+    new, per-id consistent), small groups emit new × all canonicalized and
+    old-only groups nothing — the SEMI mode of the incremental index
+    probes, where re-emitting the snapshot's own clusters would re-run the
+    whole corpus's dedup per ingest. Hot (> cap) groups star around the
+    min id in both modes (transitive expansion + verify recover
+    intra-cluster pairs; the documented star-cap bound)."""
     order = np.lexsort((ids, keys))
     k, i = keys[order], ids[order]
+    f = flags[order] if flags is not None else None
     if len(k):
         keep = np.ones(len(k), dtype=bool)
         keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
         k, i = k[keep], i[keep]
+        f = f[keep] if f is not None else None
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
     bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
@@ -402,10 +413,21 @@ def _pairs_from_key_rows(keys: np.ndarray, ids: np.ndarray, cap: int) -> pa.Tabl
         if n < 2:
             continue
         grp = i[s:e]  # ascending ids
+        gf = f[s:e].astype(bool) if f is not None else None
+        if gf is not None and not gf.any():
+            continue
         if n <= cap:
-            ia, ib = np.triu_indices(n, k=1)
-            a_out.append(grp[ia])
-            b_out.append(grp[ib])
+            if gf is None:
+                ia, ib = np.triu_indices(n, k=1)
+                a_out.append(grp[ia])
+                b_out.append(grp[ib])
+            else:
+                new = grp[gf]
+                a = np.repeat(new, n)
+                b = np.tile(grp, len(new))
+                m = a != b
+                a_out.append(np.minimum(a[m], b[m]))
+                b_out.append(np.maximum(a[m], b[m]))
         else:
             # hot bucket: star around the smallest id bounds pairs at O(n)
             a_out.append(np.full(n - 1, grp[0], dtype=np.int64))
@@ -487,49 +509,9 @@ def lsh_bucket_pairs(
 def _pairs_from_key_rows_semi(
     keys: np.ndarray, ids: np.ndarray, flags: np.ndarray, cap: int
 ) -> pa.Table:
-    """(key, id, is_new) rows → candidate pairs per key group with AT LEAST
-    ONE new member: small groups emit new × all (the snapshot's own old×old
-    near-dup clusters collide in every probed bucket — emitting them would
-    re-run the whole corpus's dedup on every ingest), hot groups star around
-    the min id (same documented star-cap bound as
-    :func:`_pairs_from_key_rows`; transitive expansion + exact verify
-    recover intra-cluster pairs). Old-only groups emit nothing."""
-    order = np.lexsort((ids, keys))
-    k, i, f = keys[order], ids[order], flags[order]
-    if len(k):
-        keep = np.ones(len(k), dtype=bool)
-        keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
-        k, i, f = k[keep], i[keep], f[keep]
-    a_out: list[np.ndarray] = []
-    b_out: list[np.ndarray] = []
-    bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
-    starts = np.concatenate([[0], bounds]) if len(k) else []
-    ends = np.concatenate([bounds, [len(k)]]) if len(k) else []
-    for s, e in zip(starts, ends):
-        n = e - s
-        if n < 2:
-            continue
-        grp, gf = i[s:e], f[s:e].astype(bool)
-        if not gf.any():
-            continue
-        if n <= cap:
-            new = grp[gf]
-            a = np.repeat(new, n)
-            b = np.tile(grp, len(new))
-            m = a != b
-            a_out.append(np.minimum(a[m], b[m]))
-            b_out.append(np.maximum(a[m], b[m]))
-        else:
-            a_out.append(np.full(n - 1, grp[0], dtype=np.int64))
-            b_out.append(grp[1:])
-    if not a_out:
-        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-    return pa.table(
-        {
-            "id_a": pa.array(np.concatenate(a_out), pa.int64()),
-            "id_b": pa.array(np.concatenate(b_out), pa.int64()),
-        }
-    )
+    """SEMI mode of :func:`_pairs_from_key_rows` (one shared segmentation
+    kernel): pairs per key group with at least one new member."""
+    return _pairs_from_key_rows(keys, ids, cap, flags=flags)
 
 
 def lsh_build_index(
@@ -594,6 +576,7 @@ def lsh_append_index(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
+    text_col: str = "text",
 ) -> None:
     """Append an ingested batch's (bkey, id) band rows to the persisted LSH
     index AFTER probing — the third step of the probe → verify → append
@@ -617,7 +600,7 @@ def lsh_append_index(
     with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
         params = json.load(fh)["params"]
     n_parts = params["n_parts"]
-    declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col}
+    declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col, "text_col": text_col}
     stored = {k: params[k] for k in declared}
     if stored != declared:
         raise ValueError(
@@ -627,11 +610,9 @@ def lsh_append_index(
         )
     if new_keyed.num_rows == 0:
         return
-    from ..util import split_cols_by_key_hash as _split_cols
-
     kk = np.asarray(new_keyed.column("bkey").combine_chunks(), dtype=np.int64)
     ii = np.asarray(new_keyed.column(id_col).combine_chunks(), dtype=np.int64)
-    parts = _split_cols({"bkey": kk, id_col: ii}, "bkey", n_parts)
+    parts = split_cols_by_key_hash({"bkey": kk, id_col: ii}, "bkey", n_parts)
     for x, t in enumerate(parts):
         if t.num_rows == 0:
             continue
@@ -649,6 +630,7 @@ def lsh_probe_pairs(
     io_stats: dict | None = None,
     num_perm: int = 64,
     bands: int = 16,
+    text_col: str = "text",
 ) -> pa.Table:
     """Candidate near-dup pairs between an incoming batch (its (bkey, id)
     band rows, driver-local — incoming ≪ corpus is the incremental
@@ -667,7 +649,7 @@ def lsh_probe_pairs(
         return empty
     with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
         params = json.load(fh)["params"]
-    declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col}
+    declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col, "text_col": text_col}
     stored = {k: params[k] for k in declared}
     if stored != declared:
         raise ValueError(
@@ -802,12 +784,9 @@ def _probe_index_pairs(
         )
         for b in range(num_buckets)
     ]
-    pair_tbls, sig_tbls = [], []
-    for pr, sr in reduced:
-        pt = ray.get(pr)
-        if pt.num_rows:
-            pair_tbls.append(pt)
-            sig_tbls.append(ray.get(sr))
+    got = ray.get([r for pair in reduced for r in pair])  # one parallel fetch
+    pair_tbls = [t for t in got[0::2] if t.num_rows]
+    sig_tbls = [t for t in got[1::2] if t.num_rows]
     pairs = pa.concat_tables(pair_tbls) if pair_tbls else pairs_empty
     sigs = pa.concat_tables(sig_tbls) if sig_tbls else sigs_empty
     return pairs, sigs
@@ -1621,9 +1600,7 @@ def verify_pairs_distributed(
 
     def _rows(ids_sorted, row_of, q):
         """Row index in the CSR table for each queried id (-1 = absent)."""
-        pos = np.searchsorted(ids_sorted, q)
-        pos[pos == len(ids_sorted)] = 0
-        found = ids_sorted[pos] == q if len(ids_sorted) else np.zeros(len(q), dtype=bool)
+        pos, found = sorted_lookup(ids_sorted, q)
         return np.where(found, row_of[pos], -1)
 
     def _gather_keys(starts, lens, flat, R):
@@ -1779,16 +1756,41 @@ def verify_pairs_shuffled(
     def map_shard(path: str, cand_l: np.ndarray):
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path, columns=[id_col, text_col])
-        ids, sizes, sv, sp = _candidate_shingle_rows(tbl, cand_l, text_col, id_col, n)
-        rank = np.searchsorted(cand_l, ids).astype(np.int64)
-        sizes_tbl = pa.table(
-            {"rank": pa.array(rank, pa.int64()), "size": pa.array(sizes, pa.int64())}
+        # CHUNKED read: a whole-shard pass shingles every candidate doc in
+        # one lexsort (PPJoin candidates ≈ the corpus, so that is a
+        # corpus-scale temporary — the round-3 first-touch-fault rule says
+        # keep per-kernel footprints in the tens of MB); chunked output
+        # tables concat per bucket before return
+        per_bucket: list[list[pa.Table]] = [[] for _ in range(nb_buckets)]
+        size_parts: list[pa.Table] = []
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=16384, columns=[id_col, text_col]):
+            tbl = pa.Table.from_batches([rb])
+            ids, sizes, sv, sp = _candidate_shingle_rows(tbl, cand_l, text_col, id_col, n)
+            if not len(ids):
+                continue
+            rank = np.searchsorted(cand_l, ids).astype(np.int64)
+            size_parts.append(
+                pa.table(
+                    {"rank": pa.array(rank, pa.int64()), "size": pa.array(sizes, pa.int64())}
+                )
+            )
+            row_rank = rank[sp] if len(sp) else np.zeros(0, dtype=np.int64)
+            for x, t in enumerate(
+                split_cols_by_key_hash({"sh": sv, "rank": row_rank}, "sh", nb_buckets)
+            ):
+                if t.num_rows:
+                    per_bucket[x].append(t)
+        empty_rows = pa.table(
+            {"sh": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
         )
-        row_rank = rank[sp] if len(sp) else np.zeros(0, dtype=np.int64)
-        # bucket by the raw shingle value (already a splitmix64 output —
-        # the shared splitter's extra mix is harmless and keeps one path)
-        outs = split_cols_by_key_hash({"sh": sv, "rank": row_rank}, "sh", nb_buckets)
+        outs = [
+            pa.concat_tables(parts) if parts else empty_rows for parts in per_bucket
+        ]
+        empty_sizes = pa.table(
+            {"rank": pa.array([], pa.int64()), "size": pa.array([], pa.int64())}
+        )
+        sizes_tbl = pa.concat_tables(size_parts) if size_parts else empty_sizes
         return (*outs, sizes_tbl)
 
     @ray.remote

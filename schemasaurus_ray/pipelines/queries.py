@@ -1535,11 +1535,35 @@ def ann_topk_embeddings(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "vec_id"])
 
 
+def _src_stat_key(*paths: str) -> str:
+    """Cheap content fingerprint of the source files backing a persisted
+    index: (count, total bytes, max mtime_ns) over the paths (dirs walk
+    their parquet files). Folded into every index-dir key so a REGENERATED
+    fixture at the same path gets a fresh index instead of silently probing
+    the stale one (the param-only meta markers are content-blind)."""
+    import glob as glob_
+
+    files: list[str] = []
+    for p_ in paths:
+        if os.path.isdir(p_):
+            files.extend(sorted(glob_.glob(os.path.join(p_, "**", "*.parquet"), recursive=True)))
+        else:
+            files.append(p_)
+    total = 0
+    mt = 0
+    for f in files:
+        st = os.stat(f)
+        total += st.st_size
+        mt = max(mt, st.st_mtime_ns)
+    return f"{len(files)}b{total}m{mt}"
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     import hashlib
 
+    src = _src_stat_key(os.path.join(sf_dir, "embeddings.parquet"))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|n16|s4096|seed42".encode()
+        f"{os.path.abspath(sf_dir)}|{src}|n16|s4096|seed42".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp/schemasaurus_ray/ivf_index", key)
 
@@ -1882,7 +1906,9 @@ def audio_neardup_incremental_clips(sf_dir: str) -> pa.Table:
     # signatures are driver-collected — O(ingest)
     idx = os.path.join(
         "/tmp/schemasaurus_ray/banded_index",
-        hashlib.md5(f"{os.path.abspath(fix)}|n64".encode()).hexdigest()[:12],
+        hashlib.md5(
+            f"{os.path.abspath(fix)}|{_src_stat_key(os.path.join(fix, 'clips'))}|n64".encode()
+        ).hexdigest()[:12],
     )
     banded_index_build(side_sigs_ds(new=False), idx, id_col="clip_key")
     new = _collect(side_sigs_ds(new=True))
@@ -2298,8 +2324,9 @@ def dedup_incremental_documents(sf_dir: str) -> pa.Table:
 def _lsh_index_dir(sf_dir: str) -> str:
     import hashlib
 
+    src = _src_stat_key(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|p64|b16|n64".encode()
+        f"{os.path.abspath(sf_dir)}|{src}|p64|b16|n64".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp/schemasaurus_ray/lsh_index", key)
 
