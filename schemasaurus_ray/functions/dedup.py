@@ -1685,6 +1685,7 @@ def verify_pairs_shuffled(
     threshold: float = 0.8,
     num_buckets: int | None = None,
     probe_chunk: int = 1 << 22,
+    map_chunk_rows: int = 16384,
 ) -> pa.Table:
     """Exact-Jaccard verify of candidate pairs with NO candidate shingle
     set ever leaving its worker — the 100-TB shape for candidate sets that
@@ -1764,7 +1765,7 @@ def verify_pairs_shuffled(
         per_bucket: list[list[pa.Table]] = [[] for _ in range(nb_buckets)]
         size_parts: list[pa.Table] = []
         pf = pq.ParquetFile(path)
-        for rb in pf.iter_batches(batch_size=16384, columns=[id_col, text_col]):
+        for rb in pf.iter_batches(batch_size=map_chunk_rows, columns=[id_col, text_col]):
             tbl = pa.Table.from_batches([rb])
             ids, sizes, sv, sp = _candidate_shingle_rows(tbl, cand_l, text_col, id_col, n)
             if not len(ids):

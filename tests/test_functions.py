@@ -376,9 +376,16 @@ def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
         )
     }
     assert expect  # fixture plants real near-dups
-    for buckets, chunk in ((1, 1 << 22), (5, 1 << 22), (None, 131)):
+    # last case also forces multi-chunk map reads (map_chunk_rows=41) so
+    # per-chunk shingle extraction must agree with the whole-shard pass
+    for buckets, chunk, rows in ((1, 1 << 22, 16384), (5, 1 << 22, 16384), (None, 131, 41)):
         got = verify_pairs_shuffled(
-            [p1, p2], pairs_raw, threshold=0.8, num_buckets=buckets, probe_chunk=chunk
+            [p1, p2],
+            pairs_raw,
+            threshold=0.8,
+            num_buckets=buckets,
+            probe_chunk=chunk,
+            map_chunk_rows=rows,
         )
         got_d = {
             (a, b): j
