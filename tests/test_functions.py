@@ -272,6 +272,35 @@ def test_pairs_from_key_rows_semi_randomized_bruteforce():
         assert got_set == expect, trial
 
 
+def test_index_dir_key_tracks_source_content(tmp_path):
+    """Persisted-index dir keys fold a source stat fingerprint: rewriting
+    the backing file at the SAME path must change the key (a stale index
+    would otherwise be silently probed — its param-only meta marker is
+    content-blind), while an untouched file keeps the key stable."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import _src_stat_key
+
+    f = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), str(f))
+    k1 = _src_stat_key(str(f))
+    assert k1 == _src_stat_key(str(f))  # stable while untouched
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3, 4], pa.int64())}), str(f))
+    _os.utime(str(f))
+    assert _src_stat_key(str(f)) != k1
+    # directory form walks the parquet files
+    d = tmp_path / "clips"
+    d.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), str(d / "a.parquet"))
+    kd = _src_stat_key(str(d))
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), str(d / "b.parquet"))
+    assert _src_stat_key(str(d)) != kd
+
+
 def test_lsh_append_ingest_loop(ray_session, tmp_path):
     """The probe → verify → append ingest loop across TWO drops: a doc in
     drop 2 that duplicates a doc from drop 1 is only findable if drop 1's
