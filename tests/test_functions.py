@@ -378,6 +378,83 @@ def test_lsh_append_ingest_loop(ray_session, tmp_path):
         lsh_probe_pairs(idx, k2, num_perm=128)
 
 
+def test_incremental_three_drops_equals_full_run(docs_ds, tmp_path):
+    """END-TO-END ingest loop over three sequential drops: probe → exact
+    verify → append per drop; the union of drop-touching verified pairs
+    must equal the FULL-corpus near-dup product minus snapshot-internal
+    pairs — i.e. sequential ingests find exactly what one big re-run
+    would, with no pair lost to indexing or append order."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        _dedupe_pairs,
+        expand_candidate_pairs,
+        lsh_append_index,
+        lsh_build_index,
+        lsh_probe_pairs,
+        minhash_bkey_rows,
+        minhash_candidates,
+        verify_pairs_jaccard,
+        verify_pairs_shuffled,
+    )
+
+    ds, tbl = docs_ds
+    n = tbl.num_rows
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    # snapshot = ids % 4 == 0; drops 1..3 = the other residues
+    snap = tbl.filter(pa.array(ids % 4 == 0))
+    drops = [tbl.filter(pa.array(ids % 4 == r)) for r in (1, 2, 3)]
+    paths = [str(tmp_path / "snap.parquet")]
+    pq.write_table(snap, paths[0])
+    idx = str(tmp_path / "idx")
+    lsh_build_index(rd.from_arrow(snap), idx, n_parts=32)
+
+    got: set = set()
+    for di, drop in enumerate(drops):
+        p = str(tmp_path / f"drop{di}.parquet")
+        pq.write_table(drop, p)
+        paths.append(p)
+        keyed = pa.concat_tables(
+            list(
+                minhash_bkey_rows(rd.from_arrow(drop)).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+        cand = expand_candidate_pairs(_dedupe_pairs(lsh_probe_pairs(idx, keyed)))
+        if cand.num_rows:
+            ver = verify_pairs_shuffled(paths, cand, threshold=0.8)
+            drop_ids = set(np.asarray(drop.column("doc_id"), dtype=np.int64).tolist())
+            got |= {
+                (a, b)
+                for a, b in zip(
+                    ver.column("id_a").to_pylist(), ver.column("id_b").to_pylist()
+                )
+                if a in drop_ids or b in drop_ids
+            }
+        lsh_append_index(idx, keyed, ingest_id=f"drop{di}")
+
+    # full re-run ground truth
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    full = verify_pairs_jaccard(
+        _dedupe_pairs(
+            pa.concat_tables(
+                list(minhash_candidates(ds).iter_batches(batch_format="pyarrow", batch_size=None))
+            )
+        ),
+        texts,
+        threshold=0.8,
+    )
+    snap_ids = set(np.asarray(snap.column("doc_id"), dtype=np.int64).tolist())
+    expect = {
+        (a, b)
+        for a, b in zip(full.column("id_a").to_pylist(), full.column("id_b").to_pylist())
+        if not (a in snap_ids and b in snap_ids)
+    }
+    assert got == expect and len(got) > 0 and n == snap.num_rows + sum(d.num_rows for d in drops)
+
+
 def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
     """The shingle-bucket shuffle verify (no candidate shingle set ever
     leaves its worker — the 100-TB path for PPJoin-sized candidate sets)
