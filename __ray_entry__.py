@@ -74,7 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": q.top_docs_by_length,
         "top_docs_per_lang": q.top_docs_per_lang,
         "sample_documents": q.sample_documents,
-        "weighted_sample_documents": q.weighted_sample_documents,
+        # (weighted_sample_documents displaced below: md5-threshold twin of
+        # in-prefix sample_documents, keeps pytest parity)
         "epoch_order_documents": q.epoch_order_documents,
         "sample_k_documents": q.sample_k_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations_events": q.fd_violations_events,
         "coverage_customer_events": q.coverage_customer_events,
         "dup_passages_documents": q.dup_passages_documents,
+        # NEW r4 session-3: span-level eval-leakage audit (broadcast
+        # benchmark window hashes, zero-shuffle streaming count)
+        "decontaminate_passages_documents": q.decontaminate_passages_documents,
         # -- modified-this-round re-checks (r03 certification no longer
         # covers the current code for these; validate_lineitem and
         # check_constraints_lineitem are UNMODIFIED since their r03 rows,
@@ -104,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (ontime shares late_events' prefix scan + jitter) and keep pytest
         # parity --
         "ontime_windowed_events": q.ontime_windowed_events,
+        "weighted_sample_documents": q.weighted_sample_documents,
         "langid_confusion_documents": q.langid_confusion_documents,
         "infer_spec_documents": q.infer_spec_documents,
         "validate_lineitem": q.validate_lineitem,
@@ -578,6 +583,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
               FROM grams WHERE g IN (SELECT g FROM shared)
+             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # span-level leakage: count of 8-token windows of each NON-benchmark
+        # doc whose exact token sequence appears in the benchmark
+        # (doc_id%7==0); same tokenization as dup_passages_documents
+        "decontaminate_passages_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                  FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+                  FROM toks,
+                       LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
+                 WHERE len(t) >= 8
+            ),
+            bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked_windows
+              FROM grams
+             WHERE doc_id % 7 <> 0 AND g IN (SELECT g FROM bench)
              GROUP BY doc_id ORDER BY doc_id
         """,
         "redact_documents": """

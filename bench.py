@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     # round 4 session 3: persisted LSH band-bucket index probe (first pass
     # builds/reuses the snapshot index; min-of-3 reports the warm probe)
     "neardup_incremental_documents",
+    "decontaminate_passages_documents",
 ]
 
 

@@ -3665,6 +3665,67 @@ def decontaminate_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(mark, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def decontaminate_passages_documents(sf_dir: str) -> pa.Table:
+    """PASSAGE-level benchmark decontamination — per NON-benchmark doc, the
+    count of its 8-token windows whose exact token sequence appears
+    anywhere in the evaluation set (benchmark = doc_id%7==0, as in
+    decontaminate_documents). This is the span-level leakage audit
+    whole-doc hashing misses: a training doc that QUOTES an eval item
+    inside otherwise-novel text hashes differently but still leaks the
+    answer (Lee et al.'s contamination-span framing, applied cross-corpus
+    rather than within-corpus like dup_passages_documents).
+
+    Scale shape: ONE pass collects the benchmark's window hashes (8 B per
+    eval window — the eval set is the small side by definition), broadcast
+    sorted once; a second streaming pass counts matching windows per
+    corpus doc via sorted_lookup. No shuffle at all."""
+    import ray
+
+    from ..functions.text import window_hash_rows
+    from ..util import sorted_lookup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    L = 8
+
+    def bench_windows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        sel = (ids % 7) == 0
+        sub = batch.filter(pa.array(sel))
+        wh, _docs = window_hash_rows(sub.column("text"), ids[sel], L)
+        return pa.table({"wh": pa.array(np.unique(wh), pa.int64())})
+
+    hs = [np.zeros(0, dtype=np.int64)]
+    for b in ds.map_batches(bench_windows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        hs.append(np.asarray(b.column("wh").combine_chunks(), dtype=np.int64))
+    bench_ref = ray.put(np.unique(np.concatenate(hs)))
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_leaked_windows": pa.array([], pa.int64())}
+    )
+
+    def count_leaks(batch: pa.Table) -> pa.Table:
+        bw = ray.get(bench_ref)
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        sel = (ids % 7) != 0
+        sub = batch.filter(pa.array(sel))
+        wh, docs = window_hash_rows(sub.column("text"), ids[sel], L)
+        if not len(wh):
+            return empty
+        _pos, found = sorted_lookup(bw, wh)
+        if not found.any():
+            return empty
+        u, c = np.unique(docs[found], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_leaked_windows": pa.array(c, pa.int64()),
+            }
+        )
+
+    return _collect(ds.map_batches(count_leaks, batch_format="pyarrow")).sort_by("doc_id")
+
+
 def _infer_spec_table(sf_dir: str, table: str) -> pa.Table:
     """Spec inference (stages/infer.py): ONE streaming pass of per-batch
     per-column partials (min/max, length bounds, capped distinct set,

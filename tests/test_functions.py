@@ -378,6 +378,43 @@ def test_lsh_append_ingest_loop(ray_session, tmp_path):
         lsh_probe_pairs(idx, k2, num_perm=128)
 
 
+def test_decontaminate_passages_planted_quote(ray_session, tmp_path):
+    """Span-level leakage semantics: a training doc QUOTING an 8-token
+    benchmark span inside otherwise-novel text is caught with the exact
+    window count (windows fully inside the quote), docs sharing < 8
+    consecutive tokens are NOT, and benchmark docs themselves are never
+    reported."""
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import decontaminate_passages_documents
+
+    bench_text = " ".join(f"ev{i}" for i in range(12))  # doc_id 0 (0%7==0)
+    quote = " ".join(f"ev{i}" for i in range(2, 11))  # 9 consecutive tokens
+    texts = {
+        0: bench_text,
+        1: "novel alpha " + quote + " novel beta",  # 9-token quote → 2 windows
+        2: " ".join(f"ev{i}" for i in range(7)) + " unrelated tail words here",  # 7 shared < L
+        3: "totally unrelated document with enough words to have windows ok",
+        7: "another benchmark doc " + quote,  # 7%7==0 → benchmark, never reported
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = decontaminate_passages_documents(str(d))
+    got = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("n_leaked_windows").to_pylist())
+    )
+    # doc 1: the 9-token quote contains 2 distinct 8-token windows, both in
+    # the benchmark doc's window set
+    assert got == {1: 2}
+
+
 def test_incremental_three_drops_equals_full_run(docs_ds, tmp_path):
     """END-TO-END ingest loop over three sequential drops: probe → exact
     verify → append per drop; the union of drop-touching verified pairs
