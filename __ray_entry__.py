@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_repeated_segments_clips": q.audio_repeated_segments_clips,
         "audio_neardup_clips": q.audio_neardup_clips,
         "audio_neardup_incremental_clips": q.audio_neardup_incremental_clips,
+        "audio_decontaminate_segments_clips": q.audio_decontaminate_segments_clips,
         "audio_normalize_clips": q.audio_normalize_clips,
         "audio_augment_clips": q.audio_augment_clips,
         "audio_tempo_clips": q.audio_tempo_clips,

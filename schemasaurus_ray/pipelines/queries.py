@@ -1992,6 +1992,106 @@ def audio_repeated_segments_clips(sf_dir: str) -> pa.Table:
     return out.sort_by("clip_id")
 
 
+def audio_decontaminate_segments_clips(sf_dir: str) -> pa.Table:
+    """Audio segment-level DECONTAMINATION — the axis-B mirror of
+    decontaminate_passages_documents: per TRAINING clip, the count of its
+    1024-sample PCM segments whose exact int16 content appears in the
+    evaluation set (benchmark = well-formed clip ids ending '3'). Leakage
+    is PLANTED in-stream ('zdec_' whole-payload copies of benchmark clips
+    under training ids — the zdup pattern) so the golden is exact: each
+    copy reports floor(decodable_samples/1024) leaked segments and the
+    fixture has no organic cross-clip segment sharing.
+
+    Scale shape: ONE pass collects the benchmark's segment hashes (8 B per
+    eval segment — the eval set is the small side by definition),
+    broadcast sorted once; a second streaming pass counts matching
+    segments per training clip via sorted_lookup. Zero shuffles; audio
+    bytes never leave the map tasks; counts map back to clip ids
+    BATCH-LOCALLY (row-index keys), no global key table. Rows-only (the
+    audio fixture is not a driver view); independent per-clip wav_decode
+    golden in tests/test_audio_fp.py."""
+    import glob as glob_
+
+    import ray
+
+    from ..functions.audio_fp import pcm_segment_hash_rows
+    from ..sources.io import read_parquet_tasks
+    from ..util import sorted_lookup
+
+    fix = _audio_fixture()
+    paths = sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet")))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").combine_chunks()
+        is_b = pc.and_(
+            pc.fill_null(pc.ends_with(ids, pattern="3"), False),
+            pc.fill_null(pc.match_substring_regex(ids, r"^clip-"), False),
+        )
+        dups = batch.filter(is_b)
+        dup_ids = pc.binary_join_element_wise(
+            pa.array(["zdec_"] * dups.num_rows, pa.string()),
+            dups.column("clip_id").combine_chunks().cast(pa.string()),
+            "",
+        )
+        dups = dups.set_column(dups.column_names.index("clip_id"), "clip_id", dup_ids)
+        return pa.concat_tables([batch, dups]).combine_chunks()
+
+    def _is_bench(ids) -> pa.Array:
+        return pc.and_(
+            pc.fill_null(pc.ends_with(ids, pattern="3"), False),
+            pc.fill_null(pc.match_substring_regex(ids, r"^clip-"), False),
+        )
+
+    ds = read_parquet_tasks(paths, columns=["clip_id", "bytes"])
+
+    def bench_segments(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(_is_bench(batch.column("clip_id").combine_chunks()))
+        wh, _ck = pcm_segment_hash_rows(
+            sub.column("bytes"), np.zeros(sub.num_rows, dtype=np.int64), seg_samples=1024
+        )
+        return pa.table({"wh": pa.array(np.unique(wh), pa.int64())})
+
+    hs = [np.zeros(0, dtype=np.int64)]
+    for b in ds.map_batches(bench_segments, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        hs.append(np.asarray(b.column("wh").combine_chunks(), dtype=np.int64))
+    bench_ref = ray.put(np.unique(np.concatenate(hs)))
+    empty = pa.table(
+        {"clip_id": pa.array([], pa.string()), "n_leaked_segments": pa.array([], pa.int64())}
+    )
+
+    def count_leaks(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        batch = plant(batch)
+        ids = batch.column("clip_id").combine_chunks()
+        train = batch.filter(pc.invert(_is_bench(ids)))
+        if train.num_rows == 0:
+            return empty
+        # batch-local row indices as keys: segments never cross batches
+        wh, rows = pcm_segment_hash_rows(
+            train.column("bytes"),
+            np.arange(train.num_rows, dtype=np.int64),
+            seg_samples=1024,
+        )
+        if not len(wh):
+            return empty
+        _pos, found = sorted_lookup(bench, wh)
+        if not found.any():
+            return empty
+        u, c = np.unique(rows[found], return_counts=True)
+        return pa.table(
+            {
+                "clip_id": train.column("clip_id").combine_chunks().cast(pa.string()).take(
+                    pa.array(u, pa.int64())
+                ),
+                "n_leaked_segments": pa.array(c, pa.int64()),
+            }
+        )
+
+    return _collect(ds.map_batches(count_leaks, batch_format="pyarrow")).sort_by("clip_id")
+
+
 def audio_curate_clips(sf_dir: str) -> pa.Table:
     """End-to-end AUDIO curation — the audio-axis sibling of
     curate_documents: the exact payload-dedup groupby-min shuffle (the

@@ -558,6 +558,48 @@ def test_pcm_segment_hash_rows_bruteforce():
     assert len(set(wh.tolist())) == uniq_contents
 
 
+def test_audio_decontaminate_segments_planted_golden(ray_session):
+    """Audio segment-level decontamination: the planted zdec_ copies of
+    benchmark clips (well-formed ids ending '3') are the ONLY training
+    clips sharing segments with the eval set, each reporting exactly
+    floor(decodable_samples/1024) leaked segments — recomputed per clip
+    from wav_decode (independent brute force). Benchmark clips themselves
+    are never reported."""
+    import glob as glob_
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import (
+        _audio_fixture,
+        audio_decontaminate_segments_clips,
+    )
+
+    out = audio_decontaminate_segments_clips("unused-sfdir")
+    got = dict(
+        zip(out.column("clip_id").to_pylist(), out.column("n_leaked_segments").to_pylist())
+    )
+    fix = _audio_fixture()
+    expect = {}
+    for p in sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))):
+        t = pq.read_table(p, columns=["clip_id", "bytes"])
+        for cid, blob in zip(t.column("clip_id").to_pylist(), t.column("bytes").to_pylist()):
+            cid = str(cid)
+            if not (cid.endswith("3") and re.match(r"^clip-", cid)) or blob is None:
+                continue
+            try:
+                x, _sr = wav_decode(blob)
+            except Exception:
+                continue
+            n = len(x) // 1024
+            if n > 0:
+                expect["zdec_" + cid] = n
+    assert got == expect
+    assert len(expect) > 100  # ~1/10 of 2000 well-formed clips end in '3'
+    assert not any(k.startswith("clip-") and k.endswith("3") for k in got)
+
+
 def test_audio_repeated_segments_planted_golden(ray_session):
     """The planted whole-payload copies (ids ending '7' → zseg_ twin) are
     the ONLY cross-clip sharers in the fixture, and each pair reports
