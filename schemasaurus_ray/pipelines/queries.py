@@ -1158,16 +1158,22 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def planted(batch: pa.Table) -> pa.Table:
+    def with_planted(batch: pa.Table) -> pa.Table:
+        # originals + planted copies in ONE output table (a Dataset.union
+        # here emitted schema-divergent sentinel blocks and a second
+        # operator for what is a per-batch append)
         sub = batch.filter(pc.less(batch.column("vec_id"), 50))
-        return pa.table(
+        extra = pa.table(
             {
                 "vec_id": pc.add(sub.column("vec_id"), 100000),
                 "embedding": sub.column("embedding"),
             }
         )
+        return pa.concat_tables(
+            [batch.select(["vec_id", "embedding"]), extra]
+        ).combine_chunks()
 
-    aug = ds.union(ds.map_batches(planted, batch_format="pyarrow"))
+    aug = ds.map_batches(with_planted, batch_format="pyarrow")
     out = embedding_near_dups(aug, threshold=0.95, concurrency=2)
     return out.select(["id_a", "id_b"])
 
@@ -2317,24 +2323,31 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
     Returns one row (psi_bp: PSI in basis points, floored)."""
     import pyarrow.parquet as pq_
 
+    from ..stages.shuffle import agg_keys_shuffled
     from ..state.tdigest import psi
 
-    ds = _read(sf_dir, "events", ["event_id", "event_type"])
-    n = ds.count()
-    half = n // 2
+    # split point from parquet metadata (no Ray count() job), counts via
+    # the raw bucket shuffle — Ray Data's sort-based groupby on a string
+    # key is the measured-slow path and emits schema-divergent blocks
+    path = os.path.join(sf_dir, "events.parquet")
+    half = pq_.read_metadata(path).num_rows // 2
 
-    def halves(batch: pa.Table) -> pa.Table:
-        is_new = pc.greater_equal(batch.column("event_id"), half)
-        t = pa.table({"event_type": batch.column("event_type"), "is_new": is_new})
-        g = t.group_by(["event_type", "is_new"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "is_new", "cnt"])
+    def tf(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "is_new": pc.cast(
+                    pc.greater_equal(tbl.column("event_id"), half), pa.int64()
+                ),
+            }
+        )
 
-    from ray.data.aggregate import Sum
-
-    agg = _collect(
-        ds.map_batches(halves, batch_format="pyarrow")
-        .groupby(["event_type", "is_new"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    agg = agg_keys_shuffled(
+        [path],
+        ["event_type", "is_new"],
+        [("event_type", "count")],
+        transform_fn=tf,
+        read_cols=["event_id", "event_type"],
     )
     expected: dict[str, float] = {}
     actual: dict[str, float] = {}
@@ -2594,9 +2607,15 @@ def enrich_events_customer(sf_dir: str) -> pa.Table:
         )
 
     pre = _read(sf_dir, "events", ["user_id"]).map_batches(lookup_count, batch_format="pyarrow")
-    agg = pre.groupby("c_mktsegment").aggregate(Sum("cnt", alias_name="cnt"))
-    out = _collect(agg)
-    out = out.set_column(1, "cnt", out.column("cnt").cast(pa.int64()))
+    # partials are |segments| rows per batch — sum the tiny table on the
+    # driver (a Ray Data string-key groupby here is the measured-slow path
+    # and emits schema-divergent sentinel blocks)
+    parts = _collect(pre)
+    out = (
+        parts.group_by("c_mktsegment")
+        .aggregate([("cnt", "sum")])
+        .rename_columns(["c_mktsegment", "cnt"])
+    )
     return out.filter(pc.greater(out.column("cnt"), 0)).sort_by("c_mktsegment")
 
 
