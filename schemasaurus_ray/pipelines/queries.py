@@ -2580,7 +2580,6 @@ def enrich_events_customer(sf_dir: str) -> pa.Table:
     all-to-all shuffle entirely."""
     import pyarrow.parquet as pq_
     import ray
-    from ray.data.aggregate import Sum
 
     cust = pq_.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
