@@ -1599,9 +1599,14 @@ def verify_pairs_distributed(
     sh_ref = ray.put((sh_ids[perm], perm.astype(np.int64), sh_off, sh_rank, len(vocab) + 1))
 
     def _rows(ids_sorted, row_of, q):
-        """Row index in the CSR table for each queried id (-1 = absent)."""
+        """Row index in the CSR table for each queried id (-1 = absent).
+        Pairs with absent endpoints are skipped (not an error) — gather
+        row_of only where found, so an EMPTY shingle table (row_of has no
+        element 0 to index) yields all -1 instead of IndexError."""
         pos, found = sorted_lookup(ids_sorted, q)
-        return np.where(found, row_of[pos], -1)
+        out = np.full(len(q), -1, dtype=np.int64)
+        out[found] = row_of[pos[found]]
+        return out
 
     def _gather_keys(starts, lens, flat, R):
         """pair_idx * R + flat[starts[i] : starts[i]+lens[i]], concatenated

@@ -207,10 +207,16 @@ def sorted_lookup(sorted_keys: np.ndarray, queries: np.ndarray) -> tuple[np.ndar
     """Vectorized membership probe against a SORTED key array:
     (clipped positions, found mask). Factors the searchsorted→clip→compare
     pattern (and its empty-table edge) that was hand-rolled at every
-    broadcast-lookup site (VERDICT r3 #5's vectorized-lookup rule)."""
+    broadcast-lookup site (VERDICT r3 #5's vectorized-lookup rule).
+
+    ``pos`` is only meaningful where ``found`` is True: when ``sorted_keys``
+    is empty every position is 0 and indexing ANY parallel array of the same
+    (zero) length with it crashes — mask by ``found`` before gathering
+    (``np.where(found, parallel[pos], default)`` is NOT safe on empty
+    tables; select first: ``out = default; out[found] = parallel[pos[found]]``)."""
     pos = np.searchsorted(sorted_keys, queries)
     if len(sorted_keys) == 0:
-        return pos, np.zeros(len(queries), dtype=bool)
+        return np.zeros(len(queries), dtype=np.int64), np.zeros(len(queries), dtype=bool)
     pos = np.minimum(pos, len(sorted_keys) - 1)
     return pos, sorted_keys[pos] == queries
 
