@@ -38,6 +38,13 @@ if TYPE_CHECKING:  # pragma: no cover
     import ray.data
 
 
+class PairBudgetExceededError(ValueError):
+    """A candidate-pair verify would broadcast an O(pairs) adjacency CSR
+    past the caller's stated budget (the loud-guard pattern of
+    stages/stats.DomainTooLargeError, applied to pair mass instead of
+    value domains — VERDICT r4 #4). Raised BEFORE any allocation."""
+
+
 # ---------------------------------------------------------------- exact dedup
 def _content_hash_map(text_col: str, id_col: str):
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -50,14 +57,33 @@ def _content_hash_map(text_col: str, id_col: str):
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
     """Survivors after exact-content dedup: min(id) per identical text.
     Equivalent SQL: SELECT min(id) FROM t GROUP BY text (64-bit content hash
-    stands in for the text as the shuffle key; collision odds ~1e-13/n²)."""
-    from ray.data.aggregate import Min
+    stands in for the text as the shuffle key; collision odds ~1e-13/n²).
 
-    pre = ds.select_columns([id_col, text_col]).map_batches(
-        _content_hash_map(text_col, id_col), batch_format="pyarrow"
+    Routed through the raw bucket shuffle on the Dataset's own Arrow block
+    refs (VERDICT r4 #3) — Ray Data's sort-based groupby measured 60× slower
+    on key shuffles (CLAUDE.md); the survivor table never lands on the
+    driver (per-reduce-bucket refs → ``from_arrow_refs``)."""
+    import ray.data as rd
+
+    from ..stages.shuffle import agg_keys_shuffled
+
+    refs = arrow_block_refs(ds.select_columns([id_col, text_col]))
+    if not refs:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return t.select([f"min_{id_col}"]).rename_columns([id_col])
+
+    out = agg_keys_shuffled(
+        refs,
+        ["h"],
+        [(id_col, "min")],
+        transform_fn=_content_hash_map(text_col, id_col),
+        having_fn=finalize,
+        read_cols=[id_col, text_col],
+        output="refs",
     )
-    agg = pre.groupby("h").aggregate(Min(id_col, alias_name=id_col))
-    return agg.select_columns([id_col])
+    return rd.from_arrow_refs(out)
 
 
 def exact_dedup_dup_groups(
@@ -70,24 +96,35 @@ def exact_dedup_dup_groups(
     O(duplicate groups), not O(corpus): a keep pass re-hashes content
     batch-local and keeps a row unless its hash is in this table AND its id
     differs from the group min. At 10^10 docs with ~1 % dup rate that is an
-    ~1.6 GB broadcast instead of the ~80 GB survivor-id array."""
-    from ray.data.aggregate import Count, Min
+    ~1.6 GB broadcast instead of the ~80 GB survivor-id array.
 
-    pre = ds.select_columns([id_col, text_col]).map_batches(
-        _content_hash_map(text_col, id_col), batch_format="pyarrow"
+    Routed through the raw bucket shuffle on the Dataset's own Arrow block
+    refs (VERDICT r4 #3), with the count>1 HAVING applied inside the reduce
+    tasks — no Ray Data sort-groupby, nothing corpus-sized anywhere."""
+    import ray.data as rd
+
+    from ..stages.shuffle import agg_keys_shuffled
+
+    refs = arrow_block_refs(ds.select_columns([id_col, text_col]))
+    if not refs:
+        return rd.from_arrow(
+            pa.table({"h": pa.array([], pa.int64()), "min_id": pa.array([], pa.int64())})
+        )
+
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("cnt"), 1))
+        return t.select(["h", f"min_{id_col}"]).rename_columns(["h", "min_id"])
+
+    out = agg_keys_shuffled(
+        refs,
+        ["h"],
+        [(id_col, "min"), (id_col, "count")],
+        transform_fn=_content_hash_map(text_col, id_col),
+        having_fn=having,
+        read_cols=[id_col, text_col],
+        output="refs",
     )
-    agg = pre.groupby("h").aggregate(
-        Min(id_col, alias_name="min_id"), Count(alias_name="cnt")
-    )
-
-    # one map_batches (not filter → select_columns operator pair) so every
-    # output block has the identical (h, min_id) schema — the two-operator
-    # form emitted schema-divergent bundles and tripped Ray's warning
-    def dup_only(batch: pa.Table) -> pa.Table:
-        keep = pc.greater(batch.column("cnt"), 1)
-        return batch.filter(keep).select(["h", "min_id"])
-
-    return agg.map_batches(dup_only, batch_format="pyarrow")
+    return rd.from_arrow_refs(out)
 
 
 def exact_dedup_paths(
@@ -1691,6 +1728,7 @@ def verify_pairs_shuffled(
     num_buckets: int | None = None,
     probe_chunk: int = 1 << 22,
     map_chunk_rows: int = 16384,
+    max_pairs: int | None = 1 << 25,
 ) -> pa.Table:
     """Exact-Jaccard verify of candidate pairs with NO candidate shingle
     set ever leaving its worker — the 100-TB shape for candidate sets that
@@ -1721,7 +1759,16 @@ def verify_pairs_shuffled(
     Semantics are exactly :func:`verify_pairs_distributed`'s: pairs
     deduped, a==b dropped, pairs with an endpoint absent from the corpus
     skipped, empty∪empty ⇒ J=1, jaccard = round(i/u, 6), jacc_bp =
-    floor(10000·i/u)."""
+    floor(10000·i/u).
+
+    ``max_pairs`` is the loud budget on the O(pairs) pair-adjacency CSR
+    broadcast (VERDICT r4 #4, the DomainTooLargeError pattern): at a
+    pathological threshold (t≈0.3 makes nearly every bucket cohabitant a
+    candidate pair) the CSR would silently grow to corpus² scale — raise
+    :class:`PairBudgetExceededError` instead. The default (2^25 pairs ≈
+    0.8 GB of CSR arrays) is far above any real near-dup density; callers
+    that truly want more shard the pairs table by id_a range and call this
+    per shard (each call's CSR covers only its range), or pass None."""
     import ray
 
     from ..stages.shuffle import _default_buckets, _tree_combine
@@ -1738,6 +1785,13 @@ def verify_pairs_shuffled(
     n_pairs = pairs.num_rows
     if n_pairs == 0:
         return empty
+    if max_pairs is not None and n_pairs > max_pairs:
+        raise PairBudgetExceededError(
+            f"verify_pairs_shuffled: {n_pairs} candidate pairs exceed the "
+            f"max_pairs={max_pairs} CSR-broadcast budget — raise the "
+            "candidate threshold, shard the pairs table by id_a range and "
+            "verify per shard, or pass max_pairs=None deliberately"
+        )
     a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
     b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
     cand = np.unique(np.concatenate([a, b]))

@@ -808,14 +808,15 @@ def anti_join_shuffled(
 
 
 def agg_keys_shuffled(
-    paths: list[str],
+    paths: list,
     key_cols: list[str],
     aggs: list[tuple[str, str]],
     num_buckets: int | None = None,
     transform_fn=None,
     having_fn=None,
     read_cols: list[str] | None = None,
-) -> pa.Table:
+    output: str = "table",
+):
     """Generic keyed aggregate over parquet shards — the engine's grouped
     aggregate-constraint primitive (sum/min/max/count per key, then an
     optional HAVING predicate applied INSIDE the reduce tasks).
@@ -832,7 +833,20 @@ def agg_keys_shuffled(
     aggs: (column, fn) with fn ∈ {sum, min, max, count}; output column
     names are ``{fn}_{column}`` (``cnt`` for count, column ignored).
     transform_fn(tbl) -> tbl runs per shard BEFORE the pre-agg (casts,
-    derived columns). having_fn(tbl) -> tbl runs per reduce bucket.
+    derived columns). having_fn(tbl) -> tbl runs per reduce bucket
+    (including empty buckets, so it may reshape the schema uniformly).
+
+    ``paths`` may alternatively be Arrow-block ObjectRefs
+    (``util.arrow_block_refs`` of an upstream Dataset) — the map tasks then
+    pre-aggregate the plasma blocks zero-copy instead of reading parquet;
+    this is how the Dataset-signature entry points (functions/dedup
+    exact_dedup*, stages/unique.duplicate_keys) reuse the raw shuffle
+    instead of Ray Data's sort-based groupby (VERDICT r4 #3; string-key
+    groupby measured 60× slower, CLAUDE.md).
+
+    ``output="refs"`` returns the per-reduce-bucket ObjectRefs WITHOUT
+    driver materialization (feed ``ray.data.from_arrow_refs``) — required
+    when the aggregate itself is corpus-sized (e.g. survivor ids).
     """
     import ray
 
@@ -861,8 +875,10 @@ def agg_keys_shuffled(
     cols_to_read = read_cols or sorted(set(key_cols) | set(value_cols))
 
     @ray.remote(num_returns=num_buckets)
-    def map_shard(path: str):
-        tbl = pq.read_table(path, columns=cols_to_read)
+    def map_shard(shard):
+        # str = parquet shard path; otherwise a plasma Arrow block
+        # (ObjectRef arg auto-dereferenced), selected zero-copy
+        tbl = pq.read_table(shard, columns=cols_to_read) if isinstance(shard, str) else shard.select(cols_to_read)
         parts = _preagg(tbl)
         out = _split_buckets(parts, key_cols, num_buckets)
         return out if num_buckets > 1 else out[0]
@@ -874,17 +890,20 @@ def agg_keys_shuffled(
     @ray.remote
     def reduce_bucket(*tables: pa.Table) -> pa.Table:
         out = _merge(tables)
-        if having_fn is not None and out.num_rows:
+        if having_fn is not None:
             out = having_fn(out)
         return out
 
-    refs = [map_shard.remote(p) for p in sorted(paths)]
+    inputs = sorted(paths) if all(isinstance(p, str) for p in paths) else list(paths)
+    refs = [map_shard.remote(p) for p in inputs]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     reduced = [
         reduce_bucket.remote(*_tree_combine([refs[m][b] for m in range(len(refs))], combine_bucket))
         for b in range(num_buckets)
     ]
+    if output == "refs":
+        return reduced
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
         return pa.table({})

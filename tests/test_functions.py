@@ -541,6 +541,36 @@ def test_verify_pairs_shuffled_parity(docs_ds, tmp_path):
         assert got_d == expect, (buckets, chunk)
 
 
+def test_verify_pairs_shuffled_pair_budget(docs_ds, tmp_path):
+    """A pathological candidate density (here: a budget below the pair
+    count, as a t≈0.3 threshold would produce at corpus scale) must trip
+    the loud PairBudgetExceededError BEFORE any CSR allocation, and the
+    same call with max_pairs=None must still verify (VERDICT r4 #4)."""
+    import pytest
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.functions.dedup import (
+        PairBudgetExceededError,
+        _dedupe_pairs,
+        verify_pairs_shuffled,
+    )
+
+    ds, tbl = docs_ds
+    shard = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, shard)
+    pairs_raw = pa.concat_tables(
+        list(minhash_candidates(ds).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    n_pairs = _dedupe_pairs(pairs_raw).num_rows
+    assert n_pairs > 3
+    with pytest.raises(PairBudgetExceededError, match="max_pairs"):
+        verify_pairs_shuffled([shard], pairs_raw, threshold=0.8, max_pairs=n_pairs - 1)
+    # budget == pair count passes; None disables the guard entirely
+    at_budget = verify_pairs_shuffled([shard], pairs_raw, threshold=0.8, max_pairs=n_pairs)
+    unguarded = verify_pairs_shuffled([shard], pairs_raw, threshold=0.8, max_pairs=None)
+    assert at_budget.equals(unguarded)
+
+
 def test_verify_pairs_shuffled_randomized_edges(ray_session, tmp_path):
     """Randomized-text brute-force parity for the shuffled verify,
     covering the adversarial edges: pair ids absent from the corpus
