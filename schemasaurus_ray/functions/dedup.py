@@ -567,11 +567,14 @@ def lsh_build_index(
     the IVF layout), so an incoming batch probes ONLY the bucket dirs its
     own band keys hash into instead of re-scanning and re-signing the whole
     corpus on every ingest. Idempotent via a param-matched meta marker —
-    the nightly-crawl sibling of :func:`~..functions.similarity.ivf_build_index`."""
-    import json
-    import os
+    the nightly-crawl sibling of :func:`~..functions.similarity.ivf_build_index`.
+    ``index_dir`` may be a local path or any pyarrow.fs-resolvable URI
+    (VERDICT r4 #2: build and probe need not share a node's /tmp)."""
+    from ..util import fs_read_json, fs_write_json, resolve_fs
 
-    meta_path = os.path.join(index_dir, "lsh_meta.json")
+    fs, root = resolve_fs(index_dir)
+    root = root.rstrip("/")
+    meta_path = f"{root}/lsh_meta.json"
     params = {
         "num_perm": num_perm,
         "bands": bands,
@@ -580,10 +583,9 @@ def lsh_build_index(
         "id_col": id_col,
         "layout": 1,
     }
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            if json.load(fh).get("params") == params:
-                return
+    meta = fs_read_json(fs, meta_path)
+    if meta is not None and meta.get("params") == params:
+        return
     keyed = minhash_bkey_rows(ds, text_col, id_col, num_perm, bands)
     npu = np.uint64(n_parts)
 
@@ -598,12 +600,11 @@ def lsh_build_index(
             }
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    fs.create_dir(root, recursive=True)
     keyed.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"], mode="overwrite", min_rows_per_file=65536
+        root, filesystem=fs, partition_cols=["bucket"], mode="overwrite", min_rows_per_file=65536
     )
-    with open(meta_path, "w") as fh:
-        json.dump({"params": params}, fh)
+    fs_write_json(fs, meta_path, {"params": params})
 
 
 def lsh_append_index(
@@ -629,13 +630,16 @@ def lsh_append_index(
     index meta because appending rows keyed under DIFFERENT banding would
     silently poison recall — a true near-dup of a later drop would never
     collide with the mis-keyed rows in any bucket."""
-    import json
-    import os
-
     import pyarrow.parquet as pq
 
-    with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
-        params = json.load(fh)["params"]
+    from ..util import fs_read_json, resolve_fs
+
+    fs, root = resolve_fs(index_dir)
+    root = root.rstrip("/")
+    meta = fs_read_json(fs, f"{root}/lsh_meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"lsh_append_index: no lsh_meta.json under {index_dir}")
+    params = meta["params"]
     n_parts = params["n_parts"]
     declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col, "text_col": text_col}
     stored = {k: params[k] for k in declared}
@@ -653,9 +657,9 @@ def lsh_append_index(
     for x, t in enumerate(parts):
         if t.num_rows == 0:
             continue
-        d = os.path.join(index_dir, f"bucket={x}")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(t, os.path.join(d, f"ingest_{ingest_id}.parquet"))
+        d = f"{root}/bucket={x}"
+        fs.create_dir(d, recursive=True)
+        pq.write_table(t, f"{d}/ingest_{ingest_id}.parquet", filesystem=fs)
 
 
 def lsh_probe_pairs(
@@ -678,14 +682,16 @@ def lsh_probe_pairs(
     group (:func:`_pairs_from_key_rows_semi`). new×new pairs surface too —
     the union rows carry the incoming batch. ``io_stats`` gets
     files/bytes read vs total for the pruning audit."""
-    import json
-    import os
+    from ..util import fs_read_json, resolve_fs
 
     empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     if new_keyed.num_rows == 0:
         return empty
-    with open(os.path.join(index_dir, "lsh_meta.json")) as fh:
-        params = json.load(fh)["params"]
+    fs, root = resolve_fs(index_dir)
+    meta = fs_read_json(fs, f"{root.rstrip('/')}/lsh_meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"lsh_probe_pairs: no lsh_meta.json under {index_dir}")
+    params = meta["params"]
     declared = {"num_perm": num_perm, "bands": bands, "id_col": id_col, "text_col": text_col}
     stored = {k: params[k] for k in declared}
     if stored != declared:
@@ -717,13 +723,14 @@ def _probe_index_pairs(
     pairs (:func:`_pairs_from_key_rows_semi`) plus — when ``sig_col`` is
     given — the (id, sig) rows of exactly the paired ids (O(pairs), for a
     driver-side verify that never re-reads snapshot content). Returns
-    (pairs, member_sigs); member_sigs is empty when sig_col is None."""
-    import glob
-    import os
-
+    (pairs, member_sigs); member_sigs is empty when sig_col is None.
+    ``index_dir`` resolves through pyarrow.fs (local path or URI); the
+    resolved FileSystem ships into the map tasks, so probes read a remote
+    index directly — no shared /tmp assumption."""
     import ray
 
     from ..stages.shuffle import _tree_combine
+    from ..util import fs_list_bucket_dirs, fs_list_parquet, resolve_fs
 
     scol = sig_col or "_sig"
     nk = np.asarray(new_rows.column("bkey").combine_chunks(), dtype=np.int64)
@@ -735,18 +742,17 @@ def _probe_index_pairs(
     )
     new_bkeys = np.unique(nk)
     probed = np.unique(splitmix64(new_bkeys.view(np.uint64)) % np.uint64(n_parts))
-    bfiles = [
-        f
-        for c in probed.tolist()
-        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={int(c)}", "*.parquet")))
-    ]
+    fs, root = resolve_fs(index_dir)
+    root = root.rstrip("/")
+    probed_files = fs_list_parquet(fs, [f"{root}/bucket={int(c)}" for c in probed.tolist()])
+    bfiles = [p for p, _ in probed_files]
     if io_stats is not None:
-        all_files = glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet"))
+        all_files = fs_list_parquet(fs, fs_list_bucket_dirs(fs, root))
         io_stats.update(
             files_read=len(bfiles),
             files_total=len(all_files),
-            bytes_read=sum(os.path.getsize(f) for f in bfiles),
-            bytes_total=sum(os.path.getsize(f) for f in all_files),
+            bytes_read=sum(s for _, s in probed_files),
+            bytes_total=sum(s for _, s in all_files),
         )
     bk_ref = ray.put(new_bkeys)
     read_cols = ["bkey", id_col] + ([sig_col] if sig_col else [])
@@ -760,7 +766,7 @@ def _probe_index_pairs(
     def map_old(path: str, bk_sorted: np.ndarray):
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path, columns=read_cols)
+        tbl = pq.read_table(path, columns=read_cols, filesystem=fs)
         kk = np.asarray(tbl.column("bkey").combine_chunks(), dtype=np.int64)
         ii = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
         ss = (
@@ -871,16 +877,17 @@ def banded_index_build(
     id, sig) band rows (64-bit signature CARRIED per row — 8 B/clip×4,
     so probes verify hamming from the index alone and never re-read or
     re-fingerprint old content) written hive-partitioned by
-    splitmix64(bkey)%%n_parts, idempotent via a param-matched marker."""
-    import json
-    import os
+    splitmix64(bkey)%%n_parts, idempotent via a param-matched marker.
+    ``index_dir`` takes a local path or pyarrow.fs URI like its siblings."""
+    from ..util import fs_read_json, fs_write_json, resolve_fs
 
-    meta_path = os.path.join(index_dir, "banded_meta.json")
+    fs, root = resolve_fs(index_dir)
+    root = root.rstrip("/")
+    meta_path = f"{root}/banded_meta.json"
     params = {"n_parts": n_parts, "id_col": id_col, "sig_col": sig_col, "layout": 1}
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            if json.load(fh).get("params") == params:
-                return
+    meta = fs_read_json(fs, meta_path)
+    if meta is not None and meta.get("params") == params:
+        return
     npu = np.uint64(n_parts)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -889,12 +896,11 @@ def banded_index_build(
         b = (splitmix64(kk.view(np.uint64)) % npu).astype(np.int32)
         return rows.append_column("bucket", pa.array(b, pa.int32()))
 
-    os.makedirs(index_dir, exist_ok=True)
+    fs.create_dir(root, recursive=True)
     sigs_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"], mode="overwrite", min_rows_per_file=65536
+        root, filesystem=fs, partition_cols=["bucket"], mode="overwrite", min_rows_per_file=65536
     )
-    with open(meta_path, "w") as fh:
-        json.dump({"params": params}, fh)
+    fs_write_json(fs, meta_path, {"params": params})
 
 
 def banded_probe_pairs(
@@ -917,8 +923,7 @@ def banded_probe_pairs(
     verifies with one vectorized SWAR hamming pass. Returns (id_a, id_b,
     hamming) with hamming ≤ max_hamming; pairs may include snapshot-only
     members added by expansion — callers filter for their ingest product."""
-    import json
-    import os
+    from ..util import fs_read_json, resolve_fs
 
     empty = pa.table(
         {
@@ -929,8 +934,11 @@ def banded_probe_pairs(
     )
     if new_sigs.num_rows == 0:
         return empty
-    with open(os.path.join(index_dir, "banded_meta.json")) as fh:
-        params = json.load(fh)["params"]
+    fs, root = resolve_fs(index_dir)
+    meta = fs_read_json(fs, f"{root.rstrip('/')}/banded_meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"banded_probe_pairs: no banded_meta.json under {index_dir}")
+    params = meta["params"]
     declared = {"id_col": id_col, "sig_col": sig_col}
     stored = {k: params[k] for k in declared}
     if stored != declared:

@@ -256,6 +256,76 @@ def arrow_block_refs(ds) -> list:
     return [r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs]
 
 
+# ------------------------------------------------------- index filesystem API
+# The persisted-index layer (IVF / LSH / banded) takes pyarrow.fs-resolvable
+# URIs so build and probe work when they land on DIFFERENT nodes (VERDICT r4
+# #2: os.path+glob assumed one shared local /tmp). A bare path keeps meaning
+# the local filesystem; "file://", "s3://" etc. resolve through pyarrow.
+
+
+def resolve_fs(uri: str):
+    """(pyarrow.fs.FileSystem, filesystem-local path) for a plain local path
+    or any ``pyarrow.fs``-resolvable URI. FileSystem objects pickle, so the
+    resolved pair may be shipped into Ray tasks directly."""
+    from pyarrow import fs as pafs
+
+    uri = str(uri)
+    if "://" in uri:
+        return pafs.FileSystem.from_uri(uri)
+    return pafs.LocalFileSystem(), uri
+
+
+def fs_read_json(fs, path: str):
+    """Parsed JSON at ``path`` on ``fs``, or None when the file is absent
+    (the idempotent-marker probe of the index builders)."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    if fs.get_file_info(path).type == pafs.FileType.NotFound:
+        return None
+    with fs.open_input_stream(path) as fh:
+        return json.loads(fh.read().decode())
+
+
+def fs_write_json(fs, path: str, obj) -> None:
+    import json
+
+    fs.create_dir(path.rsplit("/", 1)[0], recursive=True)
+    with fs.open_output_stream(path) as fh:
+        fh.write(json.dumps(obj).encode())
+
+
+def fs_list_parquet(fs, dirs: "list[str]") -> "list[tuple[str, int]]":
+    """Sorted (path, size) of the parquet files directly under each listed
+    directory — the bucket-pruned probe listing, through the filesystem API
+    instead of glob (missing dirs are empty, not errors)."""
+    from pyarrow import fs as pafs
+
+    out = []
+    for d in dirs:
+        infos = fs.get_file_info(pafs.FileSelector(d, recursive=False, allow_not_found=True))
+        out.extend(
+            (i.path, i.size)
+            for i in infos
+            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def fs_list_bucket_dirs(fs, base: str) -> "list[str]":
+    """Every ``bucket=*`` child directory of ``base`` (the io_stats
+    denominator listing)."""
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(base, recursive=False, allow_not_found=True))
+    return sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.Directory and i.base_name.startswith("bucket=")
+    )
+
+
 # ---------------------------------------------------------------- batch MD5
 # Vectorized MD5 over an Arrow string/binary column — one numpy pass per
 # 64-byte block ROUND, not per row (the last Python row loops in the hot
