@@ -45,20 +45,48 @@ from ..util import arrow_block_refs, hash_column, splitmix64
 _FAN_IN = 64
 
 
+_BUCKETS_PER_NODE = 16
+
+
+def _cluster_nodes() -> int:
+    """Alive Ray node count (1 when Ray isn't initialized) — factored out
+    so tests can mock a multi-node resource map, and cached per process:
+    the node set of a fixed-size cluster doesn't change mid-pipeline and
+    ray.nodes() is a GCS round-trip we don't want per shuffle."""
+    global _CLUSTER_NODES_CACHE
+    if _CLUSTER_NODES_CACHE is None:
+        try:
+            import ray
+
+            if not ray.is_initialized():
+                return 1  # don't cache pre-init: ray.init may follow
+            _CLUSTER_NODES_CACHE = max(1, sum(1 for n in ray.nodes() if n.get("Alive")))
+        except Exception:
+            return 1
+    return _CLUSTER_NODES_CACHE
+
+
+_CLUSTER_NODES_CACHE: "int | None" = None
+
+
 def _default_buckets(n_shards: int) -> int:
-    """Reduce-bucket count: shards/4, floor 4, cap 32. Measured on the
-    16M-key scaling profile: raising this to the CPU count (32) made the
-    32-CPU wall WORSE (4.2 s -> 4.9-5.9 s pre-malloc-tuning; re-confirmed
-    post-tuning round 3: 3.0 s @ 16 vs 3.4 s @ 32) — per-map object
-    multiplication (maps x buckets tiny objects) costs more than the extra
-    reduce parallelism buys. GRAFT_SHUFFLE_BUCKETS overrides for
-    experiments."""
+    """Reduce-bucket count: shards/4, floor 4, capped at 16 PER NODE.
+
+    The per-node clamp is measured, twice: raising buckets to the CPU
+    count (32) on this one box made the 16M-key scaling wall WORSE (4.2 s
+    -> 4.9-5.9 s pre-malloc-tuning; re-confirmed post-tuning round 3:
+    3.0 s @ 16 vs 3.4 s @ 32) — per-map object multiplication
+    (maps × buckets tiny objects) costs more than the extra reduce
+    parallelism buys on a single machine. On a multi-node cluster the
+    reduce bandwidth scales with nodes, so the cap does too
+    (16 × alive nodes, VERDICT r4 #6) while the floor/ratio stay the
+    same. GRAFT_SHUFFLE_BUCKETS overrides for experiments."""
     import os
 
     env = os.environ.get("GRAFT_SHUFFLE_BUCKETS")
     if env:
         return int(env)
-    return min(32, max(4, n_shards // 4))
+    return min(_BUCKETS_PER_NODE * _cluster_nodes(), max(4, n_shards // 4))
 
 
 def _tree_combine(refs: list, combine_remote, fan_in: int | None = None) -> list:

@@ -1316,10 +1316,37 @@ def test_audio_resample_stage():
 
 def test_stub_image_decode():
     t = pa.table({"id": pa.array([1], pa.int64()), "bytes": pa.array([b"\x00\x01\x02"], pa.binary())})
-    with pytest.raises(NotImplementedError):
-        StubImageDecodeStage()(t)
     out = StubImageDecodeStage(fake=True)(t)
     assert out.column("features").to_pylist() == [[1.0, pytest.approx(0.8164965, rel=1e-5), 3.0]]
+
+
+def test_image_decode_real_or_gated():
+    """Real decode lights up automatically wherever Pillow exists (the
+    pylance gate pattern): with PIL installed the default path decodes a
+    real PNG into (w, h, channels, mean, std); without it the stage raises
+    NotImplementedError naming the dependency (VERDICT r4 #5)."""
+    t = pa.table({"id": pa.array([1], pa.int64()), "bytes": pa.array([b"\x00\x01\x02"], pa.binary())})
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            StubImageDecodeStage()(t)
+        pytest.skip("Pillow not installed: NotImplementedError gate verified, real decode skipped")
+    import io as _io
+
+    im = Image.new("RGB", (4, 2), (10, 20, 30))
+    buf = _io.BytesIO()
+    im.save(buf, format="PNG")
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "bytes": pa.array([buf.getvalue(), b"not-an-image", None], pa.binary()),
+        }
+    )
+    out = StubImageDecodeStage()(tbl)
+    feats = out.column("features").to_pylist()
+    assert feats[0] == [4.0, 2.0, 3.0, pytest.approx(20.0), pytest.approx(8.1649658, rel=1e-6)]
+    assert feats[1] is None and feats[2] is None  # undecodable / null → null
 
 
 def test_duplicate_passage_counts(ray_session):
@@ -1582,8 +1609,43 @@ def test_video_frame_sample_stub(ray_session):
     assert 3 not in set(out.id)
     assert (out[out.id == 1].frame_ms == [0, 120, 240, 360]).all()
     assert all(len(b) == 1024 for b in out[out.id == 1].frame_bytes)
-    with pytest.raises(NotImplementedError):
-        StubVideoFrameSampleStage()(tbl)
+
+
+def test_video_frame_sample_real_or_gated():
+    """Real frame sampling lights up wherever PyAV exists; without it the
+    default path raises NotImplementedError naming the dependency."""
+    from schemasaurus_ray.functions.multimodal import StubVideoFrameSampleStage
+
+    tbl = pa.table(
+        {"id": pa.array([1], pa.int64()), "bytes": pa.array([b"nota-video"], pa.binary())}
+    )
+    try:
+        import av
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            StubVideoFrameSampleStage()(tbl)
+        pytest.skip("PyAV not installed: NotImplementedError gate verified, real decode skipped")
+    import io as _io
+
+    import numpy as _np
+
+    # synthesize a 12-frame rgb24 video in memory, sample every 5th
+    buf = _io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=25)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for k in range(12):
+            frame = av.VideoFrame.from_ndarray(
+                _np.full((16, 16, 3), k * 20, dtype=_np.uint8), format="rgb24"
+            )
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    vid = pa.table({"id": pa.array([7], pa.int64()), "bytes": pa.array([buf.getvalue()], pa.binary())})
+    out = StubVideoFrameSampleStage(every_nth=5)(vid)
+    assert out.column("frame_idx").to_pylist() == [0, 5, 10]
+    assert all(len(b) == 16 * 16 * 3 for b in out.column("frame_bytes").to_pylist())
 
 
 def test_md5_vectorized_parity():

@@ -514,3 +514,25 @@ def test_grouped_quantiles_auto_routes_to_tdigest(ray_session, tmp_path):
 
     method, mm = grouped_median_mad_auto(paths, "g", "vb", max_distinct=1000)
     assert method == "exact"
+
+
+def test_default_buckets_cluster_shape(ray_session, monkeypatch):
+    """Reduce fan-out derives from cluster shape (VERDICT r4 #6): pinned to
+    the measured 16-bucket optimum on this single box regardless of shard
+    count, floor 4 / shards-over-4 ratio below the cap, scaled 16-per-node
+    under a mocked multi-node resource map, env override wins outright."""
+    from schemasaurus_ray.stages import shuffle as sh
+
+    monkeypatch.delenv("GRAFT_SHUFFLE_BUCKETS", raising=False)
+    monkeypatch.setattr(sh, "_CLUSTER_NODES_CACHE", None)
+    assert sh._cluster_nodes() == 1  # the test box is one node
+    assert sh._default_buckets(4096) == 16  # single-node clamp (CLAUDE.md)
+    assert sh._default_buckets(16) == 4  # floor
+    assert sh._default_buckets(40) == 10  # shards/4 under the cap
+
+    monkeypatch.setattr(sh, "_cluster_nodes", lambda: 8)
+    assert sh._default_buckets(4096) == 128  # 16 × 8 nodes
+    assert sh._default_buckets(40) == 10  # ratio unchanged below the cap
+
+    monkeypatch.setenv("GRAFT_SHUFFLE_BUCKETS", "5")
+    assert sh._default_buckets(4096) == 5
