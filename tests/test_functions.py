@@ -885,6 +885,110 @@ def test_index_layers_file_uri(ray_session, tmp_path):
     assert 0 < io_i["files_read"] < io_i["files_total"]
 
 
+def test_banded_append_ingest_loop(ray_session, tmp_path):
+    """banded_append_index completes the probe → verify → append loop on
+    the signature axis: a drop-2 doc that duplicates a drop-1 doc is only
+    findable if drop 1's band rows (signatures riding) were appended —
+    the cross-drop pair must appear after append and must NOT appear
+    against the snapshot-only index. Param-mismatch appends raise."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        banded_append_index,
+        banded_index_build,
+        banded_probe_pairs,
+        simhash_signatures,
+    )
+
+    rng = np.random.default_rng(17)
+    words = [f"w{k}" for k in range(300)]
+    mk = lambda: " ".join(rng.choice(words, 40).tolist())
+    snap = pa.table(
+        {
+            "doc_id": pa.array(range(0, 80, 2), pa.int64()),
+            "text": pa.array([mk() for _ in range(40)], pa.string()),
+        }
+    )
+    d1_text = mk()
+    drop1 = pa.table(
+        {"doc_id": pa.array([901], pa.int64()), "text": pa.array([d1_text], pa.string())}
+    )
+    drop2 = pa.table(
+        {"doc_id": pa.array([902], pa.int64()), "text": pa.array([d1_text], pa.string())}
+    )
+    idx = str(tmp_path / "banded_idx")
+    banded_index_build(simhash_signatures(rd.from_arrow(snap)), idx)
+
+    def sigs(tbl):
+        return pa.concat_tables(
+            list(
+                simhash_signatures(rd.from_arrow(tbl)).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+
+    s1, s2 = sigs(drop1), sigs(drop2)
+
+    def pairs_of(s):
+        t = banded_probe_pairs(idx, s, max_hamming=3)
+        return set(zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()))
+
+    assert (901, 902) not in pairs_of(s2)  # snapshot-only: drop1 invisible
+    banded_append_index(idx, s1, "drop1")
+    assert (901, 902) in pairs_of(s2)  # exact copy ⇒ hamming 0 pair
+    with pytest.raises(ValueError, match="appended to an index built with"):
+        banded_append_index(idx, s1.rename_columns(["other_id", "simhash", "band0", "band1", "band2", "band3"]), "bad", id_col="other_id")
+
+
+def test_ivf_append_ingest(ray_session, tmp_path):
+    """ivf_append_index: appended vectors are assigned to the EXISTING
+    centroids and become visible to ivf_topk_indexed with no rebuild; a
+    re-run of the same ingest_id is idempotent (no duplicate candidates);
+    param mismatch raises; appending to a missing index raises."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(23)
+    mat = rng.standard_normal((400, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+        }
+    )
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(rd.from_arrow(tbl), idx, n_clusters=8, sample_size=256)
+    queries = mat[42:43].astype(np.float64)
+
+    def hits():
+        t = ivf_topk_indexed(idx, queries, [0], k=5, nprobe=8)  # probe all: exactness
+        return t.column("vec_id").to_pylist(), t.column("score").to_pylist()
+
+    ids0, _ = hits()
+    assert 1000 not in ids0 and 42 in ids0
+    new = pa.table(
+        {
+            "vec_id": pa.array([1000], pa.int64()),
+            "embedding": pa.array([mat[42].tolist()], pa.list_(pa.float32())),
+        }
+    )
+    ivf_append_index(idx, new, "drop1")
+    ivf_append_index(idx, new, "drop1")  # idempotent overwrite
+    ids1, scores1 = hits()
+    assert 1000 in ids1 and ids1.count(1000) == 1
+    assert scores1[ids1.index(1000)] == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError, match="cannot be appended"):
+        ivf_append_index(idx, new.rename_columns(["id", "embedding"]), "x", id_col="id")
+    with pytest.raises(FileNotFoundError):
+        ivf_append_index(str(tmp_path / "nope"), new, "x")
+
+
 def test_lsh_bucket_pairs_empty_input(ray_session):
     """Empty dataset → empty pairs table, not a concat crash (ADVICE r2)."""
     import ray.data as rd

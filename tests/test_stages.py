@@ -57,6 +57,34 @@ def test_duplicate_keys_composite(ray_session):
     assert out.column("cnt").to_pylist() == [2]
 
 
+def test_duplicate_keys_cross_block(ray_session):
+    """Duplicates that never share a block (one occurrence per block) must
+    still sum across the bucket shuffle — the map-side precount is a
+    per-BLOCK combiner, so the cross-block merge is where the raw-shuffle
+    routing (round 5) could silently undercount."""
+    import ray.data as rd
+
+    # key "hot" once in each of 8 blocks; "pair" in exactly two blocks;
+    # every other key unique corpus-wide
+    blocks = [
+        pa.table(
+            {
+                "k": pa.array(
+                    ["hot"] + (["pair"] if b in (2, 5) else []) + [f"u{b}-{i}" for i in range(20)],
+                    pa.string(),
+                )
+            }
+        )
+        for b in range(8)
+    ]
+    ds = rd.from_arrow(blocks)
+    out = pa.concat_tables(
+        list(duplicate_keys(ds, ["k"]).iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    got = dict(zip(out.column("k").to_pylist(), out.column("cnt").to_pylist()))
+    assert got == {"hot": 8, "pair": 2}
+
+
 def test_duplicate_rows_view(ray_session):
     import ray.data as rd
 
