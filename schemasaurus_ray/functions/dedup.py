@@ -1848,8 +1848,9 @@ def verify_pairs_shuffled(
         raise PairBudgetExceededError(
             f"verify_pairs_shuffled: {n_pairs} candidate pairs exceed the "
             f"max_pairs={max_pairs} CSR-broadcast budget — raise the "
-            "candidate threshold, shard the pairs table by id_a range and "
-            "verify per shard, or pass max_pairs=None deliberately"
+            "candidate threshold, use verify_pairs_shuffled_sharded (pays "
+            "one corpus map pass PER slice), or pass max_pairs=None "
+            "deliberately"
         )
     a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
     b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
@@ -2034,6 +2035,36 @@ def verify_pairs_shuffled(
             "jacc_bp": pa.array(bps, pa.int64()),
         }
     )
+
+
+def verify_pairs_shuffled_sharded(
+    paths: list[str],
+    pairs: pa.Table,
+    max_pairs: int = 1 << 25,
+    **kwargs,
+) -> pa.Table:
+    """Budget-respecting driver for :func:`verify_pairs_shuffled` — the
+    escape hatch :class:`PairBudgetExceededError` points at, packaged:
+    dedupe once, slice the pair table into ceil(n/max_pairs) ranges, and
+    verify each slice (each slice's CSR broadcast is within budget because
+    the CSR is built per call over only that slice's pairs). The DELIBERATE
+    trade: every slice re-reads the corpus shards, so map cost multiplies
+    by the slice count — that is why the budget is a loud error rather
+    than silent sharding on the normal path. Results concatenate exactly
+    (pairs are verified independently; semantics per pair are identical
+    to the single-shot call)."""
+    pairs = _dedupe_pairs(pairs)
+    n = pairs.num_rows
+    if n <= max_pairs:
+        return verify_pairs_shuffled(paths, pairs, max_pairs=max_pairs, **kwargs)
+    outs = [
+        verify_pairs_shuffled(
+            paths, pairs.slice(s, max_pairs), max_pairs=max_pairs, **kwargs
+        )
+        for s in range(0, n, max_pairs)
+    ]
+    live = [t for t in outs if t.num_rows]
+    return pa.concat_tables(live) if live else outs[0]
 
 
 def verify_pairs_jaccard(

@@ -894,6 +894,8 @@ def agg_keys_shuffled(
         return out.rename_columns(key_cols + out_names)
 
     def _merge(tables: tuple) -> pa.Table:
+        if not tables:  # zero map inputs (empty paths/refs list)
+            return pa.table({})
         merged = pa.concat_tables([t for t in tables if t.num_rows] or list(tables))
         if merged.num_rows == 0:
             return merged
@@ -918,7 +920,9 @@ def agg_keys_shuffled(
     @ray.remote
     def reduce_bucket(*tables: pa.Table) -> pa.Table:
         out = _merge(tables)
-        if having_fn is not None:
+        # empty buckets still run having_fn (it may reshape the schema);
+        # only the zero-INPUT schemaless table skips it
+        if having_fn is not None and out.num_columns:
             out = having_fn(out)
         return out
 

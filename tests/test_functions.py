@@ -569,6 +569,13 @@ def test_verify_pairs_shuffled_pair_budget(docs_ds, tmp_path):
     at_budget = verify_pairs_shuffled([shard], pairs_raw, threshold=0.8, max_pairs=n_pairs)
     unguarded = verify_pairs_shuffled([shard], pairs_raw, threshold=0.8, max_pairs=None)
     assert at_budget.equals(unguarded)
+    # the packaged escape hatch: slicing into per-budget CSR calls must
+    # reproduce the single-shot result exactly (pairs verify independently)
+    from schemasaurus_ray.functions.dedup import verify_pairs_shuffled_sharded
+
+    key = [("id_a", "ascending"), ("id_b", "ascending")]
+    sharded = verify_pairs_shuffled_sharded([shard], pairs_raw, max_pairs=3, threshold=0.8)
+    assert sharded.sort_by(key).equals(unguarded.sort_by(key))
 
 
 def test_verify_pairs_shuffled_randomized_edges(ray_session, tmp_path):
