@@ -157,7 +157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (minhash/ngram/survivors/embedding registered in the
         # modified-prefix above)
         "dedup_incremental_documents": q.dedup_incremental_documents,
-        "funnel_events": q.funnel_events,  # subset of in-prefix funnel_window_events
         # text analysis
         "token_count_documents": q.token_count_documents,
         "quality_documents": q.quality_documents,

@@ -59,17 +59,25 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "d
     Equivalent SQL: SELECT min(id) FROM t GROUP BY text (64-bit content hash
     stands in for the text as the shuffle key; collision odds ~1e-13/n²).
 
-    Routed through the raw bucket shuffle on the Dataset's own Arrow block
-    refs (VERDICT r4 #3) — Ray Data's sort-based groupby measured 60× slower
-    on key shuffles (CLAUDE.md); the survivor table never lands on the
-    driver (per-reduce-bucket refs → ``from_arrow_refs``)."""
+    Routed through the raw bucket shuffle (VERDICT r4 #3 — Ray Data's
+    sort-based groupby measured 60× slower on key shuffles, CLAUDE.md).
+    The content hash runs INSIDE the streaming map_batches pass BEFORE any
+    block ref is collected, so the refs pinned on the driver are 16 B/row
+    (id, h) blocks — the payload-bearing corpus blocks are released as the
+    stream advances, exactly like the _paths variant's map tasks. The
+    survivor table never lands on the driver either (per-reduce-bucket
+    refs → ``from_arrow_refs``)."""
     import ray.data as rd
 
     from ..stages.shuffle import agg_keys_shuffled
 
-    refs = arrow_block_refs(ds.select_columns([id_col, text_col]))
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        _content_hash_map(text_col, id_col), batch_format="pyarrow"
+    )
+    refs = arrow_block_refs(hashed)
     if not refs:
-        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+        id_type = ds.schema().field(id_col).type  # empty input: trivial plan
+        return rd.from_arrow(pa.table({id_col: pa.array([], id_type)}))
 
     def finalize(t: pa.Table) -> pa.Table:
         return t.select([f"min_{id_col}"]).rename_columns([id_col])
@@ -78,9 +86,8 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "d
         refs,
         ["h"],
         [(id_col, "min")],
-        transform_fn=_content_hash_map(text_col, id_col),
         having_fn=finalize,
-        read_cols=[id_col, text_col],
+        read_cols=["h", id_col],
         output="refs",
     )
     return rd.from_arrow_refs(out)
@@ -98,17 +105,23 @@ def exact_dedup_dup_groups(
     differs from the group min. At 10^10 docs with ~1 % dup rate that is an
     ~1.6 GB broadcast instead of the ~80 GB survivor-id array.
 
-    Routed through the raw bucket shuffle on the Dataset's own Arrow block
-    refs (VERDICT r4 #3), with the count>1 HAVING applied inside the reduce
-    tasks — no Ray Data sort-groupby, nothing corpus-sized anywhere."""
+    Routed through the raw bucket shuffle (VERDICT r4 #3), content-hashed
+    in the streaming pass BEFORE ref collection (only 16 B/row (id, h)
+    blocks are ever pinned — see :func:`exact_dedup`), with the count>1
+    HAVING applied inside the reduce tasks — no Ray Data sort-groupby,
+    nothing corpus-sized anywhere."""
     import ray.data as rd
 
     from ..stages.shuffle import agg_keys_shuffled
 
-    refs = arrow_block_refs(ds.select_columns([id_col, text_col]))
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        _content_hash_map(text_col, id_col), batch_format="pyarrow"
+    )
+    refs = arrow_block_refs(hashed)
     if not refs:
+        id_type = ds.schema().field(id_col).type  # empty input: trivial plan
         return rd.from_arrow(
-            pa.table({"h": pa.array([], pa.int64()), "min_id": pa.array([], pa.int64())})
+            pa.table({"h": pa.array([], pa.int64()), "min_id": pa.array([], id_type)})
         )
 
     def having(t: pa.Table) -> pa.Table:
@@ -119,9 +132,8 @@ def exact_dedup_dup_groups(
         refs,
         ["h"],
         [(id_col, "min"), (id_col, "count")],
-        transform_fn=_content_hash_map(text_col, id_col),
         having_fn=having,
-        read_cols=[id_col, text_col],
+        read_cols=["h", id_col],
         output="refs",
     )
     return rd.from_arrow_refs(out)
@@ -2055,7 +2067,7 @@ def verify_pairs_shuffled_sharded(
     to the single-shot call)."""
     pairs = _dedupe_pairs(pairs)
     n = pairs.num_rows
-    if n <= max_pairs:
+    if max_pairs is None or n <= max_pairs:  # None = unguarded single shot
         return verify_pairs_shuffled(paths, pairs, max_pairs=max_pairs, **kwargs)
     outs = [
         verify_pairs_shuffled(

@@ -703,9 +703,11 @@ class StubVideoFrameSampleStage:
                         fbytes.append(frame.to_ndarray(format="rgb24").tobytes())
             except Exception:
                 continue  # undecodable blob contributes no frames
+        # id typed from the INPUT column: an all-undecodable batch must not
+        # emit a null-typed id that diverges from frame-bearing batches
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: pa.array(ids, batch.column(self.id_col).type),
                 "frame_idx": pa.array(fidx, pa.int32()),
                 "frame_ms": pa.array(fms, pa.int64()),
                 "frame_bytes": pa.array(fbytes, pa.binary()),
@@ -730,7 +732,7 @@ class StubVideoFrameSampleStage:
                 fbytes.append(blob[k * self.frame_size : (k + 1) * self.frame_size])
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: pa.array(ids, batch.column(self.id_col).type),
                 "frame_idx": pa.array(fidx, pa.int32()),
                 "frame_ms": pa.array(fms, pa.int64()),
                 "frame_bytes": pa.array(fbytes, pa.binary()),

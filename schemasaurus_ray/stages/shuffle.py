@@ -926,6 +926,9 @@ def agg_keys_shuffled(
             out = having_fn(out)
         return out
 
+    # coerce PathLike → str so pathlib callers stay on the parquet branch
+    # (a PosixPath misrouted to the block branch fails only inside the task)
+    paths = [os.fspath(p) if isinstance(p, os.PathLike) else p for p in paths]
     inputs = sorted(paths) if all(isinstance(p, str) for p in paths) else list(paths)
     refs = [map_shard.remote(p) for p in inputs]
     if num_buckets == 1:
