@@ -295,8 +295,13 @@ class MinHashStage:
         self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)) | np.uint64(1)
         self._buf = np.empty((num_perm, 0), dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> "np.ndarray | None":
+        """Per-text signature, or None for texts with no shingles (empty /
+        whitespace-only) — mirroring the batch ``__call__`` path, which
+        DROPS such docs rather than crashing on a zero-size column min."""
         sh = _shingle_hashes(text, self.shingle_n)  # (S,)
+        if len(sh) == 0:
+            return None
         # (S, P) permuted hashes → column-min = signature
         with np.errstate(over="ignore"):
             mixed = sh[:, None] * self.seeds[None, :]
@@ -454,17 +459,25 @@ def _pairs_from_key_rows(
         f = f[keep] if f is not None else None
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
-    bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
-    starts = np.concatenate([[0], bounds]) if len(k) else []
-    ends = np.concatenate([bounds, [len(k)]]) if len(k) else []
+    if len(k):
+        bounds = np.nonzero(k[1:] != k[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        ends = np.concatenate([bounds, [len(k)]]).astype(np.int64)
+        # vectorized prefilter: at scale most band keys are SINGLETON
+        # groups — iterating them in Python just to `continue` was a
+        # per-row Python loop on the hottest dedup path (review r5).
+        # Collision groups (size ≥ 2, and in SEMI mode containing ≥ 1 new
+        # member) are the few rows that deserve Python iteration.
+        live = (ends - starts) >= 2
+        if f is not None:
+            live &= np.add.reduceat(f.astype(np.int64), starts) > 0
+        starts, ends = starts[live], ends[live]
+    else:
+        starts = ends = np.zeros(0, dtype=np.int64)
     for s, e in zip(starts, ends):
         n = e - s
-        if n < 2:
-            continue
         grp = i[s:e]  # ascending ids
         gf = f[s:e].astype(bool) if f is not None else None
-        if gf is not None and not gf.any():
-            continue
         if n <= cap:
             if gf is None:
                 ia, ib = np.triu_indices(n, k=1)
@@ -1274,14 +1287,19 @@ def _pairs_from_prefix_rows(
         k, i, p, s = k[keep], i[keep], p[keep], s[keep]
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
-    bounds = np.nonzero(k[1:] != k[:-1])[0] + 1 if len(k) else np.array([], dtype=np.int64)
-    starts = np.concatenate([[0], bounds]) if len(k) else []
-    ends = np.concatenate([bounds, [len(k)]]) if len(k) else []
+    if len(k):
+        bounds = np.nonzero(k[1:] != k[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        ends = np.concatenate([bounds, [len(k)]]).astype(np.int64)
+        # singleton prefix tokens dominate at scale — prefilter before the
+        # Python group loop (same rule as _pairs_from_key_rows, review r5)
+        live = (ends - starts) >= 2
+        starts, ends = starts[live], ends[live]
+    else:
+        starts = ends = np.zeros(0, dtype=np.int64)
     denom = tb + 10000
     for st, en in zip(starts, ends):
         g = en - st
-        if g < 2:
-            continue
         gi, gp, gs = i[st:en], p[st:en], s[st:en]
         if g > 4096:
             # pathological hot prefix token (df sample missed a boilerplate
@@ -1854,7 +1872,10 @@ def verify_pairs_shuffled(
     )
     pairs = _dedupe_pairs(pairs)
     n_pairs = pairs.num_rows
-    if n_pairs == 0:
+    if n_pairs == 0 or not paths:
+        # zero corpus shards ⇒ every pair has absent endpoints ⇒ all
+        # skipped (documented semantics), not an ArrowInvalid from a
+        # zero-input tree combine
         return empty
     if max_pairs is not None and n_pairs > max_pairs:
         raise PairBudgetExceededError(
@@ -2215,6 +2236,16 @@ def connected_component_min_sharded(
         lab_shards = [o[0] for o in outs]
         if sum(ray.get([o[1] for o in outs])) == 0:
             break
+    else:
+        # loud, not silent (the DomainTooLargeError pattern): returning
+        # non-converged labels would keep documents that belong to a
+        # drop-component and mis-group candidates with no error anywhere
+        raise RuntimeError(
+            f"connected_component_min_sharded: labels still changing after "
+            f"max_iters={max_iters} rounds — a component's diameter exceeds "
+            "the round budget (min-label propagation converges in "
+            "O(diameter) rounds); raise max_iters"
+        )
     parts = ray.get(lab_shards)
     return pa.table(
         {
@@ -2647,6 +2678,11 @@ def incremental_dedup_shuffled(
 
     @ray.remote(num_returns=num_buckets)
     def map_incoming(tbl: pa.Table):
+        # empty/union-sentinel blocks can carry an empty schema — guard
+        # before column access like every sibling block-map fn
+        if tbl.num_rows == 0 or text_col not in tbl.column_names:
+            e = pa.table({"h": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+            return [e] * num_buckets if num_buckets > 1 else e
         h = hash_column(tbl.column(text_col)).view(np.int64)
         t = pa.table({"h": pa.array(h, pa.int64()), id_col: tbl.column(id_col)})
         out = _split_buckets(t, ["h"], num_buckets)
@@ -2654,6 +2690,9 @@ def incremental_dedup_shuffled(
 
     @ray.remote(num_returns=num_buckets)
     def map_snapshot(tbl: pa.Table):
+        if tbl.num_rows == 0 or text_col not in tbl.column_names:
+            e = pa.table({"h": pa.array([], pa.int64())})
+            return [e] * num_buckets if num_buckets > 1 else e
         h = hash_column(tbl.column(text_col)).view(np.int64)
         t = pa.table({"h": pa.array(np.unique(h), pa.int64())})
         out = _split_buckets(t, ["h"], num_buckets)

@@ -139,6 +139,28 @@ def _split_buckets(counts: pa.Table, columns: list[str], num_buckets: int) -> li
     ]
 
 
+def _typed_key_empty(paths, columns: list[str], extra: list[tuple[str, "pa.DataType"]]) -> pa.Table:
+    """Empty result with key columns typed from the first shard's parquet
+    footer (string fallback only when no shard exists to ask) — a
+    string-typed fallback flips the output schema with data content
+    (review r3 fixed this in heavy_hitters; generalized to every shuffle's
+    zero-result/zero-input path in round 5)."""
+    sch = None
+    str_paths = sorted(p for p in paths if isinstance(p, (str, os.PathLike)))
+    if str_paths:
+        try:
+            sch = pq.read_schema(str_paths[0])
+        except Exception:
+            sch = None
+    cols = {
+        c: pa.array([], sch.field(c).type if sch is not None and c in sch.names else pa.string())
+        for c in columns
+    }
+    for name, typ in extra:
+        cols[name] = pa.array([], typ)
+    return pa.table(cols)
+
+
 def count_keys_shuffled(
     paths: list[str],
     columns: list[str],
@@ -167,6 +189,8 @@ def count_keys_shuffled(
 
     from .stats import DomainTooLargeError
 
+    if not paths:  # all shards quarantined/skipped: report, don't crash
+        return _typed_key_empty(paths, columns, [("cnt", pa.int64())])
     num_buckets = num_buckets or _default_buckets(len(paths))
     key_name = "+".join(columns)
 
@@ -225,9 +249,7 @@ def count_keys_shuffled(
     ]
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
-        empty_cols: dict[str, Any] = {c: pa.array([], pa.string()) for c in columns}
-        empty_cols["cnt"] = pa.array([], pa.int64())
-        return pa.table(empty_cols)
+        return _typed_key_empty(paths, columns, [("cnt", pa.int64())])
     if max_key_rows is not None:
         total = sum(t.num_rows for t in tables)
         if total > max_key_rows:
@@ -282,6 +304,8 @@ def heavy_hitters_shuffled(
     ever leave the reduce tasks."""
     import ray
 
+    if not paths:
+        return _typed_key_empty(paths, columns, [("cnt", pa.int64())])
     num_buckets = num_buckets or _default_buckets(len(paths))
     map_shard, combine_bucket = _precount_map_fns(columns, num_buckets)
 
@@ -307,15 +331,7 @@ def heavy_hitters_shuffled(
         for b in range(num_buckets)
     ]
     def _typed_empty() -> pa.Table:
-        # type key columns from the input schema — a string-typed fallback
-        # flipped the output schema with data content (review r3)
-        sch = pq.read_schema(sorted(paths)[0]) if paths else None
-        cols = {
-            c: pa.array([], sch.field(c).type if sch is not None and c in sch.names else pa.string())
-            for c in columns
-        }
-        cols["cnt"] = pa.array([], pa.int64())
-        return pa.table(cols)
+        return _typed_key_empty(paths, columns, [("cnt", pa.int64())])
 
     stats = ray.get([bucket_stats.remote(r) for r in bucket_refs])
     n_keys = sum(s[0] for s in stats)
@@ -350,6 +366,8 @@ def key_count_histogram_shuffled(
     reach the driver — never a key table."""
     import ray
 
+    if not paths:
+        return pa.table({"cnt": pa.array([], pa.int64()), "n_keys": pa.array([], pa.int64())})
     num_buckets = num_buckets or _default_buckets(len(paths))
     map_shard, combine_bucket = _precount_map_fns(columns, num_buckets)
 
@@ -705,12 +723,8 @@ def combined_key_checks_async(
     def finish() -> tuple[pa.Table, pa.Table]:
         dup_tables = [t for t in ray.get(dup_refs) if t.num_rows]
         orphan_tables = [t for t in ray.get(orphan_refs) if t.num_rows]
-        empty = pa.table(
-            {
-                key_col: pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-                "pid": pa.array([], pa.int32()),
-            }
+        empty = _typed_key_empty(
+            ordered, [key_col], [("cnt", pa.int64()), ("pid", pa.int32())]
         )
         dups = pa.concat_tables(dup_tables) if dup_tables else empty
         orphans = pa.concat_tables(orphan_tables) if orphan_tables else empty
@@ -737,6 +751,8 @@ def anti_join_shuffled(
     exist are served from those files (one-scan invariant)."""
     import ray
 
+    if not left_paths:
+        return _typed_key_empty(left_paths, [left_col], [("cnt", pa.int64())])
     num_buckets = num_buckets or _default_buckets(len(left_paths))
 
     @ray.remote(num_returns=num_buckets)
@@ -757,22 +773,9 @@ def anti_join_shuffled(
         out = _split_buckets(counts, [left_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
-    @ray.remote(num_returns=num_buckets)
-    def map_right_path(path: str):
-        tbl = pq.read_table(path, columns=[right_col])
-        keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
-        out = _split_buckets(keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64())), [right_col], num_buckets)
-        return out if num_buckets > 1 else out[0]
-
-    @ray.remote(num_returns=num_buckets)
-    def map_right_table(tbl: pa.Table):
-        if tbl.num_rows == 0 or right_col not in tbl.column_names:
-            ktype = tbl.schema.field(right_col).type if right_col in tbl.column_names else pa.string()
-            e = pa.table({right_col: pa.array([], ktype), "cnt": pa.array([], pa.int64())})
-            return [e] * num_buckets if num_buckets > 1 else e
-        keys = pa.table({right_col: tbl.column(right_col).combine_chunks().unique()})
-        out = _split_buckets(keys.append_column("cnt", pa.array([1] * keys.num_rows, pa.int64())), [right_col], num_buckets)
-        return out if num_buckets > 1 else out[0]
+    # right-side maps shared with the early-overlap launcher — one copy of
+    # the unique+cnt+sentinel-guard logic to keep in sync (review r5)
+    map_right_path, map_right_table = _right_map_fns(right_col, num_buckets)
 
     @ray.remote
     def reduce_bucket(n_left: int, *tables: pa.Table) -> pa.Table:
@@ -831,7 +834,7 @@ def anti_join_shuffled(
         reduced.append(reduce_bucket.remote(len(lcombined), *lcombined, *rcombined))
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
-        return pa.table({left_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        return _typed_key_empty(left_paths, [left_col], [("cnt", pa.int64())])
     return pa.concat_tables(tables)
 
 
@@ -962,15 +965,19 @@ def distinct_count_by_group(
     global distinct-pair set anywhere."""
     import ray
 
+    if not paths:
+        return _typed_key_empty(paths, [group_col], [("cnt", pa.int64())])
     num_buckets = num_buckets or _default_buckets(len(paths))
     cols = [group_col, distinct_col]
 
     @ray.remote(num_returns=num_buckets)
     def map_shard(path: str):
         tbl = pq.read_table(path, columns=cols)
-        # SQL semantics: COUNT(DISTINCT x) skips null x, but a NULL group
-        # is still its own group — drop only null values, keep null groups
-        tbl = tbl.filter(pc.is_valid(tbl.column(distinct_col)))
+        # SQL semantics: COUNT(DISTINCT x) skips null x but GROUP BY still
+        # returns every group — KEEP null-value pairs through the shuffle
+        # (a group whose values are all null is one (g, null) pair) and
+        # count only valid values in the reduce, so such groups emit
+        # (g, 0) exactly like the SQL instead of vanishing
         pairs = tbl.group_by(cols).aggregate([]).select(cols)
         out = _split_buckets(pairs, cols, num_buckets)
         return out if num_buckets > 1 else out[0]
@@ -988,7 +995,9 @@ def distinct_count_by_group(
         if merged.num_rows == 0:
             return pa.table({group_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
         pairs = merged.group_by(cols).aggregate([])
-        counts = pairs.group_by([group_col]).aggregate([([], "count_all")])
+        # (distinct_col, "count") counts only valid values: all-null groups
+        # survive with cnt 0
+        counts = pairs.group_by([group_col]).aggregate([(distinct_col, "count")])
         return counts.rename_columns([group_col, "cnt"])
 
     refs = [map_shard.remote(p) for p in sorted(paths)]
@@ -1000,7 +1009,7 @@ def distinct_count_by_group(
     ]
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
-        return pa.table({group_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        return _typed_key_empty(paths, [group_col], [("cnt", pa.int64())])
     merged = pa.concat_tables(tables)
     out = merged.group_by([group_col]).aggregate([("cnt", "sum")])
     return out.rename_columns([group_col, "cnt"])
@@ -1028,6 +1037,8 @@ def mode_by_group(
     (stats.grouped_topk_table), not mode."""
     import ray
 
+    if not paths:
+        return _typed_key_empty(paths, [group_col, value_col], [("cnt", pa.int64())])
     num_buckets = num_buckets or _default_buckets(len(paths))
     cols = [group_col, value_col]
 
@@ -1060,9 +1071,15 @@ def mode_by_group(
         g = s.column(group_col).combine_chunks()
         import numpy as np
 
-        first = np.flatnonzero(
-            np.r_[True, ~np.asarray(pc.equal(g.slice(1), g.slice(0, len(g) - 1)).fill_null(False))]
+        # group-change detection must treat null == null as the SAME group
+        # (pc.equal(null, null) is null → fill_null(False) would mark every
+        # null-group row as a new group and emit one row per distinct value
+        # for the null group, where SQL's PARTITION BY returns one winner)
+        a, b = g.slice(1), g.slice(0, len(g) - 1)
+        same = pc.or_(
+            pc.fill_null(pc.equal(a, b), False), pc.and_(pc.is_null(a), pc.is_null(b))
         )
+        first = np.flatnonzero(np.r_[True, ~np.asarray(same)])
         return s.take(pa.array(first, pa.int64()))
 
     bucket_parts: list[list] = [[] for _ in range(num_buckets)]
@@ -1079,8 +1096,5 @@ def mode_by_group(
     ]
     tables = [t for t in ray.get(reduced) if t.num_rows]
     if not tables:
-        return pa.table(
-            {group_col: pa.array([], pa.string()), value_col: pa.array([], pa.string()),
-             "cnt": pa.array([], pa.int64())}
-        )
+        return _typed_key_empty(paths, [group_col, value_col], [("cnt", pa.int64())])
     return pa.concat_tables(tables)

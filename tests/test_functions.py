@@ -996,6 +996,48 @@ def test_ivf_append_ingest(ray_session, tmp_path):
         ivf_append_index(str(tmp_path / "nope"), new, "x")
 
 
+def test_minhash_signature_empty_text():
+    """signature() mirrors the batch path on shingle-less texts: None, not
+    a zero-size-reduction ValueError."""
+    from schemasaurus_ray.functions.dedup import MinHashStage
+
+    st = MinHashStage()
+    assert st.signature("") is None
+    assert st.signature("   ") is None
+    assert st.signature("three plain words").shape == (st.num_perm,)
+
+
+def test_verify_pairs_shuffled_empty_paths(ray_session):
+    """Zero corpus shards ⇒ every pair endpoint is absent ⇒ all pairs
+    skipped (documented semantics), not an ArrowInvalid crash."""
+    from schemasaurus_ray.functions.dedup import verify_pairs_shuffled
+
+    pairs = pa.table(
+        {"id_a": pa.array([1, 2], pa.int64()), "id_b": pa.array([3, 4], pa.int64())}
+    )
+    out = verify_pairs_shuffled([], pairs)
+    assert out.num_rows == 0 and out.column_names == ["id_a", "id_b", "jaccard", "jacc_bp"]
+
+
+def test_connected_component_convergence_guard(ray_session):
+    """A chain whose diameter exceeds max_iters must raise loudly instead
+    of silently returning non-converged labels; with enough rounds the
+    same chain converges to the single min root."""
+    from schemasaurus_ray.functions.dedup import connected_component_min_sharded
+
+    n = 12  # path graph 0-1-2-...-11: diameter 11
+    pairs = pa.table(
+        {
+            "id_a": pa.array(list(range(n - 1)), pa.int64()),
+            "id_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="max_iters"):
+        connected_component_min_sharded(pairs, num_shards=2, max_iters=3)
+    labels = connected_component_min_sharded(pairs, num_shards=2, max_iters=64)
+    assert set(labels.column("root").to_pylist()) == {0}
+
+
 def test_lsh_bucket_pairs_empty_input(ray_session):
     """Empty dataset → empty pairs table, not a concat crash (ADVICE r2)."""
     import ray.data as rd

@@ -536,3 +536,75 @@ def test_default_buckets_cluster_shape(ray_session, monkeypatch):
 
     monkeypatch.setenv("GRAFT_SHUFFLE_BUCKETS", "5")
     assert sh._default_buckets(4096) == 5
+
+
+def test_mode_by_group_null_group_single_winner(ray_session, tmp_path):
+    """A NULL group is ONE group (SQL PARTITION BY semantics): its mode is
+    a single winner row, not one row per distinct value (pc.equal(null,
+    null) is null — the group-change detection must not split it)."""
+    from schemasaurus_ray.stages.shuffle import mode_by_group
+
+    tbl = pa.table(
+        {
+            "g": pa.array([None, None, None, "a", "a"], pa.string()),
+            "v": pa.array(["y", "y", "x", "p", "q"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "m.parquet")
+    pq.write_table(tbl, p)
+    out = mode_by_group([p], "g", "v", num_buckets=1)
+    rows = {g: (v, c) for g, v, c in zip(
+        out.column("g").to_pylist(), out.column("v").to_pylist(), out.column("cnt").to_pylist()
+    )}
+    assert rows[None] == ("y", 2)  # one winner for the null group
+    assert rows["a"] == ("p", 1)  # tie -> lexicographically smallest
+    assert out.num_rows == 2
+
+
+def test_distinct_count_by_group_all_null_values(ray_session, tmp_path):
+    """COUNT(DISTINCT x) GROUP BY g returns (g, 0) for a group whose x is
+    all NULL — the group must survive the shuffle, not vanish."""
+    from schemasaurus_ray.stages.shuffle import distinct_count_by_group
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["only_nulls", "only_nulls", "mixed", "mixed", None], pa.string()),
+            "x": pa.array([None, None, "u1", None, "u2"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "d.parquet")
+    pq.write_table(tbl, p)
+    out = distinct_count_by_group([p], "g", "x", num_buckets=2)
+    rows = dict(zip(out.column("g").to_pylist(), out.column("cnt").to_pylist()))
+    assert rows == {"only_nulls": 0, "mixed": 1, None: 1}
+
+
+def test_shuffles_zero_input_paths(ray_session):
+    """Every path-driven shuffle must return an empty result on ZERO input
+    shards (the all-quarantined resume case) instead of raising
+    ArrowInvalid from a zero-table concat inside a remote task."""
+    from schemasaurus_ray.stages.shuffle import (
+        distinct_count_by_group,
+        heavy_hitters_shuffled,
+        key_count_histogram_shuffled,
+        mode_by_group,
+    )
+
+    assert count_keys_shuffled([], ["k"]).num_rows == 0
+    assert anti_join_shuffled([], "k", [], "r").num_rows == 0
+    assert heavy_hitters_shuffled([], ["k"], 10, 1).num_rows == 0
+    assert key_count_histogram_shuffled([], ["k"]).num_rows == 0
+    assert distinct_count_by_group([], "g", "x").num_rows == 0
+    assert mode_by_group([], "g", "v").num_rows == 0
+
+
+def test_count_keys_zero_result_keeps_key_type(ray_session, tmp_path):
+    """No-violation results must keep the key column's real type — a
+    string-typed fallback flipped the schema with data content."""
+    tbl = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, p)
+    out = count_keys_shuffled([p], ["k"], min_count=2)
+    assert out.num_rows == 0 and out.schema.field("k").type == pa.int64()
+    aj = anti_join_shuffled([p], "k", [p], "k")
+    assert aj.num_rows == 0 and aj.schema.field("k").type == pa.int64()
