@@ -107,8 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r4 session-3: persisted LSH band-bucket index, probe-only ingest
         "neardup_incremental_documents": q.neardup_incremental_documents,
         "embedding_neardup": q.embedding_neardup,  # vectorized verify lookup (r4)
-        "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
+        # NEW r5: SemDeDup-style cluster-then-prune semantic dedup (raw
+        # cluster-keyed bucket shuffle; exemplar centroids so the DuckDB
+        # NOT-EXISTS oracle reproduces the assignment exactly)
+        "semdedup_embeddings": q.semdedup_embeddings,
         # -- oracle-backed, already driver-certified green in r03/r04 --
+        # histogram_events_type yields its prefix slot to the r05 newcomer
+        # (r01-r04 rows all green, count-shuffle machinery unmodified)
+        "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         # text analysis / curation siblings displaced from the prefix for
         # the six r05 first-timers (r04 rows green, code unmodified)
         "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
@@ -1395,6 +1401,36 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
             ) <= 10
+        """,
+        # DOUBLE casts: the engine assigns clusters in float64 (numpy), so
+        # the oracle's argmax must also run in double — float32
+        # list_cosine_similarity could flip a near-tied centroid choice
+        "semdedup_embeddings": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+            ),
+            cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                  FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            asg AS (
+                SELECT a.vec_id, CAST(a.embedding AS DOUBLE[]) AS emb,
+                       (SELECT c.cid FROM cent c
+                         ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), c.cemb) DESC,
+                                  c.cid
+                         LIMIT 1) AS cluster_id
+                  FROM aug a
+            )
+            SELECT a.vec_id, a.cluster_id
+              FROM asg a
+             WHERE NOT EXISTS (
+                SELECT 1 FROM asg b
+                 WHERE b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+                   AND list_cosine_similarity(a.emb, b.emb) >= 0.95
+             )
+             ORDER BY vec_id
         """,
         # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
         # validate_audio_clips, audio_features, audio_quality_clips:

@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     # builds/reuses the snapshot index; min-of-3 reports the warm probe)
     "neardup_incremental_documents",
     "decontaminate_passages_documents",
+    # round 5: SemDeDup cluster-then-prune semantic dedup (exemplar
+    # centroids; cluster-keyed raw bucket shuffle over embedding payloads)
+    "semdedup_embeddings",
 ]
 
 

@@ -2654,6 +2654,175 @@ def embedding_near_dups(
     return result.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+# -------------------------------------------------------- semantic dedup
+class ClusterBudgetExceededError(ValueError):
+    """A semantic-dedup cluster holds more rows than the caller's stated
+    budget, so the within-cluster pairwise-cosine prune would be quadratic
+    past the bound (the loud-guard pattern of PairBudgetExceededError /
+    stages/stats.DomainTooLargeError). Remediation: raise ``n_clusters``
+    (more, smaller clusters) or ``max_cluster_rows`` if the quadratic cost
+    is actually acceptable. Raised BEFORE the G×G work, not after OOM."""
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    centroid_ids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_buckets: int | None = None,
+    max_cluster_rows: int = 65536,
+    chunk_bytes: int = 32 << 20,
+    output: str = "table",
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, SemDeDup:
+    cluster the embedding space, then prune within-cluster cosine
+    near-duplicates): assign every vector to its max-cosine centroid, and
+    within each cluster DROP row ``i`` when ANY lower-id row ``j`` of the
+    same cluster has ``cos(i, j) >= threshold`` (``j`` need not itself
+    survive — the exact NOT-EXISTS semantics, so the result is
+    SQL-checkable). Returns survivors ``(id_col, cluster_id)``.
+
+    ``centroids`` is any (K, d) matrix — k-means output
+    (:func:`~schemasaurus_ray.functions.similarity.train_centroids`) for
+    real curation, or deterministic exemplar rows when an oracle must
+    reproduce the assignment. ``centroid_ids`` labels the output
+    ``cluster_id`` values (defaults to 0..K-1); ties on assignment break
+    to the FIRST (lowest-index) centroid, matching
+    ``ORDER BY cos DESC, cid LIMIT 1``.
+
+    Scale shape: assignment is one broadcast (K×d) matmul per batch inside
+    ``map_batches``; only then do blocks ride a raw bucket shuffle keyed by
+    ``cluster_id`` (the payload is the d·4-byte EMBEDDING rows — the one
+    all-to-all SemDeDup inherently needs — never the documents themselves).
+    Each reduce bucket owns whole clusters and computes the lower-triangle
+    cosine prune in ``chunk_bytes``-bounded matmul chunks (the
+    pcm_segment_stats cold-footprint rule); a cluster past
+    ``max_cluster_rows`` raises :class:`ClusterBudgetExceededError` loudly.
+    ``output="refs"`` returns per-bucket ObjectRefs of the survivor tables
+    (feed ``ray.data.from_arrow_refs``) so a corpus-sized survivor set
+    never lands on the driver."""
+    import ray
+
+    from ..stages.shuffle import _default_buckets, _split_buckets, _tree_combine
+    from .similarity import _as_matrix, _unit
+
+    cent = _unit(np.asarray(centroids, dtype=np.float64))
+    cids = (
+        np.arange(len(cent), dtype=np.int64)
+        if centroid_ids is None
+        else np.asarray(centroid_ids, dtype=np.int64)
+    )
+    if len(cids) != len(cent):
+        raise ValueError(f"centroid_ids has {len(cids)} labels for {len(cent)} centroids")
+    cent_ref = ray.put((cent, cids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # keep the INPUT's id/vec types (a float32-list fallback would
+            # flip the schema against float64-embedding blocks in concat)
+            have = set(batch.column_names)
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    id_col: batch.column(id_col)
+                    if id_col in have
+                    else pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col)
+                    if vec_col in have
+                    else pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        c, labels = ray.get(cent_ref)
+        mat = _unit(_as_matrix(batch.column(vec_col)))
+        nearest = (mat @ c.T).argmax(axis=1)  # ties -> lowest index
+        return pa.table(
+            {
+                "cluster_id": pa.array(labels[nearest], pa.int64()),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(assign, batch_format="pyarrow")
+    refs = arrow_block_refs(assigned)
+    num_buckets = num_buckets or _default_buckets(max(len(refs), 1))
+    empty = pa.table({id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+
+    @ray.remote(num_returns=num_buckets)
+    def split_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "cluster_id" not in tbl.column_names:
+            # a fully-empty Dataset never invokes assign(), so the raw
+            # reader block (original schema) can reach the split — emit
+            # zero-row placeholders (reduce drops zero-row tables unseen)
+            return [empty] * num_buckets if num_buckets > 1 else empty
+        out = _split_buckets(tbl, ["cluster_id"], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine_bucket(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        return pa.concat_tables(live) if live else tables[0]
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return empty
+        tbl = pa.concat_tables(live).sort_by(
+            [("cluster_id", "ascending"), (id_col, "ascending")]
+        )
+        clusters = np.asarray(tbl.column("cluster_id").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(tbl.column(id_col).combine_chunks(), dtype=np.int64)
+        mat = _unit(_as_matrix(tbl.column(vec_col)))
+        starts = np.flatnonzero(np.r_[True, clusters[1:] != clusters[:-1]])
+        bounds = np.r_[starts, len(clusters)]
+        keep = np.ones(len(clusters), dtype=bool)
+        for gi in range(len(starts)):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            g = e - s
+            if g > max_cluster_rows:
+                raise ClusterBudgetExceededError(
+                    f"cluster {int(clusters[s])} has {g} rows > max_cluster_rows="
+                    f"{max_cluster_rows}; raise n_clusters (smaller clusters) or "
+                    f"max_cluster_rows if O(G^2) cosine work is acceptable"
+                )
+            if g < 2:
+                continue
+            u = mat[s:e]
+            # chunked lower-triangle prune: rows [r0, r1) only ever compare
+            # against earlier rows [0, r1), so peak temp = chunk × r1 floats
+            rows_per_chunk = max(1, int(chunk_bytes // 8) // g)
+            for r0 in range(1, g, rows_per_chunk):
+                r1 = min(r0 + rows_per_chunk, g)
+                sims = u[r0:r1] @ u[:r1].T  # (r1-r0, r1)
+                earlier = np.arange(r1)[None, :] < np.arange(r0, r1)[:, None]
+                keep[s + r0 : s + r1] &= ~((sims >= threshold) & earlier).any(axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "cluster_id": pa.array(clusters[keep], pa.int64()),
+            }
+        )
+
+    if not refs:
+        return [ray.put(empty)] if output == "refs" else empty
+    split = [split_block.remote(r) for r in refs]
+    if num_buckets == 1:
+        split = [[r] for r in split]
+    reduced = [
+        reduce_bucket.remote(*_tree_combine([split[m][b] for m in range(len(split))], combine_bucket))
+        for b in range(num_buckets)
+    ]
+    if output == "refs":
+        return reduced
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by([(id_col, "ascending")])
+
+
 # -------------------------------------------------------- incremental dedup
 def incremental_dedup_shuffled(
     incoming: "ray.data.Dataset",

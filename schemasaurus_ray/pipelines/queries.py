@@ -1147,6 +1147,22 @@ def simhash_neardup_documents(sf_dir: str) -> pa.Table:
     return simhash_near_dups(ds)
 
 
+def _with_planted_vec_copies(batch: pa.Table) -> pa.Table:
+    """Originals + planted duplicate vectors (vec_id+100000 copies of
+    vec_id<50) in ONE output table — a Dataset.union here emitted
+    schema-divergent sentinel blocks and a second operator for what is a
+    per-batch append. Shared by the embedding near-dup / semantic-dedup
+    queries so their oracles see the identical augmented relation."""
+    sub = batch.filter(pc.less(batch.column("vec_id"), 50))
+    extra = pa.table(
+        {
+            "vec_id": pc.add(sub.column("vec_id"), 100000),
+            "embedding": sub.column("embedding"),
+        }
+    )
+    return pa.concat_tables([batch.select(["vec_id", "embedding"]), extra]).combine_chunks()
+
+
 def embedding_neardup(sf_dir: str) -> pa.Table:
     """Cosine near-dup over the embeddings table AUGMENTED with planted
     duplicates (vec_id+100000 copies of vec_id<50) so the positive path is
@@ -1157,25 +1173,39 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
     from ..functions.dedup import embedding_near_dups
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def with_planted(batch: pa.Table) -> pa.Table:
-        # originals + planted copies in ONE output table (a Dataset.union
-        # here emitted schema-divergent sentinel blocks and a second
-        # operator for what is a per-batch append)
-        sub = batch.filter(pc.less(batch.column("vec_id"), 50))
-        extra = pa.table(
-            {
-                "vec_id": pc.add(sub.column("vec_id"), 100000),
-                "embedding": sub.column("embedding"),
-            }
-        )
-        return pa.concat_tables(
-            [batch.select(["vec_id", "embedding"]), extra]
-        ).combine_chunks()
-
-    aug = ds.map_batches(with_planted, batch_format="pyarrow")
+    aug = ds.map_batches(_with_planted_vec_copies, batch_format="pyarrow")
     out = embedding_near_dups(aug, threshold=0.95, concurrency=2)
     return out.select(["id_a", "id_b"])
+
+
+def semdedup_embeddings(sf_dir: str) -> pa.Table:
+    """SemDeDup-style semantic dedup (cluster the embedding space, prune
+    within-cluster cosine near-dups — functions/dedup.semantic_dedup) over
+    the embeddings table with the SAME planted duplicates as
+    embedding_neardup. Centroids are deterministic exemplar rows
+    (vec_id % 97 == 0, id-sorted — the oracle-reproducible centroid rule;
+    k-means centroids are the real-curation path but not SQL-expressible),
+    so the DuckDB oracle reproduces the argmax-cosine assignment exactly:
+    each planted copy lands in its original's cluster with cosine 1.0 and
+    is dropped (copy id > original id), while the organic max pairwise
+    cosine (~0.51) keeps every original. Output (vec_id, cluster_id)."""
+    from ..functions.dedup import semantic_dedup
+    from ..functions.similarity import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick_exemplars(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    cent_tbl = _collect(ds.map_batches(pick_exemplars, batch_format="pyarrow")).sort_by(
+        "vec_id"
+    )
+    centroids = _as_matrix(cent_tbl.column("embedding"))
+    cent_ids = np.asarray(cent_tbl.column("vec_id").combine_chunks(), dtype=np.int64)
+
+    aug = ds.map_batches(_with_planted_vec_copies, batch_format="pyarrow")
+    return semantic_dedup(aug, centroids, cent_ids, threshold=0.95)
 
 
 # ---- text analysis ----------------------------------------------------------

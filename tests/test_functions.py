@@ -1349,6 +1349,102 @@ def test_embedding_near_dups(ray_session):
         assert (i, 50 + i) in found
 
 
+def _semdedup_reference(vecs: np.ndarray, cent: np.ndarray, cids: np.ndarray, t: float):
+    """O(n²) numpy reference for semantic_dedup's NOT-EXISTS semantics."""
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cu = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    assign = cids[(u @ cu.T).argmax(axis=1)]
+    keep = []
+    for i in range(len(u)):
+        sims = u[:i] @ u[i]
+        if not ((assign[:i] == assign[i]) & (sims >= t)).any():
+            keep.append((i, int(assign[i])))
+    return keep
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16))
+    vecs = list(base)
+    for i in range(8):  # planted near-dups of the first 8 rows
+        vecs.append(base[i] + 0.005 * rng.standard_normal(16))
+    mat = np.asarray(vecs)
+    cent = base[:5]  # exemplar centroids (rows 0..4)
+    cids = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    # float32 round-trip like the real column, then the float64 reference
+    mat32 = np.asarray(mat, dtype=np.float32).astype(np.float64)
+    expected = _semdedup_reference(mat32, cent.astype(np.float32).astype(np.float64), cids, 0.98)
+    # tiny chunk_bytes forces the chunked lower-triangle path
+    out = semantic_dedup(
+        rd.from_arrow(tbl), cent, cids, threshold=0.98, chunk_bytes=256
+    )
+    got = list(zip(out.column("vec_id").to_pylist(), out.column("cluster_id").to_pylist()))
+    assert got == expected
+    # every planted copy must have been dropped (cos≈1 to its original)
+    kept_ids = {i for i, _ in got}
+    assert kept_ids.isdisjoint(range(60, 68))
+
+
+def test_semantic_dedup_cluster_budget(ray_session):
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import ClusterBudgetExceededError, semantic_dedup
+
+    vecs = np.eye(4, 8) + 0.01  # all land in one centroid's cluster
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    cent = np.ones((1, 8))
+    with pytest.raises(ClusterBudgetExceededError, match="max_cluster_rows"):
+        semantic_dedup(rd.from_arrow(tbl), cent, threshold=0.99, max_cluster_rows=2)
+
+
+def test_semantic_dedup_empty_and_refs(ray_session):
+    import ray
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import semantic_dedup
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    out = semantic_dedup(rd.from_arrow(empty), np.ones((2, 8)))
+    assert out.num_rows == 0
+    assert out.column_names == ["vec_id", "cluster_id"]
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((20, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    cent = vecs[:3]
+    direct = semantic_dedup(rd.from_arrow(tbl), cent, threshold=0.99)
+    refs = semantic_dedup(rd.from_arrow(tbl), cent, threshold=0.99, output="refs")
+    via_refs = pa.concat_tables([t for t in ray.get(refs) if t.num_rows]).sort_by(
+        [("vec_id", "ascending")]
+    )
+    assert direct.equals(via_refs)
+
+
 def test_token_count_and_quality():
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
                   "text": pa.array(["hello world", "  a  b  c ", ""], pa.string())})
