@@ -46,8 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "enrich_events_customer": q.enrich_events_customer,
         "join_orders_customer": q.join_orders_customer,
-        # similarity search
-        "ann_topk_embeddings": q.ann_topk_embeddings,
+        # NEW r5: sliding-window chunking flat map (RAG/training prep);
+        # takes ann_topk_embeddings' prefix slot (r01/r02/r04 rows green,
+        # brute-force top-k machinery unmodified)
+        "chunk_documents": q.chunk_documents,
         # windows + drift over the events stream
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
@@ -112,9 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NOT-EXISTS oracle reproduces the assignment exactly)
         "semdedup_embeddings": q.semdedup_embeddings,
         # -- oracle-backed, already driver-certified green in r03/r04 --
-        # histogram_events_type yields its prefix slot to the r05 newcomer
-        # (r01-r04 rows all green, count-shuffle machinery unmodified)
+        # histogram_events_type / ann_topk_embeddings yield their prefix
+        # slots to the r05 newcomers (prior rows all green, machinery
+        # unmodified)
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
+        "ann_topk_embeddings": q.ann_topk_embeddings,
         # text analysis / curation siblings displaced from the prefix for
         # the six r05 first-timers (r04 rows green, code unmodified)
         "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
@@ -1054,6 +1058,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents d
              WHERE NOT EXISTS (SELECT 1 FROM reach WHERE src = d.doc_id AND dst < d.doc_id)
              ORDER BY doc_id
+        """,
+        # integer // arithmetic (not CEIL floats) so the chunk count is
+        # bit-exact; substring past the end yields '' on both sides.
+        # unnest(range(...)) instead of LATERAL generate_series — the
+        # table-function form rejects lateral column parameters in duckdb
+        "chunk_documents": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       unnest(range(0,
+                           CASE WHEN length(text) <= 200 THEN 1
+                                ELSE (length(text) - 200 + 149) // 150 + 1
+                           END)) AS chunk_idx
+                  FROM documents
+            )
+            SELECT doc_id, chunk_idx,
+                   substring(text, CAST(1 + chunk_idx * 150 AS BIGINT), 200) AS chunk
+              FROM c
+             ORDER BY doc_id, chunk_idx
         """,
         "token_count_documents": """
             SELECT doc_id,

@@ -33,6 +33,86 @@ def token_count(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def chunk_texts(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    stride: int = 150,
+) -> pa.Table:
+    """Fixed-size sliding-window chunking with overlap — the RAG /
+    context-window training-prep flat-map: each doc becomes rows
+    ``(id, chunk_idx, chunk)`` where chunk ``i`` covers characters
+    ``[i*stride, i*stride + chunk_chars)``; the last chunk may be shorter,
+    a doc of ≤ chunk_chars chars yields exactly ONE chunk (an empty doc
+    one empty chunk), and an off-the-end start yields an empty chunk — so
+    ``substring(text, 1 + i*stride, chunk_chars)`` over
+    ``generate_series`` reproduces it exactly.
+
+    BATCH-VECTORIZED on the column's flat byte buffer (the
+    winnow_fingerprints idiom): per-chunk byte ranges are gathered with
+    one CSR repeat/arange index build — no per-doc Python. Chunk
+    boundaries are CHARACTER positions, so the kernel is ASCII-only by
+    contract (bytes == chars); a non-ASCII batch raises loudly rather
+    than silently splitting a multi-byte codepoint (a tokenizer-aware
+    splitter at scale chunks token ids post-tokenization anyway)."""
+    from ..util import single_chunk
+
+    if chunk_chars <= 0 or stride <= 0:
+        raise ValueError(f"chunk_chars={chunk_chars} and stride={stride} must be positive")
+    col = single_chunk(batch.column(text_col))
+    n = len(col)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+        }
+    )
+    if n == 0:
+        return empty
+    n_bytes = pc.fill_null(pc.binary_length(col), 0)
+    n_chars = pc.fill_null(pc.utf8_length(col), 0)
+    if not pc.all(pc.equal(n_bytes, n_chars)).as_py():
+        raise ValueError(
+            "chunk_texts slices byte offsets as character offsets (ASCII-only "
+            "contract); this batch contains multi-byte UTF-8 codepoints"
+        )
+    bin_col = col.cast(pa.large_binary()).fill_null(b"")
+    buf = np.frombuffer(bin_col.buffers()[2] or b"", dtype=np.uint8)
+    offsets = np.frombuffer(bin_col.buffers()[1], dtype=np.int64)[
+        bin_col.offset : bin_col.offset + n + 1
+    ]
+    starts, lengths = offsets[:-1], np.diff(offsets)
+    ids_np = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+    n_chunks = np.where(
+        lengths <= chunk_chars, 1, (lengths - chunk_chars + stride - 1) // stride + 1
+    ).astype(np.int64)
+    total = int(n_chunks.sum())
+    doc_of = np.repeat(np.arange(n), n_chunks)
+    first = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    cidx = np.arange(total) - first
+    cstart = cidx * stride
+    clen = np.clip(lengths[doc_of] - cstart, 0, chunk_chars)
+    out_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(clen, out=out_off[1:])
+    gather = np.repeat(starts[doc_of] + cstart, clen) + (
+        np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], clen)
+    )
+    chunks = pa.Array.from_buffers(
+        pa.large_string(),
+        total,
+        [None, pa.py_buffer(out_off), pa.py_buffer(np.ascontiguousarray(buf[gather]))],
+    ).cast(pa.string())
+    return pa.table(
+        {
+            id_col: pa.array(ids_np[doc_of], pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "chunk": chunks,
+        }
+    )
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(id, n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
     mean_token_len, quality): cheap length/character-class heuristics

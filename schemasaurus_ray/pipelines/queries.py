@@ -1209,6 +1209,24 @@ def semdedup_embeddings(sf_dir: str) -> pa.Table:
 
 
 # ---- text analysis ----------------------------------------------------------
+def chunk_documents(sf_dir: str) -> pa.Table:
+    """Sliding-window chunking with overlap (functions/text.chunk_texts):
+    every document flat-mapped to 200-char chunks at stride 150 (50-char
+    overlap) — the RAG / context-window training-prep shape. Pure
+    batch-local flat map (zero shuffles); output
+    (doc_id, chunk_idx, chunk) matches the DuckDB
+    generate_series × substring oracle bit-for-bit."""
+    from ..functions.text import chunk_texts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _collect(
+        ds.map_batches(
+            lambda b: chunk_texts(b, chunk_chars=200, stride=150), batch_format="pyarrow"
+        )
+    )
+    return out.sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+
 def token_count_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _collect(ds.map_batches(token_count, batch_format="pyarrow")).sort_by("doc_id")

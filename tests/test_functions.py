@@ -1445,6 +1445,50 @@ def test_semantic_dedup_empty_and_refs(ray_session):
     assert direct.equals(via_refs)
 
 
+def test_chunk_texts_parity_and_edges():
+    from schemasaurus_ray.functions.text import chunk_texts
+
+    texts = ["", "short", "a" * 200, "b" * 201, "c" * 577, "x" * 44]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def ref(texts, C, S, ids):
+        out = []
+        for i, s in zip(ids, texts):
+            nch = 1 if len(s) <= C else (len(s) - C + S - 1) // S + 1
+            out.extend((i, j, s[j * S : j * S + C]) for j in range(nch))
+        return out
+
+    for C, S in ((200, 150), (10, 3), (10, 200)):  # overlap / dense / gap stride
+        got = chunk_texts(t, chunk_chars=C, stride=S)
+        rows = list(
+            zip(
+                got.column("doc_id").to_pylist(),
+                got.column("chunk_idx").to_pylist(),
+                got.column("chunk").to_pylist(),
+            )
+        )
+        assert rows == ref(texts, C, S, range(len(texts))), (C, S)
+
+    # sliced column (non-zero array offset) must gather the right bytes
+    sl = chunk_texts(t.slice(2, 3), chunk_chars=200, stride=150)
+    assert sl.column("doc_id").to_pylist()[0] == 2
+    assert sl.column("chunk").to_pylist()[0] == "a" * 200
+
+    with pytest.raises(ValueError, match="ASCII"):
+        chunk_texts(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["héllo"])})
+        )
+    with pytest.raises(ValueError, match="positive"):
+        chunk_texts(t, chunk_chars=0)
+    out0 = chunk_texts(t.slice(0, 0))
+    assert out0.num_rows == 0 and out0.column_names == ["doc_id", "chunk_idx", "chunk"]
+
+
 def test_token_count_and_quality():
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
                   "text": pa.array(["hello world", "  a  b  c ", ""], pa.string())})
