@@ -81,9 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort/top-k + sampling
         "top_docs_by_length": q.top_docs_by_length,
         "top_docs_per_lang": q.top_docs_per_lang,
-        "sample_documents": q.sample_documents,
-        # (weighted_sample_documents displaced below: md5-threshold twin of
-        # in-prefix sample_documents, keeps pytest parity)
+        # (sample_documents + weighted_sample_documents displaced below:
+        # md5-threshold pair, r01/r02/r04 rows green, code unmodified —
+        # sample_documents yields its slot to cluster_prototypes_embeddings)
         "epoch_order_documents": q.epoch_order_documents,
         "sample_k_documents": q.sample_k_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
@@ -113,12 +113,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster-keyed bucket shuffle; exemplar centroids so the DuckDB
         # NOT-EXISTS oracle reproduces the assignment exactly)
         "semdedup_embeddings": q.semdedup_embeddings,
+        # NEW r5: per-cluster prototype selection (coreset sampling — the
+        # curation dual of semdedup, same exemplar-centroid assignment)
+        "cluster_prototypes_embeddings": q.cluster_prototypes_embeddings,
         # -- oracle-backed, already driver-certified green in r03/r04 --
         # histogram_events_type / ann_topk_embeddings yield their prefix
         # slots to the r05 newcomers (prior rows all green, machinery
         # unmodified)
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         "ann_topk_embeddings": q.ann_topk_embeddings,
+        "sample_documents": q.sample_documents,
         # text analysis / curation siblings displaced from the prefix for
         # the six r05 first-timers (r04 rows green, code unmodified)
         "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
@@ -1453,6 +1457,29 @@ def oracle_sql() -> dict[str, str]:
                    AND list_cosine_similarity(a.emb, b.emb) >= 0.95
              )
              ORDER BY vec_id
+        """,
+        "cluster_prototypes_embeddings": """
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                  FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            asg AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+                       (SELECT c.cid FROM cent c
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+                                  c.cid
+                         LIMIT 1) AS cluster_id
+                  FROM embeddings e
+            )
+            SELECT a.cluster_id, a.vec_id,
+                   CAST(row_number() OVER w - 1 AS BIGINT) AS prototype_rank
+              FROM asg a JOIN cent c ON c.cid = a.cluster_id
+            WINDOW w AS (
+                PARTITION BY a.cluster_id
+                ORDER BY list_cosine_similarity(a.emb, c.cemb) DESC, a.vec_id
+            )
+            QUALIFY row_number() OVER w <= 3
+             ORDER BY cluster_id, prototype_rank
         """,
         # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
         # validate_audio_clips, audio_features, audio_quality_clips:

@@ -151,6 +151,112 @@ def brute_force_topk(
     return _reduce_topk(_collect_candidates(candidates), query_ids, k, id_col)
 
 
+def _grouped_topk_mask(
+    groups: np.ndarray, sims: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted order, rank<k mask) for per-group top-k by descending sim,
+    ties to the smaller id — the one vectorized lexsort+rank kernel shared
+    by the map-side partial and the driver reduce (no Python heaps)."""
+    order = np.lexsort((ids, -sims, groups))
+    gs = groups[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    group_start = np.repeat(starts, np.diff(np.r_[starts, len(gs)]))
+    rank = np.arange(len(gs)) - group_start
+    return order, rank < k
+
+
+def cluster_prototypes(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    centroid_ids: np.ndarray | None = None,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Per-cluster prototype selection (coreset / representative sampling —
+    the curation dual of semantic dedup): assign every vector to its
+    max-cosine centroid (ties to the first centroid), then keep each
+    cluster's ``k`` vectors MOST similar to that centroid, ranked. Returns
+    ``(cluster_id, vec_id, prototype_rank)`` ordered by (cluster, rank);
+    sim ties rank the smaller vec_id first, so the output is deterministic
+    and SQL-checkable (row_number over cos DESC, vec_id).
+
+    Scale shape: one broadcast (K×d) matmul per batch assigns AND scores
+    (the row's sim to its own centroid is the argmax value — free), each
+    batch keeps only its local top-k per cluster via one vectorized
+    lexsort+rank, and the driver reduces the tiny (batches × K × k)
+    candidate set with the same kernel. Per-batch-local top-k ∪ reduce ≡
+    global top-k, exactly as brute_force_topk."""
+    import ray
+
+    cent = _unit(np.asarray(centroids, dtype=np.float64))
+    cids = (
+        np.arange(len(cent), dtype=np.int64)
+        if centroid_ids is None
+        else np.asarray(centroid_ids, dtype=np.int64)
+    )
+    cent_ref = ray.put((cent, cids))
+    empty = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "vid": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        c, labels = ray.get(cent_ref)
+        mat = _unit(_as_matrix(batch.column(vec_col)))
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        sims_all = mat @ c.T
+        nearest = sims_all.argmax(axis=1)
+        sim = sims_all[np.arange(len(mat)), nearest]
+        cluster = labels[nearest]
+        order, keep = _grouped_topk_mask(cluster, sim, ids, k)
+        sel = order[keep]
+        return pa.table(
+            {
+                "cluster_id": pa.array(cluster[sel], pa.int64()),
+                "vid": pa.array(ids[sel], pa.int64()),
+                "score": pa.array(sim[sel], pa.float64()),
+            }
+        )
+
+    batches = list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cand = pa.concat_tables(batches) if batches else empty
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "prototype_rank": pa.array([], pa.int64()),
+            }
+        )
+    groups = np.asarray(cand.column("cluster_id").combine_chunks(), dtype=np.int64)
+    vids = np.asarray(cand.column("vid").combine_chunks(), dtype=np.int64)
+    scores = np.asarray(cand.column("score").combine_chunks(), dtype=np.float64)
+    order, keep = _grouped_topk_mask(groups, scores, vids, k)
+    sel = order[keep]
+    # rank within cluster = position among the kept, already cluster-sorted
+    gs = groups[sel]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    group_start = np.repeat(starts, np.diff(np.r_[starts, len(gs)]))
+    rank = np.arange(len(gs)) - group_start
+    return pa.table(
+        {
+            "cluster_id": pa.array(gs, pa.int64()),
+            "vec_id": pa.array(vids[sel], pa.int64()),
+            "prototype_rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     n = len(sample)

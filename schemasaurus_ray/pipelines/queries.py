@@ -1208,6 +1208,29 @@ def semdedup_embeddings(sf_dir: str) -> pa.Table:
     return semantic_dedup(aug, centroids, cent_ids, threshold=0.95)
 
 
+def cluster_prototypes_embeddings(sf_dir: str) -> pa.Table:
+    """Per-cluster prototype selection (functions/similarity.
+    cluster_prototypes — the curation dual of semdedup_embeddings, same
+    deterministic exemplar centroids): each cluster's 3 vectors nearest
+    its centroid, ranked. Per-batch local top-k partials reduce to the
+    exact global answer; matches the DuckDB row_number-over-cosine oracle
+    bit-for-bit."""
+    from ..functions.similarity import _as_matrix, cluster_prototypes
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick_exemplars(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").combine_chunks(), dtype=np.int64)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    cent_tbl = _collect(ds.map_batches(pick_exemplars, batch_format="pyarrow")).sort_by(
+        "vec_id"
+    )
+    centroids = _as_matrix(cent_tbl.column("embedding"))
+    cent_ids = np.asarray(cent_tbl.column("vec_id").combine_chunks(), dtype=np.int64)
+    return cluster_prototypes(ds, centroids, cent_ids, k=3)
+
+
 # ---- text analysis ----------------------------------------------------------
 def chunk_documents(sf_dir: str) -> pa.Table:
     """Sliding-window chunking with overlap (functions/text.chunk_texts):

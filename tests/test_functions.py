@@ -1445,6 +1445,59 @@ def test_semantic_dedup_empty_and_refs(ray_session):
     assert direct.equals(via_refs)
 
 
+def test_cluster_prototypes_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.similarity import cluster_prototypes
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 12))
+    cent = vecs[:4]
+    cids = np.array([100, 200, 300, 400], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(80), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    # many small blocks so the per-batch local-topk partial path is real
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = cluster_prototypes(ds, cent, cids, k=3)
+
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    u = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    cu = cent.astype(np.float32).astype(np.float64)
+    cu = cu / np.linalg.norm(cu, axis=1, keepdims=True)
+    sims = u @ cu.T
+    nearest = sims.argmax(axis=1)
+    expected = []
+    for ci, cid in enumerate(cids):
+        members = np.flatnonzero(nearest == ci)
+        ranked = sorted(members, key=lambda i: (-sims[i, ci], i))[:3]
+        expected.extend((int(cid), int(i), r) for r, i in enumerate(ranked))
+    got = list(
+        zip(
+            out.column("cluster_id").to_pylist(),
+            out.column("vec_id").to_pylist(),
+            out.column("prototype_rank").to_pylist(),
+        )
+    )
+    assert got == expected
+    # exemplar centroids rank themselves first in their own cluster
+    for cid, exemplar in zip(cids, range(4)):
+        assert (int(cid), exemplar, 0) in got
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    out0 = cluster_prototypes(rd.from_arrow(empty), cent, cids, k=3)
+    assert out0.num_rows == 0
+    assert out0.column_names == ["cluster_id", "vec_id", "prototype_rank"]
+
+
 def test_chunk_texts_parity_and_edges():
     from schemasaurus_ray.functions.text import chunk_texts
 
