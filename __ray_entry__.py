@@ -33,7 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rows-only row. Displaced to make room: the six text-analysis siblings
     certified green in r04 and unmodified since (lm_bigram_oov, redact,
     split_assign, fingerprint, langid, vocab_topk — langid machinery stays
-    covered in-prefix by langid_confusion_documents)."""
+    covered in-prefix by langid_confusion_documents), plus windowed_events /
+    drift_psi_events (r04-certified, unmodified) for the two r05 session-2
+    newcomers (mixture_balance_documents, df_topk_terms_documents)."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -50,9 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # takes ann_topk_embeddings' prefix slot (r01/r02/r04 rows green,
         # brute-force top-k machinery unmodified)
         "chunk_documents": q.chunk_documents,
-        # windows + drift over the events stream
-        "windowed_events": q.windowed_events,
-        "drift_psi_events": q.drift_psi_events,
+        # NEW r5: exact per-group mixture balancing + per-lang df top-k;
+        # take the prefix slots of windowed_events / drift_psi_events
+        # (both r04-certified, machinery unmodified — moved past the prefix)
+        "mixture_balance_documents": q.mixture_balance_documents,
+        "df_topk_terms_documents": q.df_topk_terms_documents,
         # temporal keyed operators (as-of / range join / sessionization)
         "asof_events_purchase": q.asof_events_purchase,
         "activity_window_events": q.activity_window_events,
@@ -117,9 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation dual of semdedup, same exemplar-centroid assignment)
         "cluster_prototypes_embeddings": q.cluster_prototypes_embeddings,
         # -- oracle-backed, already driver-certified green in r03/r04 --
-        # histogram_events_type / ann_topk_embeddings yield their prefix
-        # slots to the r05 newcomers (prior rows all green, machinery
-        # unmodified)
+        # histogram_events_type / ann_topk_embeddings / windowed_events /
+        # drift_psi_events yield their prefix slots to the r05 newcomers
+        # (prior rows all green, machinery unmodified)
+        "windowed_events": q.windowed_events,
+        "drift_psi_events": q.drift_psi_events,
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "sample_documents": q.sample_documents,
@@ -1080,6 +1086,50 @@ def oracle_sql() -> dict[str, str]:
                    substring(text, CAST(1 + chunk_idx * 150 AS BIGINT), 200) AS chunk
               FROM c
              ORDER BY doc_id, chunk_idx
+        """,
+        # exact per-group k: ties on the 32-hex md5 are broken by doc_id on
+        # both sides (engine sorts (h, insertion order) with stable argsort
+        # over rows already in doc_id order per batch; candidates re-sorted
+        # identically on the driver) — md5 collisions never occur on these
+        # key domains, so the tiebreak is belt-and-braces only
+        "mixture_balance_documents": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('mb:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                  FROM documents
+            )
+            WHERE rn <= CASE lang WHEN 'en' THEN 40
+                                  WHEN 'zh' THEN 25
+                                  WHEN 'es' THEN 25
+                                  WHEN 'de' THEN 25
+                                  WHEN 'fr' THEN 25
+                                  ELSE 0 END
+            ORDER BY doc_id
+        """,
+        # df = #docs (of that lang) containing the token; DISTINCT per doc
+        # before counting on both sides; \\S+ tokens == ascii_split_whitespace
+        # (same pairing vocab_topk_documents certifies)
+        "df_topk_terms_documents": r"""
+            SELECT lang, token, df FROM (
+                SELECT lang, token, count(*) AS df,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY count(*) DESC, token
+                       ) AS rn
+                  FROM (
+                      SELECT DISTINCT doc_id, lang, token FROM (
+                          SELECT doc_id, lang,
+                                 unnest(regexp_extract_all(text, '\S+')) AS token
+                            FROM documents
+                      )
+                  )
+                 GROUP BY lang, token
+            )
+            WHERE rn <= 20
+            ORDER BY lang, df DESC, token
         """,
         "token_count_documents": """
             SELECT doc_id,

@@ -4163,6 +4163,141 @@ def sample_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(pick, batch_format="pyarrow")).sort_by("doc_id")
 
 
+# Target mixture for mixture_balance_documents: exact per-language doc counts
+# (the dataset-MIXING spec a training run pins — human-written, so the group
+# set is small by construction; groups smaller than their target keep all).
+MIXTURE_TARGETS = {"en": 40, "zh": 25, "es": 25, "de": 25, "fr": 25}
+
+
+def mixture_balance_documents(sf_dir: str) -> pa.Table:
+    """EXACT per-group k selection (mixture balancing for training mixes):
+    each language keeps its MIXTURE_TARGETS[lang] documents with the
+    smallest md5('mb:' + doc_id) — exact output sizes per group (unlike
+    the rate-based stratified_sample) and reproducible across block
+    layout / parallelism / resume (unlike any RNG sampler). Langs outside
+    the spec drop. No global or per-group sort: per-batch local BOTTOM-k
+    PER GROUP on the 32-hex hash, then one tiny driver re-select over
+    O(batches · groups · k) candidate rows — the sample_k_documents shape
+    partitioned by group. Oracle: row_number() OVER (PARTITION BY lang
+    ORDER BY md5(...)) <= k_lang."""
+    from ..util import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks()
+        langs = batch.column("lang").combine_chunks()
+        h = md5_hex(pc.binary_join_element_wise("mb:", ids.cast(pa.string()), ""))
+        hb = np.asarray(h.to_numpy(zero_copy_only=False), dtype="S32")
+        lang_np = np.asarray(langs.to_numpy(zero_copy_only=False), dtype=object)
+        order = np.argsort(hb, kind="stable")
+        keep: list[np.ndarray] = []
+        for g, k in MIXTURE_TARGETS.items():  # loop over GROUPS, never rows
+            members = order[lang_np[order] == g]
+            keep.append(members[:k])
+        take = pa.array(np.sort(np.concatenate(keep)), pa.int64())
+        return pa.table({"doc_id": ids.take(take), "lang": langs.take(take), "h": h.take(take)})
+
+    cand = _collect(ds.map_batches(local_bottomk, batch_format="pyarrow"))
+    hb = np.asarray(cand.column("h").to_numpy(zero_copy_only=False), dtype="S32")
+    lang_np = np.asarray(cand.column("lang").to_numpy(zero_copy_only=False), dtype=object)
+    order = np.argsort(hb, kind="stable")
+    keep = [order[lang_np[order] == g][:k] for g, k in MIXTURE_TARGETS.items()]
+    take = pa.array(np.concatenate(keep), pa.int64())
+    return cand.select(["doc_id", "lang"]).take(take).sort_by("doc_id")
+
+
+def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
+    """Per-language DOCUMENT-FREQUENCY top-k terms (the df side of tf-idf,
+    and the per-domain vocabulary drift signal a curation run watches):
+    df(lang, token) = number of documents of that language containing the
+    token at least once. Per-batch vectorized tokenize → within-doc
+    DISTINCT (a doc lives wholly in one row/batch, so batch-local dedup is
+    exact) → (lang, token) partial counts (the combiner), hash-bucket
+    shuffle of the tiny partials, per-bucket sum + per-lang local top-k —
+    exact because a (lang, token) pair lives wholly in one bucket — then a
+    driver re-top-k over O(buckets · langs · k) candidate rows. The
+    vocab_topk_documents shape with a group dimension and a distinct-per-
+    doc pre-step."""
+    import ray
+
+    from ..stages.shuffle import _split_buckets, _tree_combine
+
+    num_buckets = 8
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def _topk_per_lang(g: pa.Table) -> pa.Table:
+        top = g.sort_by([("df", "descending"), ("token", "ascending")])
+        langs_np = np.asarray(top.column("lang").to_numpy(zero_copy_only=False), dtype=object)
+        keep: list[np.ndarray] = []
+        for lg in np.unique(langs_np.astype(str)):  # loop over GROUPS present
+            keep.append(np.flatnonzero(langs_np == lg)[:k])
+        take = pa.array(np.sort(np.concatenate(keep)) if keep else [], pa.int64())
+        return top.take(take)
+
+    @ray.remote(num_returns=num_buckets)
+    def map_df(tbl: pa.Table):
+        toks = pc.ascii_split_whitespace(tbl.column("text").combine_chunks())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang_flat = tbl.column("lang").combine_chunks().take(parent)
+        per_doc = (
+            pa.table({"d": parent, "lang": lang_flat, "token": flat})
+            .group_by(["d", "lang", "token"])
+            .aggregate([])  # DISTINCT (doc, lang, token): one df unit per doc
+        )
+        g = (
+            per_doc.group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "token", "df"])
+        )
+        out = _split_buckets(g, ["token"], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        merged = pa.concat_tables(nonempty)
+        return (
+            merged.group_by(["lang", "token"])
+            .aggregate([("df", "sum")])
+            .rename_columns(["lang", "token", "df"])
+        )
+
+    @ray.remote
+    def reduce_topk(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pa.concat_tables(nonempty)
+            .group_by(["lang", "token"])
+            .aggregate([("df", "sum")])
+            .rename_columns(["lang", "token", "df"])
+        )
+        return _topk_per_lang(g)
+
+    refs = [map_df.remote(r) for r in arrow_block_refs(ds)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_topk.remote(*c))
+    cand = pa.concat_tables([t for t in ray.get(reduced) if t.num_rows])
+    return _topk_per_lang(cand).sort_by(
+        [("lang", "ascending"), ("df", "descending"), ("token", "ascending")]
+    )
+
+
 # ---- snapshot diff (CDC) -----------------------------------------------------
 def _orders_next_snapshot(tbl: pa.Table) -> pa.Table:
     """Deterministic 'next snapshot' of the orders table, derived in-flight
