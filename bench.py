@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     # round 5: SemDeDup cluster-then-prune semantic dedup (exemplar
     # centroids; cluster-keyed raw bucket shuffle over embedding payloads)
     "semdedup_embeddings",
+    # round 5 session 2-3: curation-prep flat maps + exact per-group
+    # selection + df top-k (tiny-partial shuffle only)
+    "chunk_documents",
+    "cluster_prototypes_embeddings",
+    "mixture_balance_documents",
+    "df_topk_terms_documents",
 ]
 
 
