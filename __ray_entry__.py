@@ -62,7 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_window_events": q.activity_window_events,
         "sessionize_events": q.sessionize_events,
         "interarrival_events": q.interarrival_events,
-        "rolling_minmax_events": q.rolling_minmax_events,
+        # rolling_minmax_events (r04 green, unmodified) yields its prefix
+        # slot to the r05 keep-best survivor newcomer below
         "late_events": q.late_events,
         "ntile_documents": q.ntile_documents,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
@@ -110,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_documents": q.minhash_neardup_documents,  # shingle-shuffle verify (r4)
         "ngram_jaccard_neardup_documents": q.ngram_jaccard_neardup_documents,  # shingle-shuffle verify (r4)
         "dedup_neardup_survivors_documents": q.dedup_neardup_survivors_documents,  # shingle-shuffle verify (r4)
+        # NEW r5: quality-priority survivor policy (keep the most-token
+        # member per component; takes rolling_minmax_events' prefix slot)
+        "dedup_neardup_keep_best_documents": q.dedup_neardup_keep_best_documents,
         # NEW r4 session-3: persisted LSH band-bucket index, probe-only ingest
         "neardup_incremental_documents": q.neardup_incremental_documents,
         "embedding_neardup": q.embedding_neardup,  # vectorized verify lookup (r4)
@@ -126,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (prior rows all green, machinery unmodified)
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
+        "rolling_minmax_events": q.rolling_minmax_events,
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "sample_documents": q.sample_documents,
@@ -1068,6 +1073,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents d
              WHERE NOT EXISTS (SELECT 1 FROM reach WHERE src = d.doc_id AND dst < d.doc_id)
              ORDER BY doc_id
+        """,
+        # keep-best survivor policy: same edge set + reachability closure as
+        # dedup_neardup_survivors_documents, but a doc drops iff it can reach
+        # a STRICTLY-BETTER component member under (n_tokens DESC, doc_id ASC)
+        # — constant scores degrade exactly to keep-min. \S+ token counts ≡
+        # ascii_split_whitespace (the pairing vocab/token_count certify).
+        "dedup_neardup_keep_best_documents": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3 THEN
+                           list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                          for i in range(1, len(words) - 1)])
+                       ELSE [array_to_string(words, ' ')] END AS grams
+                  FROM toks
+                 WHERE len(words) > 0  -- zero-word docs have no shingles in the engine
+            ),
+            edges AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                  FROM tri a JOIN tri b ON a.doc_id <> b.doc_id
+                 WHERE 10000.0 * len(list_intersect(a.grams, b.grams)) /
+                       len(list_distinct(list_concat(a.grams, b.grams))) >= 8000
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            tc AS (
+                SELECT doc_id, len(words) AS n_tokens FROM toks
+            )
+            SELECT d.doc_id FROM documents d JOIN tc t ON t.doc_id = d.doc_id
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM reach r JOIN tc t2 ON t2.doc_id = r.dst
+                  WHERE r.src = d.doc_id
+                    AND (t2.n_tokens > t.n_tokens
+                         OR (t2.n_tokens = t.n_tokens AND r.dst < d.doc_id))
+             )
+             ORDER BY d.doc_id
         """,
         # integer // arithmetic (not CEIL floats) so the chunk count is
         # bit-exact; substring past the end yields '' on both sides.

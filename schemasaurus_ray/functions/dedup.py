@@ -2302,6 +2302,136 @@ def neardup_survivors(
     return result.sort_by(id_col)
 
 
+def member_token_counts(
+    ds: "ray.data.Dataset",
+    member_ids: np.ndarray,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """(id, n_tokens) for the given member ids ONLY — one streaming
+    ``map_batches`` with the SORTED member-id set broadcast via ``ray.put``
+    (O(near-dup members), small by definition: only docs that appear in
+    some verified pair). Token counts use the same whitespace tokenization
+    the df/vocab oracles certify (``ascii_split_whitespace`` ≡ ``\\S+``).
+    Corpus text never leaves the workers; only the tiny (id, count) rows
+    return."""
+    import ray
+
+    from ..util import single_chunk
+
+    members_ref = ray.put(np.sort(np.asarray(member_ids, dtype=np.int64)))
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64())}
+    )
+
+    def gather(batch: pa.Table) -> pa.Table:
+        mem = ray.get(members_ref)  # zero-copy shared read
+        ids = np.asarray(single_chunk(batch.column(id_col)), dtype=np.int64)
+        _pos, found = sorted_lookup(mem, ids)
+        if not found.any():
+            return empty
+        sel = pa.array(found)
+        toks = pc.list_value_length(
+            pc.ascii_split_whitespace(single_chunk(batch.column(text_col)).filter(sel))
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[found], pa.int64()),
+                "n_tokens": pc.fill_null(toks, 0).cast(pa.int64()),
+            }
+        )
+
+    parts = list(
+        ds.select_columns([id_col, text_col])
+        .map_batches(gather, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    nonempty = [t for t in parts if t.num_rows]
+    return pa.concat_tables(nonempty) if nonempty else empty
+
+
+def neardup_keep_best_dropped(pairs: pa.Table, member_scores: pa.Table) -> np.ndarray:
+    """Sorted ids to DROP under the KEEP-BEST survivor policy: per near-dup
+    component keep the member with the HIGHEST quality score (ties → the
+    smallest id — so constant scores degrade exactly to keep-min), drop the
+    rest. Component labels go through the same driver-union-find /
+    sharded-label-propagation dispatch as keep-min
+    (:func:`connected_component_dropped`); the argmax itself is one lexsort
+    over the O(members) label rows. ``member_scores`` must cover every pair
+    member — a missing member raises loudly (a silent default score would
+    mis-pick survivors with no error anywhere)."""
+    if pairs.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    if pairs.num_rows <= CC_SHARD_THRESHOLD:
+        comp = connected_component_min(pairs)
+        ids = np.fromiter(comp.keys(), np.int64, len(comp))
+        roots = np.fromiter(comp.values(), np.int64, len(comp))
+    else:
+        labels = connected_component_min_sharded(pairs)
+        ids = np.asarray(labels.column("id").combine_chunks(), dtype=np.int64)
+        roots = np.asarray(labels.column("root").combine_chunks(), dtype=np.int64)
+    s_ids = np.asarray(member_scores.column(member_scores.column_names[0]).combine_chunks(), dtype=np.int64)
+    s_val = np.asarray(member_scores.column(member_scores.column_names[1]).combine_chunks(), dtype=np.int64)
+    s_order = np.argsort(s_ids, kind="stable")
+    pos, found = sorted_lookup(s_ids[s_order], ids)
+    if not found.all():
+        missing = ids[~found]
+        raise ValueError(
+            f"neardup_keep_best_dropped: {len(missing)} pair member(s) have no "
+            f"score row (first: {missing[:5].tolist()}) — member_scores must "
+            "cover every id appearing in pairs"
+        )
+    score = s_val[s_order][pos]
+    # per component: keep the (max score, then min id) member — lexsort's
+    # last key is primary, so order by root, then -score, then id
+    o = np.lexsort((ids, -score, roots))
+    r_s, i_s = roots[o], ids[o]
+    first = np.ones(len(o), dtype=bool)
+    first[1:] = r_s[1:] != r_s[:-1]
+    return np.sort(i_s[~first])
+
+
+def neardup_survivors_keep_best(
+    ds: "ray.data.Dataset",
+    pairs: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Quality-priority near-dup dedup (the FineWeb/Dolma-style curation
+    policy): corpus minus, per near-dup component, every member EXCEPT the
+    one with the most tokens (ties → smallest id). Same broadcast-dropped-
+    set shape as :func:`neardup_survivors` — the only additions are one
+    O(members) score-gather pass (:func:`member_token_counts`) and the
+    driver argmax over label rows; the corpus filter pass is identical."""
+    import ray
+
+    from ..util import single_chunk
+
+    if pairs.num_rows == 0:
+        dropped = np.empty(0, dtype=np.int64)
+    else:
+        a = np.asarray(pairs.column("id_a").combine_chunks(), dtype=np.int64)
+        b = np.asarray(pairs.column("id_b").combine_chunks(), dtype=np.int64)
+        members = np.unique(np.concatenate([a, b]))
+        scores = member_token_counts(ds, members, id_col=id_col, text_col=text_col)
+        dropped = neardup_keep_best_dropped(pairs, scores)
+    drop_ref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = np.asarray(single_chunk(batch.column(id_col)), dtype=np.int64)
+        _pos, found = sorted_lookup(drop, ids)
+        return batch.filter(pa.array(~found))
+
+    out = list(
+        ds.select_columns([id_col])
+        .map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    result = pa.concat_tables(out) if out else pa.table({id_col: pa.array([], pa.int64())})
+    return result.sort_by(id_col)
+
+
 # ------------------------------------------------------------------- SimHash
 class SimHashStage:
     """64-bit SimHash (Charikar) per document from word hashes; vectorized

@@ -1131,6 +1131,30 @@ def dedup_neardup_survivors_documents(sf_dir: str) -> pa.Table:
     return neardup_survivors(ds, pairs)
 
 
+def dedup_neardup_keep_best_documents(sf_dir: str) -> pa.Table:
+    """QUALITY-PRIORITY near-dup dedup (keep-best survivor policy — the
+    FineWeb/Dolma curation shape): per near-dup component keep the member
+    with the MOST tokens (ties → smallest doc_id) instead of keep-min.
+    Same MinHash-LSH → shingle-shuffle verify pair path as
+    dedup_neardup_survivors_documents; adds one O(members) distributed
+    token-count gather and a driver argmax over the label rows. Oracle:
+    the recursive-CTE reachability closure, dropping a doc iff it can
+    reach a strictly-better member ((n_tokens, -doc_id) lexicographic)."""
+    from ..functions.dedup import (
+        _dedupe_pairs,
+        neardup_survivors_keep_best,
+        verify_pairs_shuffled,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _dedupe_pairs(_collect(minhash_candidates(ds)))
+    if pairs.num_rows:
+        pairs = verify_pairs_shuffled(
+            [os.path.join(sf_dir, "documents.parquet")], pairs, threshold=0.8
+        )
+    return neardup_survivors_keep_best(ds, pairs)
+
+
 def simhash_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = _collect(simhash_signatures(ds, concurrency=2))

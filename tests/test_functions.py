@@ -1309,6 +1309,108 @@ def test_sharded_cc_matches_union_find(ray_session):
     assert (got == exp_dropped).all()
 
 
+def test_neardup_keep_best_dropped(ray_session):
+    """Keep-best argmax per component vs a brute-force reference; constant
+    scores must degrade EXACTLY to keep-min; a missing member score raises
+    loudly (never a silent default)."""
+    import pytest
+
+    from schemasaurus_ray.functions.dedup import (
+        connected_component_dropped,
+        connected_component_min,
+        neardup_keep_best_dropped,
+    )
+
+    rng = np.random.default_rng(23)
+    a_list, b_list = [], []
+    base = 0
+    for L in rng.integers(2, 12, size=60):
+        ids = np.arange(base, base + L, dtype=np.int64)
+        rng.shuffle(ids)
+        a_list.append(ids[:-1])
+        b_list.append(ids[1:])
+        base += L + int(rng.integers(1, 4))
+    a, b = np.concatenate(a_list), np.concatenate(b_list)
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    members = np.unique(np.concatenate([a, b]))
+    scores = rng.integers(0, 5, size=len(members)).astype(np.int64)  # dense ties
+    stbl = pa.table(
+        {"doc_id": pa.array(members, pa.int64()), "n_tokens": pa.array(scores, pa.int64())}
+    )
+
+    got = neardup_keep_best_dropped(pairs, stbl)
+    # brute force: group members by component root, keep (max score, min id)
+    comp = connected_component_min(pairs)
+    by_root: dict[int, list[int]] = {}
+    for x, r in comp.items():
+        by_root.setdefault(r, []).append(x)
+    lut = dict(zip(members.tolist(), scores.tolist()))
+    exp = []
+    for mem in by_root.values():
+        best = min(mem, key=lambda x: (-lut[x], x))
+        exp.extend(x for x in mem if x != best)
+    assert got.tolist() == sorted(exp)
+
+    # constant scores ≡ keep-min
+    const = pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "n_tokens": pa.array(np.full(len(members), 7), pa.int64()),
+        }
+    )
+    keep_min = connected_component_dropped(pairs)
+    assert neardup_keep_best_dropped(pairs, const).tolist() == keep_min.tolist()
+
+    with pytest.raises(ValueError, match="no score row"):
+        neardup_keep_best_dropped(pairs, stbl.slice(0, len(members) - 1))
+
+    # empty pairs → nothing dropped
+    assert len(neardup_keep_best_dropped(pairs.slice(0, 0), stbl)) == 0
+
+
+def test_neardup_survivors_keep_best_e2e(docs_ds):
+    """End-to-end keep-best survivors on the fixture dataset: survivors =
+    corpus minus dropped; every component keeps exactly one member, and it
+    is the (max tokens, min id) member."""
+    import ray.data as rd
+
+    from schemasaurus_ray.functions.dedup import (
+        member_token_counts,
+        neardup_survivors_keep_best,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c",  # comp {1,2,3}: 3 has most tokens → kept
+                    "a b c d",
+                    "a b c d e",
+                    "x y",  # comp {10,11}: equal tokens → min id kept
+                    "p q",
+                    "solo doc here",
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    pairs = pa.table(
+        {"id_a": pa.array([1, 2, 10], pa.int64()), "id_b": pa.array([2, 3, 11], pa.int64())}
+    )
+    out = neardup_survivors_keep_best(ds, pairs)
+    assert out.column("doc_id").to_pylist() == [3, 10, 20]
+
+    # the score gather returns members only, with \S+-equivalent counts
+    sc = member_token_counts(ds, np.array([1, 3, 11], dtype=np.int64))
+    got = dict(zip(sc.column("doc_id").to_pylist(), sc.column("n_tokens").to_pylist()))
+    assert got == {1: 3, 3: 5, 11: 2}
+
+    # no pairs → identity
+    out2 = neardup_survivors_keep_best(ds, pairs.slice(0, 0))
+    assert out2.column("doc_id").to_pylist() == [1, 2, 3, 10, 11, 20]
+
+
 def test_simhash_near_dup_pairs(docs_ds):
     """Banded candidates + exact-hamming verify: exact dup pairs (i, i+1)
     have hamming 0 and MUST all be found (pigeonhole recall at radius 3)."""
