@@ -65,7 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rolling_minmax_events (r04 green, unmodified) yields its prefix
         # slot to the r05 keep-best survivor newcomer below
         "late_events": q.late_events,
-        "ntile_documents": q.ntile_documents,
+        # NEW r5: grouped exact-integer correlation moments (takes
+        # ntile_documents' prefix slot — r04 green, machinery unmodified)
+        "corr_moments_lineitem": q.corr_moments_lineitem,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "heavy_hitters_events": q.heavy_hitters_events,
         "histogram_prices_lineitem": q.histogram_prices_lineitem,
@@ -131,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
+        "ntile_documents": q.ntile_documents,
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "sample_documents": q.sample_documents,
@@ -1373,6 +1376,25 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY substr(text, 1, 64)
             HAVING count(*) > 1
              ORDER BY prefix_md5
+        """,
+        # exact integer sufficient statistics of (quantity, discount_bp)
+        # per group — Pearson r / slope derive from these six numbers;
+        # disc_bp = ROUND(x*10000) ≡ the engine's floor(x*1e4 + 0.5)
+        # (the revenue_by_segment cents convention)
+        "corr_moments_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_disc,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty2,
+                   CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)
+                            * CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp2
+              FROM lineitem
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus
         """,
         "mad_outliers_lineitem": """
             WITH med AS (

@@ -708,6 +708,70 @@ def daily_volume_events(sf_dir: str) -> pa.Table:
     ).sort_by("day")
 
 
+def corr_moments_lineitem(sf_dir: str) -> pa.Table:
+    """Grouped CORRELATION / COVARIANCE MOMENTS — the distributed profiling
+    primitive behind relationship-drift checks (a corr(x, y) shift between
+    snapshots flags upstream logic changes even when each marginal looks
+    stable): per (l_returnflag, l_linestatus), the exact integer sufficient
+    statistics of (quantity, discount basis points): n, Σx, Σy, Σxy, Σx²,
+    Σy². Every sum is associative int64 (quantity ≤ 50, disc_bp ≤ 10⁴ →
+    Σy² ≤ 10⁸·n, int64-safe past 10¹⁰ rows), so the raw bucket shuffle of
+    per-shard pre-aggregated partials is exact at any parallelism — the
+    CLAUDE.md float rule (sum integers, never distribute float sums).
+    Pearson r and the regression slope derive from these six numbers on
+    the driver in O(groups); the oracle checks the moments themselves.
+    disc_bp uses floor(x·10⁴ + 0.5) ≡ DuckDB ROUND(x·10000) (the
+    revenue_by_segment convention — avoids numpy's banker's rounding)."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column("l_quantity").combine_chunks(), dtype=np.float64).astype(
+            np.int64
+        )
+        y = np.floor(
+            np.asarray(tbl.column("l_discount").combine_chunks(), dtype=np.float64) * 10000 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "l_linestatus": tbl.column("l_linestatus"),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+                "x2": pa.array(x * x, pa.int64()),
+                "y2": pa.array(y * y, pa.int64()),
+            }
+        )
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("x", "count"),
+            ("x", "sum"),
+            ("y", "sum"),
+            ("xy", "sum"),
+            ("x2", "sum"),
+            ("y2", "sum"),
+        ],
+        transform_fn=derive,
+        read_cols=["l_returnflag", "l_linestatus", "l_quantity", "l_discount"],
+    )
+    out = out.rename_columns(
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            "sum_qty",
+            "sum_disc_bp",
+            "sum_qty_disc",
+            "sum_qty2",
+            "sum_disc_bp2",
+        ]
+    )
+    return out.sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
 def benford_lineitem(sf_dir: str) -> pa.Table:
     """Benford's-law profile of l_extendedprice — the classic fraud /
     generator-artifact screen: observed first-significant-digit counts vs
