@@ -2311,13 +2311,16 @@ def member_token_counts(
     """(id, n_tokens) for the given member ids ONLY — one streaming
     ``map_batches`` with the SORTED member-id set broadcast via ``ray.put``
     (O(near-dup members), small by definition: only docs that appear in
-    some verified pair). Token counts use the same whitespace tokenization
-    the df/vocab oracles certify (``ascii_split_whitespace`` ≡ ``\\S+``).
-    Corpus text never leaves the workers; only the tiny (id, count) rows
-    return."""
+    some verified pair). Token counts use ``count_substring_regex(\\S+)``
+    — the certified token_count_documents kernel — NOT
+    ``ascii_split_whitespace`` list lengths, which count the empty tokens
+    padded text produces ('a b ' → 3, not 2) and would mis-rank survivors
+    against the ``\\S+`` oracle. Corpus text never leaves the workers;
+    only the tiny (id, count) rows return."""
     import ray
 
     from ..util import single_chunk
+    from .text import TOKEN_RE
 
     members_ref = ray.put(np.sort(np.asarray(member_ids, dtype=np.int64)))
     empty = pa.table(
@@ -2331,8 +2334,8 @@ def member_token_counts(
         if not found.any():
             return empty
         sel = pa.array(found)
-        toks = pc.list_value_length(
-            pc.ascii_split_whitespace(single_chunk(batch.column(text_col)).filter(sel))
+        toks = pc.count_substring_regex(
+            single_chunk(batch.column(text_col)).filter(sel), TOKEN_RE
         )
         return pa.table(
             {

@@ -4317,8 +4317,13 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
     def _topk_per_lang(g: pa.Table) -> pa.Table:
         top = g.sort_by([("df", "descending"), ("token", "ascending")])
         langs_np = np.asarray(top.column("lang").to_numpy(zero_copy_only=False), dtype=object)
+        # group set includes a NULL lang (the oracle's PARTITION BY lang
+        # keeps a NULL partition; object-array `== None` is elementwise)
+        groups = sorted({x for x in langs_np.tolist() if x is not None})
+        if any(x is None for x in langs_np.tolist()):
+            groups.append(None)
         keep: list[np.ndarray] = []
-        for lg in np.unique(langs_np.astype(str)):  # loop over GROUPS present
+        for lg in groups:  # loop over GROUPS present, never rows
             keep.append(np.flatnonzero(langs_np == lg)[:k])
         take = pa.array(np.sort(np.concatenate(keep)) if keep else [], pa.int64())
         return top.take(take)
@@ -4328,6 +4333,11 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
         toks = pc.ascii_split_whitespace(tbl.column("text").combine_chunks())
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks)
+        # drop the '' tokens split padding emits ('a b ' → ['a','b','']) —
+        # the \S+ oracle can never produce an empty term
+        nonempty_tok = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty_tok)
+        parent = parent.filter(nonempty_tok)
         lang_flat = tbl.column("lang").combine_chunks().take(parent)
         per_doc = (
             pa.table({"d": parent, "lang": lang_flat, "token": flat})

@@ -123,3 +123,50 @@ def test_queries_dict_has_no_duplicate_literal_keys():
     dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
     assert not dupes, f"duplicate queries() keys: {dupes}"
     assert len(keys) == len(m.queries())
+
+
+def test_padded_text_and_null_lang_edgecases(ray_session, tmp_path):
+    """Regression for the r5 review findings: split-padding '' tokens and
+    the NULL-lang group must match the \\S+ / PARTITION-BY-lang oracle
+    semantics — df top-k keeps a NULL-lang partition and never counts an
+    empty term; keep-best scores ignore padding (so padded exact near-dups
+    tie and fall back to keep-min, like the oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma ",  # trailing pad — near-dup of 1/2
+                    " alpha  beta gamma",  # leading + double pad
+                    "alpha beta gamma",  # clean copy
+                    "delta epsilon",
+                    "delta epsilon ",  # padded copy
+                    "zeta",  # NULL lang
+                    "",  # empty doc, NULL lang
+                    "eta theta iota kappa",
+                ]
+            ),
+            "lang": pa.array(["en", "en", "en", "de", "de", None, None, "fr"]),
+            "source": pa.array(["s"] * 8),
+            "n_chars": pa.array([17, 18, 16, 13, 14, 4, 0, 20], pa.int64()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(docs, os.path.join(sf, "documents.parquet"))
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    for name in ("df_topk_terms_documents", "dedup_neardup_keep_best_documents"):
+        got = normalize(to_pandas(m.queries()[name](sf)))
+        exp = normalize(c.sql(m.oracle_sql()[name]).df())
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+
+    # the NULL-lang partition is present and '' never appears as a term
+    df_topk = to_pandas(m.queries()["df_topk_terms_documents"](sf))
+    assert df_topk["lang"].isna().any()
+    assert not (df_topk["token"] == "").any()
