@@ -2686,6 +2686,10 @@ def vocab_topk_documents(sf_dir: str, k: int = 100) -> pa.Table:
     @ray.remote(num_returns=num_buckets)
     def map_tokens(tbl: pa.Table):
         flat = pc.list_flatten(pc.ascii_split_whitespace(tbl.column("text")))
+        # drop the '' tokens split padding emits ('a b ' → ['a','b','']) —
+        # the \S+ oracle can never produce an empty term (r5 review fix,
+        # same as df_topk_terms_documents)
+        flat = flat.filter(pc.not_equal(flat, ""))
         g = (
             pa.table({"token": flat})
             .group_by(["token"])
