@@ -75,7 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk_documents": q.vocab_topk_documents,
         "histogram_prices_lineitem": q.histogram_prices_lineitem,
         "key_distribution_events": q.key_distribution_events,
-        "quantize_embeddings": q.quantize_embeddings,
+        # NEW r5: per-source duplication-rate report (takes
+        # quantize_embeddings' prefix slot — r04 green, unmodified)
+        "dup_rate_by_source_documents": q.dup_rate_by_source_documents,
         "prefix_dedup_documents": q.prefix_dedup_documents,
         "funnel_window_events": q.funnel_window_events,
         "cohort_retention_events": q.cohort_retention_events,
@@ -148,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "langid_documents": q.langid_documents,
         "heavy_hitters_events": q.heavy_hitters_events,
+        "quantize_embeddings": q.quantize_embeddings,
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
@@ -1350,6 +1353,24 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) * (SELECT count(DISTINCT user_id) FROM events) * 10
                    > (SELECT count(*) FROM events) * 12
              ORDER BY user_id
+        """,
+        # a doc is a dup iff it is a non-minimal member of its exact-text
+        # group (keep-min, the dedup_exact convention); rate multiply-first
+        # integer basis points per CLAUDE.md
+        "dup_rate_by_source_documents": """
+            WITH g AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY text)
+                            THEN 1 ELSE 0 END AS is_dup
+                  FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dups,
+                   CAST(10000 * sum(is_dup) // count(*) AS BIGINT) AS dup_bp
+              FROM g
+             GROUP BY source
+             ORDER BY source
         """,
         "quantize_embeddings": """
             WITH s AS (

@@ -1592,6 +1592,64 @@ def curate_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(keep, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def dup_rate_by_source_documents(sf_dir: str) -> pa.Table:
+    """Per-SOURCE duplication-rate report — the curation dashboard metric
+    that tells you WHICH ingest feed is re-crawling content (a rising dup
+    rate on one source flags its fetcher, not the corpus): per source,
+    total docs, docs that are non-surviving members of an exact-dup group
+    (keep-min policy, same as dedup_exact_documents), and the rate in
+    multiply-first basis points. One dup-group shuffle (O(duplicate
+    groups) broadcast — the curate_documents shape), then one streaming
+    pass emitting per-batch (source, n, n_dup) partials; the final
+    groupby is over O(batches × sources) tiny rows."""
+    import ray
+
+    from ..functions.dedup import exact_dedup_dup_groups_paths
+    from ..util import hash_column, single_chunk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    dup = exact_dedup_dup_groups_paths([os.path.join(sf_dir, "documents.parquet")])
+    if dup.num_rows:
+        dup_h = np.asarray(dup.column("h").combine_chunks(), dtype=np.int64)
+        dup_min = np.asarray(dup.column("min_id").combine_chunks(), dtype=np.int64)
+        order = np.argsort(dup_h)
+        dup_ref = ray.put((dup_h[order], dup_min[order]))
+    else:
+        dup_ref = ray.put((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        dup_h, dup_min = ray.get(dup_ref)  # zero-copy shared read
+        ids = np.asarray(single_chunk(batch.column("doc_id")), dtype=np.int64)
+        if len(dup_h):
+            h = hash_column(single_chunk(batch.column("text"))).view(np.int64)
+            pos = np.searchsorted(dup_h, h).clip(max=len(dup_h) - 1)
+            is_dup = (dup_h[pos] == h) & (ids != dup_min[pos])
+        else:
+            is_dup = np.zeros(len(ids), bool)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(len(ids), np.int64)),
+                "n_dup": pa.array(is_dup.astype(np.int64)),
+            }
+        )
+        out = t.group_by(["source"]).aggregate([("n", "sum"), ("n_dup", "sum")])
+        return out.rename_columns(["source", "n", "n_dup"])
+
+    parts = _collect(ds.map_batches(partials, batch_format="pyarrow"))
+    out = parts.group_by(["source"]).aggregate([("n", "sum"), ("n_dup", "sum")])
+    n = np.asarray(out.column("n_sum"), dtype=np.int64)
+    nd = np.asarray(out.column("n_dup_sum"), dtype=np.int64)
+    return pa.table(
+        {
+            "source": out.column("source"),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_dups": pa.array(nd, pa.int64()),
+            "dup_bp": pa.array(10000 * nd // np.maximum(n, 1), pa.int64()),
+        }
+    ).sort_by("source")
+
+
 def fingerprint_documents(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _collect(ds.map_batches(fingerprint, batch_format="pyarrow")).sort_by("doc_id")
