@@ -73,7 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the prefix for re-certification, taking heavy_hitters_events'
         # slot (r04 green, machinery unmodified)
         "vocab_topk_documents": q.vocab_topk_documents,
-        "histogram_prices_lineitem": q.histogram_prices_lineitem,
+        # NEW r5: exact distinct-users-per-window (takes
+        # histogram_prices_lineitem's prefix slot — r04 green, unmodified)
+        "window_unique_users_events": q.window_unique_users_events,
         "key_distribution_events": q.key_distribution_events,
         # NEW r5: per-source duplication-rate report (takes
         # quantize_embeddings' prefix slot — r04 green, unmodified)
@@ -151,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q.langid_documents,
         "heavy_hitters_events": q.heavy_hitters_events,
         "quantize_embeddings": q.quantize_embeddings,
+        "histogram_prices_lineitem": q.histogram_prices_lineitem,
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
@@ -1341,6 +1344,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gap) AS BIGINT) AS sum_gap_us
               FROM d WHERE gap IS NOT NULL
              GROUP BY user_id ORDER BY user_id
+        """,
+        # exact count(DISTINCT user) per tumbling hour — the engine
+        # hash-buckets (window, user) pairs BY USER so each pair is
+        # counted exactly once
+        "window_unique_users_events": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events
+             GROUP BY 1
+             ORDER BY 1
         """,
         "histogram_prices_lineitem": """
             SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,

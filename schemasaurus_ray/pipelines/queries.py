@@ -2534,6 +2534,74 @@ def windowed_events(sf_dir: str) -> pa.Table:
     ).sort_by([("window_start", "ascending"), ("event_type", "ascending")])
 
 
+def window_unique_users_events(sf_dir: str) -> pa.Table:
+    """EXACT distinct users per tumbling 1-hour window — the DAU/WAU
+    streaming-analytics op, which plain pre-aggregation cannot express
+    (distinct is not a sum of per-batch distincts). Shape: per-block
+    (window, user) DISTINCT partials hash-bucketed BY USER, per-bucket
+    global distinct + per-window count, driver sum of the tiny (window,
+    cnt) bucket rows — exact because a (window, user) pair lands wholly
+    in one bucket (the df_topk_terms_documents guarantee). The approx
+    twin is distinct_users_by_type_approx's HLL path; this is the exact
+    path for when the audit demands it. Oracle: count(DISTINCT user_id)
+    GROUP BY date_trunc hour."""
+    import ray
+
+    from ..stages.shuffle import _split_buckets, _tree_combine
+
+    num_buckets = 8
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    @ray.remote(num_returns=num_buckets)
+    def map_pairs(tbl: pa.Table):
+        win = pc.floor_temporal(tbl.column("ts").combine_chunks(), unit="hour")
+        pairs = (
+            pa.table({"w": win, "user_id": tbl.column("user_id")})
+            .group_by(["w", "user_id"])
+            .aggregate([])  # block-local DISTINCT (window, user)
+        )
+        out = _split_buckets(pairs, ["user_id"], num_buckets)
+        return out if num_buckets > 1 else out[0]
+
+    @ray.remote
+    def reduce_count(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return pa.table(
+                {"w": pa.array([], pa.timestamp("us")), "cnt": pa.array([], pa.int64())}
+            )
+        distinct = pa.concat_tables(nonempty).group_by(["w", "user_id"]).aggregate([])
+        g = distinct.group_by(["w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w", "cnt"])
+
+    @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        return pa.concat_tables(nonempty).group_by(["w", "user_id"]).aggregate([])
+
+    refs = [map_pairs.remote(r) for r in arrow_block_refs(ds)]
+    if num_buckets == 1:
+        refs = [[r] for r in refs]
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_count.remote(*c))
+    parts = [t for t in ray.get(reduced) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"window_start": pa.array([], pa.timestamp("us")), "n_users": pa.array([], pa.int64())}
+        )
+    out = pa.concat_tables(parts).group_by(["w"]).aggregate([("cnt", "sum")])
+    return pa.table(
+        {
+            "window_start": out.column("w"),
+            "n_users": out.column("cnt_sum").cast(pa.int64()),
+        }
+    ).sort_by("window_start")
+
+
 def drift_psi_events(sf_dir: str) -> pa.Table:
     """PSI of the event_type distribution, second half of the stream vs
     first half (by event_id median) — the drift operator with a SQL oracle.
