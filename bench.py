@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "cluster_prototypes_embeddings",
     "mixture_balance_documents",
     "df_topk_terms_documents",
+    # round 5 session 3: quality-priority survivors, profiling moments,
+    # per-source dup report, exact windowed distinct
+    "dedup_neardup_keep_best_documents",
+    "corr_moments_lineitem",
+    "dup_rate_by_source_documents",
+    "window_unique_users_events",
 ]
 
 

@@ -2547,10 +2547,14 @@ def window_unique_users_events(sf_dir: str) -> pa.Table:
     GROUP BY date_trunc hour."""
     import ray
 
-    from ..stages.shuffle import _split_buckets, _tree_combine
+    from ..stages.shuffle import _default_buckets, _split_buckets, _tree_combine
 
-    num_buckets = 8
     ds = _read(sf_dir, "events", ["ts", "user_id"])
+    block_refs = arrow_block_refs(ds)
+    # cluster-derived fan-out (16 × nodes cap): the per-bucket distinct
+    # table is O(|distinct pairs| / buckets) — the bucket count must grow
+    # with the cluster, not sit at a single-box constant
+    num_buckets = _default_buckets(len(block_refs))
 
     @ray.remote(num_returns=num_buckets)
     def map_pairs(tbl: pa.Table):
@@ -2581,7 +2585,7 @@ def window_unique_users_events(sf_dir: str) -> pa.Table:
             return tables[0]
         return pa.concat_tables(nonempty).group_by(["w", "user_id"]).aggregate([])
 
-    refs = [map_pairs.remote(r) for r in arrow_block_refs(ds)]
+    refs = [map_pairs.remote(r) for r in block_refs]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     reduced = []
@@ -4393,36 +4397,54 @@ def mixture_balance_documents(sf_dir: str) -> pa.Table:
     smallest md5('mb:' + doc_id) — exact output sizes per group (unlike
     the rate-based stratified_sample) and reproducible across block
     layout / parallelism / resume (unlike any RNG sampler). Langs outside
-    the spec drop. No global or per-group sort: per-batch local BOTTOM-k
-    PER GROUP on the 32-hex hash, then one tiny driver re-select over
-    O(batches · groups · k) candidate rows — the sample_k_documents shape
-    partitioned by group. Oracle: row_number() OVER (PARTITION BY lang
-    ORDER BY md5(...)) <= k_lang."""
+    the spec drop. No global or per-group sort: per-block local BOTTOM-k
+    PER GROUP on the 32-hex hash (each partial ≤ Σk rows), TREE-combined
+    at fan-in 64 with the same select — bottom-k is idempotent under
+    merge, so the driver receives ONE ≤ Σk-row table regardless of block
+    count (the first version collected O(blocks · groups · k) candidate
+    rows to the driver: ~2×10⁸ rows at 10¹² docs). Oracle: row_number()
+    OVER (PARTITION BY lang ORDER BY md5(...)) <= k_lang."""
+    import ray
+
+    from ..stages.shuffle import _tree_combine
     from ..util import md5_hex
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-
-    def local_bottomk(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").combine_chunks()
-        langs = batch.column("lang").combine_chunks()
-        h = md5_hex(pc.binary_join_element_wise("mb:", ids.cast(pa.string()), ""))
-        hb = np.asarray(h.to_numpy(zero_copy_only=False), dtype="S32")
-        lang_np = np.asarray(langs.to_numpy(zero_copy_only=False), dtype=object)
+    def _bottomk(tbl: pa.Table) -> pa.Table:
+        hb = np.asarray(tbl.column("h").to_numpy(zero_copy_only=False), dtype="S32")
+        lang_np = np.asarray(tbl.column("lang").to_numpy(zero_copy_only=False), dtype=object)
         order = np.argsort(hb, kind="stable")
         keep: list[np.ndarray] = []
         for g, k in MIXTURE_TARGETS.items():  # loop over GROUPS, never rows
             members = order[lang_np[order] == g]
             keep.append(members[:k])
         take = pa.array(np.sort(np.concatenate(keep)), pa.int64())
-        return pa.table({"doc_id": ids.take(take), "lang": langs.take(take), "h": h.take(take)})
+        return tbl.take(take)
 
-    cand = _collect(ds.map_batches(local_bottomk, batch_format="pyarrow"))
-    hb = np.asarray(cand.column("h").to_numpy(zero_copy_only=False), dtype="S32")
-    lang_np = np.asarray(cand.column("lang").to_numpy(zero_copy_only=False), dtype=object)
-    order = np.argsort(hb, kind="stable")
-    keep = [order[lang_np[order] == g][:k] for g, k in MIXTURE_TARGETS.items()]
-    take = pa.array(np.concatenate(keep), pa.int64())
-    return cand.select(["doc_id", "lang"]).take(take).sort_by("doc_id")
+    @ray.remote
+    def map_bottomk(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").combine_chunks()
+        h = md5_hex(pc.binary_join_element_wise("mb:", ids.cast(pa.string()), ""))
+        return _bottomk(
+            pa.table({"doc_id": ids, "lang": tbl.column("lang").combine_chunks(), "h": h})
+        )
+
+    @ray.remote
+    def combine_bottomk(*tables: pa.Table) -> pa.Table:
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            return tables[0]
+        return _bottomk(pa.concat_tables(nonempty))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    refs = [map_bottomk.remote(r) for r in arrow_block_refs(ds)]
+    if not refs:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())})
+    final = ray.get(_tree_combine(refs, combine_bottomk, fan_in=64))
+    nonempty = [t for t in final if t.num_rows]
+    if not nonempty:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())})
+    cand = _bottomk(pa.concat_tables(nonempty))
+    return cand.select(["doc_id", "lang"]).sort_by("doc_id")
 
 
 def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
@@ -4439,10 +4461,12 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
     doc pre-step."""
     import ray
 
-    from ..stages.shuffle import _split_buckets, _tree_combine
+    from ..stages.shuffle import _default_buckets, _split_buckets, _tree_combine
 
-    num_buckets = 8
     ds = _read(sf_dir, "documents", ["text", "lang"])
+    block_refs = arrow_block_refs(ds)
+    # cluster-derived fan-out (16 × nodes cap, vocab partials per bucket)
+    num_buckets = _default_buckets(len(block_refs))
 
     def _topk_per_lang(g: pa.Table) -> pa.Table:
         top = g.sort_by([("df", "descending"), ("token", "ascending")])
@@ -4513,7 +4537,7 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
         )
         return _topk_per_lang(g)
 
-    refs = [map_df.remote(r) for r in arrow_block_refs(ds)]
+    refs = [map_df.remote(r) for r in block_refs]
     if num_buckets == 1:
         refs = [[r] for r in refs]
     reduced = []
