@@ -2860,7 +2860,10 @@ def vocab_topk_documents(sf_dir: str, k: int = 100) -> pa.Table:
     for b in range(num_buckets):
         c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
         reduced.append(reduce_topk.remote(*c))
-    cand = pa.concat_tables([t for t in ray.get(reduced) if t.num_rows])
+    parts = [t for t in ray.get(reduced) if t.num_rows]
+    if not parts:  # zero blocks / all-empty corpus
+        return pa.table({"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    cand = pa.concat_tables(parts)
     return cand.sort_by([("cnt", "descending"), ("token", "ascending")]).slice(0, k)
 
 
@@ -4544,7 +4547,16 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
     for b in range(num_buckets):
         c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
         reduced.append(reduce_topk.remote(*c))
-    cand = pa.concat_tables([t for t in ray.get(reduced) if t.num_rows])
+    parts = [t for t in ray.get(reduced) if t.num_rows]
+    if not parts:  # zero blocks / all-empty corpus
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    cand = pa.concat_tables(parts)
     return _topk_per_lang(cand).sort_by(
         [("lang", "ascending"), ("df", "descending"), ("token", "ascending")]
     )
