@@ -2360,9 +2360,11 @@ def neardup_keep_best_dropped(pairs: pa.Table, member_scores: pa.Table) -> np.nd
     rest. Component labels go through the same driver-union-find /
     sharded-label-propagation dispatch as keep-min
     (:func:`connected_component_dropped`); the argmax itself is one lexsort
-    over the O(members) label rows. ``member_scores`` must cover every pair
-    member — a missing member raises loudly (a silent default score would
-    mis-pick survivors with no error anywhere)."""
+    over the O(members) label rows. ``member_scores`` is positional by
+    contract — first column = member id, second = integer score (so any
+    (id_col, score) naming works) — and must cover every pair member: a
+    missing member raises loudly (a silent default score would mis-pick
+    survivors with no error anywhere)."""
     if pairs.num_rows == 0:
         return np.empty(0, dtype=np.int64)
     if pairs.num_rows <= CC_SHARD_THRESHOLD:

@@ -1605,7 +1605,7 @@ def dup_rate_by_source_documents(sf_dir: str) -> pa.Table:
     import ray
 
     from ..functions.dedup import exact_dedup_dup_groups_paths
-    from ..util import hash_column, single_chunk
+    from ..util import hash_column, single_chunk, sorted_lookup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     dup = exact_dedup_dup_groups_paths([os.path.join(sf_dir, "documents.parquet")])
@@ -1622,18 +1622,17 @@ def dup_rate_by_source_documents(sf_dir: str) -> pa.Table:
         ids = np.asarray(single_chunk(batch.column("doc_id")), dtype=np.int64)
         if len(dup_h):
             h = hash_column(single_chunk(batch.column("text"))).view(np.int64)
-            pos = np.searchsorted(dup_h, h).clip(max=len(dup_h) - 1)
-            is_dup = (dup_h[pos] == h) & (ids != dup_min[pos])
+            pos, found = sorted_lookup(dup_h, h)
+            is_dup = found & (ids != dup_min[pos])
         else:
             is_dup = np.zeros(len(ids), bool)
         t = pa.table(
             {
                 "source": batch.column("source"),
-                "n": pa.array(np.ones(len(ids), np.int64)),
                 "n_dup": pa.array(is_dup.astype(np.int64)),
             }
         )
-        out = t.group_by(["source"]).aggregate([("n", "sum"), ("n_dup", "sum")])
+        out = t.group_by(["source"]).aggregate([([], "count_all"), ("n_dup", "sum")])
         return out.rename_columns(["source", "n", "n_dup"])
 
     parts = _collect(ds.map_batches(partials, batch_format="pyarrow"))
@@ -4476,8 +4475,9 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
         langs_np = np.asarray(top.column("lang").to_numpy(zero_copy_only=False), dtype=object)
         # group set includes a NULL lang (the oracle's PARTITION BY lang
         # keeps a NULL partition; object-array `== None` is elementwise)
-        groups = sorted({x for x in langs_np.tolist() if x is not None})
-        if any(x is None for x in langs_np.tolist()):
+        lang_list = langs_np.tolist()
+        groups = sorted({x for x in lang_list if x is not None})
+        if any(x is None for x in lang_list):
             groups.append(None)
         keep: list[np.ndarray] = []
         for lg in groups:  # loop over GROUPS present, never rows
