@@ -4393,6 +4393,22 @@ def sample_documents(sf_dir: str) -> pa.Table:
 MIXTURE_TARGETS = {"en": 40, "zh": 25, "es": 25, "de": 25, "fr": 25}
 
 
+def _mixture_bottomk(tbl: pa.Table) -> pa.Table:
+    """Per-group bottom-k over (doc_id, lang, h) rows by the 32-hex hash —
+    IDEMPOTENT UNDER MERGE (bottomk(concat(bottomk(A), bottomk(B))) ==
+    bottomk(concat(A, B)), pinned in pytest), which is what lets the tree
+    combine collapse partials in any order/grouping."""
+    hb = np.asarray(tbl.column("h").to_numpy(zero_copy_only=False), dtype="S32")
+    lang_np = np.asarray(tbl.column("lang").to_numpy(zero_copy_only=False), dtype=object)
+    order = np.argsort(hb, kind="stable")
+    keep: list[np.ndarray] = []
+    for g, k in MIXTURE_TARGETS.items():  # loop over GROUPS, never rows
+        members = order[lang_np[order] == g]
+        keep.append(members[:k])
+    take = pa.array(np.sort(np.concatenate(keep)), pa.int64())
+    return tbl.take(take)
+
+
 def mixture_balance_documents(sf_dir: str) -> pa.Table:
     """EXACT per-group k selection (mixture balancing for training mixes):
     each language keeps its MIXTURE_TARGETS[lang] documents with the
@@ -4411,22 +4427,11 @@ def mixture_balance_documents(sf_dir: str) -> pa.Table:
     from ..stages.shuffle import _tree_combine
     from ..util import md5_hex
 
-    def _bottomk(tbl: pa.Table) -> pa.Table:
-        hb = np.asarray(tbl.column("h").to_numpy(zero_copy_only=False), dtype="S32")
-        lang_np = np.asarray(tbl.column("lang").to_numpy(zero_copy_only=False), dtype=object)
-        order = np.argsort(hb, kind="stable")
-        keep: list[np.ndarray] = []
-        for g, k in MIXTURE_TARGETS.items():  # loop over GROUPS, never rows
-            members = order[lang_np[order] == g]
-            keep.append(members[:k])
-        take = pa.array(np.sort(np.concatenate(keep)), pa.int64())
-        return tbl.take(take)
-
     @ray.remote
     def map_bottomk(tbl: pa.Table) -> pa.Table:
         ids = tbl.column("doc_id").combine_chunks()
         h = md5_hex(pc.binary_join_element_wise("mb:", ids.cast(pa.string()), ""))
-        return _bottomk(
+        return _mixture_bottomk(
             pa.table({"doc_id": ids, "lang": tbl.column("lang").combine_chunks(), "h": h})
         )
 
@@ -4435,7 +4440,7 @@ def mixture_balance_documents(sf_dir: str) -> pa.Table:
         nonempty = [t for t in tables if t.num_rows]
         if not nonempty:
             return tables[0]
-        return _bottomk(pa.concat_tables(nonempty))
+        return _mixture_bottomk(pa.concat_tables(nonempty))
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     refs = [map_bottomk.remote(r) for r in arrow_block_refs(ds)]
@@ -4445,7 +4450,7 @@ def mixture_balance_documents(sf_dir: str) -> pa.Table:
     nonempty = [t for t in final if t.num_rows]
     if not nonempty:
         return pa.table({"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())})
-    cand = _bottomk(pa.concat_tables(nonempty))
+    cand = _mixture_bottomk(pa.concat_tables(nonempty))
     return cand.select(["doc_id", "lang"]).sort_by("doc_id")
 
 

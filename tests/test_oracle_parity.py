@@ -170,3 +170,53 @@ def test_padded_text_and_null_lang_edgecases(ray_session, tmp_path):
     df_topk = to_pandas(m.queries()["df_topk_terms_documents"](sf))
     assert df_topk["lang"].isna().any()
     assert not (df_topk["token"] == "").any()
+
+
+def test_mixture_bottomk_merge_idempotent():
+    """The tree combine collapses per-block bottom-k partials in arbitrary
+    order/grouping — valid only because bottomk(concat(bottomk(A),
+    bottomk(B))) == bottomk(concat(A, B)). Pin that algebra on random
+    splits (the ≤64-block fixtures never layer the tree, so the combine
+    path is otherwise unexercised)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from schemasaurus_ray.pipelines.queries import MIXTURE_TARGETS, _mixture_bottomk
+
+    rng = np.random.default_rng(7)
+    langs = list(MIXTURE_TARGETS) + ["xx", None]
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    lang_col = [langs[i] for i in rng.integers(0, len(langs), size=n)]
+    h = [hashlib.md5(f"mb:{i}".encode()).hexdigest() for i in range(n)]
+    tbl = pa.table(
+        {"doc_id": pa.array(ids), "lang": pa.array(lang_col, pa.string()), "h": pa.array(h)}
+    )
+    direct = _mixture_bottomk(tbl)
+    # group sizes are exactly min(target, group population)
+    pops = {g: lang_col.count(g) for g in MIXTURE_TARGETS}
+    got_sizes = {
+        g: direct.filter(pa.compute.equal(direct.column("lang"), g)).num_rows
+        for g in MIXTURE_TARGETS
+    }
+    assert got_sizes == {g: min(k, pops[g]) for g, k in MIXTURE_TARGETS.items()}
+
+    for n_parts in (2, 7, 64):
+        cuts = np.sort(rng.integers(0, n, size=n_parts - 1))
+        parts = []
+        prev = 0
+        for c in list(cuts) + [n]:
+            parts.append(tbl.slice(prev, c - prev))
+            prev = c
+        # simulate a multi-level tree: pairwise combines, then a final merge
+        level = [_mixture_bottomk(p) if p.num_rows else p for p in parts]
+        while len(level) > 1:
+            nxt = []
+            for i in range(0, len(level), 2):
+                grp = [t for t in level[i : i + 2] if t.num_rows]
+                nxt.append(_mixture_bottomk(pa.concat_tables(grp)) if grp else level[i])
+            level = nxt
+        merged = level[0].sort_by("doc_id")
+        assert merged.equals(direct.sort_by("doc_id")), n_parts
