@@ -30,12 +30,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     code touches (the near-dup/index family), followed by the oracle-backed
     queries already driver-certified in r03/r04, with the rows-only
     (no-oracle) surfaces last so no checked slot is spent on a weaker
-    rows-only row. Displaced to make room: the six text-analysis siblings
-    certified green in r04 and unmodified since (lm_bigram_oov, redact,
-    split_assign, fingerprint, langid, vocab_topk — langid machinery stays
-    covered in-prefix by langid_confusion_documents), plus windowed_events /
-    drift_psi_events (r04-certified, unmodified) for the two r05 session-2
-    newcomers (mixture_balance_documents, df_topk_terms_documents)."""
+    rows-only row. Displaced to make room (all r03/r04-certified green and
+    machinery-unmodified, moved just past the prefix): the six
+    text-analysis siblings (lm_bigram_oov, redact, split_assign,
+    fingerprint, langid — langid machinery stays covered in-prefix by
+    langid_confusion_documents), windowed_events / drift_psi_events (for
+    mixture_balance_documents / df_topk_terms_documents), rolling_minmax /
+    ntile / quantize / histogram_prices / heavy_hitters (for the r05
+    session-3 newcomers dedup_neardup_keep_best_documents,
+    corr_moments_lineitem, dup_rate_by_source_documents,
+    window_unique_users_events, and the re-certification of the
+    empty-token-fixed vocab_topk_documents)."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
