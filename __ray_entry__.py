@@ -85,7 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5: per-source duplication-rate report (takes
         # quantize_embeddings' prefix slot — r04 green, unmodified)
         "dup_rate_by_source_documents": q.dup_rate_by_source_documents,
-        "prefix_dedup_documents": q.prefix_dedup_documents,
+        # NEW r5: per-split benchmark-leak audit (takes
+        # prefix_dedup_documents' prefix slot — r04 green, unmodified)
+        "contamination_by_split_documents": q.contamination_by_split_documents,
         "funnel_window_events": q.funnel_window_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec; the
@@ -159,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_events": q.heavy_hitters_events,
         "quantize_embeddings": q.quantize_embeddings,
         "histogram_prices_lineitem": q.histogram_prices_lineitem,
+        "prefix_dedup_documents": q.prefix_dedup_documents,
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
@@ -710,6 +713,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(10000.0 * COALESCE(len(list_distinct(words)), 0) /
                         GREATEST(COALESCE(len(words), 0), 1)) AS BIGINT) AS distinct_bp
               FROM toks ORDER BY doc_id
+        """,
+        # per-split leak rate: split = the split_assign md5-byte bounds,
+        # contaminated = a non-benchmark doc whose text is in the bench
+        # set (the decontaminate_documents definition); multiply-first bp
+        "contamination_by_split_documents": """
+            WITH bench AS (
+                SELECT text FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 11 = 3
+            ),
+            corpus AS (
+                SELECT d.doc_id,
+                       CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                            WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'f2' THEN 'val'
+                            ELSE 'test' END AS split,
+                       CASE WHEN EXISTS (SELECT 1 FROM bench b WHERE b.text = d.text)
+                            THEN 1 ELSE 0 END AS hit
+                  FROM documents d
+                 WHERE d.doc_id % 7 <> 0
+            )
+            SELECT split,
+                   count(*) AS n_docs,
+                   CAST(sum(hit) AS BIGINT) AS n_contaminated,
+                   CAST(10000 * sum(hit) // count(*) AS BIGINT) AS contam_bp
+              FROM corpus
+             GROUP BY split
+             ORDER BY split
         """,
         "decontaminate_documents": """
             WITH bench AS (

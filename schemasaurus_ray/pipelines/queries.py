@@ -4078,6 +4078,68 @@ def decontaminate_documents(sf_dir: str) -> pa.Table:
     return _collect(ds.map_batches(mark, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def contamination_by_split_documents(sf_dir: str) -> pa.Table:
+    """Per-SPLIT benchmark-leak audit — the release-gate metric a training
+    run checks before shipping a mix: for each deterministic train/val/test
+    split (split_assign_documents' md5-byte bounds), how many non-benchmark
+    docs carry text that appears in the evaluation set
+    (decontaminate_documents' bench definition), and the rate in
+    multiply-first basis points. Composes the two certified primitives in
+    ONE extra streaming pass: bench hashes broadcast once (8 B/item, the
+    small side by definition), split + membership computed batch-local,
+    only (split, n, n_hit) partials reach the driver. Zero shuffles."""
+    import ray
+
+    from ..util import hash_column, md5_digests, sorted_lookup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        sel = ((ids % 7) == 0) | ((ids % 11) == 3)
+        texts = batch.column("text").combine_chunks().filter(pa.array(sel))
+        h = np.unique(hash_column(texts)) if len(texts) else np.zeros(0, np.uint64)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    hs = [np.zeros(0, np.uint64)]
+    for b in ds.map_batches(bench_hashes, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        hs.append(np.asarray(b.column("h").combine_chunks()).view(np.uint64))
+    bench_ref = ray.put(np.unique(np.concatenate(hs)))
+    lo, hi = SPLIT_BOUNDS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy shared read
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        keep = (ids % 7) != 0  # benchmark members are not audited rows
+        h = hash_column(batch.column("text"))
+        _pos, found = sorted_lookup(bench, h)
+        b0 = md5_digests(batch.column("doc_id").cast(pa.string()))[:, 0]
+        split = np.where(b0 < lo, "train", np.where(b0 < hi, "val", "test"))
+        t = pa.table(
+            {
+                "split": pa.array(split[keep].tolist(), pa.string()),
+                "n_hit": pa.array(found[keep].astype(np.int64)),
+            }
+        )
+        out = t.group_by(["split"]).aggregate([([], "count_all"), ("n_hit", "sum")])
+        return out.rename_columns(["split", "n", "n_hit"])
+
+    parts = _collect(ds.map_batches(partials, batch_format="pyarrow"))
+    out = parts.group_by(["split"]).aggregate([("n", "sum"), ("n_hit", "sum")])
+    n = np.asarray(out.column("n_sum"), dtype=np.int64)
+    nh = np.asarray(out.column("n_hit_sum"), dtype=np.int64)
+    return pa.table(
+        {
+            "split": out.column("split"),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_contaminated": pa.array(nh, pa.int64()),
+            "contam_bp": pa.array(10000 * nh // np.maximum(n, 1), pa.int64()),
+        }
+    ).sort_by("split")
+
+
 def decontaminate_passages_documents(sf_dir: str) -> pa.Table:
     """PASSAGE-level benchmark decontamination — per NON-benchmark doc, the
     count of its 8-token windows whose exact token sequence appears
