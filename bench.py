@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "corr_moments_lineitem",
     "dup_rate_by_source_documents",
     "window_unique_users_events",
+    "contamination_by_split_documents",
 ]
 
 
