@@ -88,7 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5: per-split benchmark-leak audit (takes
         # prefix_dedup_documents' prefix slot — r04 green, unmodified)
         "contamination_by_split_documents": q.contamination_by_split_documents,
-        "funnel_window_events": q.funnel_window_events,
+        # NEW r5: event-type transition matrix (takes funnel_window_events'
+        # prefix slot — r04 green, unmodified)
+        "transitions_events": q.transitions_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec; the
         # documents twin runs the same machinery and keeps pytest parity
@@ -162,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q.quantize_embeddings,
         "histogram_prices_lineitem": q.histogram_prices_lineitem,
         "prefix_dedup_documents": q.prefix_dedup_documents,
+        "funnel_window_events": q.funnel_window_events,
         "validate_lineitem": q.validate_lineitem,
         "check_constraints_lineitem": q.check_constraints_lineitem,
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
@@ -1338,6 +1341,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'view>click', count(*) FROM s2
               UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
             ) ORDER BY stage
+        """,
+        # first-order Markov transition counts over per-user ordered events;
+        # tiebreak on event_id matches the engine's lexsort exactly
+        "transitions_events": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                  FROM events
+            )
+            SELECT event_type AS prev_type, next_type, count(*) AS n
+              FROM seq
+             WHERE next_type IS NOT NULL
+             GROUP BY 1, 2
+             ORDER BY 1, 2
         """,
         "funnel_window_events": """
             WITH ev AS (SELECT * FROM events WHERE event_id % 8 = 0),

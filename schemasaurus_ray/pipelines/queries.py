@@ -3017,6 +3017,22 @@ def sessionize_events(sf_dir: str) -> pa.Table:
     return out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
 
 
+def transitions_events(sf_dir: str) -> pa.Table:
+    """Event-type TRANSITION matrix of the stream (first-order Markov
+    counts): per (prev_type, next_type), how many consecutive same-user
+    event pairs make that step — the behavioral-drift signal that catches
+    a reordered or dropped funnel step even when per-type volumes look
+    flat. One hash-partitioned shuffle co-locates each user's history
+    (stages/temporal.transition_counts_shuffled); the driver sums
+    O(buckets × types²) count rows. Oracle: lead() OVER (PARTITION BY
+    user ORDER BY ts, event_id) pair counts."""
+    from ..stages.temporal import transition_counts_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts_shuffled(events, "user_id", "ts", "event_id", "event_type")
+    return out.sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
+
+
 def interarrival_events(sf_dir: str) -> pa.Table:
     """Per-user inter-arrival (heartbeat/cadence) statistics — exactly
     SQL's ts − lag(ts) OVER (PARTITION BY user ORDER BY ts, event_id),

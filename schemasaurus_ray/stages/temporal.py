@@ -526,6 +526,83 @@ def interarrival_shuffled(
     return pa.concat_tables(tables)
 
 
+def transition_counts_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Per-key event-TRANSITION counts (the first-order Markov matrix of
+    the stream — the behavioral-drift signal that catches a reordered or
+    dropped step even when per-type volumes look flat): for every
+    consecutive pair of events of one key in (ts, tiebreak) order, count
+    (prev_type, next_type). Exactly SQL's
+    ``lead(type) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` pair
+    counts.
+
+    Same one-shuffle shape as :func:`interarrival_shuffled`: hash-partition
+    rows by key so each key's full history is co-located, ONE lexsort per
+    reduce, a vectorized same-key adjacency mask, and a per-bucket
+    (prev, next) count partial — the driver only sums O(buckets × types²)
+    rows."""
+    import ray
+
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(len(srcs) if srcs is not None else 8)
+    cols = [key_col, ts_col, tiebreak_col, type_col]
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not parts:
+            return empty
+        tbl = pa.concat_tables(parts)
+        k = _np_col(tbl, key_col)
+        t = _np_col(tbl, ts_col)
+        tb = _np_col(tbl, tiebreak_col)
+        order = np.lexsort((tb, t, k))
+        same = k[order][1:] == k[order][:-1]
+        if not same.any():
+            return empty
+        prev_idx = pa.array(order[:-1][same].astype(np.int64), pa.int64())
+        next_idx = pa.array(order[1:][same].astype(np.int64), pa.int64())
+        g = pa.table(
+            {
+                "prev_type": tbl.column(type_col).take(prev_idx),
+                "next_type": tbl.column(type_col).take(next_idx),
+            }
+        )
+        out = g.group_by(["prev_type", "next_type"]).aggregate([([], "count_all")])
+        return out.rename_columns(["prev_type", "next_type", "n"])
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(tables).group_by(["prev_type", "next_type"]).aggregate([("n", "sum")])
+    return out.rename_columns(["prev_type", "next_type", "n"])
+
+
 def funnel_shuffled(
     src: Any,
     key_col: str,
