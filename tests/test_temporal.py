@@ -704,3 +704,66 @@ def test_rolling_minmax_matches_brute(rows, window):
         w = [vals[j] for j in prior]
         assert n_in[i] == len(prior)
         assert rmin[i] == min(w) and rmax[i] == max(w), (i, rows, window)
+
+
+def test_transition_counts_random_vs_duckdb(ray_session, tmp_path):
+    """transition_counts_shuffled on random shards — MANY ts ties, so the
+    event-id tiebreak path is actually exercised (the sf fixtures have
+    near-unique timestamps) — vs the lead() window oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import transition_counts_shuffled
+
+    rng = np.random.default_rng(11)
+    types = ["view", "cart", "purchase"]
+    paths = []
+    eid = 0
+    for s in range(3):
+        n = int(rng.integers(50, 250))
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 20, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 30, size=n), pa.int64()),  # heavy ties
+                "eid": pa.array(np.arange(eid, eid + n), pa.int64()),
+                "et": pa.array([types[i] for i in rng.integers(0, 3, size=n)], pa.string()),
+            }
+        )
+        eid += n
+        p = str(tmp_path / f"t{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    got = transition_counts_shuffled(paths, "k", "ts", "eid", "et", num_buckets=4).sort_by(
+        [("prev_type", "ascending"), ("next_type", "ascending")]
+    )
+    con = duckdb.connect()
+    files = ",".join(f"'{p}'" for p in paths)
+    exp = con.sql(
+        f"""
+        WITH seq AS (
+            SELECT k, et,
+                   lead(et) OVER (PARTITION BY k ORDER BY ts, eid) AS nxt
+              FROM read_parquet([{files}])
+        )
+        SELECT et AS prev_type, nxt AS next_type, count(*) AS n
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).arrow()
+    assert got.column("prev_type").to_pylist() == exp.column("prev_type").to_pylist()
+    assert got.column("next_type").to_pylist() == exp.column("next_type").to_pylist()
+    assert got.column("n").to_pylist() == exp.column("n").to_pylist()
+
+    # single-event keys and an empty source produce no transitions
+    lone = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 0, 0], pa.int64()),
+            "eid": pa.array([0, 1, 2], pa.int64()),
+            "et": pa.array(["view"] * 3, pa.string()),
+        }
+    )
+    p = str(tmp_path / "lone.parquet")
+    pq.write_table(lone, p)
+    assert transition_counts_shuffled([p], "k", "ts", "eid", "et", num_buckets=2).num_rows == 0
