@@ -40,7 +40,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     session-3 newcomers dedup_neardup_keep_best_documents,
     corr_moments_lineitem, dup_rate_by_source_documents,
     window_unique_users_events, and the re-certification of the
-    empty-token-fixed vocab_topk_documents)."""
+    empty-token-fixed vocab_topk_documents). Session-4 rotation: the five
+    newcomers (trigram_paths_events, column_profile_documents,
+    mutual_info_documents, gini_user_activity_events,
+    doc_keywords_documents) take the prefix slots of top_docs_by_length /
+    top_docs_per_lang / epoch_order_documents / sample_k_documents /
+    stratified_sample_documents (all r04 rows green, rank/md5 machinery
+    unmodified this round — moved just past the prefix)."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -91,6 +97,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5: event-type transition matrix (takes funnel_window_events'
         # prefix slot — r04 green, unmodified)
         "transitions_events": q.transitions_events,
+        # NEW r5 session-4: top-k order-3 behavioral paths (takes
+        # top_docs_by_length's prefix slot — r04 green, unmodified)
+        "trigram_paths_events": q.trigram_paths_events,
+        # NEW r5 session-4: categorical column profile / cross-column MI /
+        # key-skew Gini (take the prefix slots of top_docs_per_lang,
+        # epoch_order_documents and sample_k_documents — all r04 green,
+        # md5/rank machinery unmodified this round)
+        "column_profile_documents": q.column_profile_documents,
+        "mutual_info_documents": q.mutual_info_documents,
+        "gini_user_activity_events": q.gini_user_activity_events,
         "cohort_retention_events": q.cohort_retention_events,
         # spec inference (profile → suggested validation spec; the
         # documents twin runs the same machinery and keeps pytest parity
@@ -101,15 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem": q.quantiles_lineitem,
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
         "percentile_outliers_lineitem": q.percentile_outliers_lineitem,
-        # sort/top-k + sampling
-        "top_docs_by_length": q.top_docs_by_length,
-        "top_docs_per_lang": q.top_docs_per_lang,
-        # (sample_documents + weighted_sample_documents displaced below:
-        # md5-threshold pair, r01/r02/r04 rows green, code unmodified —
-        # sample_documents yields its slot to cluster_prototypes_embeddings)
-        "epoch_order_documents": q.epoch_order_documents,
-        "sample_k_documents": q.sample_k_documents,
-        "stratified_sample_documents": q.stratified_sample_documents,
+        # NEW r5 session-4: per-doc distinctive-keyword extraction (takes
+        # stratified_sample_documents' prefix slot — r04 green, unmodified)
+        "doc_keywords_documents": q.doc_keywords_documents,
         # schema-evolution aligned read (sources/io.read_parquet_aligned)
         "evolved_union_documents": q.evolved_union_documents,
         # -- new round-4 operators (need their first driver row) --
@@ -153,6 +163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "sample_documents": q.sample_documents,
+        # sort/top-k + sampling displaced from the prefix for the r05
+        # session-4 newcomers (trigram paths, column profile, MI, Gini,
+        # doc keywords) — all r04 rows green, rank/md5 code unmodified
+        "top_docs_by_length": q.top_docs_by_length,
+        "top_docs_per_lang": q.top_docs_per_lang,
+        "epoch_order_documents": q.epoch_order_documents,
+        "sample_k_documents": q.sample_k_documents,
+        "stratified_sample_documents": q.stratified_sample_documents,
         # text analysis / curation siblings displaced from the prefix for
         # the six r05 first-timers (r04 rows green, code unmodified)
         "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
@@ -239,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectral_clips": q.audio_spectral_clips,
         "audio_pitch_clips": q.audio_pitch_clips,
         "audio_corpus_inventory": q.audio_corpus_inventory,
+        "audio_codec_sniff_clips": q.audio_codec_sniff_clips,
         "audio_logmel_clips": q.audio_logmel_clips,
         "audio_cmvn_clips": q.audio_cmvn_clips,
         "segment_audio_clips": q.segment_audio_clips,
@@ -1357,6 +1376,100 @@ def oracle_sql() -> dict[str, str]:
              WHERE next_type IS NOT NULL
              GROUP BY 1, 2
              ORDER BY 1, 2
+        """,
+        # top-k order-3 behavioral paths; LIMIT boundary is deterministic
+        # because the ORDER BY is a total order (n desc, then all keys)
+        "trigram_paths_events": """
+            WITH seq AS (
+                SELECT event_type AS t0,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2
+                  FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t0, t1, t2, count(*) AS n
+              FROM seq
+             WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+             GROUP BY 1, 2, 3
+             ORDER BY n DESC, t0, t1, t2
+             LIMIT 25
+        """,
+        # categorical column profile: NULL is its own entropy category
+        # (GROUP BY keeps it); n_distinct excludes NULL (count(val));
+        # floor(1e6·H + 0.5) matches the engine's rounding convention
+        "column_profile_documents": """
+            WITH vals AS (
+                SELECT 'lang' AS col, lang AS val FROM documents
+                UNION ALL
+                SELECT 'source' AS col, source AS val FROM documents
+            ), c AS (
+                SELECT col, val, count(*) AS cnt FROM vals GROUP BY 1, 2
+            ), t AS (
+                SELECT col, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+            )
+            SELECT c.col AS "column",
+                   t.n AS n_rows,
+                   CAST(coalesce(sum(cnt) FILTER (WHERE val IS NULL), 0) AS BIGINT) AS n_null,
+                   CAST(count(val) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR(1e6 * sum(-(cnt * 1.0 / t.n) * log2(cnt * 1.0 / t.n)) + 0.5) AS BIGINT) AS entropy_ubits
+              FROM c JOIN t ON t.col = c.col
+             GROUP BY 1, 2
+             ORDER BY 1
+        """,
+        # mutual information lang×source; marginals joined NULL-safely
+        # (IS NOT DISTINCT FROM) so a NULL category stays a category
+        "mutual_info_documents": """
+            WITH j AS (
+                SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS n FROM j
+            ), ml AS (
+                SELECT lang, CAST(sum(c) AS DOUBLE) AS cl FROM j GROUP BY 1
+            ), ms AS (
+                SELECT source, CAST(sum(c) AS DOUBLE) AS cs FROM j GROUP BY 1
+            )
+            SELECT CAST(FLOOR(1e6 * sum((c / n) * log2(c * n / (cl * cs))) + 0.5) AS BIGINT) AS mi_ubits
+              FROM j
+              JOIN ml ON ml.lang IS NOT DISTINCT FROM j.lang
+              JOIN ms ON ms.source IS NOT DISTINCT FROM j.source
+             CROSS JOIN tot
+        """,
+        # Gini of per-user event volume — all-integer (multiply-first,
+        # floor division); equal counts make Σ(2i−k−1)·n tie-order-free
+        "gini_user_activity_events": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n FROM events GROUP BY 1
+            ), r AS (
+                SELECT n, row_number() OVER (ORDER BY n) AS i FROM c
+            ), s AS (
+                SELECT CAST(sum(2 * i * n) AS BIGINT) AS twosum,
+                       CAST(sum(n) AS BIGINT) AS tot,
+                       CAST(count(*) AS BIGINT) AS k
+                  FROM r
+            )
+            SELECT CAST((10000 * (twosum - (k + 1) * tot)) // (k * tot) AS BIGINT) AS gini_bp
+              FROM s
+        """,
+        # per-doc rarest term (min df, tie tf desc, tie token asc) — the
+        # integer-exact tf-idf argmax; tokens = \\S+ runs, same as the
+        # vocab/df oracles
+        "doc_keywords_documents": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                  FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), df AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ), ranked AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY df.df ASC, tf.tf DESC, tf.token ASC
+                       ) AS rn
+                  FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "funnel_window_events": """
             WITH ev AS (SELECT * FROM events WHERE event_id % 8 = 0),

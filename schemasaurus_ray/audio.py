@@ -97,6 +97,43 @@ def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray
     return data, offsets[:-1], offsets[1:] - offsets[:-1], null_mask
 
 
+def container_sniff(bytes_col) -> "np.ndarray":
+    """Container-format sniff of an Arrow binary column from file magic —
+    the declared-codec-vs-actual-payload audit (a `codec` METADATA column
+    is an assertion; the first bytes of the payload are the fact). Fully
+    vectorized over the flat value buffer (no per-row Python): RIFF….WAVE
+    → 'wav', fLaC → 'flac', OggS → 'ogg' (the Opus container), ID3 / MPEG
+    sync → 'mp3', too-short/null/unrecognized → 'unknown'. Returns a
+    numpy object array of per-row labels (feed pa.array(...))."""
+    import pyarrow as pa
+
+    arr = bytes_col.combine_chunks() if isinstance(bytes_col, pa.ChunkedArray) else bytes_col
+    data, starts, lengths, null_mask = _binary_buffers(arr)
+    n = len(lengths)
+    out = np.full(n, "unknown", dtype=object)
+    ok = (lengths >= 12) & ~null_mask
+    if len(data) >= 12 and ok.any():
+        safe = np.minimum(np.where(ok, starts, 0), len(data) - 12)
+
+        def b(at: int) -> np.ndarray:
+            return data[safe + at]
+
+        riff = (
+            (b(0) == 0x52) & (b(1) == 0x49) & (b(2) == 0x46) & (b(3) == 0x46)
+            & (b(8) == 0x57) & (b(9) == 0x41) & (b(10) == 0x56) & (b(11) == 0x45)
+        )
+        flac = (b(0) == 0x66) & (b(1) == 0x4C) & (b(2) == 0x61) & (b(3) == 0x43)
+        ogg = (b(0) == 0x4F) & (b(1) == 0x67) & (b(2) == 0x67) & (b(3) == 0x53)
+        mp3 = ((b(0) == 0x49) & (b(1) == 0x44) & (b(2) == 0x33)) | (
+            (b(0) == 0xFF) & ((b(1) & 0xE0) == 0xE0)
+        )
+        out[ok & riff] = "wav"
+        out[ok & flac] = "flac"
+        out[ok & ogg] = "ogg"
+        out[ok & mp3 & ~riff & ~flac & ~ogg] = "mp3"
+    return out
+
+
 def _pcm_layout(arr):
     """Vectorized WAV-header parse for a whole Arrow binary array: returns
     ``(data, starts, lengths, sr, eff_len, valid)`` or None when nothing in

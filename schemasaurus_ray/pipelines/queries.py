@@ -3033,6 +3033,27 @@ def transitions_events(sf_dir: str) -> pa.Table:
     return out.sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
 
 
+def trigram_paths_events(sf_dir: str, k: int = 25) -> pa.Table:
+    """TOP-K behavioral PATHS (order-3 path mining over the event stream):
+    the k most frequent per-user event-type trigrams in (ts, event_id)
+    order — the sequence-level signal funnel/transition matrices miss (a
+    path view→click→error spiking while every pairwise transition looks
+    flat). One hash-partitioned shuffle co-locates each user's history
+    (stages/temporal.path_ngram_counts_shuffled); the driver sums
+    O(buckets × types³) exact count rows and top-ks with a total-order
+    tie-break (n desc, then t0/t1/t2 asc), so the k-boundary is
+    deterministic. Oracle: lead(type,1)/lead(type,2) OVER (PARTITION BY
+    user ORDER BY ts, event_id) trigram counts, same LIMIT and order."""
+    from ..stages.temporal import path_ngram_counts_shuffled
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = path_ngram_counts_shuffled(events, "user_id", "ts", "event_id", "event_type", n=3)
+    top = out.sort_by(
+        [("n", "descending"), ("t0", "ascending"), ("t1", "ascending"), ("t2", "ascending")]
+    )
+    return top.slice(0, k)
+
+
 def interarrival_events(sf_dir: str) -> pa.Table:
     """Per-user inter-arrival (heartbeat/cadence) statistics — exactly
     SQL's ts − lag(ts) OVER (PARTITION BY user ORDER BY ts, event_id),
@@ -3314,6 +3335,152 @@ def key_distribution_events(sf_dir: str) -> pa.Table:
     return key_count_histogram_shuffled(
         [os.path.join(sf_dir, "events.parquet")], ["user_id"]
     )
+
+
+def column_profile_documents(sf_dir: str) -> pa.Table:
+    """Categorical COLUMN-PROFILE audit (the per-column stats block a
+    validation report opens with, extended past count/null-rate to the
+    information content): for each declared categorical column of
+    documents (lang, source) → row count, null count, exact distinct
+    count and Shannon entropy of the value distribution (NULL is its own
+    category, as the oracle's GROUP BY keeps it). ONE melted count-table
+    shuffle: the per-shard transform projects both columns into (col,
+    val) rows, so the exact per-(col, val) counts arrive in a single
+    agg_keys_shuffled pass — driver work is O(Σ column domains), never
+    O(rows). Entropy is reported in µbits via floor(1e6·H + 0.5) — the
+    same double ops as the oracle SQL (np.round is banker's, DuckDB
+    ROUND is half-away; floor(+0.5) sidesteps the convention split, the
+    revenue_by_segment cents precedent). Domain guard: categorical
+    profiling presumes enum-like columns; the count table is
+    O(distinct), the same bound grouped_quantiles' count-table router
+    documents."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    cols = ["lang", "source"]
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "col": pa.array([name] * tbl.num_rows, pa.string()),
+                    "val": tbl.column(name).cast(pa.string()),
+                }
+            )
+            for name in cols
+        ]
+        return pa.concat_tables(parts)
+
+    agg = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        ["col", "val"],
+        [("val", "count")],
+        transform_fn=melt,
+        read_cols=cols,
+    )
+    # canonical row order BEFORE the float entropy sum: the shuffle's
+    # bucket concatenation order is an implementation detail, and double
+    # summation is order-sensitive in the last ulp
+    agg = agg.sort_by([("col", "ascending"), ("val", "ascending")])
+    col_np = np.asarray(agg.column("col").to_numpy(zero_copy_only=False), dtype=object)
+    val_np = np.asarray(agg.column("val").to_numpy(zero_copy_only=False), dtype=object)
+    cnt_np = np.asarray(agg.column("cnt").to_numpy(zero_copy_only=False), dtype=np.int64)
+    out_rows = []
+    for name in sorted(cols):
+        m = col_np == name
+        cnts = cnt_np[m]
+        vals = val_np[m]
+        n = int(cnts.sum())
+        null_mask = np.array([v is None for v in vals], dtype=bool)
+        n_null = int(cnts[null_mask].sum())
+        n_distinct = int((~null_mask).sum())
+        if n:
+            p = cnts.astype(np.float64) / n
+            ent = float(np.sum(-p * np.log2(p)))
+        else:
+            ent = 0.0
+        out_rows.append((name, n, n_null, n_distinct, int(np.floor(1e6 * ent + 0.5))))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in out_rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in out_rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in out_rows], pa.int64()),
+            "entropy_ubits": pa.array([r[4] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+def mutual_info_documents(sf_dir: str) -> pa.Table:
+    """MUTUAL INFORMATION between the lang and source columns — the
+    cross-column dependence audit (MI ≈ 0 says the corpus mixes languages
+    uniformly across sources; a high MI flags source-language lock-in
+    that a stratified split must account for). Exact joint counts from
+    ONE (lang, source) agg_keys_shuffled count-table pass (domain =
+    |langs| × |sources|, enum-bounded); marginals are row/column sums of
+    the joint table on the driver, so nothing beyond the tiny count table
+    ever moves. NULL categories stay (the oracle joins marginals with IS
+    NOT DISTINCT FROM). Reported in µbits via floor(1e6·MI + 0.5) — the
+    same double ops as the oracle SQL."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    agg = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        ["lang", "source"],
+        [("lang", "count")],
+        read_cols=["lang", "source"],
+    )
+    # canonical row order BEFORE the float MI sum (last-ulp determinism)
+    agg = agg.sort_by([("lang", "ascending"), ("source", "ascending")])
+    lang = np.asarray(agg.column("lang").to_numpy(zero_copy_only=False), dtype=object)
+    src = np.asarray(agg.column("source").to_numpy(zero_copy_only=False), dtype=object)
+    cnt = np.asarray(agg.column("cnt").to_numpy(zero_copy_only=False), dtype=np.float64)
+    n = cnt.sum()
+    if n == 0:
+        return pa.table({"mi_ubits": pa.array([0], pa.int64())})
+    # marginals by category position (None-safe: positions, not dict keys)
+    lang_cats = {v: i for i, v in enumerate({v for v in lang})}
+    src_cats = {v: i for i, v in enumerate({v for v in src})}
+    li = np.array([lang_cats[v] for v in lang], dtype=np.int64)
+    si = np.array([src_cats[v] for v in src], dtype=np.int64)
+    cl = np.bincount(li, weights=cnt, minlength=len(lang_cats))
+    cs = np.bincount(si, weights=cnt, minlength=len(src_cats))
+    mi = float(np.sum((cnt / n) * np.log2(cnt * n / (cl[li] * cs[si]))))
+    return pa.table({"mi_ubits": pa.array([int(np.floor(1e6 * mi + 0.5))], pa.int64())})
+
+
+def gini_user_activity_events(sf_dir: str) -> pa.Table:
+    """GINI coefficient of per-user event volume — the one-number skew /
+    concentration audit behind partitioning and salting decisions (0 =
+    uniform keys, →1 = one user owns the stream), companion to
+    key_distribution_events and heavy_hitters. EXACT and all-integer:
+    Gini depends only on the MULTISET of per-key counts, so the engine
+    consumes the (cnt, n_keys) histogram from the key-count shuffle —
+    driver work is O(distinct count values), never O(keys) — and
+    evaluates Σ(2i−k−1)·xᵢ over each equal-count run in closed form with
+    Python ints (no overflow at any scale). Reported in basis points via
+    integer floor division (multiply-first, the CLAUDE.md ratio rule), so
+    the oracle's BIGINT // matches bit-for-bit."""
+    from ..stages.shuffle import key_count_histogram_shuffled
+
+    hist = key_count_histogram_shuffled(
+        [os.path.join(sf_dir, "events.parquet")], ["user_id"]
+    ).sort_by("cnt")
+    cnts = hist.column("cnt").to_pylist()
+    n_keys = hist.column("n_keys").to_pylist()
+    twosum = 0  # Σ 2i·xᵢ over ranks i (1-based, counts ascending)
+    tot = 0
+    k = 0
+    start = 1  # rank of the first key in the current equal-count run
+    for c, m in zip(cnts, n_keys):
+        # Σ_{i=start}^{start+m-1} 2i = m·(2·start + m − 1)
+        twosum += c * m * (2 * start + m - 1)
+        tot += c * m
+        k += m
+        start += m
+    if k == 0 or tot == 0:
+        return pa.table({"gini_bp": pa.array([0], pa.int64())})
+    gini_bp = (10000 * (twosum - (k + 1) * tot)) // (k * tot)
+    return pa.table({"gini_bp": pa.array([int(gini_bp)], pa.int64())})
 
 
 def heavy_hitters_approx_events(sf_dir: str) -> pa.Table:
@@ -4645,6 +4812,111 @@ def df_topk_terms_documents(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
+def doc_keywords_documents(sf_dir: str, max_vocab_rows: int = 1 << 22) -> pa.Table:
+    """Per-document DISTINCTIVE-KEYWORD extraction (the per-doc dual of
+    df_topk_terms_documents, and the crude-but-exact tf-idf: the doc's
+    rarest term): for every document, the token with minimum corpus
+    document frequency, ties broken by tf DESC then token ASC — all
+    integer comparisons, so the argmin is bit-exact against the oracle's
+    row_number() (no float idf whose last-ulp could flip near-equal
+    scores between engines). Two passes: (1) the global df count table
+    from ONE agg_keys_shuffled pass whose per-shard transform emits
+    within-doc-DISTINCT tokens (a doc lives wholly in one shard, so
+    shard-local dedup is exact — the df_topk guarantee); (2) the df table
+    broadcast once (ray.put — small side by the vocabulary bound, loud
+    DomainTooLargeError above ``max_vocab_rows``, the grouped-quantiles
+    budget pattern) and one streaming map_batches that computes per-doc
+    tf, hash-joins df in-batch, and keeps the first row per doc after a
+    single vectorized sort. Docs with no tokens (null/empty text) emit no
+    row, exactly as the oracle's unnest produces nothing for them."""
+    import ray
+
+    from ..stages.shuffle import agg_keys_shuffled
+    from ..stages.stats import DomainTooLargeError
+
+    def melt_distinct(tbl: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(tbl.column("text").combine_chunks())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ne = pc.not_equal(flat, "")
+        per_doc = (
+            pa.table({"d": parent.filter(ne), "token": flat.filter(ne)})
+            .group_by(["d", "token"])
+            .aggregate([])  # within-doc DISTINCT: one df unit per doc
+        )
+        return pa.table({"token": per_doc.column("token")})
+
+    df_tbl = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        ["token"],
+        [("token", "count")],
+        transform_fn=melt_distinct,
+        read_cols=["text"],
+    )
+    if df_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    df_tbl = df_tbl.rename_columns(["token", "df"]).combine_chunks()
+    if df_tbl.num_rows > max_vocab_rows:
+        raise DomainTooLargeError(
+            f"vocabulary has {df_tbl.num_rows} terms > max_vocab_rows={max_vocab_rows}; "
+            "the df broadcast presumes a bounded vocabulary — raise the budget "
+            "explicitly or pre-prune the token stream"
+        )
+    df_ref = ray.put(df_tbl)
+
+    def keywords(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        toks = pc.ascii_split_whitespace(batch.column("text").combine_chunks())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ne = pc.not_equal(flat, "")
+        flat = flat.filter(ne)
+        parent = parent.filter(ne)
+        doc_ids = batch.column("doc_id").combine_chunks().take(parent)
+        tf = (
+            pa.table({"doc_id": doc_ids, "token": flat})
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "token", "tf"])
+        )
+        j = tf.join(df, keys="token", join_type="inner").sort_by(
+            [
+                ("doc_id", "ascending"),
+                ("df", "ascending"),
+                ("tf", "descending"),
+                ("token", "ascending"),
+            ]
+        )
+        d = np.asarray(j.column("doc_id").combine_chunks(), dtype=np.int64)
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = d[1:] != d[:-1]
+        return j.filter(pa.array(first)).select(["doc_id", "token", "tf", "df"])
+
+    out = _collect(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            keywords, batch_format="pyarrow"
+        )
+    )
+    if out.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    return out.sort_by("doc_id")
+
+
 # ---- snapshot diff (CDC) -----------------------------------------------------
 def _orders_next_snapshot(tbl: pa.Table) -> pa.Table:
     """Deterministic 'next snapshot' of the orders table, derived in-flight
@@ -4900,6 +5172,66 @@ def audio_corpus_inventory(sf_dir: str) -> pa.Table:
     return agg.rename_columns(
         ["sr_hz", "n_clips", "n_decodable", "total_samples", "n_mismatch"]
     ).sort_by("sr_hz")
+
+
+def audio_codec_sniff_clips(sf_dir: str) -> pa.Table:
+    """DECLARED-CODEC vs PAYLOAD-CONTAINER audit: the `codec` column is a
+    metadata assertion; the payload's file magic is the fact — a corpus
+    whose rows say 'flac' over RIFF bytes has a broken ingest upstream,
+    and every decode stage downstream will dispatch to the wrong library.
+    Per batch: one vectorized magic sniff over the flat binary buffer
+    (audio.container_sniff — no per-row Python, bytes never copied) + a
+    tiny (codec, sniffed) group count; the driver folds B × |codecs|²
+    rows. `mismatch` marks pairs where the declaration disagrees with the
+    container ('opus' declared over an Ogg container counts as a match —
+    Opus ships in Ogg). Rows-only surface (binary payloads aren't SQL);
+    the pytest golden re-derives expected counts from the fixture's
+    declared-label generator."""
+    import glob as glob_
+
+    from ..audio import container_sniff
+    from ..sources.io import read_parquet_tasks
+
+    fix = _audio_fixture()
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "codec", "bytes"],
+    )
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        labels = container_sniff(batch.column("bytes"))
+        t = pa.table(
+            {
+                "codec": batch.column("codec"),
+                "sniffed": pa.array(labels, pa.string()),
+            }
+        )
+        return (
+            t.group_by(["codec", "sniffed"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["codec", "sniffed", "n"])
+        )
+
+    parts = _collect(ds.map_batches(sniff, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "codec": pa.array([], pa.string()),
+                "sniffed": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "mismatch": pa.array([], pa.bool_()),
+            }
+        )
+    agg = (
+        parts.group_by(["codec", "sniffed"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["codec", "sniffed", "n"])
+        .sort_by([("codec", "ascending"), ("sniffed", "ascending")])
+    )
+    dec = np.asarray(agg.column("codec").to_numpy(zero_copy_only=False), dtype=object)
+    sn = np.asarray(agg.column("sniffed").to_numpy(zero_copy_only=False), dtype=object)
+    match = (dec == sn) | ((dec == "opus") & (sn == "ogg"))
+    return agg.append_column("mismatch", pa.array(~match, pa.bool_()))
 
 
 def audio_cmvn_clips(sf_dir: str) -> pa.Table:

@@ -603,6 +603,85 @@ def transition_counts_shuffled(
     return out.rename_columns(["prev_type", "next_type", "n"])
 
 
+def path_ngram_counts_shuffled(
+    src: Any,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    n: int = 3,
+    num_buckets: int | None = None,
+) -> pa.Table:
+    """Per-key event-PATH n-gram counts (path mining — the order-n
+    generalization of :func:`transition_counts_shuffled`): for every run
+    of ``n`` consecutive events of one key in (ts, tiebreak) order, count
+    the type tuple (t0, …, t{n-1}). Exactly SQL's
+    ``lead(type, i) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` for
+    i = 1..n-1, counted where the last lead is non-null *within the key
+    partition* (a window never crosses keys).
+
+    Same one-shuffle shape as the transition matrix: hash-partition rows
+    by key so each key's full history is co-located, ONE lexsort per
+    reduce, a vectorized same-key window mask (rows i and i+n-1 sharing
+    the key implies the whole window does — identical keys are contiguous
+    after the sort), and a per-bucket n-gram count partial. The driver
+    sums O(buckets × types^n) rows — exact because counts are associative,
+    bounded because the type domain is an enum (the engine's enum/format
+    validation upstream is what makes this safe at corpus scale)."""
+    import ray
+
+    if n < 2:
+        raise ValueError("path n-gram order must be >= 2")
+    srcs = src if isinstance(src, list) else None
+    num_buckets = num_buckets or _default_buckets(len(srcs) if srcs is not None else 8)
+    cols = [key_col, ts_col, tiebreak_col, type_col]
+    names = [f"t{i}" for i in range(n)]
+
+    def _empty() -> pa.Table:
+        data: dict = {nm: pa.array([], pa.string()) for nm in names}
+        data["n"] = pa.array([], pa.int64())
+        return pa.table(data)
+
+    @ray.remote
+    def reduce_bucket(*tables: pa.Table) -> pa.Table:
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            return _empty()
+        tbl = pa.concat_tables(parts)
+        if tbl.num_rows < n:
+            return _empty()
+        k = _np_col(tbl, key_col)
+        t = _np_col(tbl, ts_col)
+        tb = _np_col(tbl, tiebreak_col)
+        order = np.lexsort((tb, t, k))
+        ks = k[order]
+        same = ks[n - 1 :] == ks[: len(ks) - (n - 1)]
+        if not same.any():
+            return _empty()
+        start = np.flatnonzero(same)
+        types = tbl.column(type_col)
+        g = pa.table(
+            {
+                nm: types.take(pa.array((order[start + i]).astype(np.int64), pa.int64()))
+                for i, nm in enumerate(names)
+            }
+        )
+        out = g.group_by(names).aggregate([([], "count_all")])
+        return out.rename_columns(names + ["n"])
+
+    combine = _concat_remote()
+    refs = _bucket_map_refs(src, cols, key_col, num_buckets)
+    reduced = []
+    for b in range(num_buckets):
+        c = _tree_combine([refs[m][b] for m in range(len(refs))], combine)
+        reduced.append(reduce_bucket.remote(*c))
+    tables = [t for t in ray.get(reduced) if t.num_rows]
+    if not tables:
+        return _empty()
+    out = pa.concat_tables(tables).group_by(names).aggregate([("n", "sum")])
+    return out.rename_columns(names + ["n"])
+
+
 def funnel_shuffled(
     src: Any,
     key_col: str,

@@ -736,3 +736,76 @@ def test_audio_denoise_stage_schema():
     # no pauses the quiet-frame floor IS the clip rms ≈ √(0.5²/2 + 0.1²)
     # ≈ 0.364 full scale — the documented stationary-signal caveat
     assert vals and all(v == 0 or 3000 <= v <= 4200 for v in vals)  # 0 = short-clip passthrough
+
+
+def test_container_sniff_unit():
+    """Vectorized magic detection over crafted payloads — every label
+    branch plus null/short/unknown edges (no Ray needed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from schemasaurus_ray.audio import container_sniff, wav_encode
+
+    wav = wav_encode(np.zeros(64, np.float64), 8000)
+    blobs = [
+        wav,                                        # RIFF….WAVE
+        b"fLaC" + b"\x00" * 16,                     # flac
+        b"OggS" + b"\x00" * 16,                     # ogg (opus container)
+        b"ID3\x04" + b"\x00" * 16,                  # mp3 (ID3 tag)
+        b"\xff\xfb\x90\x00" + b"\x00" * 16,         # mp3 (MPEG sync)
+        b"RIFF1234AVI " + b"\x00" * 8,              # RIFF but not WAVE
+        b"short",                                   # too short
+        None,                                       # null
+        b"\x00" * 32,                               # unrecognized
+    ]
+    got = container_sniff(pa.array(blobs, pa.binary())).tolist()
+    assert got == [
+        "wav", "flac", "ogg", "mp3", "mp3", "unknown", "unknown", "unknown", "unknown",
+    ]
+    # chunked input takes the combine path
+    ch = pa.chunked_array([pa.array(blobs[:4], pa.binary()), pa.array(blobs[4:], pa.binary())])
+    assert container_sniff(ch).tolist() == got
+
+
+def test_audio_codec_sniff_golden(ray_session):
+    """audio_codec_sniff_clips vs an independent per-row startswith
+    reimplementation over the same fixture shards: identical (codec,
+    sniffed, n) counts, and the fixture's declared-label injections
+    (flac/opus labels over WAV payloads, plus the 1/1000 'mp3' enum
+    violation) all surface as mismatches."""
+    import glob
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import _audio_fixture, audio_codec_sniff_clips
+
+    out = audio_codec_sniff_clips("unused")
+    got = {
+        (r["codec"], r["sniffed"]): (r["n"], r["mismatch"]) for r in out.to_pylist()
+    }
+
+    want: Counter = Counter()
+    for p in sorted(glob.glob(os.path.join(_audio_fixture(), "clips", "*.parquet"))):
+        t = pq.read_table(p, columns=["codec", "bytes"])
+        for codec, blob in zip(t.column("codec").to_pylist(), t.column("bytes").to_pylist()):
+            if blob is None or len(blob) < 12:
+                s = "unknown"
+            elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                s = "wav"
+            elif blob[:4] == b"fLaC":
+                s = "flac"
+            elif blob[:4] == b"OggS":
+                s = "ogg"
+            elif blob[:3] == b"ID3" or (blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0):
+                s = "mp3"
+            else:
+                s = "unknown"
+            want[(codec, s)] += 1
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    # the fixture's payloads are all WAV: every non-wav declaration mismatches
+    for (codec, sniffed), (n, mism) in got.items():
+        assert mism == (not (codec == sniffed or (codec == "opus" and sniffed == "ogg")))
+    assert got[("wav", "wav")][1] is False
+    assert any(m for (_, m) in got.values())

@@ -2319,3 +2319,139 @@ def test_ivf_indexed_prunes_io_and_matches_scan(ray_session, tmp_path):
         for r, _, fs in os.walk(idx) for f in fs
     }
     assert mtimes == mtimes2
+
+
+def _doc_profile_dir(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfp"
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": pa.array([r[2] if len(r) > 2 else "x" for r in rows], pa.string()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_column_profile_nulls_vs_duckdb(ray_session, tmp_path):
+    """NULL categories: n_null counts them, n_distinct excludes them,
+    entropy keeps them as a category — engine vs the shipped oracle SQL
+    on a corpus the sf fixtures don't have (they are null-free)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from schemasaurus_ray.pipelines.queries import column_profile_documents
+
+    rows = [
+        ("en", "web"), ("en", "web"), ("de", None), (None, "web"),
+        (None, None), ("fr", "books"), ("en", None), ("de", "web"),
+    ]
+    d = _doc_profile_dir(tmp_path, rows)
+    got = column_profile_documents(d).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    exp = con.sql(entry.oracle_sql()["column_profile_documents"]).df()
+    assert got.values.tolist() == exp.values.tolist()
+    lang_row = got[got["column"] == "lang"].iloc[0]
+    assert int(lang_row.n_null) == 2 and int(lang_row.n_distinct) == 3
+
+
+def test_mutual_info_closed_form(ray_session, tmp_path):
+    """MI(lang; source) = 0 exactly for an independent product corpus;
+    = H(lang) for a bijective lang↔source corpus (1.5 bits for the
+    {1/2, 1/4, 1/4} marginal) — closed forms, not just oracle echo."""
+    from schemasaurus_ray.pipelines.queries import mutual_info_documents
+
+    indep = [(lg, sc) for lg in ("en", "en", "de", "fr") for sc in ("web", "books")]
+    d = _doc_profile_dir(tmp_path, indep)
+    assert mutual_info_documents(d).column("mi_ubits").to_pylist() == [0]
+
+    dep = [("en", "web"), ("en", "web"), ("de", "books"), ("fr", "news")]
+    d2 = tmp_path / "dep"
+    d2.mkdir()
+    d = _doc_profile_dir(d2, dep)
+    # H = 1/2·1 + 1/4·2 + 1/4·2 = 1.5 bits
+    assert mutual_info_documents(d).column("mi_ubits").to_pylist() == [1_500_000]
+
+
+def test_gini_user_activity_closed_form(ray_session, tmp_path):
+    """Gini from the count histogram vs the direct rank formula: uniform
+    keys → 0; one dominant key → the closed-form Σ(2i−k−1)xᵢ/(k·Σx)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import gini_user_activity_events
+
+    def write(counts, name):
+        d = tmp_path / name
+        d.mkdir()
+        uid = [u for u, c in enumerate(counts) for _ in range(c)]
+        pq.write_table(
+            pa.table({"user_id": pa.array(uid, pa.int64())}),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    assert gini_user_activity_events(write([5, 5, 5, 5], "uni")).column(
+        "gini_bp"
+    ).to_pylist() == [0]
+
+    counts = [1, 1, 2, 3, 13]
+    xs = sorted(counts)
+    k, tot = len(xs), sum(xs)
+    s = sum((2 * (i + 1) - k - 1) * x for i, x in enumerate(xs))
+    want = (10000 * s) // (k * tot)
+    got = gini_user_activity_events(write(counts, "skew")).column("gini_bp").to_pylist()
+    assert got == [want] and want > 3000
+
+
+def test_doc_keywords_ties_and_guard(ray_session, tmp_path):
+    """Per-doc rarest term: df ASC beats tf DESC beats token ASC, all
+    integer; tokenless docs emit no row; the vocabulary budget raises
+    loudly instead of silently broadcasting an unbounded df table."""
+    import pytest as _pytest
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import doc_keywords_documents
+    from schemasaurus_ray.stages.stats import DomainTooLargeError
+
+    d = tmp_path / "kw"
+    d.mkdir()
+    texts = {
+        # rare appears in 1 doc, common in 3 → doc 0 keyword = rare
+        0: "common common rare common",
+        # all terms df=2 here: tf decides (beta beta alpha) → beta
+        1: "beta alpha beta",
+        # tie on df AND tf → lexicographically smallest token
+        2: "beta alpha",
+        3: "",  # tokenless: no row
+    }
+    # make alpha/beta df=2 exactly (docs 1,2); common df=2 (docs 0,4)
+    texts[4] = "common"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = doc_keywords_documents(str(d))
+    got = {
+        r["doc_id"]: (r["token"], r["tf"], r["df"]) for r in out.to_pylist()
+    }
+    assert got == {
+        0: ("rare", 1, 1),
+        1: ("beta", 2, 2),
+        2: ("alpha", 1, 2),
+        4: ("common", 1, 2),
+    }
+    with _pytest.raises(DomainTooLargeError):
+        doc_keywords_documents(str(d), max_vocab_rows=2)

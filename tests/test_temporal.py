@@ -767,3 +767,93 @@ def test_transition_counts_random_vs_duckdb(ray_session, tmp_path):
     p = str(tmp_path / "lone.parquet")
     pq.write_table(lone, p)
     assert transition_counts_shuffled([p], "k", "ts", "eid", "et", num_buckets=2).num_rows == 0
+
+
+def test_path_ngram_counts_random_vs_duckdb(ray_session, tmp_path):
+    """path_ngram_counts_shuffled (n=3 and n=4) on random shards with
+    HEAVY ts ties vs the lead(type, i) window oracle — the same adversarial
+    regime the transition-matrix test pins, one window order up."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.temporal import path_ngram_counts_shuffled
+
+    rng = np.random.default_rng(23)
+    types = ["view", "cart", "purchase", "refund"]
+    paths = []
+    eid = 0
+    for s in range(3):
+        n = int(rng.integers(60, 220))
+        t = pa.table(
+            {
+                "k": pa.array(rng.integers(0, 15, size=n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 25, size=n), pa.int64()),  # heavy ties
+                "eid": pa.array(np.arange(eid, eid + n), pa.int64()),
+                "et": pa.array([types[i] for i in rng.integers(0, 4, size=n)], pa.string()),
+            }
+        )
+        eid += n
+        p = str(tmp_path / f"p{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    con = duckdb.connect()
+    files = ",".join(f"'{p}'" for p in paths)
+    for order in (3, 4):
+        got = path_ngram_counts_shuffled(
+            paths, "k", "ts", "eid", "et", n=order, num_buckets=4
+        )
+        names = [f"t{i}" for i in range(order)]
+        got = got.sort_by([(c, "ascending") for c in names])
+        leads = ",\n".join(
+            f"lead(et, {i}) OVER (PARTITION BY k ORDER BY ts, eid) AS t{i}"
+            for i in range(1, order)
+        )
+        exp = con.sql(
+            f"""
+            WITH seq AS (
+                SELECT et AS t0, {leads}
+                  FROM read_parquet([{files}])
+            )
+            SELECT {", ".join(names)}, count(*) AS n
+              FROM seq WHERE t{order - 1} IS NOT NULL
+             GROUP BY ALL ORDER BY {", ".join(names)}
+            """
+        ).arrow()
+        for c in names + ["n"]:
+            assert got.column(c).to_pylist() == exp.column(c).to_pylist(), (order, c)
+
+
+def test_path_ngram_counts_edges(ray_session, tmp_path):
+    """Keys shorter than the window emit nothing; n<2 raises; a window
+    never crosses two keys even when their rows interleave in ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from schemasaurus_ray.stages.temporal import path_ngram_counts_shuffled
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 0, 1, 1, 2], pa.int64()),
+            "eid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "et": pa.array(["a", "a", "b", "b", "c"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "short.parquet")
+    pq.write_table(t, p)
+    # every key has < 3 events: no trigram may appear (cross-key windows
+    # would wrongly produce one if the mask used adjacency, not key runs)
+    assert path_ngram_counts_shuffled([p], "k", "ts", "eid", "et", n=3).num_rows == 0
+    out = path_ngram_counts_shuffled([p], "k", "ts", "eid", "et", n=2, num_buckets=2)
+    assert sorted(
+        zip(
+            out.column("t0").to_pylist(),
+            out.column("t1").to_pylist(),
+            out.column("n").to_pylist(),
+        )
+    ) == [("a", "b", 2)]
+    with _pytest.raises(ValueError):
+        path_ngram_counts_shuffled([p], "k", "ts", "eid", "et", n=1)
