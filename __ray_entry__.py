@@ -120,8 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5 session-4: per-doc distinctive-keyword extraction (takes
         # stratified_sample_documents' prefix slot — r04 green, unmodified)
         "doc_keywords_documents": q.doc_keywords_documents,
-        # schema-evolution aligned read (sources/io.read_parquet_aligned)
-        "evolved_union_documents": q.evolved_union_documents,
+        # NEW r5 session-4: exact two-sample KS drift statistic (takes
+        # evolved_union_documents' prefix slot — r04 green, aligned-read
+        # machinery unmodified this round)
+        "drift_ks_events": q.drift_ks_events,
         # -- new round-4 operators (need their first driver row) --
         "fd_violations_events": q.fd_violations_events,
         "coverage_customer_events": q.coverage_customer_events,
@@ -171,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_order_documents": q.epoch_order_documents,
         "sample_k_documents": q.sample_k_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
+        "evolved_union_documents": q.evolved_union_documents,
         # text analysis / curation siblings displaced from the prefix for
         # the six r05 first-timers (r04 rows green, code unmodified)
         "lm_bigram_oov_documents": q.lm_bigram_oov_documents,
@@ -258,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_pitch_clips": q.audio_pitch_clips,
         "audio_corpus_inventory": q.audio_corpus_inventory,
         "audio_codec_sniff_clips": q.audio_codec_sniff_clips,
+        "audio_reference_parity_clips": q.audio_reference_parity_clips,
         "audio_logmel_clips": q.audio_logmel_clips,
         "audio_cmvn_clips": q.audio_cmvn_clips,
         "segment_audio_clips": q.segment_audio_clips,
@@ -1376,6 +1380,30 @@ def oracle_sql() -> dict[str, str]:
              WHERE next_type IS NOT NULL
              GROUP BY 1, 2
              ORDER BY 1, 2
+        """,
+        # exact two-sample KS on `value`, halves split at count//2 (the
+        # engine reads the same number from parquet metadata); CDF diffs
+        # multiply-first in BIGINT, one floor division at the end
+        "drift_ks_events": """
+            WITH h AS (
+                SELECT CAST(count(*) // 2 AS BIGINT) AS half FROM events
+            ), c AS (
+                SELECT value,
+                       CAST(sum(CASE WHEN event_id < half THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                       CAST(sum(CASE WHEN event_id >= half THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                  FROM events, h
+                 WHERE value IS NOT NULL
+                 GROUP BY 1
+            ), n AS (
+                SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c
+            ), cum AS (
+                SELECT CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+                       CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+                  FROM c
+            )
+            SELECT CAST((10000 * max(abs(f1 * n2 - f2 * n1))) // (n1 * n2) AS BIGINT) AS ks_bp
+              FROM cum, n
+             GROUP BY n1, n2
         """,
         # top-k order-3 behavioral paths; LIMIT boundary is deterministic
         # because the ORDER BY is a total order (n desc, then all keys)

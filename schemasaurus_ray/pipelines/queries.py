@@ -2651,6 +2651,73 @@ def drift_psi_events(sf_dir: str) -> pa.Table:
     return pa.table({"psi_bp": pa.array([int(math.floor(value * 10000))], pa.int64())})
 
 
+def drift_ks_events(sf_dir: str) -> pa.Table:
+    """EXACT two-sample Kolmogorov–Smirnov statistic on the `value`
+    distribution, second half of the stream vs first half (same
+    metadata-derived split as drift_psi_events) — the numeric-drift twin
+    of the categorical PSI check, and the exact counterpart of the
+    t-digest KS in the snapshot path (stages/drift.py). All-integer after
+    the counts: KS = max over distinct values of |F̂₁−F̂₂|, evaluated
+    multiply-first as |cum1·n2 − cum2·n1| with ONE floor division at the
+    end (ks_bp = ⌊10000·max/(n1·n2)⌋), so the oracle's BIGINT window sums
+    match bit-for-bit — no float CDFs anywhere. One (value, is_new)
+    count-table shuffle; the driver sorts the O(distinct values) count
+    table and runs two cumsums. Nulls are excluded from both samples (a
+    null has no place on a CDF); the domain note of the grouped-quantile
+    router applies — near-unique doubles make the count table O(rows),
+    which is fine at audit scales and loud at 10¹² (route through the
+    t-digest snapshot path instead)."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.shuffle import agg_keys_shuffled
+
+    path = os.path.join(sf_dir, "events.parquet")
+    half = pq_.read_metadata(path).num_rows // 2
+
+    def tf(tbl: pa.Table) -> pa.Table:
+        keep = pc.is_valid(tbl.column("value"))
+        tbl = tbl.filter(keep)
+        return pa.table(
+            {
+                "value": tbl.column("value"),
+                "is_new": pc.cast(
+                    pc.greater_equal(tbl.column("event_id"), half), pa.int64()
+                ),
+            }
+        )
+
+    agg = agg_keys_shuffled(
+        [path],
+        ["value", "is_new"],
+        [("value", "count")],
+        transform_fn=tf,
+        read_cols=["event_id", "value"],
+    )
+    if agg.num_rows == 0:
+        return pa.table({"ks_bp": pa.array([0], pa.int64())})
+    v = np.asarray(agg.column("value").to_numpy(zero_copy_only=False), dtype=np.float64)
+    is_new = np.asarray(agg.column("is_new").to_numpy(zero_copy_only=False), dtype=np.int64)
+    cnt = np.asarray(agg.column("cnt").to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, is_new, cnt = v[order], is_new[order], cnt[order]
+    c1 = np.where(is_new == 0, cnt, 0)
+    c2 = np.where(is_new == 1, cnt, 0)
+    # collapse duplicate values ((v, 0) and (v, 1) rows are adjacent after
+    # the sort) — the CDF steps once per DISTINCT value
+    boundary = np.ones(len(v), dtype=bool)
+    boundary[1:] = v[1:] != v[:-1]
+    seg = np.cumsum(boundary) - 1
+    c1 = np.bincount(seg, weights=c1).astype(np.int64)
+    c2 = np.bincount(seg, weights=c2).astype(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        return pa.table({"ks_bp": pa.array([0], pa.int64())})
+    f1 = np.cumsum(c1)
+    f2 = np.cumsum(c2)
+    d = int(np.max(np.abs(f1 * n2 - f2 * n1)))
+    return pa.table({"ks_bp": pa.array([(10000 * d) // (n1 * n2)], pa.int64())})
+
+
 def drift_partition_verdicts(sf_dir: str) -> pa.Table:
     """PER-PARTITION drift verdicts (the north rule's 'flag drift per
     partition'): each partition's event_type distribution PSI'd against
@@ -5232,6 +5299,120 @@ def audio_codec_sniff_clips(sf_dir: str) -> pa.Table:
     sn = np.asarray(agg.column("sniffed").to_numpy(zero_copy_only=False), dtype=object)
     match = (dec == sn) | ((dec == "opus") & (sn == "ogg"))
     return agg.append_column("mismatch", pa.array(~match, pa.bool_()))
+
+
+def audio_reference_parity_clips(sf_dir: str, snr_floor_db: float = 30.0) -> pa.Table:
+    """PER-ROW REFERENCE-PARITY audit — the acceptance invariant of the
+    engine (decoded-PCM ≥ 30 dB SNR against the reference synthesis for
+    the row's (clip_id, sr_hz, dur_ms), plus transcript equality against
+    the side table) surfaced as a corpus-level report instead of only a
+    pytest assertion. Two streaming passes: (1) one map_batches over the
+    clip shards decodes each payload (per-clip wav_decode loop — the
+    AudioResampleStage-measured shape for variable-length payloads; the
+    sample math inside is numpy), re-synthesizes the reference from the
+    index embedded in clip_id, and emits ONE partial-count row per batch;
+    (2) the clip_id hash equi-join against the transcript side table
+    counts (pairs, equal) INSIDE each reduce. The driver folds B tiny
+    rows per pass. A clip whose id was stomped by a duplicate fails SNR
+    parity by construction (its payload encodes the original index) —
+    exactly the 'id contradicts payload' defect this audit exists to
+    catch. Rows-only surface; the pytest golden recomputes both passes
+    independently per row."""
+    import glob as glob_
+    import re
+
+    import ray.data as rd
+
+    from ..audio import snr_db, synth_samples, wav_decode
+    from ..sources.io import read_parquet_tasks
+    from ..stages.join import equi_join_shuffled
+
+    fix = _audio_fixture()
+    idx_re = re.compile(r"(\d+)")
+    ds = read_parquet_tasks(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms"],
+    )
+
+    def snr_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_pylist()
+        blobs = batch.column("bytes")
+        srs = batch.column("sr_hz").to_pylist()
+        durs = batch.column("dur_ms").to_pylist()
+        n_dec = n_pass = 0
+        for j in range(batch.num_rows):
+            blob = blobs[j].as_py()
+            if blob is None:
+                continue
+            try:
+                pcm, _sr = wav_decode(blob)
+            except ValueError:
+                continue
+            if len(pcm) == 0:
+                continue
+            n_dec += 1
+            m = idx_re.search(ids[j] or "")
+            if m is None:
+                continue
+            ref = synth_samples(int(m.group(1)), int(srs[j]), int(durs[j]))
+            if snr_db(pcm, ref) >= snr_floor_db:
+                n_pass += 1
+        return pa.table(
+            {
+                "n_clips": pa.array([batch.num_rows], pa.int64()),
+                "n_decodable": pa.array([n_dec], pa.int64()),
+                "n_snr_pass": pa.array([n_pass], pa.int64()),
+            }
+        )
+
+    snr_parts = _collect(ds.map_batches(snr_partial, batch_format="pyarrow"))
+
+    clips_tr = rd.read_parquet(
+        sorted(glob_.glob(os.path.join(fix, "clips", "*.parquet"))),
+        columns=["clip_id", "transcript"],
+    ).map_batches(
+        lambda b: b.rename_columns(["clip_id", "transcript_clip"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    transcripts = rd.read_parquet(
+        os.path.join(fix, "transcripts"), columns=["clip_id", "transcript"]
+    ).map_batches(_strip_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_counts(joined: pa.Table) -> pa.Table:
+        eq = pc.equal(joined.column("transcript_clip"), joined.column("transcript"))
+        n_eq = int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)  # null-safe: null ≠
+        return pa.table(
+            {
+                "n_transcript_pairs": pa.array([joined.num_rows], pa.int64()),
+                "n_transcript_equal": pa.array([n_eq], pa.int64()),
+            }
+        )
+
+    pairs = equi_join_shuffled(
+        clips_tr,
+        "clip_id",
+        ["clip_id", "transcript_clip"],
+        transcripts,
+        "clip_id",
+        ["clip_id", "transcript"],
+        reduce_fn=pair_counts,
+    )
+
+    def total(tbl: pa.Table, col: str) -> int:
+        if tbl.num_rows == 0 or col not in tbl.column_names:
+            return 0
+        return int(pc.sum(tbl.column(col)).as_py() or 0)
+
+    return pa.table(
+        {
+            "n_clips": pa.array([total(snr_parts, "n_clips")], pa.int64()),
+            "n_decodable": pa.array([total(snr_parts, "n_decodable")], pa.int64()),
+            "n_snr_pass": pa.array([total(snr_parts, "n_snr_pass")], pa.int64()),
+            "n_transcript_pairs": pa.array([total(pairs, "n_transcript_pairs")], pa.int64()),
+            "n_transcript_equal": pa.array([total(pairs, "n_transcript_equal")], pa.int64()),
+        }
+    )
 
 
 def audio_cmvn_clips(sf_dir: str) -> pa.Table:

@@ -809,3 +809,68 @@ def test_audio_codec_sniff_golden(ray_session):
         assert mism == (not (codec == sniffed or (codec == "opus" and sniffed == "ogg")))
     assert got[("wav", "wav")][1] is False
     assert any(m for (_, m) in got.values())
+
+
+def test_audio_reference_parity_golden(ray_session):
+    """audio_reference_parity_clips vs an independent per-row recompute
+    over the same fixture shards (decode + re-synthesize + SNR, and a
+    pandas merge for transcript pairs): every count must agree, and the
+    known injections must surface — dur=0 rows undecodable, the truncated
+    payload and the duplicate-id rows failing SNR parity, null-transcript
+    rows unequal."""
+    import glob
+    import os
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.audio import snr_db, synth_samples, wav_decode
+    from schemasaurus_ray.pipelines.queries import (
+        _audio_fixture,
+        audio_reference_parity_clips,
+    )
+
+    got = audio_reference_parity_clips("unused").to_pylist()[0]
+
+    fix = _audio_fixture()
+    idx_re = re.compile(r"(\d+)")
+    n = dec = snr_pass = 0
+    clip_rows = []
+    for p in sorted(glob.glob(os.path.join(fix, "clips", "*.parquet"))):
+        t = pq.read_table(p, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "transcript"])
+        for r in t.to_pylist():
+            n += 1
+            clip_rows.append((r["clip_id"], r["transcript"]))
+            if r["bytes"] is None:
+                continue
+            try:
+                pcm, _ = wav_decode(r["bytes"])
+            except ValueError:
+                continue
+            if len(pcm) == 0:
+                continue
+            dec += 1
+            m = idx_re.search(r["clip_id"] or "")
+            if m and snr_db(pcm, synth_samples(int(m.group(1)), r["sr_hz"], r["dur_ms"])) >= 30:
+                snr_pass += 1
+    side = pq.read_table(
+        os.path.join(fix, "transcripts", "shard-00000.parquet"),
+        columns=["clip_id", "transcript"],
+    ).to_pandas()
+    cl = pd.DataFrame(clip_rows, columns=["clip_id", "transcript_clip"])
+    merged = cl.merge(side, on="clip_id", how="inner")
+    pairs = len(merged)
+    equal = int((merged["transcript_clip"] == merged["transcript"]).sum())
+
+    assert got == {
+        "n_clips": n,
+        "n_decodable": dec,
+        "n_snr_pass": snr_pass,
+        "n_transcript_pairs": pairs,
+        "n_transcript_equal": equal,
+    }
+    # the injections are visible: some clips undecodable (dur=0), some
+    # decodable clips fail parity (truncation + id stomps), some joined
+    # transcripts unequal (nulls + id stomps)
+    assert dec < n and snr_pass < dec and equal < pairs

@@ -2455,3 +2455,54 @@ def test_doc_keywords_ties_and_guard(ray_session, tmp_path):
     }
     with _pytest.raises(DomainTooLargeError):
         doc_keywords_documents(str(d), max_vocab_rows=2)
+
+
+def test_drift_ks_closed_form(ray_session, tmp_path):
+    """Exact KS: identical halves → 0 bp; disjoint supports → 10000 bp;
+    a half-overlap case vs the hand-computed max |F1−F2|; nulls excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.pipelines.queries import drift_ks_events
+
+    def write(first, second, name, nulls=0):
+        d = tmp_path / name
+        d.mkdir()
+        vals = list(first) + [None] * nulls + list(second)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(list(range(len(vals))), pa.int64()),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    same = [1.0, 2.0, 3.0, 4.0]
+    assert drift_ks_events(write(same, same, "same")).column("ks_bp").to_pylist() == [0]
+
+    lo = [1.0, 2.0, 3.0]
+    hi = [10.0, 11.0, 12.0]
+    assert drift_ks_events(write(lo, hi, "disj")).column("ks_bp").to_pylist() == [10000]
+
+    # halves of 4: first = {1,2,2,3}, second = {2,3,3,4}
+    # F1 at v=2: 3/4, F2: 1/4 → D = 1/2 → 5000 bp
+    a = [1.0, 2.0, 2.0, 3.0]
+    b = [2.0, 3.0, 3.0, 4.0]
+    assert drift_ks_events(write(a, b, "half")).column("ks_bp").to_pylist() == [5000]
+
+    # nulls sit between the halves: count//2 split keeps samples uneven
+    # (first = {1,2,2,3,None} → n1=4 after null drop, second 4) but the
+    # null never lands on the CDF; statistic unchanged vs the duckdb oracle
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    d = write(a, b, "nulls", nulls=2)
+    got = drift_ks_events(d).column("ks_bp").to_pylist()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    exp = con.sql(entry.oracle_sql()["drift_ks_events"]).df()["ks_bp"].tolist()
+    assert got == exp
