@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "dup_rate_by_source_documents",
     "window_unique_users_events",
     "contamination_by_split_documents",
+    # round 5 session 4: path mining, profiling stats and the exact KS
+    # drift twin (events-table shuffles + the per-doc keyword two-pass)
+    "trigram_paths_events",
+    "doc_keywords_documents",
+    "drift_ks_events",
+    "gini_user_activity_events",
 ]
 
 
