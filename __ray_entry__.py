@@ -46,7 +46,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     doc_keywords_documents) take the prefix slots of top_docs_by_length /
     top_docs_per_lang / epoch_order_documents / sample_k_documents /
     stratified_sample_documents (all r04 rows green, rank/md5 machinery
-    unmodified this round — moved just past the prefix)."""
+    unmodified this round — moved just past the prefix). Session-5
+    rotation: the six newcomers (cooccurrence_events, user_entropy_events,
+    label_conflicts_documents, ttr_documents, zscore_outliers_documents,
+    bigram_pmi_documents) take the prefix slots of enrich_events_customer /
+    join_orders_customer / asof_events_purchase / activity_window_events /
+    sessionize_events / interarrival_events (all r03/r04 rows green,
+    broadcast-join and temporal machinery unmodified this session)."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -57,8 +63,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ontime_windowed_events": q.ontime_windowed_events,
         "weighted_sample_documents": q.weighted_sample_documents,
         # joins
-        "enrich_events_customer": q.enrich_events_customer,
-        "join_orders_customer": q.join_orders_customer,
+        # NEW r5 session-5: co-occurrence mining / behavioral entropy /
+        # label-conflict detection / lexical diversity / exact grouped
+        # z-score / PMI collocations — take the prefix slots of
+        # enrich_events_customer, join_orders_customer, asof_events_purchase,
+        # activity_window_events, sessionize_events, interarrival_events
+        # (all r03/r04-certified green; broadcast-join and temporal
+        # machinery unmodified this session — moved just past the prefix)
+        "cooccurrence_events": q.cooccurrence_events,
+        "user_entropy_events": q.user_entropy_events,
+        "label_conflicts_documents": q.label_conflicts_documents,
+        "ttr_documents": q.ttr_documents,
+        "zscore_outliers_documents": q.zscore_outliers_documents,
+        "bigram_pmi_documents": q.bigram_pmi_documents,
         # NEW r5: sliding-window chunking flat map (RAG/training prep);
         # takes ann_topk_embeddings' prefix slot (r01/r02/r04 rows green,
         # brute-force top-k machinery unmodified)
@@ -68,11 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (both r04-certified, machinery unmodified — moved past the prefix)
         "mixture_balance_documents": q.mixture_balance_documents,
         "df_topk_terms_documents": q.df_topk_terms_documents,
-        # temporal keyed operators (as-of / range join / sessionization)
-        "asof_events_purchase": q.asof_events_purchase,
-        "activity_window_events": q.activity_window_events,
-        "sessionize_events": q.sessionize_events,
-        "interarrival_events": q.interarrival_events,
         # rolling_minmax_events (r04 green, unmodified) yields its prefix
         # slot to the r05 keep-best survivor newcomer below
         "late_events": q.late_events,
@@ -158,6 +170,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram_events_type / ann_topk_embeddings / windowed_events /
         # drift_psi_events yield their prefix slots to the r05 newcomers
         # (prior rows all green, machinery unmodified)
+        # joins + temporal keyed operators displaced from the prefix for
+        # the r05 session-5 newcomers (cooccurrence, user entropy, label
+        # conflicts, TTR, grouped z-score, PMI collocations) — all
+        # r03/r04 rows green, broadcast-join/temporal code unmodified
+        "enrich_events_customer": q.enrich_events_customer,
+        "join_orders_customer": q.join_orders_customer,
+        "asof_events_purchase": q.asof_events_purchase,
+        "activity_window_events": q.activity_window_events,
+        "sessionize_events": q.sessionize_events,
+        "interarrival_events": q.interarrival_events,
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
@@ -1830,6 +1852,122 @@ def oracle_sql() -> dict[str, str]:
             )
             QUALIFY row_number() OVER w <= 3
              ORDER BY cluster_id, prototype_rank
+        """,
+        # unordered event-type pairs per user (market-basket association
+        # counts); t1 < t2 drops NULL types on both sides
+        "cooccurrence_events": """
+            WITH d AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            )
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   CAST(count(*) AS BIGINT) AS n_users
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+             GROUP BY 1, 2
+             ORDER BY 1, 2
+        """,
+        # Shannon entropy of each user's event-type mix, top-25; the
+        # (entropy_ubits desc, user_id) order is total so the LIMIT
+        # boundary is deterministic; floor(1e6·H + 0.5) convention
+        "user_entropy_events": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS cnt
+                  FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+                       CAST(count(*) AS BIGINT) AS n_types
+                  FROM c GROUP BY 1
+            ), h AS (
+                SELECT c.user_id,
+                       CAST(FLOOR(1e6 * sum(-(cnt*1.0/n_events)*log2(cnt*1.0/n_events)) + 0.5) AS BIGINT) AS entropy_ubits
+                  FROM c JOIN t ON t.user_id = c.user_id GROUP BY 1
+            )
+            SELECT h.user_id, n_events, n_types, entropy_ubits
+              FROM h JOIN t ON t.user_id = h.user_id
+             ORDER BY entropy_ubits DESC, h.user_id
+             LIMIT 25
+        """,
+        # groups sharing a first-8-token fingerprint with >1 distinct
+        # lang label (count(DISTINCT lang) excludes NULL — so does the
+        # engine); md5 hex of the joined prefix on both sides
+        "label_conflicts_documents": r"""
+            WITH p AS (
+                SELECT doc_id, lang,
+                       md5(array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 8), ' ')) AS prefix_md5
+                  FROM documents
+            )
+            SELECT prefix_md5,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   min(doc_id) AS keep_id
+              FROM p
+             GROUP BY 1
+            HAVING count(DISTINCT lang) > 1
+             ORDER BY 1
+        """,
+        # type-token ratio (lexical diversity) top-25, basis points via
+        # integer multiply-first floor division; \S+ never emits ''
+        "ttr_documents": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+            ), s AS (
+                SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+                  FROM t
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   CAST((10000 * n_distinct) // n_tokens AS BIGINT) AS ttr_bp
+              FROM s
+             WHERE n_tokens >= 10
+             ORDER BY ttr_bp DESC, doc_id
+             LIMIT 25
+        """,
+        # |x − μ| > 2σ per lang, all-integer: (n·x − S₁)² > 4·(n·S₂ − S₁²)
+        # over HUGEINTs (the engine compares |n·x − S₁| to the exact
+        # integer sqrt of the right side — equivalent by ⌊√R⌋ algebra)
+        "zscore_outliers_documents": """
+            WITH s AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(n_chars) AS BIGINT) AS s1,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+                  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+              FROM documents d JOIN s ON s.lang IS NOT DISTINCT FROM d.lang
+             WHERE d.n_chars IS NOT NULL
+               AND CAST(s.n * d.n_chars - s.s1 AS HUGEINT) * CAST(s.n * d.n_chars - s.s1 AS HUGEINT)
+                   > 4 * (CAST(s.n AS HUGEINT) * s.s2 - CAST(s.s1 AS HUGEINT) * s.s1)
+             ORDER BY d.doc_id
+        """,
+        # top-25 adjacent-token collocations by PMI among bigrams with
+        # count ≥ 5; parallel unnest zips the two shifted list slices;
+        # one log2 of a ratio of double products, same op order as the
+        # engine; totals are pre-filter corpus totals
+        "bigram_pmi_documents": r"""
+            WITH toks AS (
+                SELECT regexp_extract_all(text, '\S+') AS w FROM documents
+            ), bi AS (
+                SELECT unnest(w[1:len(w)-1]) AS t0, unnest(w[2:len(w)]) AS t1
+                  FROM toks WHERE len(w) >= 2
+            ), bc AS (
+                SELECT t0, t1, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1, 2
+            ), uni AS (
+                SELECT unnest(w) AS token FROM toks
+            ), uc AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY 1
+            ), tot AS (
+                SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM bc) AS n_bi,
+                       (SELECT CAST(sum(cnt) AS BIGINT) FROM uc) AS n_tok
+            )
+            SELECT t0, t1, bc.cnt AS cnt,
+                   CAST(FLOOR(1e6 * log2((CAST(bc.cnt AS DOUBLE) * n_tok * n_tok) / (CAST(n_bi AS DOUBLE) * a.cnt * b.cnt)) + 0.5) AS BIGINT) AS pmi_ubits
+              FROM bc
+              JOIN uc a ON a.token = bc.t0
+              JOIN uc b ON b.token = bc.t1
+             CROSS JOIN tot
+             WHERE bc.cnt >= 5
+             ORDER BY pmi_ubits DESC, t0, t1
+             LIMIT 25
         """,
         # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
         # validate_audio_clips, audio_features, audio_quality_clips:

@@ -5486,3 +5486,481 @@ def k_anonymity_customer(sf_dir: str, k: int = 5) -> pa.Table:
     return out.rename_columns(["c_mktsegment", "c_nationkey", "bal_band", "n"]).sort_by(
         [("c_mktsegment", "ascending"), ("c_nationkey", "ascending"), ("bal_band", "ascending")]
     )
+
+
+def cooccurrence_events(sf_dir: str) -> pa.Table:
+    """Event-type CO-OCCURRENCE mining (market-basket association counts):
+    for each unordered pair of event types (t1 < t2), the number of USERS
+    who performed both — the feature-correlation signal behind funnel
+    design and negative-sampling decisions that per-type volumes and the
+    transition matrix (order-sensitive, adjacency-only) both miss. ONE
+    shuffle keyed by (user, type) but BUCKETED by user only
+    (agg_keys_shuffled bucket_cols), so every user's distinct-type rows
+    land in one reduce task; the reduce expands within-user pairs with at
+    most |type-domain| shifted-mask passes over the sorted rows (never a
+    per-user Python loop) and emits an O(types²) count table; the driver
+    sums B such tables. Oracle: self-join of SELECT DISTINCT user, type
+    on user with t1 < t2."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+
+    def pairs_per_bucket(t: pa.Table) -> pa.Table:
+        # rows: one (user_id, event_type) per user×type after the merge —
+        # the count column is ignored (presence = the user did the type).
+        t = t.filter(pc.is_valid(t.column("event_type")))  # NULL type: a.t < b.t drops it
+        if t.num_rows == 0:
+            return _empty()
+        srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+        uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
+        tdict = srt.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(tdict.indices, dtype=np.int64)
+        types = tdict.dictionary
+        nt = len(types)
+        lefts: list[np.ndarray] = []
+        rights: list[np.ndarray] = []
+        d = 1
+        # distance-d same-user mask; rows are (user, type)-sorted, so the
+        # left endpoint's type string is strictly below the right's. Once
+        # no user group spans distance d, none spans d+1 — break.
+        while d < len(uid):
+            m = uid[:-d] == uid[d:]
+            if not m.any():
+                break
+            idx = np.nonzero(m)[0]
+            lefts.append(codes[idx])
+            rights.append(codes[idx + d])
+            d += 1
+        if not lefts:
+            return _empty()
+        lc = np.concatenate(lefts)
+        rc = np.concatenate(rights)
+        key, counts = np.unique(lc * nt + rc, return_counts=True)
+        return pa.table(
+            {
+                "t1": types.take(pa.array(key // nt, pa.int64())),
+                "t2": types.take(pa.array(key % nt, pa.int64())),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")],
+        key_cols=["user_id", "event_type"],
+        aggs=[("event_type", "count")],
+        bucket_cols=["user_id"],
+        having_fn=pairs_per_bucket,
+        read_cols=["user_id", "event_type"],
+    )
+    if out.num_rows == 0:
+        return _empty()
+    # buckets partition users — the same pair can surface in several
+    # buckets; the final sum is over an O(types²) table on the driver
+    out = (
+        out.group_by(["t1", "t2"])
+        .aggregate([("n_users", "sum")])
+        .rename_columns(["t1", "t2", "n_users"])
+    )
+    return out.sort_by([("t1", "ascending"), ("t2", "ascending")])
+
+
+def user_entropy_events(sf_dir: str, k: int = 25) -> pa.Table:
+    """Per-user BEHAVIORAL ENTROPY (Shannon entropy of the user's
+    event-type distribution, µbits): the bot / monoculture detector —
+    near-zero entropy flags single-action accounts, maximal entropy flags
+    uniform scripted sweeps. Same single user-bucketed shuffle as
+    cooccurrence_events; each reduce computes H per user with two
+    reduceat passes over its sorted count rows and keeps only its local
+    top-k, so the driver merges B×k candidate rows (the per-bucket top-k
+    is exact: a user lives wholly in one bucket). Total order
+    (entropy_ubits desc, user_id asc) makes the k-boundary deterministic;
+    floor(1e6·H + 0.5) is the repo's float-reporting convention."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "entropy_ubits": pa.array([], pa.int64()),
+            }
+        )
+
+    def entropy_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        # canonical (user, type) order before the float sum — same
+        # last-ulp discipline as mutual_info_documents
+        srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+        uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
+        cnt = np.asarray(srt.column("cnt").combine_chunks(), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        n_ev = np.add.reduceat(cnt, starts)
+        n_ty = np.diff(np.concatenate((starts, [len(uid)])))
+        p = cnt.astype(np.float64) / np.repeat(n_ev, n_ty).astype(np.float64)
+        h = np.add.reduceat(-p * np.log2(p), starts)
+        ubits = np.floor(1e6 * h + 0.5).astype(np.int64)
+        take = np.lexsort((uid[starts], -ubits))[:k]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts][take], pa.int64()),
+                "n_events": pa.array(n_ev[take], pa.int64()),
+                "n_types": pa.array(n_ty[take].astype(np.int64), pa.int64()),
+                "entropy_ubits": pa.array(ubits[take], pa.int64()),
+            }
+        )
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")],
+        key_cols=["user_id", "event_type"],
+        aggs=[("event_type", "count")],
+        bucket_cols=["user_id"],
+        having_fn=entropy_topk,
+        read_cols=["user_id", "event_type"],
+    )
+    if out.num_rows == 0:
+        return _empty()
+    srt = out.sort_by([("entropy_ubits", "descending"), ("user_id", "ascending")])
+    return srt.slice(0, k)
+
+
+def _prefix_tokens_joined(text: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+    """First-n-token fingerprint string (tokens joined by one space) —
+    trim + run-collapsing whitespace split, so it equals the oracle's
+    array_to_string(list_slice(regexp_extract_all(text,'\\S+'),1,n),' ')
+    on every input including the all-whitespace document ('' both sides)."""
+    toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(text))
+    head = pc.list_slice(toks, 0, n)
+    return pc.binary_join(head.cast(pa.list_(pa.string())), " ")
+
+
+def label_conflicts_documents(sf_dir: str, n_tokens: int = 8) -> pa.Table:
+    """LABEL-CONFLICT detection (the training-label hygiene audit): groups
+    of documents that share their first-8-token fingerprint but carry
+    MORE THAN ONE lang label — the same content labeled two ways poisons
+    a classifier in a way plain dedup never reports. One shuffle keyed by
+    (fingerprint, lang) but BUCKETED by fingerprint hash only, so every
+    label of one fingerprint meets in one reduce task; the reduce keeps
+    only conflicted groups, so the driver receives O(conflicts) rows —
+    never the fingerprint table. Distinct-label count excludes NULL
+    (count(DISTINCT lang) semantics); n_docs and keep_id cover all
+    members. Only 16-byte hashes, 32-char hex and ids ever move — text
+    stays in the map tasks."""
+    from ..stages.shuffle import agg_keys_shuffled
+    from ..util import hash_column, md5_hex
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "prefix_md5": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_langs": pa.array([], pa.int64()),
+                "keep_id": pa.array([], pa.int64()),
+            }
+        )
+
+    def fingerprint_rows(tbl: pa.Table) -> pa.Table:
+        pre = _prefix_tokens_joined(tbl.column("text").combine_chunks(), n_tokens)
+        # int64 ahash is the SHUFFLE key (never group by strings —
+        # CLAUDE.md); the md5 hex rides along for the output/oracle.
+        h = hash_column(pre).view(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "prefix_md5": md5_hex(pre),
+                "lang": tbl.column("lang"),
+                "doc_id": tbl.column("doc_id"),
+            }
+        )
+
+    def conflicts_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        srt = t.sort_by([("h", "ascending"), ("prefix_md5", "ascending")])
+        h = np.asarray(srt.column("h").combine_chunks(), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        ends = np.concatenate((starts[1:], [len(h)]))
+        cnt = np.asarray(srt.column("cnt").combine_chunks(), dtype=np.int64)
+        mid = np.asarray(srt.column("min_doc_id").combine_chunks(), dtype=np.int64)
+        valid_lang = np.asarray(
+            pc.is_valid(srt.column("lang").combine_chunks()), dtype=np.int64
+        )
+        n_docs = np.add.reduceat(cnt, starts)
+        n_langs = np.add.reduceat(valid_lang, starts)  # one row per (h, lang)
+        keep = np.minimum.reduceat(mid, starts)
+        mask = n_langs > 1
+        if not mask.any():
+            return _empty()
+        idx = starts[mask]
+        return pa.table(
+            {
+                "prefix_md5": srt.column("prefix_md5").take(pa.array(idx, pa.int64())),
+                "n_docs": pa.array(n_docs[mask], pa.int64()),
+                "n_langs": pa.array(n_langs[mask], pa.int64()),
+                "keep_id": pa.array(keep[mask], pa.int64()),
+            }
+        )
+
+    out = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        key_cols=["h", "prefix_md5", "lang"],
+        aggs=[("doc_id", "min"), ("doc_id", "count")],
+        bucket_cols=["h"],
+        transform_fn=fingerprint_rows,
+        having_fn=conflicts_only,
+        read_cols=["doc_id", "text", "lang"],
+    )
+    if out.num_rows == 0:
+        return _empty()
+    return out.sort_by("prefix_md5")
+
+
+def ttr_documents(sf_dir: str, k: int = 25, min_tokens: int = 10) -> pa.Table:
+    """LEXICAL DIVERSITY ranking: per-document type-token ratio (distinct
+    tokens ÷ tokens, basis points, integer multiply-first) with the k
+    most diverse documents reported — the low-information/boilerplate
+    complement to repetition_documents (which hunts the bottom of this
+    scale). Entirely batch-local: one vectorized tokenize, one
+    dictionary-encode, one np.unique over (doc, token-code) keys per
+    batch, a per-batch top-k (exact — a document lives wholly in one
+    batch), then a driver re-top-k over B×k candidate rows. Total order
+    (ttr_bp desc, doc_id asc) pins the k-boundary."""
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "ttr_bp": pa.array([], pa.int64()),
+            }
+        )
+
+    def ttr_topk(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(text))
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_id = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
+        keep = lens >= min_tokens  # also drops the [''] all-whitespace doc
+        if not keep.any():
+            return _empty()
+        flat = pc.list_flatten(toks).dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        vocab = len(flat.dictionary)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        uniq = np.unique(doc_idx * max(vocab, 1) + codes)
+        n_distinct = np.bincount((uniq // max(vocab, 1)), minlength=len(lens))
+        n_tok = lens[keep]
+        n_dis = n_distinct[keep].astype(np.int64)
+        ids = doc_id[keep]
+        ttr_bp = (10000 * n_dis) // n_tok
+        take = np.lexsort((ids, -ttr_bp))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[take], pa.int64()),
+                "n_tokens": pa.array(n_tok[take], pa.int64()),
+                "n_distinct": pa.array(n_dis[take], pa.int64()),
+                "ttr_bp": pa.array(ttr_bp[take], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = _collect(ds.map_batches(ttr_topk, batch_format="pyarrow"))
+    if cand.num_rows == 0:
+        return _empty()
+    srt = cand.sort_by([("ttr_bp", "descending"), ("doc_id", "ascending")])
+    return srt.slice(0, k)
+
+
+def zscore_outliers_documents(sf_dir: str, z: int = 2) -> pa.Table:
+    """GROUPED Z-SCORE anomaly detection, EXACT: documents whose n_chars
+    sits more than z population standard deviations from their language's
+    mean. No floats anywhere — z·σ < |x−μ| is evaluated as
+    (n·x − S₁)² > z²·(n·S₂ − S₁²) over integer moments, and the per-row
+    test uses the integer square root T = isqrt(z²·(n·S₂ − S₁²)):
+    |n·x − S₁| > T is EXACTLY equivalent (T = ⌊√R⌋ ⇒ d² > R ⇔ |d| > T),
+    so the engine's int64 row kernel matches the oracle's HUGEINT algebra
+    bit-for-bit with no widening multiply on the hot path. Pass 1: one
+    tiny per-lang moment shuffle; pass 2: broadcast {lang: (n, S₁, T)}
+    dict into a streaming filter. NULL langs form their own group; NULL
+    n_chars rows are excluded (both sides)."""
+    import math
+
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def with_square(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column("n_chars").combine_chunks(), dtype=np.int64)
+        return tbl.append_column("nc2", pa.array(x * x, pa.int64()))
+
+    moments = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        key_cols=["lang"],
+        aggs=[("n_chars", "count"), ("n_chars", "sum"), ("nc2", "sum")],
+        transform_fn=lambda t: with_square(t.filter(pc.is_valid(t.column("n_chars")))),
+        read_cols=["lang", "n_chars"],
+    )
+    bounds: dict = {}
+    for row in moments.to_pylist():
+        n, s1, s2 = int(row["cnt"]), int(row["sum_n_chars"]), int(row["sum_nc2"])
+        r = z * z * (n * s2 - s1 * s1)  # Python ints: exact at any scale
+        bounds[row["lang"]] = (n, s1, math.isqrt(max(r, 0)))
+
+    def keep_outliers(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("n_chars")))
+        if batch.num_rows == 0:
+            return batch
+        langs = batch.column("lang").combine_chunks()
+        x = np.asarray(batch.column("n_chars").combine_chunks(), dtype=np.int64)
+        ld = langs.dictionary_encode()
+        cats = ld.dictionary.to_pylist()
+        cats = cats or [None]  # all-NULL batch: keep the lookup arrays non-empty
+        nn = np.array([bounds.get(c, (0, 0, 0))[0] for c in cats], dtype=np.int64)
+        ss = np.array([bounds.get(c, (0, 0, 0))[1] for c in cats], dtype=np.int64)
+        tt = np.array([bounds.get(c, (0, 0, 0))[2] for c in cats], dtype=np.int64)
+        code = np.asarray(ld.indices.fill_null(0), dtype=np.int64)
+        null_grp = bounds.get(None, (0, 0, 0))
+        is_null = ~np.asarray(pc.is_valid(langs), dtype=bool)
+        n_r = np.where(is_null, null_grp[0], nn[code])
+        s_r = np.where(is_null, null_grp[1], ss[code])
+        t_r = np.where(is_null, null_grp[2], tt[code])
+        d = n_r * x - s_r
+        return batch.filter(pa.array(np.abs(d) > t_r))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = _collect(ds.map_batches(keep_outliers, batch_format="pyarrow"))
+    if out.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    return out.select(["doc_id", "lang", "n_chars"]).sort_by("doc_id")
+
+
+def bigram_pmi_documents(sf_dir: str, k: int = 25, min_count: int = 5) -> pa.Table:
+    """COLLOCATION mining: the k adjacent-token bigrams with the highest
+    pointwise mutual information among those seen ≥ min_count times — the
+    multi-word-expression / template detector behind tokenizer-merge and
+    boilerplate decisions (raw bigram counts rank stopword pairs first;
+    PMI ranks genuinely associated pairs). Two key shuffles, both with
+    per-shard combiners: (1) bigram counts — the map derives within-doc
+    adjacent pairs from ONE flatten + boundary mask (no per-row loop);
+    (2) unigram counts. Each reduce applies the min_count floor (a token
+    inside a frequent bigram is itself frequent: c(a) ≥ c(a,b), so the
+    unigram floor drops nothing the join needs) and emits its bucket's
+    PRE-FILTER total as a NULL-keyed sentinel row, so the driver sees
+    O(frequent) rows plus exact corpus totals, never the tail. PMI is one
+    log2 of a ratio of double products, ordered exactly as the oracle SQL;
+    floor(1e6·x + 0.5) µbits, total order (pmi_ubits desc, t0, t1).
+    At larger corpora raise min_count (the driver-side result is
+    O(bigrams above the floor))."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def bigram_rows(tbl: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(
+            pc.utf8_trim_whitespace(tbl.column("text").combine_chunks())
+        )
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        n = len(flat)
+        left = np.ones(n, dtype=bool)
+        ends = np.cumsum(lens)
+        last = ends[lens > 0] - 1  # last token of each nonempty doc
+        left[last] = False
+        idx = np.nonzero(left)[0]
+        return pa.table(
+            {
+                "t0": flat.take(pa.array(idx, pa.int64())),
+                "t1": flat.take(pa.array(idx + 1, pa.int64())),
+            }
+        )
+
+    def unigram_rows(tbl: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(
+            pc.utf8_trim_whitespace(tbl.column("text").combine_chunks())
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))  # the [''] all-whitespace doc
+        return pa.table({"token": flat})
+
+    def floor_with_total(key_cols: list[str]):
+        def having(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            total = pc.sum(t.column("cnt")).as_py() or 0
+            kept = t.filter(pc.greater_equal(t.column("cnt"), min_count))
+            sentinel = pa.table(
+                {
+                    **{c: pa.array([None], t.schema.field(c).type) for c in key_cols},
+                    "cnt": pa.array([total], pa.int64()),
+                }
+            )
+            return pa.concat_tables([kept.select(key_cols + ["cnt"]), sentinel])
+
+        return having
+
+    paths = [os.path.join(sf_dir, "documents.parquet")]
+    bc = agg_keys_shuffled(
+        paths, key_cols=["t0", "t1"], aggs=[("t0", "count")],
+        transform_fn=bigram_rows, having_fn=floor_with_total(["t0", "t1"]),
+        read_cols=["text"],
+    )
+    uc = agg_keys_shuffled(
+        paths, key_cols=["token"], aggs=[("token", "count")],
+        transform_fn=unigram_rows, having_fn=floor_with_total(["token"]),
+        read_cols=["text"],
+    )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "t0": pa.array([], pa.string()),
+                "t1": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pmi_ubits": pa.array([], pa.int64()),
+            }
+        )
+
+    if bc.num_rows == 0 or uc.num_rows == 0:
+        return _empty()
+    bi_sent = pc.is_null(bc.column("t0"))
+    n_bi = pc.sum(bc.filter(bi_sent).column("cnt")).as_py() or 0
+    bc = bc.filter(pc.invert(bi_sent))
+    uni_sent = pc.is_null(uc.column("token"))
+    n_tok = pc.sum(uc.filter(uni_sent).column("cnt")).as_py() or 0
+    uc = uc.filter(pc.invert(uni_sent))
+    if bc.num_rows == 0 or n_bi == 0 or n_tok == 0:
+        return _empty()
+    lookup = dict(
+        zip(uc.column("token").to_pylist(), uc.column("cnt").to_pylist())
+    )
+    t0 = bc.column("t0").to_pylist()
+    t1 = bc.column("t1").to_pylist()
+    cab = np.asarray(bc.column("cnt").combine_chunks(), dtype=np.float64)
+    ca = np.array([lookup[t] for t in t0], dtype=np.float64)
+    cb = np.array([lookup[t] for t in t1], dtype=np.float64)
+    # same double-op order as the oracle: (cnt·n_tok·n_tok)/(n_bi·c_a·c_b)
+    ratio = (cab * float(n_tok) * float(n_tok)) / (float(n_bi) * ca * cb)
+    ubits = np.floor(1e6 * np.log2(ratio) + 0.5).astype(np.int64)
+    out = pa.table(
+        {
+            "t0": bc.column("t0"),
+            "t1": bc.column("t1"),
+            "cnt": bc.column("cnt").cast(pa.int64()),
+            "pmi_ubits": pa.array(ubits, pa.int64()),
+        }
+    )
+    srt = out.sort_by(
+        [("pmi_ubits", "descending"), ("t0", "ascending"), ("t1", "ascending")]
+    )
+    return srt.slice(0, k)

@@ -847,6 +847,7 @@ def agg_keys_shuffled(
     having_fn=None,
     read_cols: list[str] | None = None,
     output: str = "table",
+    bucket_cols: list[str] | None = None,
 ):
     """Generic keyed aggregate over parquet shards — the engine's grouped
     aggregate-constraint primitive (sum/min/max/count per key, then an
@@ -878,9 +879,21 @@ def agg_keys_shuffled(
     ``output="refs"`` returns the per-reduce-bucket ObjectRefs WITHOUT
     driver materialization (feed ``ray.data.from_arrow_refs``) — required
     when the aggregate itself is corpus-sized (e.g. survivor ids).
+
+    ``bucket_cols`` (default: ``key_cols``) picks which PREFIX of the key
+    actually routes rows to buckets: with ``key_cols=[primary, sub]`` and
+    ``bucket_cols=[primary]`` every (primary, sub) partial of one primary
+    key lands in the SAME reduce task, so ``having_fn`` can compute
+    per-primary-key aggregates over its sub-keys (entropy of a user's
+    event-type distribution, distinct-label conflicts per content hash,
+    within-user pair expansion) without a second shuffle. Must be a subset
+    of ``key_cols``; the reduce still merges on the full key.
     """
     import ray
 
+    bucket_cols = bucket_cols or key_cols
+    if not set(bucket_cols) <= set(key_cols):
+        raise ValueError(f"bucket_cols {bucket_cols} must be a subset of key_cols {key_cols}")
     num_buckets = num_buckets or _default_buckets(len(paths))
     out_names = [("cnt" if f == "count" else f"{f}_{c}") for c, f in aggs]
     value_cols = sorted({c for c, f in aggs if f != "count"})
@@ -913,7 +926,7 @@ def agg_keys_shuffled(
         # (ObjectRef arg auto-dereferenced), selected zero-copy
         tbl = pq.read_table(shard, columns=cols_to_read) if isinstance(shard, str) else shard.select(cols_to_read)
         parts = _preagg(tbl)
-        out = _split_buckets(parts, key_cols, num_buckets)
+        out = _split_buckets(parts, bucket_cols, num_buckets)
         return out if num_buckets > 1 else out[0]
 
     @ray.remote

@@ -1,0 +1,171 @@
+"""Edge-case tests for the round-5 session-5 curation/profiling queries
+(cooccurrence, user entropy, label conflicts, TTR, grouped z-score, PMI
+collocations) on synthetic tables the sf fixtures can't produce: NULL
+labels/types, all-whitespace and empty documents, single-type users,
+zero-variance groups, and key groups deliberately split across shards.
+Each case cross-checks the engine against the SAME DuckDB oracle SQL
+registered in __ray_entry__.oracle_sql(), so the edge semantics stay
+pinned to the driver protocol, not to a hand-written expectation."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _oracle(name: str, sf_dir: str) -> pa.Table:
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con.execute(entry.oracle_sql()[name]).arrow()
+
+
+def _match(got: pa.Table, want: pa.Table):
+    assert got.column_names == want.column_names
+    assert got.to_pylist() == want.to_pylist()
+
+
+@pytest.fixture(scope="module")
+def edge_events(tmp_path_factory):
+    """Events with NULL event_type, single-type users, and every user's
+    history split across two shards (the bucket-completeness trap)."""
+    d = tmp_path_factory.mktemp("edge_events")
+    rng = np.random.default_rng(55)
+    n = 4000
+    uid = rng.integers(0, 60, size=n).astype(np.int64)
+    types = np.array(["view", "click", "buy", "error", None], dtype=object)
+    et = types[rng.integers(0, 5, size=n)]
+    uid[:40] = 7  # guarantee user 7 exists …
+    et[uid == 7] = "view"  # … with a single event type (H = 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.arange(n, dtype=np.int64) * 1000).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "value": pa.array(rng.normal(size=n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    # one canonical file (the queries take sf_dir); multi-shard key
+    # completeness is pinned separately in test_shuffle's bucket_cols test
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_docs(tmp_path_factory):
+    """Documents with NULL lang, empty / all-whitespace text, short docs,
+    conflicting labels on a shared prefix, and a zero-variance lang."""
+    d = tmp_path_factory.mktemp("edge_docs")
+    rows = []
+    # conflict group: same 8-token prefix, three langs incl. NULL
+    base = "alpha beta gamma delta epsilon zeta eta theta tail%d extra"
+    rows.append((0, base % 0, "en", len(base % 0)))
+    rows.append((1, base % 1, "de", len(base % 1)))
+    rows.append((2, base % 2, None, len(base % 2)))
+    # same prefix, same lang → no conflict
+    rows.append((3, "one two three four five six seven eight x", "fr", 41))
+    rows.append((4, "one two three four five six seven eight y", "fr", 41))
+    # degenerate texts
+    rows.append((5, "", "en", 0))
+    rows.append((6, "   \t  ", "en", 6))
+    rows.append((7, "short doc", "en", 9))
+    # zero-variance lang group (all n_chars equal)
+    for i in range(8, 14):
+        rows.append((i, f"zz{i} " * 12, "zz", 777))
+    # a diverse + a repetitive long doc for TTR
+    rows.append((14, " ".join(f"w{j}" for j in range(40)), "en", 200))
+    rows.append((15, " ".join(["dup"] * 40), "en", 160))
+    # an extreme-length outlier inside lang en
+    rows.append((16, "x " * 50, "en", 9000))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["s0"] * len(rows), pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_cooccurrence_null_types_and_split_users(ray_session, edge_events):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.cooccurrence_events(edge_events)
+    _match(got, _oracle("cooccurrence_events", edge_events))
+    # NULL event_type must never pair
+    assert all(r["t1"] is not None and r["t2"] is not None for r in got.to_pylist())
+
+
+def test_user_entropy_single_type_user(ray_session, edge_events):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.user_entropy_events(edge_events)
+    _match(got, _oracle("user_entropy_events", edge_events))
+    full = q.user_entropy_events(edge_events, k=10**9)
+    by_user = {r["user_id"]: r for r in full.to_pylist()}
+    assert by_user[7]["entropy_ubits"] == 0  # single-type user: H = 0
+    assert by_user[7]["n_types"] == 1
+
+
+def test_label_conflicts_null_lang_excluded(ray_session, edge_docs):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.label_conflicts_documents(edge_docs)
+    _match(got, _oracle("label_conflicts_documents", edge_docs))
+    assert got.num_rows == 1  # only the en/de(/NULL) prefix group
+    row = got.to_pylist()[0]
+    # NULL lang counts as a member but NOT as a distinct label
+    assert (row["n_docs"], row["n_langs"], row["keep_id"]) == (3, 2, 0)
+
+
+def test_ttr_degenerate_texts(ray_session, edge_docs):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.ttr_documents(edge_docs)
+    _match(got, _oracle("ttr_documents", edge_docs))
+    ids = [r["doc_id"] for r in got.to_pylist()]
+    assert 5 not in ids and 6 not in ids and 7 not in ids  # below min_tokens
+    by_id = {r["doc_id"]: r for r in got.to_pylist()}
+    assert by_id[14]["ttr_bp"] == 10000  # fully diverse
+    assert by_id[15]["ttr_bp"] == 250  # 1 distinct / 40 tokens
+
+
+def test_zscore_zero_variance_group(ray_session, edge_docs):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.zscore_outliers_documents(edge_docs)
+    _match(got, _oracle("zscore_outliers_documents", edge_docs))
+    langs = {r["lang"] for r in got.to_pylist()}
+    assert "zz" not in langs  # zero variance: strict > never fires
+    assert 16 in [r["doc_id"] for r in got.to_pylist()]  # the planted outlier
+
+
+def test_bigram_pmi_empty_and_single_token_docs(ray_session, edge_docs):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.bigram_pmi_documents(edge_docs, min_count=2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_docs}/documents.parquet'"
+    )
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql()["bigram_pmi_documents"].replace(
+        "bc.cnt >= 5", "bc.cnt >= 2"
+    )
+    _match(got, con.execute(sql).arrow())
+    assert got.num_rows > 0  # the repeated 'dup dup' / 'zzN zzN' bigrams

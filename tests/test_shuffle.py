@@ -608,3 +608,62 @@ def test_count_keys_zero_result_keeps_key_type(ray_session, tmp_path):
     assert out.num_rows == 0 and out.schema.field("k").type == pa.int64()
     aj = anti_join_shuffled([p], "k", [p], "k")
     assert aj.num_rows == 0 and aj.schema.field("k").type == pa.int64()
+
+
+def test_agg_keys_shuffled_bucket_cols(tmp_path_factory, ray_session):
+    """bucket_cols=[primary] co-locates every (primary, sub) partial of one
+    primary key in ONE reduce task, so having_fn can compute per-primary
+    aggregates over its sub-keys (the cooccurrence / user-entropy /
+    label-conflict shape). Verified by a having_fn that REQUIRES
+    completeness: per-primary distinct-sub counts, cross-checked against
+    a driver-side recompute; plus the subset guard."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from schemasaurus_ray.stages.shuffle import agg_keys_shuffled
+
+    d = tmp_path_factory.mktemp("bucketcols")
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, 50, size=900).astype(np.int64)
+    subs = rng.integers(0, 6, size=900).astype(np.int64)
+    for i in range(4):  # every user spans shards
+        pq.write_table(
+            pa.table({"u": pa.array(users[i::4]), "s": pa.array(subs[i::4])}),
+            str(d / f"s{i}.parquet"),
+        )
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+
+    def per_user_subcount(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "n_subs": pa.array([], pa.int64())}
+            )
+        srt = t.sort_by("u")
+        u = np.asarray(srt.column("u").combine_chunks(), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        n = np.diff(np.concatenate((starts, [len(u)])))
+        return pa.table(
+            {
+                "u": pa.array(u[starts], pa.int64()),
+                "n_subs": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = agg_keys_shuffled(
+        paths,
+        ["u", "s"],
+        [("s", "count")],
+        bucket_cols=["u"],
+        having_fn=per_user_subcount,
+        num_buckets=8,
+    )
+    got = {r["u"]: r["n_subs"] for r in out.to_pylist()}
+    want = {
+        int(u): len(np.unique(subs[users == u])) for u in np.unique(users)
+    }
+    assert got == want  # a split user would surface as a duplicate key
+    assert len(got) == len(out)  # no primary key appears in two buckets
+
+    with pytest.raises(ValueError, match="subset"):
+        agg_keys_shuffled(paths, ["u"], [("u", "count")], bucket_cols=["s"])
