@@ -97,6 +97,15 @@ BENCH_QUERIES = [
     "doc_keywords_documents",
     "drift_ks_events",
     "gini_user_activity_events",
+    # round 5 session 5: association/profiling over the user-bucketed
+    # shuffle (bucket_cols), label-conflict audit, lexical diversity,
+    # exact grouped z-score and the two-shuffle PMI collocation miner
+    "cooccurrence_events",
+    "user_entropy_events",
+    "label_conflicts_documents",
+    "ttr_documents",
+    "zscore_outliers_documents",
+    "bigram_pmi_documents",
 ]
 
 
