@@ -52,7 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     bigram_pmi_documents) take the prefix slots of enrich_events_customer /
     join_orders_customer / asof_events_purchase / activity_window_events /
     sessionize_events / interarrival_events (all r03/r04 rows green,
-    broadcast-join and temporal machinery unmodified this session)."""
+    broadcast-join and temporal machinery unmodified this session); batch 2
+    (relevance_topk_documents, burst_events, ngram_novelty_documents) takes
+    the slots of late_events / mad_outliers_lineitem /
+    key_distribution_events (same displacement rule)."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -85,13 +88,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (both r04-certified, machinery unmodified — moved past the prefix)
         "mixture_balance_documents": q.mixture_balance_documents,
         "df_topk_terms_documents": q.df_topk_terms_documents,
-        # rolling_minmax_events (r04 green, unmodified) yields its prefix
-        # slot to the r05 keep-best survivor newcomer below
-        "late_events": q.late_events,
+        # NEW r5 session-5 batch 2: keyword relevance search, burst
+        # detection, distinct-n novelty — take the prefix slots of
+        # late_events, mad_outliers_lineitem, key_distribution_events
+        # (all r04-certified green, temporal/stats machinery unmodified
+        # this session — moved just past the prefix)
+        "relevance_topk_documents": q.relevance_topk_documents,
+        "burst_events": q.burst_events,
+        "ngram_novelty_documents": q.ngram_novelty_documents,
         # NEW r5: grouped exact-integer correlation moments (takes
         # ntile_documents' prefix slot — r04 green, machinery unmodified)
         "corr_moments_lineitem": q.corr_moments_lineitem,
-        "mad_outliers_lineitem": q.mad_outliers_lineitem,
         # r5-MODIFIED (empty-token filter): vocab_topk rotates back into
         # the prefix for re-certification, taking heavy_hitters_events'
         # slot (r04 green, machinery unmodified)
@@ -99,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5: exact distinct-users-per-window (takes
         # histogram_prices_lineitem's prefix slot — r04 green, unmodified)
         "window_unique_users_events": q.window_unique_users_events,
-        "key_distribution_events": q.key_distribution_events,
         # NEW r5: per-source duplication-rate report (takes
         # quantize_embeddings' prefix slot — r04 green, unmodified)
         "dup_rate_by_source_documents": q.dup_rate_by_source_documents,
@@ -180,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_window_events": q.activity_window_events,
         "sessionize_events": q.sessionize_events,
         "interarrival_events": q.interarrival_events,
+        "late_events": q.late_events,
+        "mad_outliers_lineitem": q.mad_outliers_lineitem,
+        "key_distribution_events": q.key_distribution_events,
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
@@ -1968,6 +1977,83 @@ def oracle_sql() -> dict[str, str]:
              WHERE bc.cnt >= 5
              ORDER BY pmi_ubits DESC, t0, t1
              LIMIT 25
+        """,
+        # tf·idf keyword relevance with add-one smoothing; the score sum
+        # is written out term by term in the engine's declared term order
+        # (queries.RELEVANCE_TERMS) so the float op sequence is identical;
+        # zero-match docs are dropped by the INTEGER tf sum, not the float
+        "relevance_topk_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+            ), nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            ), tf AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+                       CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_merge,
+                       CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window,
+                       CAST(len(list_filter(w, x -> x = 'spill')) AS BIGINT) AS tf_spill
+                  FROM toks
+            ), df AS (
+                SELECT CAST(count(*) FILTER (WHERE tf_scan > 0) AS BIGINT) AS df_scan,
+                       CAST(count(*) FILTER (WHERE tf_merge > 0) AS BIGINT) AS df_merge,
+                       CAST(count(*) FILTER (WHERE tf_window > 0) AS BIGINT) AS df_window,
+                       CAST(count(*) FILTER (WHERE tf_spill > 0) AS BIGINT) AS df_spill
+                  FROM tf
+            )
+            SELECT doc_id, tf_scan, tf_merge, tf_window, tf_spill,
+                   CAST(FLOOR(1e6 * (tf_scan * log2((n_docs + 1.0)/(df_scan + 1.0))
+                                   + tf_merge * log2((n_docs + 1.0)/(df_merge + 1.0))
+                                   + tf_window * log2((n_docs + 1.0)/(df_window + 1.0))
+                                   + tf_spill * log2((n_docs + 1.0)/(df_spill + 1.0))) + 0.5) AS BIGINT) AS score_uunits
+              FROM tf CROSS JOIN df CROSS JOIN nn
+             WHERE tf_scan + tf_merge + tf_window + tf_spill > 0
+             ORDER BY score_uunits DESC, doc_id
+             LIMIT 25
+        """,
+        # (hour, type) cells above 3× the type's per-hour average —
+        # all-integer multiply-first (cnt·n_hours > 3·total), NULL type
+        # is its own group (IS NOT DISTINCT FROM)
+        "burst_events": """
+            WITH c AS (
+                SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                       event_type, CAST(count(*) AS BIGINT) AS cnt
+                  FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1
+            ), nh AS (
+                SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_hours FROM c
+            )
+            SELECT c.h, c.event_type, c.cnt
+              FROM c JOIN t ON t.event_type IS NOT DISTINCT FROM c.event_type
+             CROSS JOIN nh
+             WHERE c.cnt * n_hours > 3 * t.total
+             ORDER BY 1, 2
+        """,
+        # distinct-3 diversity: trigram type/singleton/instance counts +
+        # the two basis-point ratios (multiply-first floor division);
+        # parallel unnest zips the three shifted list slices
+        "ngram_novelty_documents": r"""
+            WITH toks AS (
+                SELECT regexp_extract_all(text, '\S+') AS w FROM documents
+            ), tg AS (
+                SELECT unnest(w[1:len(w)-2]) AS t0,
+                       unnest(w[2:len(w)-1]) AS t1,
+                       unnest(w[3:len(w)]) AS t2
+                  FROM toks WHERE len(w) >= 3
+            ), c AS (
+                SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS cnt
+                  FROM tg GROUP BY 1, 2, 3
+            ), s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                       CAST(sum(cnt) AS BIGINT) AS n_total
+                  FROM c
+            )
+            SELECT n_types, n_singletons, n_total,
+                   CAST((10000 * n_types) // n_total AS BIGINT) AS distinct_bp,
+                   CAST((10000 * n_singletons) // n_total AS BIGINT) AS novelty_bp
+              FROM s
         """,
         # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
         # validate_audio_clips, audio_features, audio_quality_clips:

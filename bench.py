@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "ttr_documents",
     "zscore_outliers_documents",
     "bigram_pmi_documents",
+    "relevance_topk_documents",
+    "burst_events",
+    "ngram_novelty_documents",
 ]
 
 

@@ -5964,3 +5964,211 @@ def bigram_pmi_documents(sf_dir: str, k: int = 25, min_count: int = 5) -> pa.Tab
         [("pmi_ubits", "descending"), ("t0", "ascending"), ("t1", "ascending")]
     )
     return srt.slice(0, k)
+
+
+RELEVANCE_TERMS = ("scan", "merge", "window", "spill")  # mirrored in the oracle SQL
+
+
+def relevance_topk_documents(sf_dir: str, k: int = 25) -> pa.Table:
+    """KEYWORD RELEVANCE SEARCH (vector-free retrieval): the k documents
+    scoring highest against a fixed query-term set under tf·idf with
+    add-one smoothing, idf_t = log2((N+1)/(df_t+1)) — the lexical
+    retrieval baseline every RAG/eval pipeline needs beside the
+    embedding ANN path. Pass 1 is one streaming scan producing FIVE
+    integers (corpus N + per-term df via a per-batch isin + (doc, term)
+    dedupe); pass 2 re-scans, bincounts per-term tf per doc, scores with
+    the idf vector and keeps a per-batch top-k (exact — a doc lives
+    wholly in one batch); the driver re-top-ks B×k rows. The float score
+    is a fixed-length sum in DECLARED term order (left-to-right, exactly
+    the op order the oracle SQL spells out term by term), reported in
+    µunits via floor(1e6·s + 0.5); zero-match docs are dropped by an
+    integer tf-sum test, never by the float."""
+    terms = RELEVANCE_TERMS
+
+    def _tok(batch: pa.Table):
+        return pc.ascii_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column("text").combine_chunks())
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = _tok(batch)
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        out = {"n_docs": pa.array([batch.num_rows], pa.int64())}
+        for t in terms:
+            hit = np.asarray(pc.equal(flat, t).fill_null(False), dtype=bool)
+            out[f"df_{t}"] = pa.array(
+                [int(len(np.unique(doc_idx[hit])))], pa.int64()
+            )
+        return pa.table(out)
+
+    parts = _collect(_read(sf_dir, "documents", ["text"]).map_batches(
+        df_partial, batch_format="pyarrow"
+    ))
+    n_docs = int(pc.sum(parts.column("n_docs")).as_py() or 0)
+    df = {t: int(pc.sum(parts.column(f"df_{t}")).as_py() or 0) for t in terms}
+    idf = np.array(
+        [np.log2((n_docs + 1.0) / (df[t] + 1.0)) for t in terms], dtype=np.float64
+    )
+
+    def _empty() -> pa.Table:
+        cols = {"doc_id": pa.array([], pa.int64())}
+        for t in terms:
+            cols[f"tf_{t}"] = pa.array([], pa.int64())
+        cols["score_uunits"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        toks = _tok(batch)
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        tf = np.zeros((len(lens), len(terms)), dtype=np.int64)
+        for j, t in enumerate(terms):
+            hit = np.asarray(pc.equal(flat, t).fill_null(False), dtype=bool)
+            tf[:, j] = np.bincount(doc_idx[hit], minlength=len(lens))
+        keep = tf.sum(axis=1) > 0  # integer drop test, never the float
+        if not keep.any():
+            return _empty()
+        tfk = tf[keep]
+        # fixed-length left-to-right sum in declared term order — the
+        # exact op sequence the oracle writes out term by term
+        score = tfk[:, 0].astype(np.float64) * idf[0]
+        for j in range(1, len(terms)):
+            score = score + tfk[:, j].astype(np.float64) * idf[j]
+        uunits = np.floor(1e6 * score + 0.5).astype(np.int64)
+        ids = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)[keep]
+        take = np.lexsort((ids, -uunits))[:k]
+        cols = {"doc_id": pa.array(ids[take], pa.int64())}
+        for j, t in enumerate(terms):
+            cols[f"tf_{t}"] = pa.array(tfk[take, j], pa.int64())
+        cols["score_uunits"] = pa.array(uunits[take], pa.int64())
+        return pa.table(cols)
+
+    cand = _collect(_read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score_topk, batch_format="pyarrow"
+    ))
+    if cand.num_rows == 0:
+        return _empty()
+    srt = cand.sort_by([("score_uunits", "descending"), ("doc_id", "ascending")])
+    return srt.slice(0, k)
+
+
+def burst_events(sf_dir: str) -> pa.Table:
+    """BURST DETECTION (temporal anomaly): (hour, event_type) cells whose
+    volume exceeds 3× that type's per-hour average — the incident/replay
+    spike monitor a per-type daily total hides. One (hour, type)
+    count-table shuffle (domain = stream hours × types, the bounded-
+    domain convention of drift_ks/grouped_quantiles); the threshold is
+    ALL-INTEGER multiply-first (cnt·n_hours > 3·type_total, n_hours =
+    distinct hours in the whole stream), so no float average ever
+    exists. The driver evaluates the filter over the tiny count table."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def hour_of(tbl: pa.Table) -> pa.Table:
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()))
+        h = ts // 3_600_000_000
+        return pa.table(
+            {"h": pa.array(h, pa.int64()), "event_type": tbl.column("event_type")}
+        )
+
+    c = agg_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")],
+        key_cols=["h", "event_type"],
+        aggs=[("h", "count")],
+        transform_fn=hour_of,
+        read_cols=["ts", "event_type"],
+    )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+
+    if c.num_rows == 0:
+        return _empty()
+    h = np.asarray(c.column("h").combine_chunks(), dtype=np.int64)
+    cnt = np.asarray(c.column("cnt").combine_chunks(), dtype=np.int64)
+    n_hours = len(np.unique(h))
+    et = c.column("event_type").combine_chunks().dictionary_encode()
+    codes = np.asarray(et.indices.fill_null(len(et.dictionary)), dtype=np.int64)
+    totals = np.zeros(len(et.dictionary) + 1, dtype=np.int64)
+    np.add.at(totals, codes, cnt)  # integer accumulate (bincount weights are float)
+    mask = cnt * n_hours > 3 * totals[codes]
+    if not mask.any():
+        return _empty()
+    out = c.filter(pa.array(mask)).select(["h", "event_type", "cnt"])
+    return out.sort_by([("h", "ascending"), ("event_type", "ascending")])
+
+
+def ngram_novelty_documents(sf_dir: str, n: int = 3) -> pa.Table:
+    """DISTINCT-n DIVERSITY / NOVELTY report: over all within-doc token
+    trigrams, how many distinct trigram TYPES exist, how many are
+    singletons (seen exactly once), and the two basis-point ratios
+    (types/instances, singletons/instances) — the standard repetition /
+    memorization corpus metric (distinct-n). The trigram domain is
+    corpus-sized, so the driver NEVER sees it: one (t0,t1,t2)-keyed count
+    shuffle whose reduces collapse to three scalars each (types,
+    singletons, instances — a trigram type lives wholly in one bucket);
+    the driver sums B scalar rows. Trigram derivation is one flatten +
+    per-doc boundary exclusion (no row loop)."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def trigram_rows(tbl: pa.Table) -> pa.Table:
+        toks = pc.ascii_split_whitespace(
+            pc.utf8_trim_whitespace(tbl.column("text").combine_chunks())
+        )
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        left = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(lens)
+        left[ends[lens > 0] - 1] = False  # last token of each doc
+        left[ends[lens > 1] - 2] = False  # second-to-last (len ≥ 2 only)
+        idx = np.nonzero(left)[0]
+        return pa.table(
+            {
+                "t0": flat.take(pa.array(idx, pa.int64())),
+                "t1": flat.take(pa.array(idx + 1, pa.int64())),
+                "t2": flat.take(pa.array(idx + 2, pa.int64())),
+            }
+        )
+
+    def scalars(t: pa.Table) -> pa.Table:
+        cnt = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {
+                "n_types": pa.array([len(cnt)], pa.int64()),
+                "n_singletons": pa.array([int((cnt == 1).sum())], pa.int64()),
+                "n_total": pa.array([int(cnt.sum())], pa.int64()),
+            }
+        )
+
+    parts = agg_keys_shuffled(
+        [os.path.join(sf_dir, "documents.parquet")],
+        key_cols=["t0", "t1", "t2"],
+        aggs=[("t0", "count")],
+        transform_fn=trigram_rows,
+        having_fn=scalars,
+        read_cols=["text"],
+    )
+    n_types = int(pc.sum(parts.column("n_types")).as_py() or 0)
+    n_single = int(pc.sum(parts.column("n_singletons")).as_py() or 0)
+    n_total = int(pc.sum(parts.column("n_total")).as_py() or 0)
+    return pa.table(
+        {
+            "n_types": pa.array([n_types], pa.int64()),
+            "n_singletons": pa.array([n_single], pa.int64()),
+            "n_total": pa.array([n_total], pa.int64()),
+            "distinct_bp": pa.array(
+                [(10000 * n_types) // n_total if n_total else 0], pa.int64()
+            ),
+            "novelty_bp": pa.array(
+                [(10000 * n_single) // n_total if n_total else 0], pa.int64()
+            ),
+        }
+    )

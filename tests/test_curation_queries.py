@@ -169,3 +169,43 @@ def test_bigram_pmi_empty_and_single_token_docs(ray_session, edge_docs):
     )
     _match(got, con.execute(sql).arrow())
     assert got.num_rows > 0  # the repeated 'dup dup' / 'zzN zzN' bigrams
+
+
+def test_relevance_zero_match_corpus(ray_session, edge_docs):
+    """No query term occurs in the edge corpus → empty result on BOTH
+    sides (zero-row parity), and the zero-df smoothing path never
+    divides by zero."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.relevance_topk_documents(edge_docs)
+    _match(got, _oracle("relevance_topk_documents", edge_docs))
+    assert got.num_rows == 0
+
+
+def test_relevance_topk_sf(ray_session):
+    """At sf0.001 the terms DO occur: ranking, tf columns and the µunit
+    scores match the oracle including the df=0 'spill' smoothing term."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.relevance_topk_documents(sf)
+    _match(got, _oracle("relevance_topk_documents", sf))
+    assert got.num_rows > 0
+
+
+def test_burst_null_event_type_group(ray_session, edge_events):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.burst_events(edge_events)
+    _match(got, _oracle("burst_events", edge_events))
+
+
+def test_ngram_novelty_short_docs(ray_session, edge_docs):
+    """Docs with <3 tokens (incl. empty/whitespace) contribute no
+    trigrams; counts and both basis-point ratios match the oracle."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.ngram_novelty_documents(edge_docs)
+    _match(got, _oracle("ngram_novelty_documents", edge_docs))
+    row = got.to_pylist()[0]
+    assert row["n_total"] > 0 and row["n_types"] <= row["n_total"]
