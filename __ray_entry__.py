@@ -55,7 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     broadcast-join and temporal machinery unmodified this session); batch 2
     (relevance_topk_documents, burst_events, ngram_novelty_documents) takes
     the slots of late_events / mad_outliers_lineitem /
-    key_distribution_events (same displacement rule)."""
+    key_distribution_events (same displacement rule); batch 3
+    (assoc_rules_events, conversion_latency_events) takes the slots of
+    cohort_retention_events / spec_diff_documents."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -125,12 +127,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile_documents": q.column_profile_documents,
         "mutual_info_documents": q.mutual_info_documents,
         "gini_user_activity_events": q.gini_user_activity_events,
-        "cohort_retention_events": q.cohort_retention_events,
+        # NEW r5 session-5 batch 3: association-rule mining + conversion
+        # latency — take the prefix slots of cohort_retention_events and
+        # spec_diff_documents (both r04-certified green, cohort/spec-diff
+        # machinery unmodified; infer_spec_documents at slot 2 keeps the
+        # infer machinery in-prefix)
+        "assoc_rules_events": q.assoc_rules_events,
+        "conversion_latency_events": q.conversion_latency_events,
         # spec inference (profile → suggested validation spec; the
         # documents twin runs the same machinery and keeps pytest parity
         # just outside the prefix)
         "infer_spec_events": q.infer_spec_events,
-        "spec_diff_documents": q.spec_diff_documents,
         # exact bounded-domain quantiles (sibling of the t-digest sketch)
         "quantiles_lineitem": q.quantiles_lineitem,
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
@@ -189,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q.late_events,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "key_distribution_events": q.key_distribution_events,
+        "cohort_retention_events": q.cohort_retention_events,
+        "spec_diff_documents": q.spec_diff_documents,
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
@@ -2054,6 +2063,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST((10000 * n_types) // n_total AS BIGINT) AS distinct_bp,
                    CAST((10000 * n_singletons) // n_total AS BIGINT) AS novelty_bp
               FROM s
+        """,
+        # ordered association rules a→b over the per-user distinct-type
+        # set: support/confidence/lift, ALL integer multiply-first basis
+        # points; min-support floor n_both ≥ 5; NULL types excluded by
+        # the DISTINCT set's WHERE
+        "assoc_rules_events": """
+            WITH d AS (
+                SELECT DISTINCT user_id, event_type
+                  FROM events WHERE event_type IS NOT NULL
+            ), tc AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+            ), nu AS (
+                SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nn FROM d
+            ), pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb,
+                       CAST(count(*) AS BIGINT) AS nb
+                  FROM d a JOIN d b
+                    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+                 GROUP BY 1, 2
+            )
+            SELECT ta AS t_a, tb AS t_b, ca.n AS n_a, cb.n AS n_b, nb AS n_both,
+                   CAST((10000 * nb) // nn AS BIGINT) AS support_bp,
+                   CAST((10000 * nb) // ca.n AS BIGINT) AS conf_bp,
+                   CAST((10000 * nb * nn) // (ca.n * cb.n) AS BIGINT) AS lift_bp
+              FROM pairs
+              JOIN tc ca ON ca.event_type = pairs.ta
+              JOIN tc cb ON cb.event_type = pairs.tb
+             CROSS JOIN nu
+             WHERE nb >= 5
+             ORDER BY 1, 2
+        """,
+        # hours between FIRST view and FIRST purchase per converting
+        # user, capped at 48 h; first-purchase-before-first-view → −1;
+        # all-integer µs arithmetic
+        "conversion_latency_events": """
+            WITH m AS (
+                SELECT user_id,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS v,
+                       min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p
+                  FROM events GROUP BY 1
+            )
+            SELECT CAST(CASE WHEN p >= v THEN least((p - v) // 3600000000, 48)
+                             ELSE -1 END AS BIGINT) AS gap_hours,
+                   CAST(count(*) AS BIGINT) AS n_users
+              FROM m
+             WHERE v IS NOT NULL AND p IS NOT NULL
+             GROUP BY 1
+             ORDER BY 1
         """,
         # simhash_documents, winnow_passages_documents, ann_ivf_embeddings,
         # validate_audio_clips, audio_features, audio_quality_clips:

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "relevance_topk_documents",
     "burst_events",
     "ngram_novelty_documents",
+    "assoc_rules_events",
+    "conversion_latency_events",
 ]
 
 

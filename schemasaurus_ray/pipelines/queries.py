@@ -6172,3 +6172,202 @@ def ngram_novelty_documents(sf_dir: str, n: int = 3) -> pa.Table:
             ),
         }
     )
+
+
+def assoc_rules_events(sf_dir: str, min_users: int = 5) -> pa.Table:
+    """ASSOCIATION-RULE mining over user behavior (the full market-basket
+    triple behind cooccurrence_events' raw counts): for every ORDERED
+    event-type pair a→b, support / confidence / lift in basis points —
+    all integer multiply-first, so no float probability ever exists.
+    ONE user-bucketed shuffle (same bucket_cols route as cooccurrence):
+    each reduce emits its unordered pair counts, per-type user counts and
+    its distinct-user total in one discriminated (t_a, t_b, n) table
+    (t_b NULL → type row, both NULL → user total — users partition across
+    buckets, so all three sum). The driver mirrors pairs into both
+    directions and evaluates the O(types²) rule table. NULL event_type
+    never forms a rule (matching the oracle's non-null DISTINCT set)."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t_a": pa.array([], pa.string()),
+                "t_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        if t.num_rows == 0:
+            return empty
+        srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+        uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
+        tdict = srt.column("event_type").combine_chunks().dictionary_encode()
+        codes = np.asarray(tdict.indices, dtype=np.int64)
+        types = tdict.dictionary
+        nt = len(types)
+        # unordered within-user pairs (rows are (user, type)-distinct)
+        lefts, rights = [], []
+        d = 1
+        while d < len(uid):
+            m = uid[:-d] == uid[d:]
+            if not m.any():
+                break
+            idx = np.nonzero(m)[0]
+            lefts.append(codes[idx])
+            rights.append(codes[idx + d])
+            d += 1
+        ta, tb, n = [], [], []
+        if lefts:
+            key, counts = np.unique(
+                np.concatenate(lefts) * nt + np.concatenate(rights),
+                return_counts=True,
+            )
+            ta.extend(types.take(pa.array(key // nt, pa.int64())).to_pylist())
+            tb.extend(types.take(pa.array(key % nt, pa.int64())).to_pylist())
+            n.extend(counts.astype(np.int64).tolist())
+        # per-type distinct-user counts (one row per (user, type))
+        tkey, tcnt = np.unique(codes, return_counts=True)
+        ta.extend(types.take(pa.array(tkey, pa.int64())).to_pylist())
+        tb.extend([None] * len(tkey))
+        n.extend(tcnt.astype(np.int64).tolist())
+        # this bucket's distinct users
+        ta.append(None)
+        tb.append(None)
+        n.append(int(len(np.unique(uid))))
+        return pa.table(
+            {
+                "t_a": pa.array(ta, pa.string()),
+                "t_b": pa.array(tb, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    parts = agg_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")],
+        key_cols=["user_id", "event_type"],
+        aggs=[("event_type", "count")],
+        bucket_cols=["user_id"],
+        having_fn=bucket_partials,
+        read_cols=["user_id", "event_type"],
+    )
+
+    def _empty() -> pa.Table:
+        cols = ["t_a", "t_b", "n_a", "n_b", "n_both", "support_bp", "conf_bp", "lift_bp"]
+        types_ = [pa.string(), pa.string()] + [pa.int64()] * 6
+        return pa.table({c: pa.array([], t) for c, t in zip(cols, types_)})
+
+    if parts.num_rows == 0:
+        return _empty()
+    rows = parts.to_pylist()
+    n_users = sum(r["n"] for r in rows if r["t_a"] is None and r["t_b"] is None)
+    type_n: dict = {}
+    pair_n: dict = {}
+    for r in rows:
+        if r["t_a"] is None:
+            continue
+        if r["t_b"] is None:
+            type_n[r["t_a"]] = type_n.get(r["t_a"], 0) + r["n"]
+        else:
+            k = (r["t_a"], r["t_b"])
+            pair_n[k] = pair_n.get(k, 0) + r["n"]
+    out = []
+    for (a, b), nb in pair_n.items():
+        if nb < min_users:
+            continue
+        for ta, tb in ((a, b), (b, a)):  # mirror into ordered rules
+            na, nbb = type_n[ta], type_n[tb]
+            out.append(
+                {
+                    "t_a": ta,
+                    "t_b": tb,
+                    "n_a": na,
+                    "n_b": nbb,
+                    "n_both": nb,
+                    "support_bp": (10000 * nb) // n_users,
+                    "conf_bp": (10000 * nb) // na,
+                    "lift_bp": (10000 * nb * n_users) // (na * nbb),
+                }
+            )
+    if not out:
+        return _empty()
+    out.sort(key=lambda r: (r["t_a"], r["t_b"]))
+    return pa.table(
+        {c: pa.array([r[c] for r in out]) for c in
+         ["t_a", "t_b", "n_a", "n_b", "n_both", "support_bp", "conf_bp", "lift_bp"]}
+    )
+
+
+def conversion_latency_events(sf_dir: str, cap_hours: int = 48) -> pa.Table:
+    """CONVERSION-LATENCY histogram: for every user with at least one
+    'view' and one 'purchase', hours between FIRST view and FIRST
+    purchase, bucketed (capped at 48 h; first-purchase-before-first-view
+    lands in bucket −1) — the time-to-convert distribution the ordered
+    funnel count hides. Map tasks thin to the two relevant types before
+    the shuffle (the combiner then carries at most two min-ts rows per
+    user); one user-bucketed min-aggregate shuffle; each reduce emits its
+    (gap_hours, n_users) histogram rows — a user lives wholly in one
+    bucket, so driver summation is exact. All integer µs arithmetic."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    HOUR = 3_600_000_000
+
+    def thin(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type")
+        keep = pc.or_kleene(pc.equal(et, "view"), pc.equal(et, "purchase"))
+        sub = tbl.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                "user_id": sub.column("user_id"),
+                "event_type": sub.column("event_type"),
+                "t": sub.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def gap_hist(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gap_hours": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+        uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
+        isv = np.asarray(
+            pc.equal(srt.column("event_type").combine_chunks(), "view"), dtype=bool
+        )
+        mt = np.asarray(srt.column("min_t").combine_chunks(), dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        sizes = np.diff(np.concatenate((starts, [len(uid)])))
+        both = sizes == 2  # exactly one purchase row + one view row
+        if not both.any():
+            return empty
+        s = starts[both]
+        # event_type sorts 'purchase' < 'view', so row s is the purchase
+        gap = mt[s] - mt[s + 1]  # p − v
+        hours = np.where(gap >= 0, np.minimum(gap // HOUR, cap_hours), -1)
+        vals, counts = np.unique(hours, return_counts=True)
+        return pa.table(
+            {
+                "gap_hours": pa.array(vals.astype(np.int64), pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = agg_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")],
+        key_cols=["user_id", "event_type"],
+        aggs=[("t", "min")],
+        bucket_cols=["user_id"],
+        transform_fn=thin,
+        having_fn=gap_hist,
+        read_cols=["user_id", "event_type", "ts"],
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {"gap_hours": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
+        )
+    out = (
+        parts.group_by(["gap_hours"])
+        .aggregate([("n_users", "sum")])
+        .rename_columns(["gap_hours", "n_users"])
+    )
+    return out.sort_by("gap_hours")

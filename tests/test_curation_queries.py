@@ -209,3 +209,38 @@ def test_ngram_novelty_short_docs(ray_session, edge_docs):
     _match(got, _oracle("ngram_novelty_documents", edge_docs))
     row = got.to_pylist()[0]
     assert row["n_total"] > 0 and row["n_types"] <= row["n_total"]
+
+
+def test_assoc_rules_null_types(ray_session, edge_events):
+    """Association rules over a stream with NULL event_type: rules exist
+    only between non-null types; support/confidence/lift stay all-integer
+    and match the oracle; every unordered pair surfaces mirrored."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.assoc_rules_events(edge_events)
+    _match(got, _oracle("assoc_rules_events", edge_events))
+    rows = got.to_pylist()
+    assert rows, "edge fixture has co-active users"
+    pairs = {(r["t_a"], r["t_b"]) for r in rows}
+    assert all((b, a) in pairs for a, b in pairs)  # mirrored rules
+    for r in rows:
+        assert r["conf_bp"] == (10000 * r["n_both"]) // r["n_a"]
+
+
+def test_conversion_latency_no_converters(ray_session, edge_events):
+    """The edge stream has no 'purchase' type at all → empty histogram on
+    BOTH sides (zero-row parity through the thinned min-aggregate)."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.conversion_latency_events(edge_events)
+    _match(got, _oracle("conversion_latency_events", edge_events))
+    assert got.num_rows == 0
+
+
+def test_conversion_latency_sf(ray_session):
+    from schemasaurus_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.conversion_latency_events(sf)
+    _match(got, _oracle("conversion_latency_events", sf))
+    assert got.num_rows > 0
