@@ -2054,14 +2054,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS cnt
                   FROM tg GROUP BY 1, 2, 3
             ), s AS (
+                -- coalesce + CASE: a trigram-free corpus reports all-zero
+                -- rows exactly like the engine (SUM over empty is NULL)
                 SELECT CAST(count(*) AS BIGINT) AS n_types,
-                       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
-                       CAST(sum(cnt) AS BIGINT) AS n_total
+                       CAST(coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_singletons,
+                       CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total
                   FROM c
             )
             SELECT n_types, n_singletons, n_total,
-                   CAST((10000 * n_types) // n_total AS BIGINT) AS distinct_bp,
-                   CAST((10000 * n_singletons) // n_total AS BIGINT) AS novelty_bp
+                   CAST(CASE WHEN n_total = 0 THEN 0
+                             ELSE (10000 * n_types) // n_total END AS BIGINT) AS distinct_bp,
+                   CAST(CASE WHEN n_total = 0 THEN 0
+                             ELSE (10000 * n_singletons) // n_total END AS BIGINT) AS novelty_bp
               FROM s
         """,
         # ordered association rules a→b over the per-user distinct-type

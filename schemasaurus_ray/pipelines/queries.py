@@ -5488,6 +5488,45 @@ def k_anonymity_customer(sf_dir: str, k: int = 5) -> pa.Table:
     )
 
 
+def _user_type_pairs(t: pa.Table):
+    """Shared within-user pair-expansion kernel for the user-bucketed
+    association reduces (cooccurrence_events, assoc_rules_events): sort a
+    non-null (user_id, event_type) table by (user, type), then expand the
+    distinct within-user UNORDERED type pairs with at most |type-domain|
+    shifted-mask passes (rows of one user are contiguous after the sort;
+    the distance-d mask matches iff some user group spans d, and once no
+    group spans d none spans d+1 — so the loop breaks early; never a
+    per-user Python loop). Pair key = left_code·|T| + right_code, where
+    the LEFT endpoint's type string is strictly below the right's along
+    the sort order. Returns (uid, codes, types, pair_keys, pair_counts);
+    pair_keys is empty when no user has two types."""
+    srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
+    uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
+    tdict = srt.column("event_type").combine_chunks().dictionary_encode()
+    codes = np.asarray(tdict.indices, dtype=np.int64)
+    types = tdict.dictionary
+    nt = len(types)
+    lefts: list[np.ndarray] = []
+    rights: list[np.ndarray] = []
+    d = 1
+    while d < len(uid):
+        m = uid[:-d] == uid[d:]
+        if not m.any():
+            break
+        idx = np.nonzero(m)[0]
+        lefts.append(codes[idx])
+        rights.append(codes[idx + d])
+        d += 1
+    if lefts:
+        key, counts = np.unique(
+            np.concatenate(lefts) * nt + np.concatenate(rights), return_counts=True
+        )
+    else:
+        key = np.zeros(0, dtype=np.int64)
+        counts = np.zeros(0, dtype=np.int64)
+    return uid, codes, types, key, counts
+
+
 def cooccurrence_events(sf_dir: str) -> pa.Table:
     """Event-type CO-OCCURRENCE mining (market-basket association counts):
     for each unordered pair of event types (t1 < t2), the number of USERS
@@ -5518,31 +5557,10 @@ def cooccurrence_events(sf_dir: str) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("event_type")))  # NULL type: a.t < b.t drops it
         if t.num_rows == 0:
             return _empty()
-        srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
-        uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
-        tdict = srt.column("event_type").combine_chunks().dictionary_encode()
-        codes = np.asarray(tdict.indices, dtype=np.int64)
-        types = tdict.dictionary
-        nt = len(types)
-        lefts: list[np.ndarray] = []
-        rights: list[np.ndarray] = []
-        d = 1
-        # distance-d same-user mask; rows are (user, type)-sorted, so the
-        # left endpoint's type string is strictly below the right's. Once
-        # no user group spans distance d, none spans d+1 — break.
-        while d < len(uid):
-            m = uid[:-d] == uid[d:]
-            if not m.any():
-                break
-            idx = np.nonzero(m)[0]
-            lefts.append(codes[idx])
-            rights.append(codes[idx + d])
-            d += 1
-        if not lefts:
+        _, _, types, key, counts = _user_type_pairs(t)
+        if len(key) == 0:
             return _empty()
-        lc = np.concatenate(lefts)
-        rc = np.concatenate(rights)
-        key, counts = np.unique(lc * nt + rc, return_counts=True)
+        nt = len(types)
         return pa.table(
             {
                 "t1": types.take(pa.array(key // nt, pa.int64())),
@@ -5632,13 +5650,24 @@ def user_entropy_events(sf_dir: str, k: int = 25) -> pa.Table:
     return srt.slice(0, k)
 
 
+def _ws_tokens(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """ASCII-whitespace tokenizer ≡ the oracle's regexp_extract_all(text,
+    '\\S+') (RE2 \\s is ASCII-only): ascii_trim + run-collapsing
+    ascii_split — utf8_trim would eat Unicode whitespace (NBSP, em-space)
+    that \\S+ keeps inside tokens. Sole divergence: the all-ASCII-whitespace
+    string yields [''] here vs [] in SQL — every caller is ''-safe (len-1
+    lists make no n-grams; flat unigram counts filter ''; the prefix join
+    of [''] is '' on both sides). ONE definition for all tokenizing query
+    sites — do not inline the kernel pair again."""
+    return pc.ascii_split_whitespace(pc.ascii_trim_whitespace(text))
+
+
 def _prefix_tokens_joined(text: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
     """First-n-token fingerprint string (tokens joined by one space) —
-    trim + run-collapsing whitespace split, so it equals the oracle's
+    equals the oracle's
     array_to_string(list_slice(regexp_extract_all(text,'\\S+'),1,n),' ')
     on every input including the all-whitespace document ('' both sides)."""
-    toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(text))
-    head = pc.list_slice(toks, 0, n)
+    head = pc.list_slice(_ws_tokens(text), 0, n)
     return pc.binary_join(head.cast(pa.list_(pa.string())), " ")
 
 
@@ -5686,7 +5715,13 @@ def label_conflicts_documents(sf_dir: str, n_tokens: int = 8) -> pa.Table:
             return _empty()
         srt = t.sort_by([("h", "ascending"), ("prefix_md5", "ascending")])
         h = np.asarray(srt.column("h").combine_chunks(), dtype=np.int64)
-        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        # group on (h, md5), not h alone: the exact md5 is already
+        # co-sorted, so an ahash collision can't merge two fingerprints
+        md5 = srt.column("prefix_md5").combine_chunks()
+        md5_brk = np.asarray(
+            pc.not_equal(md5.slice(1), md5.slice(0, max(len(md5) - 1, 0))), dtype=bool
+        )
+        starts = np.flatnonzero(np.concatenate(([True], (h[1:] != h[:-1]) | md5_brk)))
         ends = np.concatenate((starts[1:], [len(h)]))
         cnt = np.asarray(srt.column("cnt").combine_chunks(), dtype=np.int64)
         mid = np.asarray(srt.column("min_doc_id").combine_chunks(), dtype=np.int64)
@@ -5746,7 +5781,7 @@ def ttr_documents(sf_dir: str, k: int = 25, min_tokens: int = 10) -> pa.Table:
 
     def ttr_topk(batch: pa.Table) -> pa.Table:
         text = batch.column("text").combine_chunks()
-        toks = pc.ascii_split_whitespace(pc.utf8_trim_whitespace(text))
+        toks = _ws_tokens(text)
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         doc_id = np.asarray(batch.column("doc_id").combine_chunks(), dtype=np.int64)
         keep = lens >= min_tokens  # also drops the [''] all-whitespace doc
@@ -5867,9 +5902,7 @@ def bigram_pmi_documents(sf_dir: str, k: int = 25, min_count: int = 5) -> pa.Tab
     from ..stages.shuffle import agg_keys_shuffled
 
     def bigram_rows(tbl: pa.Table) -> pa.Table:
-        toks = pc.ascii_split_whitespace(
-            pc.utf8_trim_whitespace(tbl.column("text").combine_chunks())
-        )
+        toks = _ws_tokens(tbl.column("text").combine_chunks())
         flat = pc.list_flatten(toks)
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         n = len(flat)
@@ -5886,9 +5919,7 @@ def bigram_pmi_documents(sf_dir: str, k: int = 25, min_count: int = 5) -> pa.Tab
         )
 
     def unigram_rows(tbl: pa.Table) -> pa.Table:
-        toks = pc.ascii_split_whitespace(
-            pc.utf8_trim_whitespace(tbl.column("text").combine_chunks())
-        )
+        toks = _ws_tokens(tbl.column("text").combine_chunks())
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))  # the [''] all-whitespace doc
         return pa.table({"token": flat})
@@ -5909,17 +5940,29 @@ def bigram_pmi_documents(sf_dir: str, k: int = 25, min_count: int = 5) -> pa.Tab
 
         return having
 
+    import ray
+
     paths = [os.path.join(sf_dir, "documents.parquet")]
-    bc = agg_keys_shuffled(
+    # launch BOTH shuffles before materializing either (output="refs" is
+    # non-blocking), so the bigram and unigram corpus scans overlap
+    # instead of running back-to-back (review r5 session-5)
+    bc_refs = agg_keys_shuffled(
         paths, key_cols=["t0", "t1"], aggs=[("t0", "count")],
         transform_fn=bigram_rows, having_fn=floor_with_total(["t0", "t1"]),
-        read_cols=["text"],
+        read_cols=["text"], output="refs",
     )
-    uc = agg_keys_shuffled(
+    uc_refs = agg_keys_shuffled(
         paths, key_cols=["token"], aggs=[("token", "count")],
         transform_fn=unigram_rows, having_fn=floor_with_total(["token"]),
-        read_cols=["text"],
+        read_cols=["text"], output="refs",
     )
+
+    def _gather(refs) -> pa.Table:
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    bc = _gather(bc_refs)
+    uc = _gather(uc_refs)
 
     def _empty() -> pa.Table:
         return pa.table(
@@ -5986,9 +6029,7 @@ def relevance_topk_documents(sf_dir: str, k: int = 25) -> pa.Table:
     terms = RELEVANCE_TERMS
 
     def _tok(batch: pa.Table):
-        return pc.ascii_split_whitespace(
-            pc.utf8_trim_whitespace(batch.column("text").combine_chunks())
-        )
+        return _ws_tokens(batch.column("text").combine_chunks())
 
     def df_partial(batch: pa.Table) -> pa.Table:
         toks = _tok(batch)
@@ -6120,9 +6161,7 @@ def ngram_novelty_documents(sf_dir: str, n: int = 3) -> pa.Table:
     from ..stages.shuffle import agg_keys_shuffled
 
     def trigram_rows(tbl: pa.Table) -> pa.Table:
-        toks = pc.ascii_split_whitespace(
-            pc.utf8_trim_whitespace(tbl.column("text").combine_chunks())
-        )
+        toks = _ws_tokens(tbl.column("text").combine_chunks())
         flat = pc.list_flatten(toks)
         lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
         left = np.ones(len(flat), dtype=bool)
@@ -6199,29 +6238,10 @@ def assoc_rules_events(sf_dir: str, min_users: int = 5) -> pa.Table:
         t = t.filter(pc.is_valid(t.column("event_type")))
         if t.num_rows == 0:
             return empty
-        srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
-        uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
-        tdict = srt.column("event_type").combine_chunks().dictionary_encode()
-        codes = np.asarray(tdict.indices, dtype=np.int64)
-        types = tdict.dictionary
+        uid, codes, types, key, counts = _user_type_pairs(t)
         nt = len(types)
-        # unordered within-user pairs (rows are (user, type)-distinct)
-        lefts, rights = [], []
-        d = 1
-        while d < len(uid):
-            m = uid[:-d] == uid[d:]
-            if not m.any():
-                break
-            idx = np.nonzero(m)[0]
-            lefts.append(codes[idx])
-            rights.append(codes[idx + d])
-            d += 1
         ta, tb, n = [], [], []
-        if lefts:
-            key, counts = np.unique(
-                np.concatenate(lefts) * nt + np.concatenate(rights),
-                return_counts=True,
-            )
+        if len(key):
             ta.extend(types.take(pa.array(key // nt, pa.int64())).to_pylist())
             tb.extend(types.take(pa.array(key % nt, pa.int64())).to_pylist())
             n.extend(counts.astype(np.int64).tolist())

@@ -88,6 +88,10 @@ def edge_docs(tmp_path_factory):
     rows.append((15, " ".join(["dup"] * 40), "en", 160))
     # an extreme-length outlier inside lang en
     rows.append((16, "x " * 50, "en", 9000))
+    # Unicode whitespace INSIDE and AT THE EDGE of the text: \S+ keeps
+    # NBSP/em-space inside tokens, so the engine tokenizer must too
+    # (ascii_trim, not utf8_trim — review r5 session-5 finding)
+    rows.append((17, " lead mid dle one two three four five six seven", "en", 60))
     tbl = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -244,3 +248,29 @@ def test_conversion_latency_sf(ray_session):
     got = q.conversion_latency_events(sf)
     _match(got, _oracle("conversion_latency_events", sf))
     assert got.num_rows > 0
+
+
+def test_ngram_novelty_trigram_free_corpus(ray_session, tmp_path_factory):
+    """A corpus where no doc reaches 3 tokens: both sides report the
+    all-zero row (the oracle coalesces its empty-aggregate NULLs — review
+    r5 session-5 finding)."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    d = tmp_path_factory.mktemp("no_trigrams")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["one two", "single"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s", "s"], pa.string()),
+                "n_chars": pa.array([7, 6], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = q.ngram_novelty_documents(str(d))
+    _match(got, _oracle("ngram_novelty_documents", str(d)))
+    assert got.to_pylist() == [
+        {"n_types": 0, "n_singletons": 0, "n_total": 0, "distinct_bp": 0, "novelty_bp": 0}
+    ]
