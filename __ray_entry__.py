@@ -57,7 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the slots of late_events / mad_outliers_lineitem /
     key_distribution_events (same displacement rule); batch 3
     (assoc_rules_events, conversion_latency_events) takes the slots of
-    cohort_retention_events / spec_diff_documents."""
+    cohort_retention_events / spec_diff_documents; batch 4
+    (vocab_growth_documents) takes quantiles_lineitem's slot."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -139,7 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # just outside the prefix)
         "infer_spec_events": q.infer_spec_events,
         # exact bounded-domain quantiles (sibling of the t-digest sketch)
-        "quantiles_lineitem": q.quantiles_lineitem,
+        # NEW r5 session-5 batch 4: Heaps-curve vocabulary growth — takes
+        # quantiles_lineitem's prefix slot (r04-certified green; the
+        # quantile machinery stays in-prefix via grouped_quantiles /
+        # percentile_outliers)
+        "vocab_growth_documents": q.vocab_growth_documents,
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
         "percentile_outliers_lineitem": q.percentile_outliers_lineitem,
         # NEW r5 session-4: per-doc distinctive-keyword extraction (takes
@@ -198,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_distribution_events": q.key_distribution_events,
         "cohort_retention_events": q.cohort_retention_events,
         "spec_diff_documents": q.spec_diff_documents,
+        "quantiles_lineitem": q.quantiles_lineitem,
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
@@ -1986,6 +1992,27 @@ def oracle_sql() -> dict[str, str]:
              WHERE bc.cnt >= 5
              ORDER BY pmi_ubits DESC, t0, t1
              LIMIT 25
+        """,
+        # Heaps-curve: per doc-id decile, NEW distinct tokens + cumulative
+        # vocabulary; decile = doc_id·10 // count(*) (metadata-count
+        # convention); cum via a window prefix-sum over ≤10 rows
+        "vocab_growth_documents": r"""
+            WITH nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                  FROM documents
+            ), firstd AS (
+                SELECT token, CAST(min(doc_id * 10 // n) AS BIGINT) AS dec
+                  FROM toks CROSS JOIN nn GROUP BY 1
+            ), per AS (
+                SELECT dec, CAST(count(*) AS BIGINT) AS new_tokens
+                  FROM firstd GROUP BY 1
+            )
+            SELECT dec AS decile, new_tokens,
+                   CAST(sum(new_tokens) OVER (ORDER BY dec) AS BIGINT) AS cum_vocab
+              FROM per
+             ORDER BY 1
         """,
         # tf·idf keyword relevance with add-one smoothing; the score sum
         # is written out term by term in the engine's declared term order

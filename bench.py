@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "ngram_novelty_documents",
     "assoc_rules_events",
     "conversion_latency_events",
+    "vocab_growth_documents",
 ]
 
 

@@ -6391,3 +6391,77 @@ def conversion_latency_events(sf_dir: str, cap_hours: int = 48) -> pa.Table:
         .rename_columns(["gap_hours", "n_users"])
     )
     return out.sort_by("gap_hours")
+
+
+def vocab_growth_documents(sf_dir: str, buckets: int = 10) -> pa.Table:
+    """VOCABULARY-GROWTH curve (Heaps' law audit): split the corpus into
+    10 doc-id deciles and report how many NEW distinct tokens each decile
+    introduces plus the cumulative vocabulary — the diminishing-returns
+    signal behind 'will more data still grow the tokenizer's coverage?'.
+    The token domain is corpus-sized, so it never reaches the driver
+    whole: one token-keyed shuffle whose pre-aggs carry min(first decile)
+    per token (mergeable), and whose reduces collapse to a ≤buckets-row
+    (decile, new_tokens) histogram each; the driver sums B histograms and
+    prefix-sums. Decile = doc_id·10 // N with N read from the parquet
+    footer — the same metadata-count convention as drift_ks_events."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.shuffle import agg_keys_shuffled
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq_.read_metadata(path).num_rows
+
+    def token_decile(tbl: pa.Table) -> pa.Table:
+        toks = _ws_tokens(tbl.column("text").combine_chunks())
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        ids = np.asarray(tbl.column("doc_id").combine_chunks(), dtype=np.int64)
+        dec = np.repeat(ids * buckets // max(n_docs, 1), lens)
+        keep = np.asarray(pc.not_equal(flat, ""), dtype=bool)  # [''] docs
+        return pa.table(
+            {
+                "token": flat.filter(pa.array(keep)),
+                "dec": pa.array(dec[keep], pa.int64()),
+            }
+        )
+
+    def decile_hist(t: pa.Table) -> pa.Table:
+        dec = np.asarray(t.column("min_dec").combine_chunks(), dtype=np.int64)
+        vals, counts = np.unique(dec, return_counts=True)
+        return pa.table(
+            {
+                "decile": pa.array(vals, pa.int64()),
+                "new_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = agg_keys_shuffled(
+        [path],
+        key_cols=["token"],
+        aggs=[("dec", "min")],
+        transform_fn=token_decile,
+        having_fn=decile_hist,
+        read_cols=["doc_id", "text"],
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "decile": pa.array([], pa.int64()),
+                "new_tokens": pa.array([], pa.int64()),
+                "cum_vocab": pa.array([], pa.int64()),
+            }
+        )
+    per = (
+        parts.group_by(["decile"])
+        .aggregate([("new_tokens", "sum")])
+        .rename_columns(["decile", "new_tokens"])
+        .sort_by("decile")
+    )
+    new = np.asarray(per.column("new_tokens").combine_chunks(), dtype=np.int64)
+    return pa.table(
+        {
+            "decile": per.column("decile"),
+            "new_tokens": per.column("new_tokens"),
+            "cum_vocab": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )

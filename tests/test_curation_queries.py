@@ -274,3 +274,15 @@ def test_ngram_novelty_trigram_free_corpus(ray_session, tmp_path_factory):
     assert got.to_pylist() == [
         {"n_types": 0, "n_singletons": 0, "n_total": 0, "distinct_bp": 0, "novelty_bp": 0}
     ]
+
+
+def test_vocab_growth_edge_corpus(ray_session, edge_docs):
+    """Vocabulary growth over the edge corpus (empty/whitespace docs,
+    Unicode-whitespace tokens): deciles, new-token counts and the
+    cumulative prefix sum match the oracle."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.vocab_growth_documents(edge_docs)
+    _match(got, _oracle("vocab_growth_documents", edge_docs))
+    rows = got.to_pylist()
+    assert rows and rows[-1]["cum_vocab"] == sum(r["new_tokens"] for r in rows)
