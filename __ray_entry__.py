@@ -156,7 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_ks_events": q.drift_ks_events,
         # -- new round-4 operators (need their first driver row) --
         "fd_violations_events": q.fd_violations_events,
-        "coverage_customer_events": q.coverage_customer_events,
+        # NEW r5 session-5 batch 5: hour-of-day uniformity chi-square —
+        # takes coverage_customer_events' prefix slot (r04-certified
+        # green, referential machinery unmodified)
+        "seasonality_chisq_events": q.seasonality_chisq_events,
         "dup_passages_documents": q.dup_passages_documents,
         # NEW r4 session-3: span-level eval-leakage audit (broadcast
         # benchmark window hashes, zero-shuffle streaming count)
@@ -204,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": q.cohort_retention_events,
         "spec_diff_documents": q.spec_diff_documents,
         "quantiles_lineitem": q.quantiles_lineitem,
+        "coverage_customer_events": q.coverage_customer_events,
         "windowed_events": q.windowed_events,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
@@ -1992,6 +1996,30 @@ def oracle_sql() -> dict[str, str]:
              WHERE bc.cnt >= 5
              ORDER BY pmi_ubits DESC, t0, t1
              LIMIT 25
+        """,
+        # per-type hour-of-day uniformity chi-square ×100 — absent hours
+        # contribute T² via the (24 − hrs)·n² closed form; HUGEINT squares;
+        # NULL type is its own row (NULLS LAST on both sides)
+        "seasonality_chisq_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+                       CAST(count(*) AS BIGINT) AS o
+                  FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS hrs
+                  FROM c GROUP BY 1
+            ), s AS (
+                SELECT c.event_type,
+                       sum(CAST(o * 24 - n AS HUGEINT) * CAST(o * 24 - n AS HUGEINT)) AS sp
+                  FROM c JOIN t ON t.event_type IS NOT DISTINCT FROM c.event_type
+                 GROUP BY 1
+            )
+            SELECT t.event_type, t.n, t.hrs AS n_hours_present,
+                   CAST((100 * (sp + (24 - hrs) * CAST(n AS HUGEINT) * n)) // (n * 24) AS BIGINT) AS chisq_centi
+              FROM t JOIN s ON s.event_type IS NOT DISTINCT FROM t.event_type
+             ORDER BY t.event_type
         """,
         # Heaps-curve: per doc-id decile, NEW distinct tokens + cumulative
         # vocabulary; decile = doc_id·10 // count(*) (metadata-count

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "assoc_rules_events",
     "conversion_latency_events",
     "vocab_growth_documents",
+    "seasonality_chisq_events",
 ]
 
 

@@ -6465,3 +6465,71 @@ def vocab_growth_documents(sf_dir: str, buckets: int = 10) -> pa.Table:
             "cum_vocab": pa.array(np.cumsum(new), pa.int64()),
         }
     )
+
+
+def seasonality_chisq_events(sf_dir: str) -> pa.Table:
+    """SEASONALITY / UNIFORMITY goodness-of-fit: per event type, the
+    chi-square statistic of its hour-of-day histogram against the uniform
+    profile — the replay/bot detector (organic traffic has a daily cycle;
+    a uniform or single-spike profile flags synthetic streams). EXACT and
+    all-integer via the algebraic identity
+    χ² = Σ_h (o_h·24 − T)² / (T·24) over ALL 24 hours (absent hours
+    contribute T²), reported ×100 with one floor division — scaled Python
+    ints, so no overflow at any corpus size. One bounded (type, hour)
+    count-table shuffle; the driver evaluates O(types) rows."""
+    from ..stages.shuffle import agg_keys_shuffled
+
+    H = 24
+
+    def hod(tbl: pa.Table) -> pa.Table:
+        ts = np.asarray(tbl.column("ts").cast(pa.int64()))
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "hod": pa.array((ts // 3_600_000_000) % H, pa.int64()),
+            }
+        )
+
+    c = agg_keys_shuffled(
+        [os.path.join(sf_dir, "events.parquet")],
+        key_cols=["event_type", "hod"],
+        aggs=[("hod", "count")],
+        transform_fn=hod,
+        read_cols=["ts", "event_type"],
+    )
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_hours_present": pa.array([], pa.int64()),
+                "chisq_centi": pa.array([], pa.int64()),
+            }
+        )
+
+    if c.num_rows == 0:
+        return _empty()
+    per: dict = {}
+    for r in c.to_pylist():  # O(types × 24) rows
+        t = per.setdefault(r["event_type"], [0, 0, []])
+        t[0] += r["cnt"]
+        t[1] += 1
+        t[2].append(r["cnt"])
+    types = sorted((k for k in per if k is not None)) + (
+        [None] if None in per else []
+    )
+    rows = []
+    for k in types:
+        n, hrs, os_ = per[k]
+        sp = sum((o * H - n) * (o * H - n) for o in os_)  # Python ints: exact
+        chisq = (100 * (sp + (H - hrs) * n * n)) // (n * H)
+        rows.append({"event_type": k, "n": n, "n_hours_present": hrs, "chisq_centi": chisq})
+    return pa.table(
+        {
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "n_hours_present": pa.array([r["n_hours_present"] for r in rows], pa.int64()),
+            "chisq_centi": pa.array([r["chisq_centi"] for r in rows], pa.int64()),
+        }
+    )

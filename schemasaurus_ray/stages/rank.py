@@ -220,9 +220,10 @@ def ntile_assign_shuffled(
 
         parts = ray.get([precount.remote(r) for r in arrow_block_refs(src)])
         merged = pa.concat_tables([t for t in parts if t.num_rows])
+        from .shuffle import group_agg_fixed_first
+
         counts = (
-            merged.group_by([group_col, value_col])
-            .aggregate([("cnt", "sum")])
+            group_agg_fixed_first(merged, [group_col, value_col], [("cnt", "sum")])
             .rename_columns([group_col, value_col, "cnt"])
             if merged.num_rows
             else pa.table({group_col: [], value_col: [], "cnt": []})

@@ -121,9 +121,39 @@ def _combined_hash(table: pa.Table, columns: list[str]) -> np.ndarray:
     return h
 
 
+def group_agg_fixed_first(tbl: pa.Table, key_cols: list[str], specs: list) -> pa.Table:
+    """Multi-key hash aggregate with the key columns reordered
+    FIXED-WIDTH-FIRST for the kernel call, then restored to the caller's
+    order. Works around a pyarrow 16 grouper defect: when a fixed-width
+    key FOLLOWS a null-bearing varlen (string/binary) key, the row
+    encoder emits the NULL group once per internal batch instead of
+    merging it (measured: ['event_type', 'hod'] with NULL types over 4k
+    rows → 100+ output rows for the 5 true groups; ['s1','s2','i1'] at
+    20k rows → 5281 rows for 525 true groups). Key order never changes
+    the induced partition, so results are identical on null-free inputs
+    (regression-pinned in test_shuffle). EVERY multi-key group_by in the
+    engine must route through this helper."""
+    if len(key_cols) <= 1:
+        return tbl.group_by(key_cols).aggregate(specs)
+
+    def _fixed(name: str) -> bool:
+        t = tbl.schema.field(name).type
+        return not (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        )
+
+    ordered = [k for k in key_cols if _fixed(k)] + [k for k in key_cols if not _fixed(k)]
+    out = tbl.group_by(ordered).aggregate(specs)
+    agg_names = out.column_names[len(ordered):]
+    return out.select(key_cols + agg_names)
+
+
 def _precount_table(tbl: pa.Table, columns: list[str]) -> pa.Table:
     sub = pa.table({c: tbl.column(c) for c in columns})
-    counts = sub.group_by(columns).aggregate([([], "count_all")])
+    counts = group_agg_fixed_first(sub, columns, [([], "count_all")])
     return counts.rename_columns(columns + ["cnt"])
 
 
@@ -210,7 +240,7 @@ def count_keys_shuffled(
     def load_partial(files: list[str]):
         merged = pa.concat_tables([pq.read_table(f, columns=columns + ["cnt"]) for f in files])
         counts = (
-            merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+            group_agg_fixed_first(merged, columns, [("cnt", "sum")]).rename_columns(columns + ["cnt"])
         )
         out = _split_buckets(counts, columns, num_buckets)
         return out if num_buckets > 1 else out[0]
@@ -220,14 +250,14 @@ def count_keys_shuffled(
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return merged
-        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+        return group_agg_fixed_first(merged, columns, [("cnt", "sum")]).rename_columns(columns + ["cnt"])
 
     @ray.remote
     def reduce_bucket(*tables: pa.Table) -> pa.Table:
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return merged
-        agg = merged.group_by(columns).aggregate([("cnt", "sum")])
+        agg = group_agg_fixed_first(merged, columns, [("cnt", "sum")])
         agg = agg.rename_columns(columns + ["cnt"])
         if min_count > 1:
             agg = agg.filter(pc.greater_equal(agg.column("cnt"), min_count))
@@ -277,7 +307,7 @@ def _precount_map_fns(columns: list[str], num_buckets: int):
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return merged
-        return merged.group_by(columns).aggregate([("cnt", "sum")]).rename_columns(columns + ["cnt"])
+        return group_agg_fixed_first(merged, columns, [("cnt", "sum")]).rename_columns(columns + ["cnt"])
 
     return map_shard, combine_bucket
 
@@ -379,7 +409,7 @@ def key_count_histogram_shuffled(
         )
         if merged.num_rows == 0:
             return empty
-        agg = merged.group_by(columns).aggregate([("cnt", "sum")])
+        agg = group_agg_fixed_first(merged, columns, [("cnt", "sum")])
         agg = agg.rename_columns(columns + ["cnt"])
         h = agg.group_by("cnt").aggregate([([], "count_all")])
         return h.rename_columns(["cnt", "n_keys"])
@@ -581,8 +611,7 @@ def combined_key_checks_async(
             # chunked partials (one per row-pass batch): collapse to one row
             # per (key, pid) so downstream attribution stays one-per-pair
             counts = (
-                counts.group_by([key_col, "pid"])
-                .aggregate([("cnt", "sum")])
+                group_agg_fixed_first(counts, [key_col, "pid"], [("cnt", "sum")])
                 .rename_columns([key_col, "pid", "cnt"])
                 .select([key_col, "cnt", "pid"])
             )
@@ -622,8 +651,7 @@ def combined_key_checks_async(
             # chunk files of one shard — cheap here because `hit` is only
             # the violating keys, not the bucket
             hit = (
-                hit.group_by([key_col, "pid"])
-                .aggregate([("cnt", "sum")])
+                group_agg_fixed_first(hit, [key_col, "pid"], [("cnt", "sum")])
                 .rename_columns([key_col, "pid", "cnt"])
             )
             totals = {
@@ -906,7 +934,7 @@ def agg_keys_shuffled(
             tbl = transform_fn(tbl)
         sub = tbl.select(key_cols + [c for c in value_cols if c not in key_cols])
         specs = [([], "count_all") if f == "count" else (c, f) for c, f in aggs]
-        out = sub.group_by(key_cols).aggregate(specs)
+        out = group_agg_fixed_first(sub, key_cols, specs)
         return out.rename_columns(key_cols + out_names)
 
     def _merge(tables: tuple) -> pa.Table:
@@ -915,7 +943,7 @@ def agg_keys_shuffled(
         merged = pa.concat_tables([t for t in tables if t.num_rows] or list(tables))
         if merged.num_rows == 0:
             return merged
-        out = merged.group_by(key_cols).aggregate([(n, f) for n, f in merge_specs])
+        out = group_agg_fixed_first(merged, key_cols, [(n, f) for n, f in merge_specs])
         return out.rename_columns(key_cols + out_names)
 
     cols_to_read = read_cols or sorted(set(key_cols) | set(value_cols))
@@ -991,7 +1019,7 @@ def distinct_count_by_group(
         # (a group whose values are all null is one (g, null) pair) and
         # count only valid values in the reduce, so such groups emit
         # (g, 0) exactly like the SQL instead of vanishing
-        pairs = tbl.group_by(cols).aggregate([]).select(cols)
+        pairs = group_agg_fixed_first(tbl, cols, []).select(cols)
         out = _split_buckets(pairs, cols, num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -1000,14 +1028,14 @@ def distinct_count_by_group(
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return merged
-        return merged.group_by(cols).aggregate([]).select(cols)
+        return group_agg_fixed_first(merged, cols, []).select(cols)
 
     @ray.remote
     def reduce_bucket(*tables: pa.Table) -> pa.Table:
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return pa.table({group_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        pairs = merged.group_by(cols).aggregate([])
+        pairs = group_agg_fixed_first(merged, cols, [])
         # (distinct_col, "count") counts only valid values: all-null groups
         # survive with cnt 0
         counts = pairs.group_by([group_col]).aggregate([(distinct_col, "count")])
@@ -1059,7 +1087,7 @@ def mode_by_group(
     def map_shard(path: str):
         tbl = pq.read_table(path, columns=cols)
         tbl = tbl.filter(pc.is_valid(tbl.column(value_col)))
-        pairs = tbl.group_by(cols).aggregate([([], "count_all")]).rename_columns([*cols, "cnt"])
+        pairs = group_agg_fixed_first(tbl, cols, [([], "count_all")]).rename_columns([*cols, "cnt"])
         out = _split_buckets(pairs, [group_col], num_buckets)
         return out if num_buckets > 1 else out[0]
 
@@ -1068,7 +1096,7 @@ def mode_by_group(
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return merged
-        out = merged.group_by(cols).aggregate([("cnt", "sum")])
+        out = group_agg_fixed_first(merged, cols, [("cnt", "sum")])
         return out.rename_columns([*cols, "cnt"])
 
     @ray.remote
@@ -1076,7 +1104,7 @@ def mode_by_group(
         merged = pa.concat_tables(tables)
         if merged.num_rows == 0:
             return merged
-        summed = merged.group_by(cols).aggregate([("cnt", "sum")])
+        summed = group_agg_fixed_first(merged, cols, [("cnt", "sum")])
         summed = summed.rename_columns([*cols, "cnt"])
         s = summed.sort_by(
             [(group_col, "ascending"), ("cnt", "descending"), (value_col, "ascending")]

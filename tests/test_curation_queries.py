@@ -286,3 +286,84 @@ def test_vocab_growth_edge_corpus(ray_session, edge_docs):
     _match(got, _oracle("vocab_growth_documents", edge_docs))
     rows = got.to_pylist()
     assert rows and rows[-1]["cum_vocab"] == sum(r["new_tokens"] for r in rows)
+
+
+def test_seasonality_chisq_null_type(ray_session, edge_events):
+    """Per-type hour-of-day chi-square with a NULL event_type group:
+    NULL is its own row, placed last on both sides; counts and the
+    ×100-scaled statistic match the oracle exactly."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.seasonality_chisq_events(edge_events)
+    _match(got, _oracle("seasonality_chisq_events", edge_events))
+    rows = got.to_pylist()
+    assert rows[-1]["event_type"] is None  # NULLS LAST, mirrored
+    for r in rows:
+        assert r["chisq_centi"] >= 0
+
+
+def test_user_type_pairs_matches_bruteforce(ray_session):
+    """Property: the shifted-mask pair expansion equals the brute-force
+    within-user unordered pair sets on random (user, type) tables."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schemasaurus_ray.pipelines.queries import _user_type_pairs
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.sampled_from("abcdefg")),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def check(pairs):
+        distinct = sorted(set(pairs))
+        if not distinct:
+            return
+        t = pa.table(
+            {
+                "user_id": pa.array([u for u, _ in distinct], pa.int64()),
+                "event_type": pa.array([c for _, c in distinct], pa.string()),
+            }
+        )
+        _, _, types, key, counts = _user_type_pairs(t)
+        nt = len(types)
+        got = {}
+        for k, c in zip(key.tolist(), counts.tolist()):
+            a = types[k // nt].as_py()
+            b = types[k % nt].as_py()
+            got[(a, b)] = got.get((a, b), 0) + c
+        want = {}
+        by_user = {}
+        for u, c in distinct:
+            by_user.setdefault(u, []).append(c)
+        for u, cs in by_user.items():
+            for a, b in itertools.combinations(sorted(cs), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want
+
+    check()
+
+
+def test_zscore_isqrt_threshold_equivalence():
+    """Property: |d| > isqrt(R) ⇔ d² > R for every non-negative R (the
+    exact-integer z-score trick) — including perfect squares, R = 0, and
+    values straddling the float64 sqrt precision cliff."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=-(10**18), max_value=10**18),
+        st.integers(min_value=0, max_value=10**36),
+    )
+    def check(d, r):
+        assert (abs(d) > math.isqrt(r)) == (d * d > r)
+
+    check()

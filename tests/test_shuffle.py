@@ -667,3 +667,45 @@ def test_agg_keys_shuffled_bucket_cols(tmp_path_factory, ray_session):
 
     with pytest.raises(ValueError, match="subset"):
         agg_keys_shuffled(paths, ["u"], [("u", "count")], bucket_cols=["s"])
+
+
+def test_group_agg_fixed_first_null_string_keys(tmp_path_factory, ray_session):
+    """Regression for the pyarrow 16 grouper defect: a fixed-width key
+    FOLLOWING a null-bearing string key makes multi-key group_by emit the
+    NULL group once per internal batch (measured 2646 rows for 35 true
+    groups at 20k rows). group_agg_fixed_first reorders the kernel call
+    fixed-width-first and restores caller order, and every engine
+    group_by routes through it — pinned end-to-end via agg_keys_shuffled
+    with a (string-with-NULLs, int64) key."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from schemasaurus_ray.stages.shuffle import agg_keys_shuffled, group_agg_fixed_first
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    vals = np.array(["a", "b", "c", "d", None], dtype=object)
+    k = pa.array(vals[rng.integers(0, 5, n)].tolist(), pa.string())
+    h = pa.array(rng.integers(0, 7, n).astype(np.int64), pa.int64())
+    t = pa.table({"k": k, "h": h})
+
+    # helper level: exact group count, no duplicate keys, caller order kept
+    g = group_agg_fixed_first(t, ["k", "h"], [([], "count_all")])
+    assert g.column_names[:2] == ["k", "h"]
+    keys = [(r["k"], r["h"]) for r in g.to_pylist()]
+    assert len(keys) == len(set(keys)) == 35  # 5 k-values × 7 h-values
+    assert sum(r["count_all"] for r in g.to_pylist()) == n
+
+    # end-to-end: the same data through the raw shuffle (string key FIRST)
+    d = tmp_path_factory.mktemp("nullkeys")
+    for i in range(3):
+        pq.write_table(t.slice(i * 7000, 7000), str(d / f"s{i}.parquet"))
+    out = agg_keys_shuffled(
+        sorted(str(p) for p in d.glob("*.parquet")), ["k", "h"], [("h", "count")]
+    )
+    got = collections.Counter((r["k"], r["h"]) for r in out.to_pylist())
+    assert len(got) == 35 and max(got.values()) == 1
+    total = sum(r["cnt"] for r in out.to_pylist())
+    assert total == n
