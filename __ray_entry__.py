@@ -759,8 +759,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_oov_documents": r"""
             WITH toks AS (
               SELECT doc_id,
-                     unnest(regexp_extract_all(text, '\S+')) AS w,
-                     unnest(range(len(regexp_extract_all(text, '\S+')))) AS pos
+                     unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS w,
+                     unnest(range(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')))) AS pos
                 FROM documents
             ),
             big AS (
@@ -1100,7 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup_documents": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS words FROM documents
             ),
             tri AS (
                 SELECT doc_id,
@@ -1125,7 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         # pairs a full re-run would emit for those docs
         "neardup_incremental_documents": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS words FROM documents
             ),
             tri AS (
                 SELECT doc_id,
@@ -1150,7 +1150,7 @@ def oracle_sql() -> dict[str, str]:
         # the product contract is the same
         "ngram_jaccard_neardup_documents": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS words FROM documents
             ),
             tri AS (
                 SELECT doc_id,
@@ -1171,7 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_neardup_survivors_documents": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS words FROM documents
             ),
             tri AS (
                 SELECT doc_id,
@@ -1200,11 +1200,11 @@ def oracle_sql() -> dict[str, str]:
         # keep-best survivor policy: same edge set + reachability closure as
         # dedup_neardup_survivors_documents, but a doc drops iff it can reach
         # a STRICTLY-BETTER component member under (n_tokens DESC, doc_id ASC)
-        # — constant scores degrade exactly to keep-min. \S+ token counts ≡
+        # — constant scores degrade exactly to keep-min. ASCII-ws token counts ≡
         # ascii_split_whitespace (the pairing vocab/token_count certify).
         "dedup_neardup_keep_best_documents": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS words FROM documents
             ),
             tri AS (
                 SELECT doc_id,
@@ -1279,7 +1279,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         # df = #docs (of that lang) containing the token; DISTINCT per doc
-        # before counting on both sides; \\S+ tokens == ascii_split_whitespace
+        # before counting on both sides; the [^ \t\n\x0b\f\r]+ class ==
         # (same pairing vocab_topk_documents certifies)
         "df_topk_terms_documents": r"""
             SELECT lang, token, df FROM (
@@ -1291,7 +1291,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM (
                       SELECT DISTINCT doc_id, lang, token FROM (
                           SELECT doc_id, lang,
-                                 unnest(regexp_extract_all(text, '\S+')) AS token
+                                 unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS token
                             FROM documents
                       )
                   )
@@ -1302,7 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_documents": """
             SELECT doc_id,
-                   CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?')) AS BIGINT) AS n_words
               FROM documents ORDER BY doc_id
         """,
@@ -1318,9 +1318,9 @@ def oracle_sql() -> dict[str, str]:
         "export_packed_documents": r"""
             WITH t AS (
                 SELECT doc_id, text,
-                       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n,
+                       CAST(length(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n,
                        CAST(CEIL(LOG2(GREATEST(
-                           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1))) AS BIGINT) AS bucket
+                           CAST(length(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT), 1))) AS BIGINT) AS bucket
                   FROM documents),
             p AS (
                 SELECT doc_id, text, n, bucket,
@@ -1335,7 +1335,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id,
                        CAST(CEIL(LOG2(GREATEST(
-                           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1))) AS BIGINT) AS bucket
+                           CAST(length(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT), 1))) AS BIGINT) AS bucket
                   FROM documents)
             SELECT doc_id, bucket,
                    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
@@ -1373,7 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocab_topk_documents": r"""
             SELECT token, count(*) AS cnt
-              FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+              FROM (SELECT unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS token FROM documents)
              GROUP BY token ORDER BY cnt DESC, token LIMIT 100
         """,
         "enrich_events_customer": """
@@ -1529,11 +1529,11 @@ def oracle_sql() -> dict[str, str]:
               FROM s
         """,
         # per-doc rarest term (min df, tie tf desc, tie token asc) — the
-        # integer-exact tf-idf argmax; tokens = \\S+ runs, same as the
+        # integer-exact tf-idf argmax; tokens = ASCII-ws runs, same as the
         # vocab/df oracles
         "doc_keywords_documents": """
             WITH toks AS (
-                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+                SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS token
                   FROM documents
             ), tf AS (
                 SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
@@ -1921,7 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "label_conflicts_documents": r"""
             WITH p AS (
                 SELECT doc_id, lang,
-                       md5(array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, 8), ' ')) AS prefix_md5
+                       md5(array_to_string(list_slice(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'), 1, 8), ' ')) AS prefix_md5
                   FROM documents
             )
             SELECT prefix_md5,
@@ -1934,10 +1934,10 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY 1
         """,
         # type-token ratio (lexical diversity) top-25, basis points via
-        # integer multiply-first floor division; \S+ never emits ''
+        # integer multiply-first floor division; the class never emits ''
         "ttr_documents": r"""
             WITH t AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS w FROM documents
             ), s AS (
                 SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
                        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
@@ -1973,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         # engine; totals are pre-filter corpus totals
         "bigram_pmi_documents": r"""
             WITH toks AS (
-                SELECT regexp_extract_all(text, '\S+') AS w FROM documents
+                SELECT regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS w FROM documents
             ), bi AS (
                 SELECT unnest(w[1:len(w)-1]) AS t0, unnest(w[2:len(w)]) AS t1
                   FROM toks WHERE len(w) >= 2
@@ -2028,7 +2028,7 @@ def oracle_sql() -> dict[str, str]:
             WITH nn AS (
                 SELECT CAST(count(*) AS BIGINT) AS n FROM documents
             ), toks AS (
-                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS token
                   FROM documents
             ), firstd AS (
                 SELECT token, CAST(min(doc_id * 10 // n) AS BIGINT) AS dec
@@ -2048,7 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         # zero-match docs are dropped by the INTEGER tf sum, not the float
         "relevance_topk_documents": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS w FROM documents
             ), nn AS (
                 SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
             ), tf AS (
@@ -2099,7 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         # parallel unnest zips the three shifted list slices
         "ngram_novelty_documents": r"""
             WITH toks AS (
-                SELECT regexp_extract_all(text, '\S+') AS w FROM documents
+                SELECT regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS w FROM documents
             ), tg AS (
                 SELECT unnest(w[1:len(w)-2]) AS t0,
                        unnest(w[2:len(w)-1]) AS t1,

@@ -6108,10 +6108,11 @@ def burst_events(sf_dir: str) -> pa.Table:
     from ..stages.shuffle import agg_keys_shuffled
 
     def hour_of(tbl: pa.Table) -> pa.Table:
-        ts = np.asarray(tbl.column("ts").cast(pa.int64()))
-        h = ts // 3_600_000_000
         return pa.table(
-            {"h": pa.array(h, pa.int64()), "event_type": tbl.column("event_type")}
+            {
+                "h": _duckdb_time_bucket(tbl.column("ts"), 3_600_000_000),
+                "event_type": tbl.column("event_type"),
+            }
         )
 
     c = agg_keys_shuffled(
@@ -6133,9 +6134,13 @@ def burst_events(sf_dir: str) -> pa.Table:
 
     if c.num_rows == 0:
         return _empty()
-    h = np.asarray(c.column("h").combine_chunks(), dtype=np.int64)
+    h_col = c.column("h").combine_chunks()
+    h_valid = np.asarray(pc.is_valid(h_col), dtype=bool)
+    hv = np.asarray(h_col.fill_null(0))
     cnt = np.asarray(c.column("cnt").combine_chunks(), dtype=np.int64)
-    n_hours = len(np.unique(h))
+    # COUNT(DISTINCT h) skips the NULL hour; its (NULL, type) cells still
+    # count toward totals and are tested like any other cell (SQL join)
+    n_hours = len(np.unique(hv[h_valid]))
     et = c.column("event_type").combine_chunks().dictionary_encode()
     codes = np.asarray(et.indices.fill_null(len(et.dictionary)), dtype=np.int64)
     totals = np.zeros(len(et.dictionary) + 1, dtype=np.int64)
@@ -6347,13 +6352,13 @@ def conversion_latency_events(sf_dir: str, cap_hours: int = 48) -> pa.Table:
         empty = pa.table(
             {"gap_hours": pa.array([], pa.int64()), "n_users": pa.array([], pa.int64())}
         )
+        # a user whose every ts for a type is NULL has min_t NULL — the
+        # oracle's v/p IS NOT NULL drops them, so drop the rows here too
+        t = t.filter(pc.is_valid(t.column("min_t")))
         if t.num_rows == 0:
             return empty
         srt = t.sort_by([("user_id", "ascending"), ("event_type", "ascending")])
         uid = np.asarray(srt.column("user_id").combine_chunks(), dtype=np.int64)
-        isv = np.asarray(
-            pc.equal(srt.column("event_type").combine_chunks(), "view"), dtype=bool
-        )
         mt = np.asarray(srt.column("min_t").combine_chunks(), dtype=np.int64)
         starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
         sizes = np.diff(np.concatenate((starts, [len(uid)])))
@@ -6467,6 +6472,24 @@ def vocab_growth_documents(sf_dir: str, buckets: int = 10) -> pa.Table:
     )
 
 
+def _duckdb_time_bucket(ts_col, div_us: int, mod: int | None = None) -> pa.Array:
+    """int64 bucket matching DuckDB's (epoch_us(ts) // d) [% m] EXACTLY:
+    DuckDB's integer // truncates toward zero and % follows the
+    dividend's sign, where numpy floors both — divergent for any
+    pre-1970 timestamp (−7 200 000 001 µs → DuckDB −2, numpy 21 after
+    % 24), and the oracle-parity contract is unconditional, not
+    fixtures-only. NULL ts stays NULL (its own group on both sides)."""
+    ts = ts_col.cast(pa.int64())
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    null_mask = ~np.asarray(pc.is_valid(ts), dtype=bool)
+    v = np.asarray(ts.fill_null(0))
+    q = np.where(v >= 0, v // div_us, -((-v) // div_us))
+    if mod is not None:
+        q = np.where(q >= 0, q % mod, -((-q) % mod))
+    return pa.array(q, pa.int64(), mask=null_mask)
+
+
 def seasonality_chisq_events(sf_dir: str) -> pa.Table:
     """SEASONALITY / UNIFORMITY goodness-of-fit: per event type, the
     chi-square statistic of its hour-of-day histogram against the uniform
@@ -6482,11 +6505,10 @@ def seasonality_chisq_events(sf_dir: str) -> pa.Table:
     H = 24
 
     def hod(tbl: pa.Table) -> pa.Table:
-        ts = np.asarray(tbl.column("ts").cast(pa.int64()))
         return pa.table(
             {
                 "event_type": tbl.column("event_type"),
-                "hod": pa.array((ts // 3_600_000_000) % H, pa.int64()),
+                "hod": _duckdb_time_bucket(tbl.column("ts"), 3_600_000_000, H),
             }
         )
 

@@ -167,9 +167,13 @@ class CombinedStage(RowRuleStage):
             t = pa.table(
                 {**{c: batch.column(c) for c in cols}, "pid": pa.array(pids, pa.int32())}
             )
+            # fixed-width pid FOLLOWS the (possibly null-bearing string)
+            # key columns — exactly the pyarrow-16 null-split pattern, so
+            # route through the fixed-width-first helper (CLAUDE.md rule)
+            from ..stages.shuffle import group_agg_fixed_first
+
             agg = (
-                t.group_by(cols + ["pid"])
-                .aggregate([([], "count_all")])
+                group_agg_fixed_first(t, cols + ["pid"], [([], "count_all")])
                 .rename_columns(cols + ["pid", "cnt"])
                 .select(cols + ["cnt", "pid"])
             )

@@ -367,3 +367,80 @@ def test_zscore_isqrt_threshold_equivalence():
         assert (abs(d) > math.isqrt(r)) == (d * d > r)
 
     check()
+
+
+@pytest.fixture(scope="module")
+def preepoch_events(tmp_path_factory):
+    """Events with pre-1970 and NULL timestamps: DuckDB's integer //
+    truncates toward zero and % follows the dividend (numpy floors), so
+    every time-bucketing query must go through _duckdb_time_bucket; NULL
+    ts forms its own bucket group (review r5 session-5 finding)."""
+    d = tmp_path_factory.mktemp("preepoch")
+    rng = np.random.default_rng(9)
+    n = 3000
+    ts = rng.integers(-5 * 3_600_000_000, 5 * 3_600_000_000, size=n)
+    ts_obj = [None if i % 97 == 0 else int(v) for i, v in enumerate(ts)]
+    types = np.array(["view", "purchase", "click", None], dtype=object)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_obj, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "event_type": pa.array(types[rng.integers(0, 4, n)].tolist(), pa.string()),
+            "value": pa.array(rng.normal(size=n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_seasonality_preepoch_and_null_ts(ray_session, preepoch_events):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.seasonality_chisq_events(preepoch_events)
+    _match(got, _oracle("seasonality_chisq_events", preepoch_events))
+
+
+def test_burst_preepoch_and_null_ts(ray_session, preepoch_events):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.burst_events(preepoch_events)
+    _match(got, _oracle("burst_events", preepoch_events))
+
+
+def test_conversion_latency_preepoch_and_null_ts(ray_session, preepoch_events):
+    from schemasaurus_ray.pipelines import queries as q
+
+    got = q.conversion_latency_events(preepoch_events)
+    _match(got, _oracle("conversion_latency_events", preepoch_events))
+    assert got.num_rows > 0
+
+
+def test_ws_tokens_vertical_tab_parity(ray_session, tmp_path_factory):
+    """Arrow's ASCII whitespace includes \\v, RE2's \\s does not — the
+    oracles therefore tokenize with the explicit [^ \\t\\n\\x0b\\f\\r]+
+    class. Pin the parity on \\v-bearing documents end-to-end."""
+    from schemasaurus_ray.pipelines import queries as q
+
+    d = tmp_path_factory.mktemp("vtab")
+    texts = [
+        "a\x0bb c d e f g h i j",
+        "\x0b lead one two three four five six seven eight",
+        "plain one two three four five six seven eight nine",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    for name in ("ttr_documents", "ngram_novelty_documents", "vocab_growth_documents"):
+        got = q.__dict__[name](str(d))
+        _match(got, _oracle(name, str(d)))
