@@ -444,3 +444,41 @@ def test_ws_tokens_vertical_tab_parity(ray_session, tmp_path_factory):
     for name in ("ttr_documents", "ngram_novelty_documents", "vocab_growth_documents"):
         got = q.__dict__[name](str(d))
         _match(got, _oracle(name, str(d)))
+
+
+def test_duckdb_time_bucket_property():
+    """Property: _duckdb_time_bucket equals DuckDB's (x // d) % m on
+    random µs values spanning both epoch sides (truncation + dividend-
+    sign semantics), including exact hour boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schemasaurus_ray.pipelines.queries import _duckdb_time_bucket
+
+    D = 3_600_000_000
+    con = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=-10 * D, max_value=10 * D),
+                st.sampled_from([0, -1, 1, D, -D, 2 * D - 1, -2 * D + 1]),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(vals):
+        got = _duckdb_time_bucket(
+            pa.array(vals, pa.int64()).cast(pa.timestamp("us")), D, 24
+        ).to_pylist()
+        want = [
+            r[0]
+            for r in con.execute(
+                "SELECT (x // ?) % 24 FROM (SELECT unnest(?) AS x)", [D, vals]
+            ).fetchall()
+        ]
+        assert got == want
+
+    check()
