@@ -1999,13 +1999,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-type hour-of-day uniformity chi-square ×100 — absent hours
         # contribute T² via the (24 − hrs)·n² closed form; HUGEINT squares;
-        # NULL type is its own row (NULLS LAST on both sides)
+        # NULL type is its own row (NULLS LAST on both sides); NULL ts
+        # carries no hour and is excluded; hour-of-day is FLOOR-division
+        # based (always 0..23, pre-epoch included) — DuckDB's // truncates,
+        # so floor is spelled out with the integer CASE adjustment
         "seasonality_chisq_events": """
-            WITH c AS (
+            WITH base AS (
+                SELECT event_type, epoch_us(ts) AS tu
+                  FROM events WHERE ts IS NOT NULL
+            ), c AS (
                 SELECT event_type,
-                       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+                       CAST(((((tu // 3600000000)
+                               - CASE WHEN tu < 0 AND tu % 3600000000 <> 0 THEN 1 ELSE 0 END)
+                              % 24) + 24) % 24 AS BIGINT) AS hod,
                        CAST(count(*) AS BIGINT) AS o
-                  FROM events GROUP BY 1, 2
+                  FROM base GROUP BY 1, 2
             ), t AS (
                 SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
                        CAST(count(*) AS BIGINT) AS hrs
@@ -2080,7 +2088,9 @@ def oracle_sql() -> dict[str, str]:
         # is its own group (IS NOT DISTINCT FROM)
         "burst_events": """
             WITH c AS (
-                SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                SELECT CAST((epoch_us(ts) // 3600000000)
+                            - CASE WHEN epoch_us(ts) < 0 AND epoch_us(ts) % 3600000000 <> 0
+                                   THEN 1 ELSE 0 END AS BIGINT) AS h,
                        event_type, CAST(count(*) AS BIGINT) AS cnt
                   FROM events GROUP BY 1, 2
             ), t AS (

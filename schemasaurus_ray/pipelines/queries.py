@@ -6110,7 +6110,7 @@ def burst_events(sf_dir: str) -> pa.Table:
     def hour_of(tbl: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "h": _duckdb_time_bucket(tbl.column("ts"), 3_600_000_000),
+                "h": _floor_time_bucket(tbl.column("ts"), 3_600_000_000),
                 "event_type": tbl.column("event_type"),
             }
         )
@@ -6472,21 +6472,22 @@ def vocab_growth_documents(sf_dir: str, buckets: int = 10) -> pa.Table:
     )
 
 
-def _duckdb_time_bucket(ts_col, div_us: int, mod: int | None = None) -> pa.Array:
-    """int64 bucket matching DuckDB's (epoch_us(ts) // d) [% m] EXACTLY:
-    DuckDB's integer // truncates toward zero and % follows the
-    dividend's sign, where numpy floors both — divergent for any
-    pre-1970 timestamp (−7 200 000 001 µs → DuckDB −2, numpy 21 after
-    % 24), and the oracle-parity contract is unconditional, not
-    fixtures-only. NULL ts stays NULL (its own group on both sides)."""
+def _floor_time_bucket(ts_col, div_us: int, mod: int | None = None) -> pa.Array:
+    """int64 FLOOR-division time bucket (numpy's native semantics): the
+    physically meaningful binning — floor assigns (−1 h, 0) and (0, 1 h)
+    to DIFFERENT hours, and floor-mod keeps hour-of-day in 0..23 for
+    pre-1970 timestamps too. DuckDB's integer // truncates toward zero
+    and % follows the dividend, so the oracles spell floor out with an
+    integer CASE adjustment (`x // d − (x < 0 AND x % d ≠ 0)`), never a
+    float division (epoch µs exceed 2^53). NULL ts stays NULL (its own
+    group on both sides where the query keeps it)."""
     ts = ts_col.cast(pa.int64())
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
     null_mask = ~np.asarray(pc.is_valid(ts), dtype=bool)
-    v = np.asarray(ts.fill_null(0))
-    q = np.where(v >= 0, v // div_us, -((-v) // div_us))
+    q = np.asarray(ts.fill_null(0)) // div_us
     if mod is not None:
-        q = np.where(q >= 0, q % mod, -((-q) % mod))
+        q = q % mod
     return pa.array(q, pa.int64(), mask=null_mask)
 
 
@@ -6505,10 +6506,12 @@ def seasonality_chisq_events(sf_dir: str) -> pa.Table:
     H = 24
 
     def hod(tbl: pa.Table) -> pa.Table:
+        # NULL ts carries no hour information — excluded on both sides
+        tbl = tbl.filter(pc.is_valid(tbl.column("ts")))
         return pa.table(
             {
                 "event_type": tbl.column("event_type"),
-                "hod": _duckdb_time_bucket(tbl.column("ts"), 3_600_000_000, H),
+                "hod": _floor_time_bucket(tbl.column("ts"), 3_600_000_000, H),
             }
         )
 

@@ -446,14 +446,16 @@ def test_ws_tokens_vertical_tab_parity(ray_session, tmp_path_factory):
         _match(got, _oracle(name, str(d)))
 
 
-def test_duckdb_time_bucket_property():
-    """Property: _duckdb_time_bucket equals DuckDB's (x // d) % m on
-    random µs values spanning both epoch sides (truncation + dividend-
-    sign semantics), including exact hour boundaries."""
+def test_floor_time_bucket_property():
+    """Property: _floor_time_bucket (numpy floor semantics) equals the
+    oracle's spelled-out integer floor expression — DuckDB's // truncates
+    toward zero, so the SQL carries the CASE adjustment — on random µs
+    values spanning both epoch sides, including exact hour boundaries.
+    Floor-mod keeps hour-of-day in 0..23 for pre-1970 timestamps."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from schemasaurus_ray.pipelines.queries import _duckdb_time_bucket
+    from schemasaurus_ray.pipelines.queries import _floor_time_bucket
 
     D = 3_600_000_000
     con = duckdb.connect()
@@ -470,15 +472,19 @@ def test_duckdb_time_bucket_property():
         )
     )
     def check(vals):
-        got = _duckdb_time_bucket(
+        got = _floor_time_bucket(
             pa.array(vals, pa.int64()).cast(pa.timestamp("us")), D, 24
         ).to_pylist()
         want = [
             r[0]
             for r in con.execute(
-                "SELECT (x // ?) % 24 FROM (SELECT unnest(?) AS x)", [D, vals]
+                """SELECT ((((x // ?1) - CASE WHEN x < 0 AND x % ?1 <> 0 THEN 1 ELSE 0 END)
+                            % 24) + 24) % 24
+                     FROM (SELECT unnest(?2) AS x)""",
+                {"1": D, "2": vals},
             ).fetchall()
         ]
         assert got == want
+        assert all(0 <= v < 24 for v in got)
 
     check()
