@@ -58,7 +58,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     key_distribution_events (same displacement rule); batch 3
     (assoc_rules_events, conversion_latency_events) takes the slots of
     cohort_retention_events / spec_diff_documents; batch 4
-    (vocab_growth_documents) takes quantiles_lineitem's slot."""
+    (vocab_growth_documents) takes quantiles_lineitem's slot. Session-5
+    null-contract closure: the stress sweep's fixes touched the temporal
+    family + validate_events + ntile, so the most-modified six
+    (validate_events, ntile_documents, windowed_events, sessionize_events,
+    interarrival_events, cohort_retention_events) rotate back into the
+    prefix, displacing infer_spec_events / grouped_quantiles_lineitem /
+    percentile_outliers_lineitem / fd_violations_events /
+    dup_passages_documents / decontaminate_passages_documents (all
+    r04-certified green and UNMODIFIED this session); the remaining
+    read-filter-only temporal edits (asof, activity_window,
+    rolling_minmax, late/ontime pair partially in prefix, funnel_window)
+    are sf0.01-neutral and sim-verified."""
     return {
         # -- driver-check priority: oracle-backed, no CORRECTNESS row yet
         # (never certified through r04; VERDICT r5 item 1) --
@@ -138,15 +149,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spec inference (profile → suggested validation spec; the
         # documents twin runs the same machinery and keeps pytest parity
         # just outside the prefix)
-        "infer_spec_events": q.infer_spec_events,
+        "validate_events": q.validate_events,
         # exact bounded-domain quantiles (sibling of the t-digest sketch)
         # NEW r5 session-5 batch 4: Heaps-curve vocabulary growth — takes
         # quantiles_lineitem's prefix slot (r04-certified green; the
         # quantile machinery stays in-prefix via grouped_quantiles /
         # percentile_outliers)
         "vocab_growth_documents": q.vocab_growth_documents,
-        "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
-        "percentile_outliers_lineitem": q.percentile_outliers_lineitem,
+        "ntile_documents": q.ntile_documents,
+        "windowed_events": q.windowed_events,
         # NEW r5 session-4: per-doc distinctive-keyword extraction (takes
         # stratified_sample_documents' prefix slot — r04 green, unmodified)
         "doc_keywords_documents": q.doc_keywords_documents,
@@ -155,15 +166,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery unmodified this round)
         "drift_ks_events": q.drift_ks_events,
         # -- new round-4 operators (need their first driver row) --
-        "fd_violations_events": q.fd_violations_events,
+        "sessionize_events": q.sessionize_events,
         # NEW r5 session-5 batch 5: hour-of-day uniformity chi-square —
         # takes coverage_customer_events' prefix slot (r04-certified
         # green, referential machinery unmodified)
         "seasonality_chisq_events": q.seasonality_chisq_events,
-        "dup_passages_documents": q.dup_passages_documents,
+        "interarrival_events": q.interarrival_events,
         # NEW r4 session-3: span-level eval-leakage audit (broadcast
         # benchmark window hashes, zero-shuffle streaming count)
-        "decontaminate_passages_documents": q.decontaminate_passages_documents,
+        "cohort_retention_events": q.cohort_retention_events,
         # -- modified-this-round re-checks (r03 certification no longer
         # covers the current code for these; validate_lineitem and
         # check_constraints_lineitem are UNMODIFIED since their r03 rows,
@@ -199,19 +210,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": q.join_orders_customer,
         "asof_events_purchase": q.asof_events_purchase,
         "activity_window_events": q.activity_window_events,
-        "sessionize_events": q.sessionize_events,
-        "interarrival_events": q.interarrival_events,
+        "fd_violations_events": q.fd_violations_events,
+        "dup_passages_documents": q.dup_passages_documents,
         "late_events": q.late_events,
         "mad_outliers_lineitem": q.mad_outliers_lineitem,
         "key_distribution_events": q.key_distribution_events,
-        "cohort_retention_events": q.cohort_retention_events,
+        "decontaminate_passages_documents": q.decontaminate_passages_documents,
         "spec_diff_documents": q.spec_diff_documents,
         "quantiles_lineitem": q.quantiles_lineitem,
         "coverage_customer_events": q.coverage_customer_events,
-        "windowed_events": q.windowed_events,
+        "percentile_outliers_lineitem": q.percentile_outliers_lineitem,
         "drift_psi_events": q.drift_psi_events,
         "rolling_minmax_events": q.rolling_minmax_events,
-        "ntile_documents": q.ntile_documents,
+        "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
         "histogram_events_type": q.histogram_events_type,  # raw count shuffle (r4)
         "ann_topk_embeddings": q.ann_topk_embeddings,
         "sample_documents": q.sample_documents,
@@ -241,7 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # validator rule-pack (SURVEY.md §2B keywords, vectorized)
         "validate_documents": q.validate_documents,
         "validate_embeddings": q.validate_embeddings,
-        "validate_events": q.validate_events,
+        "infer_spec_events": q.infer_spec_events,
         "validate_documents_formats": q.validate_documents_formats,
         "validate_documents_jsonl": q.validate_documents_jsonl,
         "validate_documents_csv": q.validate_documents_csv,
@@ -1047,6 +1058,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(event_id AS VARCHAR), 'event_type', 'enum'
               FROM events WHERE event_type NOT IN ('click','signup','error','view','purchase')
             UNION ALL
+            -- required fires on NULL; enum stays silent there (the
+            -- reference's null-skip — NOT IN above is NULL-safe too).
+            -- Caught by the null-heavy stress sweep: the engine was
+            -- right, this oracle had no required clause
+            SELECT CAST(event_id AS VARCHAR), 'event_type', 'required'
+              FROM events WHERE event_type IS NULL
+            UNION ALL
             SELECT CAST(event_id AS VARCHAR), 'props', 'json'
               FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         """,
@@ -1389,19 +1407,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_events_purchase": """
             SELECT e.event_id, e.user_id, max(p.ts) AS last_purchase_ts
-              FROM events e LEFT JOIN events p
+              FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+              LEFT JOIN (SELECT * FROM events WHERE ts IS NOT NULL) p
                 ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts < e.ts
              GROUP BY e.event_id, e.user_id ORDER BY e.event_id
         """,
         "activity_window_events": """
             SELECT e.event_id, count(p.event_id) AS n_prev_hour
-              FROM events e LEFT JOIN events p
+              FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+              LEFT JOIN (SELECT * FROM events WHERE ts IS NOT NULL) p
                 ON p.user_id = e.user_id
                AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
              GROUP BY e.event_id ORDER BY e.event_id
         """,
         "funnel_events": """
-            WITH ev AS (SELECT * FROM events WHERE event_id % 8 = 0),
+            WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL AND event_id % 8 = 0),
             s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type='view' GROUP BY 1),
             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
                      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
@@ -1423,7 +1443,7 @@ def oracle_sql() -> dict[str, str]:
                        lead(event_type) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                        ) AS next_type
-                  FROM events
+                  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
             )
             SELECT event_type AS prev_type, next_type, count(*) AS n
               FROM seq
@@ -1462,7 +1482,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type AS t0,
                        lead(event_type, 1) OVER w AS t1,
                        lead(event_type, 2) OVER w AS t2
-                  FROM events
+                  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT t0, t1, t2, count(*) AS n
@@ -1550,7 +1570,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df FROM ranked WHERE rn = 1 ORDER BY doc_id
         """,
         "funnel_window_events": """
-            WITH ev AS (SELECT * FROM events WHERE event_id % 8 = 0),
+            WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL AND event_id % 8 = 0),
             s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type='view' GROUP BY 1),
             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
                      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
@@ -1567,8 +1587,8 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY stage
         """,
         "cohort_retention_events": """
-            WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events GROUP BY 1),
-            a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+            WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE ts IS NOT NULL)
             SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
                    date_diff('day', f.d0, a.d) AS day_offset,
                    count(*) AS n_users
@@ -1580,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(ts) - lag(epoch_us(ts)) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                        ) AS gap
-                  FROM events
+                  FROM events WHERE ts IS NOT NULL
             )
             SELECT user_id,
                    COUNT(gap) AS n_gaps,
@@ -1596,7 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         "window_unique_users_events": """
             SELECT date_trunc('hour', ts) AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-              FROM events
+              FROM events WHERE ts IS NOT NULL
              GROUP BY 1
              ORDER BY 1
         """,
@@ -1706,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(ts) - CAST(CAST(concat('0x',
                            substr(md5(CAST(event_id AS VARCHAR)), 1, 3))
                            AS INTEGER) AS BIGINT) * 30000000 AS t
-                  FROM events
+                  FROM events WHERE ts IS NOT NULL
             ), w AS (
                 SELECT event_id, t,
                        MAX(t) OVER (ORDER BY event_id
@@ -1723,7 +1743,7 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(ts) - CAST(CAST(concat('0x',
                            substr(md5(CAST(event_id AS VARCHAR)), 1, 3))
                            AS INTEGER) AS BIGINT) * 30000000 AS t
-                  FROM events
+                  FROM events WHERE ts IS NOT NULL
             ), w AS (
                 SELECT event_id, t,
                        MAX(t) OVER (ORDER BY event_id
@@ -1739,7 +1759,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) OVER w AS roll_min,
                    MAX(value) OVER w AS roll_max,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
-              FROM events
+              FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              ORDER BY event_id
@@ -1750,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
                             THEN 1 ELSE 0 END AS new_s
-                  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                  FROM events WHERE ts IS NOT NULL WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
                 SELECT user_id, ts,
                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1766,7 +1786,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS cnt,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-              FROM events GROUP BY 1, 2 ORDER BY 1, 2
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "drift_psi_events": """
             WITH half AS (SELECT CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) h FROM events),
@@ -1800,7 +1820,8 @@ def oracle_sql() -> dict[str, str]:
                        GREATEST(g.cnt * 1.0 / (SELECT s FROM gt), 1e-6) AS pe,
                        GREATEST(COALESCE(h.cnt, 0) * 1.0 / pt.s, 1e-6) AS pa
                   FROM pt CROSS JOIN ghist g
-                  LEFT JOIN hist h ON h.pid = pt.pid AND h.event_type = g.event_type
+                  LEFT JOIN hist h ON h.pid = pt.pid
+                   AND h.event_type IS NOT DISTINCT FROM g.event_type
             )
             SELECT pid,
                    CAST(FLOOR(10000 * SUM((pa - pe) * LN(pa / pe))) AS BIGINT) AS psi_bp,

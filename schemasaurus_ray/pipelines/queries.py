@@ -66,6 +66,23 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns, schema=schema)
 
 
+def _drop_null_ts(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch.column("ts")))
+
+
+def _events_with_ts(sf_dir: str, columns: list[str]):
+    """events read with NULL-ts rows dropped at the scan: an event without
+    a time carries no temporal information, so EVERY temporal operator
+    (ordering, windows, gaps, funnels, watermarks) defines its semantics
+    over timed events only — the oracles mirror it as WHERE ts IS NOT
+    NULL. This is a correctness fence, not a convenience: an unfiltered
+    NaT becomes INT64_MIN in the numpy kernels, which sorts FIRST where
+    SQL sorts NULL LAST (and degrades lexsorts to object dtype) — caught
+    by scripts/stress_parity.py, invisible in the null-free sf fixtures."""
+    ds = _read(sf_dir, "events", columns)
+    return ds.map_batches(_drop_null_ts, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _collect(ds) -> pa.Table:
     batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not batches:
@@ -2497,9 +2514,7 @@ def windowed_events(sf_dir: str) -> pa.Table:
     event_type, cnt, sum_v). Implemented as a vectorized per-batch partial
     (floor ts to the hour, group within batch) + a small groupby over
     partials — the pre-aggregate-then-shuffle shape."""
-    from ray.data.aggregate import Count, Sum
-
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _events_with_ts(sf_dir, ["ts", "event_type", "value"])
 
     def to_window(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -2518,19 +2533,18 @@ def windowed_events(sf_dir: str) -> pa.Table:
         )
         return g.rename_columns(["window_start", "event_type", "cnt", "sum_cents"])
 
-    pre = ds.map_batches(to_window, batch_format="pyarrow")
-    agg = pre.groupby(["window_start", "event_type"]).aggregate(
-        Sum("cnt", alias_name="cnt"), Sum("sum_cents", alias_name="sum_cents")
+    # driver-side final combine over the tiny per-batch partials: Ray
+    # Data's sort-based groupby raises comparing a NULL event_type (the
+    # stress sweep's TypeError) and is the slow path on string keys anyway
+    from ..stages.shuffle import group_agg_fixed_first
+
+    parts = _collect(ds.map_batches(to_window, batch_format="pyarrow"))
+    out = group_agg_fixed_first(
+        parts, ["window_start", "event_type"], [("cnt", "sum"), ("sum_cents", "sum")]
+    ).rename_columns(["window_start", "event_type", "cnt", "sum_cents"])
+    return out.sort_by(
+        [("window_start", "ascending"), ("event_type", "ascending")]
     )
-    out = _collect(agg)
-    return pa.table(
-        {
-            "window_start": out.column("window_start"),
-            "event_type": out.column("event_type"),
-            "cnt": pc.cast(out.column("cnt"), pa.int64()),
-            "sum_cents": pc.cast(out.column("sum_cents"), pa.int64()),
-        }
-    ).sort_by([("window_start", "ascending"), ("event_type", "ascending")])
 
 
 def window_unique_users_events(sf_dir: str) -> pa.Table:
@@ -2548,7 +2562,7 @@ def window_unique_users_events(sf_dir: str) -> pa.Table:
 
     from ..stages.shuffle import _default_buckets, _split_buckets, _tree_combine
 
-    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    ds = _events_with_ts(sf_dir, ["ts", "user_id"])
     block_refs = arrow_block_refs(ds)
     # cluster-derived fan-out (16 × nodes cap): the per-bucket distinct
     # table is O(|distinct pairs| / buckets) — the bucket count must grow
@@ -2726,8 +2740,6 @@ def drift_partition_verdicts(sf_dir: str) -> pa.Table:
     rows); the global histogram is the partition sum — no second pass."""
     import math
 
-    from ray.data.aggregate import Sum
-
     from ..state.tdigest import psi
 
     n_parts = 8
@@ -2739,11 +2751,15 @@ def drift_partition_verdicts(sf_dir: str) -> pa.Table:
         g = t.group_by(["pid", "event_type"]).aggregate([([], "count_all")])
         return g.rename_columns(["pid", "event_type", "cnt"])
 
-    agg = _collect(
-        ds.map_batches(part, batch_format="pyarrow")
-        .groupby(["pid", "event_type"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
+    # driver-side final combine (tiny partials; Ray Data's sort-based
+    # groupby raises on NULL event_type — stress-sweep TypeError)
+    from ..stages.shuffle import group_agg_fixed_first
+
+    agg = group_agg_fixed_first(
+        _collect(ds.map_batches(part, batch_format="pyarrow")),
+        ["pid", "event_type"],
+        [("cnt", "sum")],
+    ).rename_columns(["pid", "event_type", "cnt"])
     per_pid: dict[int, dict[str, float]] = {}
     glob: dict[str, float] = {}
     for pid, et, cnt in zip(
@@ -3031,8 +3047,8 @@ def asof_events_purchase(sf_dir: str) -> pa.Table:
     partitioned by user_id, one vectorized merged-sort kernel per bucket."""
     from ..stages.temporal import asof_join_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    purchases = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).filter(
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts"])
+    purchases = _events_with_ts(sf_dir, ["user_id", "ts", "event_type"]).filter(
         expr="event_type == 'purchase'"
     )
     out = asof_join_shuffled(
@@ -3056,7 +3072,7 @@ def activity_window_events(sf_dir: str) -> pa.Table:
     join (two cumulative-rank passes per bucket, no pair materialization)."""
     from ..stages.temporal import range_count_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts"])
     out = range_count_shuffled(
         events,
         "user_id",
@@ -3079,7 +3095,7 @@ def sessionize_events(sf_dir: str) -> pa.Table:
     per-key history is co-located by the shuffle."""
     from ..stages.temporal import sessionize_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts"])
     out = sessionize_shuffled(events, "user_id", "ts", "event_id", gap=2 * _US_PER_HOUR)
     return out.sort_by([("user_id", "ascending"), ("session_no", "ascending")])
 
@@ -3095,7 +3111,13 @@ def transitions_events(sf_dir: str) -> pa.Table:
     user ORDER BY ts, event_id) pair counts."""
     from ..stages.temporal import transition_counts_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    # the chain is over LABELED timed events: an unlabeled (NULL-type)
+    # event carries no transition information, so it is skipped — the
+    # oracle's WHERE event_type IS NOT NULL, mirrored here
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("event_type"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     out = transition_counts_shuffled(events, "user_id", "ts", "event_id", "event_type")
     return out.sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
 
@@ -3113,7 +3135,10 @@ def trigram_paths_events(sf_dir: str, k: int = 25) -> pa.Table:
     user ORDER BY ts, event_id) trigram counts, same LIMIT and order."""
     from ..stages.temporal import path_ngram_counts_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("event_type"))),  # labeled events only
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     out = path_ngram_counts_shuffled(events, "user_id", "ts", "event_id", "event_type", n=3)
     top = out.sort_by(
         [("n", "descending"), ("t0", "ascending"), ("t1", "ascending"), ("t2", "ascending")]
@@ -3130,7 +3155,7 @@ def interarrival_events(sf_dir: str) -> pa.Table:
     (stages/temporal.interarrival_shuffled). All-integer → exact."""
     from ..stages.temporal import interarrival_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts"])
     out = interarrival_shuffled(events, "user_id", "ts", "event_id")
     return out.rename_columns(
         ["user_id", "n_gaps", "min_gap_us", "max_gap_us", "sum_gap_us"]
@@ -3144,6 +3169,7 @@ def _md5_delivery_jitter(tbl: pa.Table) -> pa.Table:
     mirror their oracle SQL bit-for-bit, so there is exactly one copy."""
     from ..util import md5_digests
 
+    tbl = _drop_null_ts(tbl)  # timeless events carry no watermark signal
     eid = tbl.column("event_id").combine_chunks()
     dig = md5_digests(eid.cast(pa.string()))
     # 12 bits = byte0·16 + byte1>>4 ≡ CAST(concat('0x', substr(md5(id),1,3)) AS INT)
@@ -3202,7 +3228,7 @@ def rolling_minmax_events(sf_dir: str) -> pa.Table:
     bit-for-bit."""
     from ..stages.temporal import rolling_minmax_shuffled
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    events = _events_with_ts(sf_dir, ["event_id", "user_id", "ts", "value"])
     out = rolling_minmax_shuffled(events, "user_id", "ts", "event_id", "value", window=3)
     return out.sort_by("event_id")
 
@@ -5093,7 +5119,7 @@ def funnel_events(sf_dir: str) -> pa.Table:
         ids = np.asarray(batch.column("event_id").combine_chunks(), dtype=np.int64)
         return batch.filter(pa.array(ids % 8 == 0)).drop_columns(["event_id"])
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+    ds = _events_with_ts(sf_dir, ["event_id", "user_id", "ts", "event_type"]).map_batches(
         thin, batch_format="pyarrow", zero_copy_batch=True
     )
     out = funnel_shuffled(ds, "user_id", "ts", "event_type", stages)
@@ -5123,7 +5149,7 @@ def funnel_window_events(sf_dir: str) -> pa.Table:
         ids = np.asarray(batch.column("event_id").combine_chunks(), dtype=np.int64)
         return batch.filter(pa.array(ids % 8 == 0)).drop_columns(["event_id"])
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+    ds = _events_with_ts(sf_dir, ["event_id", "user_id", "ts", "event_type"]).map_batches(
         thin, batch_format="pyarrow", zero_copy_batch=True
     )
     out = funnel_shuffled(
@@ -5147,7 +5173,7 @@ def cohort_retention_events(sf_dir: str) -> pa.Table:
     driver merges B tiny triangles (stages/temporal.cohort_retention_shuffled)."""
     from ..stages.temporal import cohort_retention_shuffled
 
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = _events_with_ts(sf_dir, ["user_id", "ts"])
     out = cohort_retention_shuffled(ds, "user_id", "ts")
     days = np.asarray(out.column("cohort_day").combine_chunks(), dtype=np.int64)
     cohort = days.astype("datetime64[D]").astype(str)

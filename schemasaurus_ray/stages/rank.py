@@ -75,7 +75,20 @@ def rank_starts_from_count_table(
     groups = counts.column(group_col).to_numpy(zero_copy_only=False)
     vals = counts.column(value_col).to_numpy(zero_copy_only=False)
     cnt = counts.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
-    ugroups, gcode = np.unique(groups, return_inverse=True)
+    try:
+        ugroups, gcode = np.unique(groups, return_inverse=True)
+        ugroups = list(ugroups)
+    except TypeError:
+        # object keys with None (SQL's NULL partition): np.unique can't
+        # compare None<str — factorize with NULL coded last (group codes
+        # only name partitions; their order never reaches the output)
+        glist = groups.tolist()
+        uniq: list = sorted({x for x in glist if x is not None})
+        if any(x is None for x in glist):
+            uniq.append(None)
+        pos = {x: i for i, x in enumerate(uniq)}
+        gcode = np.array([pos[x] for x in glist], dtype=np.int64)
+        ugroups = uniq
     order = np.lexsort((vals, gcode))
     gc, v, c = gcode[order], vals[order], cnt[order]
     cum = np.cumsum(c)
@@ -263,9 +276,13 @@ def ntile_assign_shuffled(
         tbl = pa.concat_tables(parts)
         ugroups, bg, bv, brs, bn = rank_pack
         garr = tbl.column(group_col).combine_chunks()
-        code = np.asarray(
-            pc.index_in(garr, value_set=pa.array(ugroups, garr.type)), dtype=np.int64
-        )
+        idx_arr = pc.index_in(garr, value_set=pa.array(ugroups, garr.type))
+        # index_in yields NULL for a NULL group even when ugroups contains
+        # None — fill with the NULL partition's code (always coded last by
+        # rank_starts_from_count_table) instead of letting NaT-style
+        # garbage through np.asarray
+        null_code = ugroups.index(None) if None in ugroups else 0
+        code = np.asarray(idx_arr.fill_null(null_code), dtype=np.int64)
         v = tbl.column(value_col).to_numpy(zero_copy_only=False)
         tb = tbl.column(tiebreak_col).to_numpy(zero_copy_only=False)
         # j: rank within the exact (group, value) tie block, by tiebreak
