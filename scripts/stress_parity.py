@@ -33,11 +33,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# Heavy near-dup / decontamination pipelines are excluded by default
-# (minutes each at this volume — they have their own pytest goldens and
-# sf0.1 coverage); pass --full to include them. asof/activity_window are
-# gated too: the ENGINE side is seconds, but the DuckDB oracle's
-# inequality self-join is quadratic per user (~5 min under zipf skew).
+# Heavy near-dup / decontamination pipelines are excluded by default:
+# their DuckDB verification oracles are quadratic-ish at this volume
+# (--full measured 28+ min INSIDE one near-dup oracle before being
+# stopped; the ENGINE sides run in seconds and carry their own pytest
+# goldens + sf0.1 oracle coverage). asof/activity_window are gated for
+# the same reason (inequality self-join, ~5 min under zipf skew).
 SLOW = {
     "minhash_neardup_documents", "ngram_jaccard_neardup_documents",
     "dedup_neardup_survivors_documents", "dedup_neardup_keep_best_documents",
